@@ -1,13 +1,376 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import graft.geo.WebMercator
+import graft.util.Exact.{davg, dsum}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every (query, oracle) pair so the driver's
+  * hash-compare is deterministic:
+  *  - every query ends in a full ORDER BY over a unique key set, mirrored in
+  *    the oracle SQL (the compare sorts columns by name, but row order must
+  *    match too);
+  *  - double aggregates go through [[graft.util.Exact]] (per-row decimal
+  *    quantization) so the result is independent of partition/summation
+  *    order; oracle SQL mirrors with CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE);
+  *  - counts are Long on both sides (DuckDB COUNT/SUM(int) are cast to
+  *    BIGINT in the oracle);
+  *  - column names are identical on both sides (aliased everywhere).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Mirrors the reference's end-to-end `fetch_data` + `subsample` flow
+    * (`scripts/usgs_lidar.py:312-340,400-439`) on the lineitem-derived
+    * point cloud: filter -> project -> voxel barycenter aggregate.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    refVoxelSubsample(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------------
+  // Relational core (extension suite, SURVEY.md §7.7) over the TPC-H-ish tables
+  // ---------------------------------------------------------------------------
+
+  /** TPC-H Q1 shape: scan-heavy multi-aggregate with map-side combine. */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        davg(col("l_quantity"), 2, 2).as("avg_qty"),
+        davg(col("l_extendedprice"), 2, 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Selective filter + sort + limit; filter and 4-column projection push
+    * into the Parquet scan. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_size") >= 30 && col("p_type").isin("ECONOMY", "PROMO"))
+      .select("p_partkey", "p_name", "p_type", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(100)
+
+  /** TPC-H Q3 shape: selective dims -> fact join. customer and orders are
+    * orders of magnitude smaller than lineitem, so both join sides that fit
+    * are broadcast — lineitem never shuffles. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
+    l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** EXISTS -> broadcast left-semi join (no row multiplication, no shuffle of
+    * the probe side beyond the aggregate). */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= ts("1997-01-01"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1999-01-01"))
+      .select(col("l_orderkey"))
+    o.join(broadcast(l), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** NOT EXISTS -> broadcast left-anti join: suppliers with no shipment in a
+    * window. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1995-01-01") && col("l_shipdate") < ts("1995-02-01") &&
+        col("l_quantity") >= 49)
+      .select(col("l_suppkey"))
+    sup.join(broadcast(l), col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q6 shape: fully pushed-down conjunctive range filter + single
+    * global aggregate. */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+
+  /** Window function: top-3 orders per customer by total price. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("c_custkey"), col("rnk"))
+  }
+
+  /** Set op: nations having both customers and suppliers (INTERSECT). */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val cn = t(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey")).select("n_name")
+    val sn = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey")).select("n_name")
+    cn.intersect(sn).orderBy(col("n_name"))
+  }
+
+  /** ROLLUP grouping-sets aggregate over orders. */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Tumbling-window (1 h) event aggregation — the batch form of the
+    * Structured Streaming slice (graft.streaming). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** JSON field extraction (F8 analog on the events table). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------------------
+  // Reference-parity operators (SURVEY.md §2) expressed over the fixture tables
+  // ---------------------------------------------------------------------------
+
+  /** P3+O1 — bbox containment catalog query (`scripts/usgs_lidar.py:297-305`).
+    * A catalog of per-supplier bounding boxes is derived in-query from
+    * lineitem; the containment predicate is the reference's 4-way conjunctive
+    * range filter.
+    */
+  private def refBboxContainment(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(
+        min(col("l_extendedprice")).as("xmin"), max(col("l_extendedprice")).as("xmax"),
+        min(col("l_quantity")).as("ymin"), max(col("l_quantity")).as("ymax"),
+        count(lit(1)).as("points"))
+      .filter(col("xmin") <= 20000.0 && col("xmax") >= 80000.0 &&
+        col("ymin") <= 5.0 && col("ymax") >= 45.0)
+      .orderBy(col("l_suppkey"))
+
+  /** F6/F7/F9 — filename regex year extraction + sentinel rendering
+    * (`scripts/usgs_lidar.py:224-242,328-332`) over synthesized S3-prefix
+    * style names.
+    */
+  private def refRegexYear(s: SparkSession, dir: String): DataFrame = {
+    val name0 = concat(
+      col("source"), lit("_"),
+      when(col("doc_id") % 10 === 0, lit("NoYear"))
+        .otherwise((lit(2008) + col("doc_id") % 15).cast("string")),
+      lit("/"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), name0.as("prefix"))
+    val stripped = regexp_replace(col("prefix"), "/", "")
+    val yearStr = nullif(regexp_extract(stripped, "20[0-9][0-9]+", 0), lit(""))
+    val region = when(yearStr.isNull, stripped)
+      .otherwise(regexp_replace(regexp_extract(stripped, "^(.*?)20[0-9][0-9]+", 1), "_$", ""))
+    docs
+      .select(
+        col("doc_id"), stripped.as("filename"), region.as("region"),
+        yearStr.cast("int").as("year"),
+        when(yearStr.isNull, lit("Year: not_specified"))
+          .otherwise(concat(yearStr, lit(".0"))).as("year_rendered"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F1 — closed-form Web-Mercator forward transform (4326 -> 3857) as pure
+    * Column expressions (`scripts/usgs_lidar.py:69-70`).
+    */
+  private def refWebMercator(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val lon = (col("c_acctbal") % 360.0) - lit(170.0)
+    val lat = ((col("c_custkey") % 160).cast("double")) - lit(80.0)
+    c.select(
+      col("c_custkey"),
+      round(lon, 6).as("lon"), round(lat, 6).as("lat"),
+      round(WebMercator.lonToX(lon), 4).as("mercator_x"),
+      round(WebMercator.latToY(lat), 4).as("mercator_y"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** A1 — the flagship voxel-grid barycenter downsample
+    * (`subsample`, `scripts/usgs_lidar.py:400-439`) over a lineitem-derived
+    * point cloud (x=extendedprice, y=quantity, z=discount*100).
+    */
+  private def refVoxelSubsample(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "lineitem").select(
+      col("l_extendedprice").as("x"), col("l_quantity").as("y"),
+      (col("l_discount") * 100.0).as("z"))
+    ops.PointCloudOps.voxelSubsample3(pts, 5000.0, 5.0, 2.0)
+      .orderBy(col("vx"), col("vy"), col("vz"))
+  }
+
+  /** A4 — 2-D heatmap grid (bin + avg), `save_heatmap` data side
+    * (`scripts/usgs_lidar.py:361-381`).
+    */
+  private def refGridHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "lineitem").select(
+      col("l_extendedprice").as("x"), col("l_quantity").as("y"),
+      (col("l_discount") * 100.0).as("z"))
+    ops.PointCloudOps.grid2d(pts, 5000.0, 5.0)
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** One per implemented operator from SURVEY.md §2 (+ §7.7 extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_sort_limit" -> (q02 _),
+    "q03_join_agg_topk" -> (q03 _),
+    "q04_semi_join" -> (q04 _),
+    "q05_anti_join" -> (q05 _),
+    "q06_selective_sum" -> (q06 _),
+    "q07_window_topn" -> (q07 _),
+    "q08_set_intersect" -> (q08 _),
+    "q09_rollup" -> (q09 _),
+    "q10_events_hourly" -> (q10 _),
+    "q11_events_json" -> (q11 _),
+    "r01_bbox_containment" -> (refBboxContainment _),
+    "r02_regex_year" -> (refRegexYear _),
+    "r03_webmercator" -> (refWebMercator _),
+    "r04_voxel_subsample" -> (refVoxelSubsample _),
+    "r05_grid_heatmap" -> (refGridHeatmap _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*), 2) AS avg_qty,
+        | round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*), 2) AS avg_price,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_sort_limit" ->
+      """SELECT p_partkey, p_name, p_type, p_retailprice FROM part
+        |WHERE p_size >= 30 AND p_type IN ('ECONOMY','PROMO')
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 100""".stripMargin,
+    "q03_join_agg_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1999-01-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_quantity >= 49
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-02-01')
+        |ORDER BY s_suppkey""".stripMargin,
+    "q06_selective_sum" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_window_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        | FROM orders) sub
+        |WHERE rnk <= 3 ORDER BY c_custkey, rnk""".stripMargin,
+    "q08_set_intersect" ->
+      """SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |INTERSECT
+        |SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "q09_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q10_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_events_json" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "r01_bbox_containment" ->
+      """WITH cat AS (
+        | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
+        |  min(l_quantity) AS ymin, max(l_quantity) AS ymax, CAST(count(*) AS BIGINT) AS points
+        | FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, xmin, xmax, ymin, ymax, points FROM cat
+        |WHERE xmin <= 20000.0 AND xmax >= 80000.0 AND ymin <= 5.0 AND ymax >= 45.0
+        |ORDER BY l_suppkey""".stripMargin,
+    "r02_regex_year" ->
+      """WITH named AS (
+        | SELECT doc_id,
+        |  source || '_' || (CASE WHEN doc_id % 10 = 0 THEN 'NoYear' ELSE CAST(2008 + doc_id % 15 AS VARCHAR) END) || '/' AS prefix
+        | FROM documents),
+        |stripped AS (SELECT doc_id, replace(prefix, '/', '') AS filename FROM named),
+        |yr AS (SELECT doc_id, filename, nullif(regexp_extract(filename, '20[0-9][0-9]+', 0), '') AS year_str FROM stripped)
+        |SELECT doc_id, filename,
+        | CASE WHEN year_str IS NULL THEN filename
+        |      ELSE regexp_replace(regexp_extract(filename, '^(.*?)20[0-9][0-9]+', 1), '_$', '') END AS region,
+        | CAST(year_str AS INTEGER) AS year,
+        | CASE WHEN year_str IS NULL THEN 'Year: not_specified' ELSE year_str || '.0' END AS year_rendered
+        |FROM yr ORDER BY doc_id""".stripMargin,
+    "r03_webmercator" ->
+      """SELECT c_custkey,
+        | round((c_acctbal % 360.0) - 170.0, 6) AS lon,
+        | round(CAST(c_custkey % 160 AS DOUBLE) - 80.0, 6) AS lat,
+        | round(((c_acctbal % 360.0) - 170.0) * pi() / 180.0 * 6378137.0, 4) AS mercator_x,
+        | round(ln(tan(pi()/4.0 + least(greatest(CAST(c_custkey % 160 AS DOUBLE) - 80.0, -85.05112878), 85.05112878) * pi()/180.0/2.0)) * 6378137.0, 4) AS mercator_y
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "r04_voxel_subsample" ->
+      """WITH pts AS (
+        | SELECT l_extendedprice AS x, l_quantity AS y, l_discount*100.0 AS z FROM lineitem),
+        |m AS (SELECT min(x) AS mx, min(y) AS my, min(z) AS mz FROM pts)
+        |SELECT CAST(floor((x - mx)/5000.0) AS BIGINT) AS vx,
+        |       CAST(floor((y - my)/5.0) AS BIGINT) AS vy,
+        |       CAST(floor((z - mz)/2.0) AS BIGINT) AS vz,
+        | round(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS avg_x,
+        | round(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS avg_y,
+        | round(CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS avg_z,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM pts, m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "r05_grid_heatmap" ->
+      """WITH pts AS (
+        | SELECT l_extendedprice AS x, l_quantity AS y, l_discount*100.0 AS z FROM lineitem)
+        |SELECT CAST(floor(x/5000.0) AS BIGINT) AS gx, CAST(floor(y/5.0) AS BIGINT) AS gy,
+        | round(CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS avg_elevation,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

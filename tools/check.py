@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Mimics the driver: registers each <sfDir>/*.parquet as a view named by file
+stem, runs every SQL in <outDir>/oracle_sql.json, reads the Spark result
+parquet from <outDir>/<name>/, sorts columns by name, and compares values.
+"""
+import sys, os, glob, json
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow.dataset as pads
+
+def load_spark(outdir, name):
+    path = os.path.join(outdir, name)
+    return pads.dataset(path, format="parquet").to_table().to_pandas()
+
+def norm(df):
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            # duckdb may return Decimal/int128 as object
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+    return df
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for f in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(f)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            spark_df = norm(load_spark(outdir, name))
+            duck_df = norm(con.sql(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: load/exec error: {e}")
+            n_fail += 1
+            continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_fail += 1
+            continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in spark_df.columns:
+            a, b = spark_df[c], duck_df[c]
+            eq = (a == b) | (a.isna() & b.isna())
+            if not eq.all():
+                i = (~eq).idxmax()
+                bad.append(f"{c}[row {i}]: spark={a[i]!r} duck={b[i]!r} ({(~eq).sum()} diffs)")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
