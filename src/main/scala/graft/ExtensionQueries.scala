@@ -1,0 +1,273 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import graft.ops.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §7.7 extension surface):
+  * text analysis, dedup family (exact / n-gram Jaccard / MinHash+LSH /
+  * SimHash), and embedding similarity search — each as an oracle-checked
+  * query over the driver fixture tables.
+  *
+  * Near-dup queries plant duplicates in-query (UNION ALL of a mutated copy
+  * with shifted ids): the synthetic corpus has no natural near-dups (max
+  * pairwise Jaccard ~0.03), and planting makes the detection path
+  * observable while keeping both engines' inputs identical.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Planted-duplicate document corpus: ids < 120, every 3rd doc copied
+    * with id+100000 and a mutated tail.
+    */
+  private val PlantTail = " planted near duplicate tail marker"
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    base.union(
+      base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), concat(col("text"), lit(PlantTail)).as("text")))
+  }
+  private val PlantedDocsSql =
+    s"""base AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+       |corpus AS (SELECT doc_id, text FROM base
+       |  UNION ALL SELECT doc_id + 100000, text || '$PlantTail' FROM base WHERE doc_id % 3 = 0)""".stripMargin
+
+  /** Shared oracle CTE: whitespace tokens and distinct 3-gram shingles. */
+  private val ShinglesSql =
+    """tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM corpus),
+      |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+      |  THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |  ELSE []::VARCHAR[] END AS s FROM tk)""".stripMargin
+
+  /** Oracle polynomial rolling hash over a string expression (mirrors
+    * TextOps.polyHash).
+    */
+  private def polySql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (a, x) -> (a*31 + x) % ${TextOps.HashP})"
+
+  // --- queries -------------------------------------------------------------
+
+  private def x01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+      TextOps.bpeTokenCount(col("text")).as("bpe_tokens"),
+      TextOps.punctCount(col("text")).as("n_punct"),
+      TextOps.stopHits(col("text"), TextOps.StopwordPatterns.head._2).as("stop_en"),
+      TextOps.polyHash(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private def x02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextOps.langGuess(col("text")).as("lang_guess"),
+      TextOps.quality(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private def x03(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.union(
+      base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.exactDupGroups(corpus, "text", "doc_id").orderBy(col("content_hash"))
+  }
+
+  private def x04(s: SparkSession, dir: String): DataFrame = {
+    val sh = plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("double")
+    val union = (size(col("a.s")) + size(col("b.s"))).cast("double") - inter
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"), (inter / union).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private def x05(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
+    docs.select(col("doc_id") +: (0 until Dedup.MinHashK).map(i =>
+      Dedup.minhashComponent(col("hs"), i).as(s"mh$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private def x06(s: SparkSession, dir: String): DataFrame = {
+    val sh = plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+    val sigs = sh.select(
+      (col("doc_id") +: col("s") +:
+        (0 until Dedup.MinHashK).map(i =>
+          Dedup.minhashComponent(transform(col("s"), x => TextOps.polyHash(x)), i).as(s"mh$i"))): _*)
+    val cands = Dedup.lshCandidates(sigs.drop("s"), "doc_id")
+    val withSets = cands
+      .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("s", "s1"), "id1")
+      .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("s", "s2"), "id2")
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val union = (size(col("s1")) + size(col("s2"))).cast("double") - inter
+    withSets
+      .select(col("id1"), col("id2"), (inter / union).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private def x07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private def x08(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private def x09(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val corpus = e.union(
+      e.filter(col("vec_id") % 5 === 0).select((col("vec_id") + 100000).as("vec_id"), col("v")))
+    val a = corpus.as("a"); val b = corpus.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private def x10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), TextOps.quality(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("q").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_quality"))
+      .orderBy(col("source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "x01_text_stats" -> (x01 _),
+    "x02_lang_quality" -> (x02 _),
+    "x03_exact_dedup" -> (x03 _),
+    "x04_ngram_jaccard_pairs" -> (x04 _),
+    "x05_minhash_sig" -> (x05 _),
+    "x06_minhash_lsh_pairs" -> (x06 _),
+    "x07_simhash" -> (x07 _),
+    "x08_cosine_topk" -> (x08 _),
+    "x09_embedding_neardup" -> (x09 _),
+    "x10_quality_by_source" -> (x10 _))
+
+  // --- oracle SQL ----------------------------------------------------------
+
+  private val StopEn = TextOps.StopwordPatterns.toMap.apply("en")
+  private val StopEs = TextOps.StopwordPatterns.toMap.apply("es")
+  private val StopDe = TextOps.StopwordPatterns.toMap.apply("de")
+  private val StopFr = TextOps.StopwordPatterns.toMap.apply("fr")
+
+  private val QualitySql =
+    """round(least(CAST(ws AS DOUBLE)/100.0, 1.0)*0.5
+      | + (CAST(st AS DOUBLE)/(CAST(ws AS DOUBLE)+1.0))*0.3
+      | + (1.0 - CAST(pu AS DOUBLE)/(CAST(ws AS DOUBLE)+1.0))*0.2, 6)""".stripMargin
+
+  private def minhashSql(i: Int, hs: String): String =
+    s"list_min(list_transform($hs, h -> (${Dedup.MinHashA(i)} * h + ${Dedup.MinHashB(i)}) % ${Dedup.MinHashP}))"
+
+  val oracleSql: Map[String, String] = ListMap(
+    "x01_text_stats" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+         | CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+         | CAST(length(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT) AS bpe_tokens,
+         | CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+         | CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS stop_en,
+         | ${polySql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x02_lang_quality" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS en,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEs')) AS BIGINT) AS es,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopDe')) AS BIGINT) AS de,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopFr')) AS BIGINT) AS fr,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM documents)
+         |SELECT doc_id, lang,
+         | CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |      WHEN es >= de AND es >= fr THEN 'es'
+         |      WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_guess,
+         | $QualitySql AS quality
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "x03_exact_dedup" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS copies
+        |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY content_hash""".stripMargin,
+    "x04_ngram_jaccard_pairs" ->
+      s"""WITH $PlantedDocsSql,
+         |$ShinglesSql,
+         |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+         |  CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS uni
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id1, id2, round(inter/uni, 6) AS jac FROM pr
+         |WHERE inter/uni >= 0.5 ORDER BY id1, id2""".stripMargin,
+    "x05_minhash_sig" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |$ShinglesSql,
+         |h AS (SELECT doc_id, list_transform(s, x -> ${polySql("x")}) AS hs FROM sh)
+         |SELECT doc_id, ${(0 until Dedup.MinHashK).map(i => minhashSql(i, "hs") + s" AS mh$i").mkString(",\n ")}
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "x06_minhash_lsh_pairs" ->
+      s"""WITH $PlantedDocsSql,
+         |$ShinglesSql,
+         |hh AS (SELECT doc_id, s, list_transform(s, x -> ${polySql("x")}) AS hs FROM sh),
+         |sig AS (SELECT doc_id, s, ${(0 until Dedup.MinHashK).map(i => minhashSql(i, "hs") + s" AS mh$i").mkString(",\n ")} FROM hh),
+         |banded AS (SELECT doc_id, unnest([${(0 until Dedup.LshBands).map(b => s"'$b:' || mh${2 * b} || ':' || mh${2 * b + 1}").mkString(", ")}]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |pr AS (SELECT id1, id2,
+         |  CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS inter,
+         |  CAST(len(s1.s) + len(s2.s) AS DOUBLE) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS uni
+         | FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+         |SELECT id1, id2, round(inter/uni, 6) AS jac FROM pr
+         |WHERE inter/uni >= 0.5 ORDER BY id1, id2""".stripMargin,
+    "x07_simhash" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM corpus),
+         |th AS (SELECT doc_id, list_transform(t, x -> ${polySql("x")}) AS h FROM tk)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0, ${Dedup.SimHashBits}), i ->
+         |  CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+         |FROM th ORDER BY doc_id""".stripMargin,
+    "x08_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |p AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos FROM e, q WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
+        |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "x09_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (SELECT vec_id, v FROM e
+        | UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 5 = 0),
+        |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cos FROM pr WHERE cos >= 0.99 ORDER BY id1, id2""".stripMargin,
+    "x10_quality_by_source" ->
+      s"""WITH h AS (SELECT source,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM documents),
+         |q AS (SELECT source, $QualitySql AS q FROM h)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS avg_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin)
+}

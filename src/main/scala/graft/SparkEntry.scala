@@ -257,7 +257,7 @@ object SparkEntry {
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
     "r04_voxel_subsample" -> (refVoxelSubsample _),
-    "r05_grid_heatmap" -> (refGridHeatmap _))
+    "r05_grid_heatmap" -> (refGridHeatmap _)) ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -372,5 +372,5 @@ object SparkEntry {
         |SELECT CAST(floor(x/5000.0) AS BIGINT) AS gx, CAST(floor(y/5.0) AS BIGINT) AS gy,
         | round(CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS avg_elevation,
         | CAST(count(*) AS BIGINT) AS n
-        |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) ++ ExtensionQueries.oracleSql
 }

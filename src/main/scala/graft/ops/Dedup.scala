@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * group-by), n-gram Jaccard, MinHash + LSH banding, and SimHash.
+  *
+  * Scale posture:
+  *  - exact dedup shuffles on a 128-bit content hash, never on the text
+  *    itself (shuffle payload = hash + id, not documents);
+  *  - signature computation (shingles -> MinHash/SimHash) is per-row
+  *    map-side expression work, no shuffle;
+  *  - candidate generation shuffles on LSH band keys only — the all-pairs
+  *    Jaccard join exists for verification/small corpora and is clearly
+  *    marked quadratic.
+  * All hashes are deterministic arithmetic (TextOps.polyHash + affine
+  * permutations mod 2^31-1) so the DuckDB oracle reproduces them exactly.
+  */
+object Dedup {
+
+  /** 128-bit content key for exact dedup — group/shuffle on this, not on
+    * raw text.
+    */
+  def contentKey(text: Column): Column = md5(text)
+
+  /** Exact duplicate groups: content hash -> smallest id kept + copy count.
+    * Only groups with >1 copy are returned.
+    */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(contentKey(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+      .filter(col("copies") > 1)
+
+  /** Distinct word n-gram shingles (default 3) of the lower-cased text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tk = TextOps.tokens(text)
+    when(
+      size(tk) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Polynomial hashes of the shingle set (base for MinHash). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => TextOps.polyHash(s))
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    inter / union
+  }
+
+  // --- MinHash -------------------------------------------------------------
+
+  /** Mersenne prime 2^31-1; affine permutation coefficients are fixed so
+    * signatures are reproducible across engines and runs.
+    */
+  val MinHashP = 2147483647L
+  val MinHashK = 8
+  val MinHashA: IndexedSeq[Long] = (1 to MinHashK).map(i => (2654435761L * i) % MinHashP)
+  val MinHashB: IndexedSeq[Long] = (1 to MinHashK).map(i => (40503L * i * 9973L) % MinHashP)
+
+  /** MinHash signature component i: min over shingle hashes of
+    * (A_i * h + B_i) mod P. Null for docs with no shingles.
+    */
+  def minhashComponent(hashes: Column, i: Int): Column =
+    array_min(transform(hashes, h => (lit(MinHashA(i)) * h + lit(MinHashB(i))) % lit(MinHashP)))
+
+  /** Full k-component signature as flat columns mh0..mh{k-1}. */
+  def minhashSig(hashes: Column): Seq[Column] =
+    (0 until MinHashK).map(i => minhashComponent(hashes, i).as(s"mh$i"))
+
+  /** LSH band keys: k=8 signature split into 4 bands of 2 rows; docs
+    * sharing any band key are candidate pairs. Banding turns near-dup
+    * search from O(n^2) into a shuffle on band keys.
+    */
+  val LshBands = 4
+  def bandKey(b: Int): Column =
+    concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+
+  /** Candidate near-dup pairs via LSH banding over a (id, sig-columns)
+    * frame: explode band keys, self-join per band, dedupe pairs.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      explode(array((0 until LshBands).map(bandKey): _*)).as("band"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** 16-bit SimHash over the token multiset: for each bit position, sum
+    * +1/-1 votes from each token hash's bit, then assemble the sign
+    * vector into an integer fingerprint. Near-dups have small Hamming
+    * distance. 16 bits keeps the expression tree codegen-friendly; widen
+    * by composing two calls over different salts if needed.
+    */
+  val SimHashBits = 16
+  def simhash(text: Column): Column = {
+    val th = transform(TextOps.tokens(text), t => TextOps.polyHash(t))
+    val votes = (0 until SimHashBits).map { i =>
+      aggregate(
+        th,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+    }
+    votes.zipWithIndex.map { case (v, i) =>
+      when(v > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two SimHash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+}

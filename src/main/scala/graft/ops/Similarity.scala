@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; O(|corpus| * |queries| * dim) map-side work,
+  *    no corpus shuffle. The correctness baseline.
+  *  - [[lshBucketCandidates]]: random-hyperplane LSH — each vector gets a
+  *    b-bit signature from deterministic pseudo-random planes; candidates
+  *    share a signature bucket. Turns all-pairs search into a shuffle on
+  *    bucket keys; the scale path for corpus-vs-corpus near-dup at 100 TB.
+  *
+  * All dot products run in double (cast up from float32) as left-to-right
+  * array folds — deterministic and mirrored by the oracle's
+  * list_cosine_similarity over DOUBLE[].
+  */
+object Similarity {
+
+  /** float32 embedding -> double vector (deterministic widening). */
+  def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded), rank ties broken by id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val pairs = corpus
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .select(
+        col("qid"), col(idCol),
+        round(cosine(col("qv"), col(vecCol)), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed integer mix mapped into [-1, 1]. Reproducible anywhere.
+    */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val h = (plane.toLong * 131071L + dim.toLong * 524287L + 12345L) % 1000003L
+    (h.toDouble / 1000003.0) * 2.0 - 1.0
+  }
+
+  /** b-bit random-hyperplane signature of a double vector column. */
+  def lshSignature(vec: Column, bits: Int, dim: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Bucket corpus vectors by LSH signature; same-bucket pairs are
+    * near-neighbour candidates (verify with exact cosine downstream).
+    */
+  def lshBucketCandidates(corpus: DataFrame, bits: Int, dim: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val sig = corpus.select(col(idCol), col(vecCol), lshSignature(col(vecCol), bits, dim).as("bucket"))
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Dedup family semantics: exact groups, shingling, Jaccard, MinHash
+  * signatures + LSH candidates, SimHash Hamming behavior.
+  */
+class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  private def randText(seed: Int, words: Int = 60): String = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(words)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  test("exactDupGroups finds identical texts and keeps the smallest id") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "unique one"),
+      (4L, "same text"), (5L, "another unique")).toDF("doc_id", "text")
+    val out = Dedup.exactDupGroups(df, "text", "doc_id").collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("keep_id") shouldBe 1L
+    out.head.getAs[Long]("copies") shouldBe 3L
+  }
+
+  test("shingles: distinct word 3-grams; short docs yield empty sets") {
+    val df = Seq("the quick brown fox jumps", "a b", "").toDF("text")
+    val out = df.select(Dedup.shingles(col("text")).as("s"))
+      .collect().map(_.getSeq[String](0).toSet)
+    out(0) shouldBe Set("the quick brown", "quick brown fox", "brown fox jumps")
+    out(1) shouldBe Set.empty
+    out(2) shouldBe Set.empty
+  }
+
+  test("jaccard: identity 1.0, disjoint 0.0") {
+    val df = Seq(
+      ("x y z a b c", "x y z a b c"), // identical
+      ("p q r s t u", "v w aa bb cc dd")) // disjoint shingles
+      .toDF("t1", "t2")
+      .select(Dedup.jaccard(Dedup.shingles(col("t1")), Dedup.shingles(col("t2"))).as("j"))
+    val js = df.as[Double].collect()
+    js(0) shouldBe 1.0 +- 1e-12
+    js(1) shouldBe 0.0 +- 1e-12
+  }
+
+  test("minhash signatures: equal for identical docs, mostly differ for unrelated docs") {
+    val docs = Seq(
+      (1L, randText(1)), (2L, randText(1)), (3L, randText(99))).toDF("doc_id", "text")
+    val sig = docs.select(
+      col("doc_id") +: (0 until Dedup.MinHashK).map(i =>
+        Dedup.minhashComponent(Dedup.shingleHashes(col("text")), i).as(s"mh$i")): _*)
+      .orderBy("doc_id").collect()
+    (0 until Dedup.MinHashK).foreach { i =>
+      sig(0).getLong(i + 1) shouldBe sig(1).getLong(i + 1) // identical docs
+    }
+    val agree = (0 until Dedup.MinHashK).count(i => sig(0).getLong(i + 1) == sig(2).getLong(i + 1))
+    agree should be < Dedup.MinHashK // unrelated docs must not share the full signature
+  }
+
+  test("LSH candidates recover planted near-duplicates") {
+    val base = (0L until 40L).map(i => (i, randText(i.toInt, 80)))
+    val planted = base.filter(_._1 % 4 == 0).map { case (i, t) => (i + 1000, t + " tail") }
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    val sigs = corpus.select(
+      col("doc_id") +: (0 until Dedup.MinHashK).map(i =>
+        Dedup.minhashComponent(Dedup.shingleHashes(col("text")), i).as(s"mh$i")): _*)
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = base.filter(_._1 % 4 == 0).map { case (i, _) => (i, i + 1000) }.toSet
+    // High-similarity pairs (J ~ 0.95) should nearly all collide in >=1 of 4 bands.
+    (wanted.intersect(cands).size.toDouble / wanted.size) should be >= 0.8
+  }
+
+  test("simhash: hamming 0-ish for near-dups, large for unrelated") {
+    val df = Seq(
+      (randText(5, 100), randText(5, 100) + " tiny tail"),
+      (randText(5, 100), randText(77, 100)))
+      .toDF("t1", "t2")
+      .select(Dedup.hamming(Dedup.simhash(col("t1")), Dedup.simhash(col("t2"))).as("d"))
+    val ds = df.as[Long].collect()
+    ds(0) should be <= 2L
+    ds(1) should be >= 3L
+  }
+}

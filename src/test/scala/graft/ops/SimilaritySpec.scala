@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Similarity search: exact cosine behavior and LSH-bucket recall against
+  * the brute-force baseline.
+  */
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  private val dim = 16
+
+  private def randVec(seed: Int): Seq[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  test("cosine: identical 1, negated -1, orthogonal 0") {
+    val v = Seq.fill(8)(1.0)
+    val df = Seq(
+      (v, v),
+      (v, v.map(-_)),
+      (Seq(1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0), Seq(0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).as[Double].collect()
+    df(0) shouldBe 1.0 +- 1e-12
+    df(1) shouldBe -1.0 +- 1e-12
+    df(2) shouldBe 0.0 +- 1e-12
+  }
+
+  test("bruteForceTopK returns the known nearest neighbour first") {
+    // vec 100 is a tiny perturbation of vec 0 -> must be rank 1 for query 0.
+    val base = (0 until 50).map(i => (i.toLong, randVec(i)))
+    val near = (100L, randVec(0).map(_ * 1.0001 + 1e-6))
+    val corpus = (base :+ near).toDF("vec_id", "v")
+    val top = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 3)
+      .orderBy("rnk").collect()
+    top.head.getAs[Long]("vec_id") shouldBe 100L
+    top.head.getAs[Double]("cos") shouldBe 1.0 +- 1e-4
+  }
+
+  test("LSH buckets: near-identical vectors land in the same bucket; candidate set is subquadratic") {
+    val base = (0 until 200).map(i => (i.toLong, randVec(i)))
+    val planted = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 1000, v.map(_ * 1.001)) }
+    val corpus = (base ++ planted).toDF("vec_id", "v")
+    val cands = Similarity.lshBucketCandidates(corpus, bits = 8, dim = dim)
+    val pairs = cands.select("id1", "id2").as[(Long, Long)].collect().toSet
+    val wanted = base.filter(_._1 % 10 == 0).map { case (i, _) => (i, i + 1000) }.toSet
+    // Scaled copies have identical hyperplane signs -> same bucket, always.
+    wanted.subsetOf(pairs) shouldBe true
+    // Bucketing must prune the pair space (220 vectors -> 24k possible pairs).
+    pairs.size.toLong should be < (220L * 219L / 2 / 4)
+    // Verified cosines for planted pairs are ~1.
+    cands.filter(col("id2") >= 1000 && col("id1") === col("id2") - 1000)
+      .select(min("cos")).head().getDouble(0) should be >= 0.999
+  }
+}
