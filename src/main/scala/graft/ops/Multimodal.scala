@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed via iterator-batched
+  * `mapPartitions` (the Scala analog of Python's `mapInPandas` — one
+  * partition streams through a reusable decoder without materializing the
+  * partition).
+  *
+  * The byte-decode step is a STUB — a deterministic fake standing in for a
+  * real image/audio codec (this environment ships no media libraries). The
+  * Spark-side contract is real and tested: schema, encoder, batch shape,
+  * null-payload handling, and partition-local decoder reuse are exactly what
+  * a production decoder would plug into.
+  *
+  * Scale posture: payloads never shuffle — decode/feature-extract runs
+  * map-side where the scan happens; only the small fixed-width feature
+  * vectors flow downstream. Keep media tables partitioned so one partition's
+  * payload batch fits executor memory (driver fixture ~binary rows <<
+  * spark.sql.files.maxPartitionBytes).
+  */
+object Multimodal {
+
+  /** Typed media metadata carried next to the opaque payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate_hz", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", mediaMetaSchema, nullable = false)))
+
+  val FeatureDim = 8
+
+  /** Build a synthetic media table from the documents fixture: text bytes
+    * become the opaque payload, metadata derives deterministically from the
+    * id. Stands in for `spark.read.format("binaryFile")` over a media lake.
+    */
+  def packFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate_hz"),
+        (col("doc_id") % 10000).as("duration_ms")).as("meta"))
+
+  /** STUB decoder: a real implementation would hand `payload` to an image/
+    * audio codec here. The fake is a deterministic byte histogram folded to
+    * `FeatureDim` floats — enough to exercise the full distributed plumbing
+    * (schema in/out, batching, nulls) with verifiable outputs.
+    */
+  private[ops] def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](FeatureDim)
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) {
+        acc((payload(i) & 0xff) % FeatureDim) += 1.0f
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      var j = 0
+      while (j < FeatureDim) { acc(j) /= n; j += 1 }
+    }
+    acc
+  }
+
+  private val featureRowSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  /** Decode + feature-extract over a media table. Iterator-in/iterator-out:
+    * the (stub) decoder is created once per partition and streams rows —
+    * the same shape a heavyweight codec or model session needs.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = Encoders.row(featureRowSchema)
+    media.select(col("media_id"), col("payload"), col("meta.kind").as("kind"))
+      .mapPartitions { rows =>
+        // per-partition decoder/session init happens here (stubbed)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val features = if (payload == null) null else decodeStub(payload)
+          Row(
+            r.getAs[Long]("media_id"),
+            r.getAs[String]("kind"),
+            if (payload == null) 0L else payload.length.toLong,
+            features)
+        }
+      }(enc)
+  }
+
+  /** Metadata-only resize: scales target dimensions without touching
+    * payloads (a real resize would re-encode in the same mapPartitions
+    * shape as extractFeatures).
+    */
+  def resizePlan(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(1.0),
+      least(lit(maxW.toDouble) / col("meta.width"), lit(maxH.toDouble) / col("meta.height")))
+    media.select(
+      col("media_id"), col("payload"), col("meta"),
+      floor(col("meta.width") * scale).cast("int").as("target_width"),
+      floor(col("meta.height") * scale).cast("int").as("target_height"))
+  }
+
+  /** Frame sampling plan for video rows: one row per sampled frame
+    * timestamp at `everyMs` — a generator (explode) over the metadata,
+    * payload untouched until a decoder consumes (media_id, frame_ms).
+    */
+  def frameSamplePlan(media: DataFrame, everyMs: Long): DataFrame =
+    media
+      .filter(col("meta.kind") === "video" && col("meta.duration_ms") > 0)
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))).as("frame_ms"))
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming slice (SURVEY.md §2.8).
+  *
+  * The reference has no streaming; its closest analog is the incremental
+  * catalog-build loop (`scripts/usgs_lidar.py:257-273`). These operators are
+  * the streaming upgrade path: the same event-table transformations as the
+  * batch queries (q10), expressed over `readStream` with watermarked event
+  * time so they run identically on an unbounded feed.
+  *
+  * Scale posture: windowed aggregation state is bounded by the watermark
+  * (late data beyond it is dropped and state evicted); sessionization state
+  * is per-user and times out via GroupStateTimeout — both survive
+  * 1000-executor deployments because state is keyed and checkpointed, never
+  * driver-resident.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts + value sums per event type. Batch q10's
+    * streaming form: watermark bounds state and admits bounded lateness.
+    */
+  def windowedCounts(events: DataFrame, window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a user's session
+    * closes after `gapMs` of inactivity. Custom per-key state — the operator
+    * shape the reference's engine cannot express at all.
+    *
+    * `timeout` controls idle-session flushing: ProcessingTimeTimeout in
+    * production (emit sessions whose users went quiet); NoTimeout closes
+    * sessions only when a later event arrives — fully deterministic, used in
+    * tests (processing-time timeouts trigger continuous empty micro-batches,
+    * which also tickles a Spark 4.1 checksum-checkpoint deadlock under
+    * MemoryStream).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val hasTimeout = timeout != GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (hasTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Multimodal plumbing: binary payload round-trip, iterator-batched feature
+  * extraction (stub decoder), null handling, and the resize/frame-sample
+  * plans.
+  */
+class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "hello world"), (1L, "abc"), (2L, ""), (4L, "frame sample me"))
+    .toDF("doc_id", "text")
+
+  test("packFromDocuments produces the typed media schema") {
+    val media = Multimodal.packFromDocuments(docs)
+    media.schema.fieldNames.toSeq shouldBe Seq("media_id", "payload", "meta")
+    media.schema("payload").dataType.typeName shouldBe "binary"
+    val kinds = media.select("meta.kind").as[String].collect().toSet
+    kinds.subsetOf(Set("image", "audio", "video")) shouldBe true
+    // payload round-trips the source bytes
+    val p = media.filter($"media_id" === 0).select($"payload").head().getAs[Array[Byte]](0)
+    new String(p, "UTF-8") shouldBe "hello world"
+  }
+
+  test("extractFeatures: deterministic stub features, byte counts, null payloads survive") {
+    val media = Multimodal.packFromDocuments(docs)
+      .withColumn("payload", when($"media_id" === 1, lit(null).cast("binary")).otherwise($"payload"))
+    val out = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    out.length shouldBe 4
+    val first = out.head
+    first.getAs[Long]("n_bytes") shouldBe 11L
+    val feats = first.getAs[scala.collection.Seq[Float]]("features")
+    feats.length shouldBe Multimodal.FeatureDim
+    feats.map(_.toDouble).sum shouldBe 1.0 +- 1e-5 // normalized histogram
+    // matches the driver-side stub exactly (same bytes -> same features)
+    feats.toArray shouldBe Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    // null payload -> null features, 0 bytes, row retained
+    val nullRow = out(1)
+    nullRow.getAs[Long]("n_bytes") shouldBe 0L
+    nullRow.getAs[scala.collection.Seq[Float]]("features") shouldBe null
+  }
+
+  test("resizePlan never upscales and preserves aspect ratio direction") {
+    val media = Multimodal.packFromDocuments(docs)
+    val out = Multimodal.resizePlan(media, maxW = 64, maxH = 64).collect()
+    out.foreach { r =>
+      r.getAs[Int]("target_width") should be <= 64
+      r.getAs[Int]("target_height") should be <= 64
+      r.getAs[Int]("target_width") should be <= r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width")
+    }
+  }
+
+  test("frameSamplePlan explodes one row per sampled frame for video rows only") {
+    val media = Multimodal.packFromDocuments(docs)
+    val frames = Multimodal.frameSamplePlan(media, everyMs = 1000)
+    val kinds = media.select($"media_id", $"meta.kind".as("kind"), $"meta.duration_ms".as("d"))
+    val videoIds = kinds.filter($"kind" === "video" && $"d" > 0).select("media_id").as[Long].collect().toSet
+    frames.select("media_id").distinct().as[Long].collect().toSet shouldBe videoIds
+    // frame count = ceil(duration/1000) per video
+    val counts = frames.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    kinds.filter($"kind" === "video" && $"d" > 0).as[(Long, String, Long)].collect().foreach {
+      case (id, _, d) => counts(id) shouldBe (d + 999) / 1000
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Structured Streaming slice: watermarked tumbling windows (late-data
+  * drop) and gap sessionization with custom state.
+  */
+class EventStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
+  import EventStreams.Event
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts: tumbling windows aggregate; late data beyond the watermark is dropped") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(in.toDF(), window = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 10:30:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // Advance the watermark to 11:00 (13:00 - 2h).
+      in.addData(Event(3, ts("2024-01-01 13:00:00"), 2, "view", 4.0))
+      q.processAllAvailable()
+      // 08:00 is before the 11:00 watermark -> its window is closed, row dropped.
+      in.addData(Event(4, ts("2024-01-01 08:00:00"), 3, "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .groupBy($"window_start", $"event_type").agg(org.apache.spark.sql.functions.max($"n").as("n"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+      rows("2024-01-01 10:00:00.0") shouldBe 2L
+      rows.get("2024-01-01 08:00:00.0") shouldBe None
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions; closed sessions emit on the next event") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // 3 hours later: previous session (2 events) closes and is emitted.
+      in.addData(Event(3, ts("2024-01-01 13:00:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[EventStreams.Session].collect()
+      sessions.length shouldBe 1
+      val s = sessions.head
+      s.user_id shouldBe 1L
+      s.n_events shouldBe 2L
+      s.total_value shouldBe 3.0 +- 1e-9
+      s.session_start shouldBe ts("2024-01-01 10:00:00")
+      s.session_end shouldBe ts("2024-01-01 10:10:00")
+    } finally q.stop()
+  }
+
+  test("windowedCounts is the streaming form of batch q10 (same results on a bounded frame)") {
+    val batch = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:30:00"), 1, "view", 2.0),
+      Event(3, ts("2024-01-01 11:05:00"), 2, "click", 4.0)).toDF()
+    // The same plan runs in batch mode (watermark is a no-op there).
+    val out = EventStreams.windowedCounts(batch)
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(
+      ("2024-01-01 10:00:00.0", "view", 2L),
+      ("2024-01-01 11:00:00.0", "click", 1L))
+  }
+}
