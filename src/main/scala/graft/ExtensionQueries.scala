@@ -78,12 +78,29 @@ object ExtensionQueries {
   }
 
   private def x04(s: SparkSession, dir: String): DataFrame = {
-    val sh = plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("double")
-    val union = (size(col("a.s")) + size(col("b.s"))).cast("double") - inter
-    a.join(b, col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"), (inter / union).as("jac"))
+    // Scale shape: explode shingles -> equi self-join on the shingle ->
+    // count shared shingles per pair -> join back set sizes. No quadratic
+    // nested-loop join; the shuffle key is the shingle, the pair space is
+    // only pairs that actually share content. (Pairs sharing nothing have
+    // jac = 0 and can never pass the threshold, so results are identical
+    // to the all-pairs form.)
+    // The shingle table is tiny (pair queries cap the corpus) but its HOF
+    // expression is interpreted and feeds three DAG branches — cache it so
+    // shingling runs once, not per branch.
+    val sh = plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s")).cache()
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("sz"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val withSizes = inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1")), "id1")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2")), "id2")
+    val interD = col("inter").cast("double")
+    val union = (col("sz1") + col("sz2")).cast("double") - interD
+    withSizes
+      .select(col("id1"), col("id2"), (interD / union).as("jac"))
       .filter(col("jac") >= 0.5)
       .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac"))
       .orderBy(col("id1"), col("id2"))
@@ -98,7 +115,9 @@ object ExtensionQueries {
   }
 
   private def x06(s: SparkSession, dir: String): DataFrame = {
-    val sh = plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+    // Cached for the same multi-branch reason as x04 (sig computation,
+    // banding, and the two verify joins all read the shingle sets).
+    val sh = plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s")).cache()
     val sigs = sh.select(
       (col("doc_id") +: col("s") +:
         (0 until Dedup.MinHashK).map(i =>
@@ -121,22 +140,30 @@ object ExtensionQueries {
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 
+  /** Embedding dimension of the driver fixture (64-dim float vectors). */
+  private val EmbDim = 64
+
   private def x08(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+    // Raw float arrays straight into the static-dot path: no HOF conversion
+    // anywhere, the whole cosine stays in whole-stage codegen.
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5, dim = EmbDim)
       .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
       .orderBy(col("qid"), col("rnk"))
   }
 
   private def x09(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
     val corpus = e.union(
       e.filter(col("vec_id") % 5 === 0).select((col("vec_id") + 100000).as("vec_id"), col("v")))
+      .select(col("vec_id"), col("v"), Similarity.norm(col("v"), EmbDim).as("nrm"))
     val a = corpus.as("a"); val b = corpus.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(
+          Similarity.cosineStatic(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"), EmbDim),
+          6).as("cos"))
       .filter(col("cos") >= 0.99)
       .orderBy(col("id1"), col("id2"))
   }

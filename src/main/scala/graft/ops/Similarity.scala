@@ -30,17 +30,36 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Native dot product ([[graft.functions.VectorDot]]): one expression
+    * node with a primitive loop + codegen, instead of an interpreted HOF
+    * fold or a 64-node element_at tree (both measured 100+ s on a 2.9M-pair
+    * join; the native expression runs it in seconds). Identical left-to-
+    * right widen-multiply-add semantics, so oracle results are unchanged.
+    */
+  def dotNative(a: Column, b: Column): Column = graft.functions.VectorExprs.vectorDot(a, b)
+
+  /** Cosine with precomputable norms: pass norm columns computed once per
+    * row so pair joins do one dot, not three. Identical IEEE result to
+    * [[cosine]]. `dim` is kept for API stability (the native dot reads the
+    * runtime array length).
+    */
+  def cosineStatic(a: Column, b: Column, normA: Column, normB: Column, dim: Int): Column =
+    dotNative(a, b) / (normA * normB)
+
+  def norm(v: Column, dim: Int): Column = sqrt(dotNative(v, v))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), rank ties broken by id for determinism.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, idCol: String = "vec_id", vecCol: String = "v", dim: Int = -1): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val cosExpr =
+      if (dim > 0) cosineStatic(col("qv"), col(vecCol), norm(col("qv"), dim), norm(col(vecCol), dim), dim)
+      else cosine(col("qv"), col(vecCol))
     val pairs = corpus
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("qid"))
-      .select(
-        col("qid"), col(idCol),
-        round(cosine(col("qv"), col(vecCol)), 6).as("cos"))
+      .select(col("qid"), col(idCol), round(cosExpr, 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     pairs
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -59,7 +78,7 @@ object Similarity {
   def lshSignature(vec: Column, bits: Int, dim: Int): Column = {
     val bitCols = (0 until bits).map { p =>
       val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
-      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotNative(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
