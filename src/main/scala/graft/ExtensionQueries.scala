@@ -168,6 +168,35 @@ object ExtensionQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** LSH bits for the ANN query (2^8 = 256 buckets). */
+  private val LshBits = 8
+
+  /** Approximate-nearest-neighbour via random-hyperplane LSH — the scale
+    * path for corpus-vs-corpus similarity (shuffle on bucket keys instead
+    * of an all-pairs join). Deterministic planes let the DuckDB oracle
+    * reproduce the exact bucket assignment, so even the "approximate"
+    * operator is hash-checked: both engines must agree on every candidate
+    * pair and cosine.
+    */
+  private def x11(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val corpus = e.union(
+      e.filter(col("vec_id") % 5 === 0).select((col("vec_id") + 100000).as("vec_id"), col("v")))
+    val sig = corpus.select(
+      col("vec_id"), col("v"),
+      Similarity.norm(col("v"), EmbDim).as("nrm"),
+      Similarity.lshSignature(col("v"), LshBits, EmbDim).as("bucket"))
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(
+          Similarity.cosineStatic(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"), EmbDim),
+          6).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   private def x10(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("source"), TextOps.quality(col("text")).as("q"))
@@ -187,7 +216,8 @@ object ExtensionQueries {
     "x07_simhash" -> (x07 _),
     "x08_cosine_topk" -> (x08 _),
     "x09_embedding_neardup" -> (x09 _),
-    "x10_quality_by_source" -> (x10 _))
+    "x10_quality_by_source" -> (x10 _),
+    "x11_ann_lsh" -> (x11 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -287,6 +317,20 @@ object ExtensionQueries {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
         | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, cos FROM pr WHERE cos >= 0.99 ORDER BY id1, id2""".stripMargin,
+    "x11_ann_lsh" -> {
+      val bucketSql = (0 until LshBits).map { p =>
+        val plane = (0 until EmbDim).map(d => Similarity.planeComponent(p, d)).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM e
+         | UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 5 = 0),
+         |sig AS (SELECT vec_id, v, $bucketSql AS bucket FROM corpus),
+         |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, cos FROM pr WHERE cos >= 0.9 ORDER BY id1, id2""".stripMargin
+    },
     "x10_quality_by_source" ->
       s"""WITH h AS (SELECT source,
          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,

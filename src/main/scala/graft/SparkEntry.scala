@@ -158,6 +158,70 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** As-of join (the classic operator Spark lacks natively): each purchase
+    * event joined to the user's most recent signup at-or-before it.
+    * Composed Spark-first as a tagged union + running `last(ignoreNulls)`
+    * window — one shuffle on user_id, no range-join explosion; the oracle
+    * uses DuckDB's native ASOF JOIN, pinning identical semantics
+    * (ties included, no-match -> null).
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+        lit(null).cast("timestamp").as("sts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("sts")).distinct()
+      .select(col("user_id"), col("sts").as("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("sts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.union(signups)
+      .withColumn("last_signup", last(col("sts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        date_trunc("minute", col("last_signup")).as("signup_minute"))
+      .orderBy(col("event_id"))
+  }
+
+  /** TPC-H Q13 shape: left outer join with a join-side predicate + two-level
+    * aggregation (order-count distribution incl. zero-order customers). */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Temporal functions: per year/month order rollup. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("y"), col("m"))
+
+  /** TPC-H Q17 shape: correlated scalar subquery, decorrelated Spark-first
+    * into a per-part average join (quantities are integral doubles so the
+    * avg threshold is exact and order-independent). */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val thr = l.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("thr"))
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(thr, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("thr"))
+      .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
+  }
+
   // ---------------------------------------------------------------------------
   // Reference-parity operators (SURVEY.md §2) expressed over the fixture tables
   // ---------------------------------------------------------------------------
@@ -253,6 +317,10 @@ object SparkEntry {
     "q09_rollup" -> (q09 _),
     "q10_events_hourly" -> (q10 _),
     "q11_events_json" -> (q11 _),
+    "q12_asof_join" -> (q12 _),
+    "q13_outer_join_agg" -> (q13 _),
+    "q14_date_rollup" -> (q14 _),
+    "q15_correlated_subquery" -> (q15 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -326,6 +394,29 @@ object SparkEntry {
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12_asof_join" ->
+      """WITH s AS (SELECT DISTINCT user_id AS uid, ts AS sts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, CAST(date_trunc('minute', s.sts) AS TIMESTAMP) AS signup_minute
+        |FROM events p ASOF LEFT JOIN s ON p.user_id = s.uid AND p.ts >= s.sts
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    "q13_outer_join_agg" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey) cc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_date_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q15_correlated_subquery" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13' AND l_quantity < (
+        |  SELECT avg(l_quantity) * 0.2 FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
     "r01_bbox_containment" ->
       """WITH cat AS (
         | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,

@@ -32,8 +32,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
       .filter(col("copies") > 1)
 
-  /** Distinct word n-gram shingles (default 3) of the lower-cased text. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Distinct word n-gram shingles (default 3) of the lower-cased text.
+    * Native [[graft.functions.WordShingles]] expression;
+    * [[shinglesComposed]] is the built-ins-only twin for spec
+    * cross-validation.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextExprs.wordShingles(text, n)
+
+  /** HOF twin of [[shingles]] (interpreted — spec use only). */
+  def shinglesComposed(text: Column, n: Int = 3): Column = {
     val tk = TextOps.tokens(text)
     when(
       size(tk) >= n,

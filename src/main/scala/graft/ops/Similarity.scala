@@ -67,9 +67,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed integer mix mapped into [-1, 1]. Reproducible anywhere.
+    * a fixed integer mix mapped into [-1, 1]. Reproducible anywhere —
+    * public so the oracle SQL can embed the identical plane literals.
     */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+  def planeComponent(plane: Int, dim: Int): Double = {
     val h = (plane.toLong * 131071L + dim.toLong * 524287L + 12345L) % 1000003L
     (h.toDouble / 1000003.0) * 2.0 - 1.0
   }

@@ -23,9 +23,15 @@ object TextOps {
     * fold(acc * 31 + ascii(char)) mod P. Used as the document fingerprint
     * and as the base hash for shingle MinHash — chosen over murmur/xxhash
     * because it is trivially reproducible in any engine (the oracle
-    * recomputes it in SQL).
+    * recomputes it in SQL). Evaluated by the native
+    * [[graft.functions.PolyHash]] expression (one imperative pass per row);
+    * [[polyHashComposed]] is the built-ins-only twin kept for
+    * cross-validation in specs.
     */
-  def polyHash(c: Column): Column =
+  def polyHash(c: Column): Column = graft.functions.TextExprs.polyHash(c)
+
+  /** HOF twin of [[polyHash]] (interpreted, ~20 ms/doc — spec use only). */
+  def polyHashComposed(c: Column): Column =
     aggregate(
       transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L),

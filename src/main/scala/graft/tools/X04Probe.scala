@@ -39,6 +39,11 @@ object X04Probe {
       .join(ex.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter")))
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = graft.ExtensionQueries.queries("x04_ngram_jaccard_pairs")(spark, dir).count()
+      println(f"x04_full_run$i%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
     val exCached = ex.cache(); exCached.count()
     time("pair_join_cached")(exCached.as("a")
       .join(exCached.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

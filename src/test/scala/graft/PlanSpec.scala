@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan hygiene assertions — the properties that make these
+  * queries survive a 100x scale-up, pinned as tests so a refactor that
+  * silently de-optimizes a plan (lost pushdown, lost broadcast, lost
+  * map-side combine) fails loudly.
+  */
+class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection push into the parquet scan") {
+    val p = plan("q02_filter_sort_limit")
+    p should include("PushedFilters: [IsNotNull(p_size), GreaterThanOrEqual(p_size,30)")
+    // Column pruning: the scan must read only the needed columns.
+    p should include("ReadSchema")
+    p should not include "p_brand"
+  }
+
+  test("q01: aggregation is partial then final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    p should include("partial_")   // partial aggregate functions present
+    p should include("HashAggregate")
+  }
+
+  test("q03: fact table joins against broadcast dimensions, no fact shuffle join") {
+    val p = plan("q03_join_agg_topk")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q04/q05: semi and anti joins stay broadcast") {
+    plan("q04_semi_join") should include("BroadcastHashJoin")
+    plan("q04_semi_join") should include("LeftSemi")
+    plan("q05_anti_join") should include("LeftAnti")
+  }
+
+  test("q06: selective filters reach the lineitem scan") {
+    val p = plan("q06_selective_sum")
+    // (plan toString elides long filter lists; match the stable prefix)
+    p should include("PushedFilters: [IsNotNull(l_shipdate)")
+    p should include("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate")
+  }
+
+  test("r04: voxel aggregate broadcasts the 1-row min, keeps hash aggregation") {
+    val p = plan("r04_voxel_subsample")
+    p should include("BroadcastNestedLoopJoin") // 1-row mins x points, no shuffle of points
+    p should include("HashAggregate")
+  }
+
+  test("x03: exact dedup shuffles on the content hash, not the text") {
+    val p = plan("x03_exact_dedup")
+    p should include("md5")
+    p should include("HashAggregate")
+  }
+
+  test("x04: pair generation is an equi join on the shingle (no nested-loop pair join)") {
+    val p = plan("x04_ngram_jaccard_pairs")
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x08: cosine top-k uses the native vector_dot expression, queries broadcast") {
+    val p = plan("x08_cosine_topk")
+    p should include("vectordot")
+    p should include("Broadcast")
+  }
+
+  test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
+    SparkEntry.entry(spark).limit(5).count() should be > 0L
+  }
+}

@@ -76,6 +76,25 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
     (wanted.intersect(cands).size.toDouble / wanted.size) should be >= 0.8
   }
 
+  test("native WordShingles/PolyHash agree with the composed HOF twins on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+      .select(col("doc_id"), col("text"))
+    val cmp = docs.select(
+      Dedup.shingles(col("text")).as("nat"),
+      Dedup.shinglesComposed(col("text")).as("hof"),
+      TextOps.polyHash(col("text")).as("nat_h"),
+      TextOps.polyHashComposed(col("text")).as("hof_h"))
+    cmp.filter(col("nat") =!= col("hof") || col("nat_h") =!= col("hof_h")).count() shouldBe 0L
+    // edge cases: empty, whitespace-only, short docs
+    val edge = Seq("", "   ", "one", "one two", "A  B\tC\nd").toDF("text").select(
+      Dedup.shingles(col("text")).as("nat"),
+      Dedup.shinglesComposed(col("text")).as("hof"),
+      TextOps.polyHash(col("text")).as("nat_h"),
+      TextOps.polyHashComposed(col("text")).as("hof_h"))
+    edge.filter(col("nat") =!= col("hof") || col("nat_h") =!= col("hof_h")).count() shouldBe 0L
+  }
+
   test("simhash: hamming 0-ish for near-dups, large for unrelated") {
     val df = Seq(
       (randText(5, 100), randText(5, 100) + " tiny tail"),
