@@ -206,6 +206,28 @@ object ExtensionQueries {
         round(sum(col("q").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_quality"))
       .orderBy(col("source"))
 
+  /** Deterministic train/val/test split by content hash — the reproducible
+    * alternative to random sampling for dataset curation: the same document
+    * lands in the same split on any engine, any run, any cluster size.
+    */
+  private def x12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"), col("n_chars"),
+        (TextOps.polyHash(col("text")) % 100).as("bucket"))
+      .select(
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        col("doc_id"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -217,7 +239,8 @@ object ExtensionQueries {
     "x08_cosine_topk" -> (x08 _),
     "x09_embedding_neardup" -> (x09 _),
     "x10_quality_by_source" -> (x10 _),
-    "x11_ann_lsh" -> (x11 _))
+    "x11_ann_lsh" -> (x11 _),
+    "x12_hash_split" -> (x12 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -331,6 +354,13 @@ object ExtensionQueries {
          | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id1, id2, cos FROM pr WHERE cos >= 0.9 ORDER BY id1, id2""".stripMargin
     },
+    "x12_hash_split" ->
+      s"""WITH h AS (SELECT doc_id, n_chars, ${polySql("text")} % 100 AS bucket FROM documents),
+         |sp AS (SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  doc_id, n_chars FROM h)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         | CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "x10_quality_by_source" ->
       s"""WITH h AS (SELECT source,
          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{PolyHash, VectorDot, WordShingles}
+import graft.geo.WebMercator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-surface entry point: registers the engine's custom functions and the
+  * fixture tables so the whole operator surface is reachable from
+  * `spark.sql(...)` as well as the DataFrame API.
+  *
+  * Functions registered:
+  *  - `st_lon_to_x(lon)`, `st_lat_to_y(lat)`, `st_x_to_lon(x)`,
+  *    `st_y_to_lat(y)` — closed-form Web-Mercator (F1/F2)
+  *  - `vector_dot(a, b)` — native embedding dot product
+  *  - `poly_hash(s)` — deterministic document fingerprint
+  *  - `word_shingles(s)` — distinct word 3-gram shingles
+  */
+object Graft {
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val reg = spark.sessionState.functionRegistry
+
+    // Catalyst twins of the WebMercator Column formulas — same literal
+    // values and operation order, so SQL and DataFrame paths agree
+    // bit-for-bit. (Composed Columns can't round-trip through the
+    // function registry: they wrap into unresolvable ColumnNode exprs.)
+    val d2r = Literal(math.Pi / 180.0)
+    val r = Literal(WebMercator.R)
+    def clampLat(e: Expression): Expression =
+      Least(Seq(Greatest(Seq(e, Literal(-WebMercator.MaxLat))), Literal(WebMercator.MaxLat)))
+    def lonToX(e: Expression): Expression = Multiply(Multiply(e, d2r), r)
+    def latToY(e: Expression): Expression =
+      Multiply(Log(Tan(Add(Literal(math.Pi / 4.0), Divide(Multiply(clampLat(e), d2r), Literal(2.0))))), r)
+    def xToLon(e: Expression): Expression = Divide(Divide(e, r), d2r)
+    def yToLat(e: Expression): Expression =
+      Divide(Subtract(Multiply(Atan(Exp(Divide(e, r))), Literal(2.0)), Literal(math.Pi / 2.0)), d2r)
+
+    reg.createOrReplaceTempFunction("st_lon_to_x", exprs => lonToX(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("st_lat_to_y", exprs => latToY(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("st_x_to_lon", exprs => xToLon(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("st_y_to_lat", exprs => yToLat(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("poly_hash", exprs => PolyHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles", exprs => WordShingles(exprs.head, 3), "built-in")
+  }
+
+  /** Register every fixture table in `dir` as a temp view (events with the
+    * nanos normalization applied), so oracle-style SQL runs directly.
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  def init(spark: SparkSession, dir: String): Unit = {
+    registerFunctions(spark)
+    registerTables(spark, dir)
+  }
+}

@@ -222,6 +222,27 @@ object SparkEntry {
       .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
   }
 
+  /** CUBE grouping sets over lineitem flags. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** String-function battery (upper/lower/substring/length/replace/LIKE). */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 8).as("pre"),
+        length(col("p_name")).cast("long").as("len"),
+        regexp_replace(col("p_type"), "E", "e").as("rep"),
+        when(col("p_name").like("%green%"), 1L).otherwise(0L).as("has_green"))
+      .orderBy(col("p_partkey"))
+
   // ---------------------------------------------------------------------------
   // Reference-parity operators (SURVEY.md §2) expressed over the fixture tables
   // ---------------------------------------------------------------------------
@@ -321,6 +342,8 @@ object SparkEntry {
     "q13_outer_join_agg" -> (q13 _),
     "q14_date_rollup" -> (q14 _),
     "q15_correlated_subquery" -> (q15 _),
+    "q16_cube" -> (q16 _),
+    "q17_string_funcs" -> (q17 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -417,6 +440,17 @@ object SparkEntry {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#13' AND l_quantity < (
         |  SELECT avg(l_quantity) * 0.2 FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    "q16_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q17_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        | substring(p_name, 1, 8) AS pre, CAST(length(p_name) AS BIGINT) AS len,
+        | regexp_replace(p_type, 'E', 'e', 'g') AS rep,
+        | CAST(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS BIGINT) AS has_green
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
     "r01_bbox_containment" ->
       """WITH cat AS (
         | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,

@@ -42,4 +42,12 @@ object Readers {
     import spark.implicits._
     spark.read.textFile(path)
   }
+
+  /** S6 — binary artifact load (`load_heatmap`,
+    * `scripts/usgs_lidar.py:383-398`): files as (path, modificationTime,
+    * length, content) rows; content feeds the Multimodal decode plumbing.
+    * `pathGlobFilter` narrows to one artifact type (e.g. *.png).
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 }

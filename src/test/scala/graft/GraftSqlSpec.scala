@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The SQL surface: custom functions + registered views drive the same
+  * operators through `spark.sql`.
+  */
+class GraftSqlSpec extends AnyFunSuite with Matchers with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("custom functions work from SQL") {
+    Graft.init(spark, dir)
+    val r = spark.sql(
+      """SELECT st_lon_to_x(-93.759055) AS x, st_lat_to_y(41.925015) AS y,
+        | st_x_to_lon(st_lon_to_x(-93.759055)) AS lon_rt,
+        | vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        | poly_hash('ab') AS h,
+        | size(word_shingles('a b c d')) AS ns""".stripMargin).head()
+    r.getDouble(0) shouldBe graft.geo.WebMercator.lonToX(-93.759055)
+    r.getDouble(1) shouldBe graft.geo.WebMercator.latToY(41.925015)
+    r.getDouble(2) shouldBe -93.759055 +- 1e-9
+    r.getDouble(3) shouldBe 11.0 +- 1e-12
+    r.getLong(4) shouldBe 3105L // (0*31+97)*31+98 mod 1e9+7
+    r.getInt(5) shouldBe 2
+  }
+
+  test("an end-to-end reference query runs as pure SQL over the views") {
+    Graft.init(spark, dir)
+    // Voxel subsample (A1) as SQL with the registered tables.
+    val out = spark.sql(
+      """WITH pts AS (SELECT l_extendedprice AS x, l_quantity AS y, l_discount*100.0 AS z FROM lineitem),
+        |m AS (SELECT min(x) AS mx, min(y) AS my, min(z) AS mz FROM pts)
+        |SELECT floor((x - mx)/5000.0) AS vx, floor((y - my)/5.0) AS vy, floor((z - mz)/2.0) AS vz,
+        |  count(*) AS n
+        |FROM pts CROSS JOIN m GROUP BY 1, 2, 3""".stripMargin)
+    out.count() should be > 0L
+    // and the events view reads despite the nanos timestamps
+    spark.sql("SELECT count(*) FROM events").head().getLong(0) should be > 0L
+  }
+}
