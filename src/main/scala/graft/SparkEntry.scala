@@ -276,8 +276,10 @@ object SparkEntry {
     val docs = t(s, dir, "documents").select(col("doc_id"), name0.as("prefix"))
     val stripped = regexp_replace(col("prefix"), "/", "")
     val yearStr = nullif(regexp_extract(stripped, "20[0-9][0-9]+", 0), lit(""))
+    val before = regexp_extract(stripped, "^(.*?)20[0-9][0-9]+", 1)
+    // location[:match.start()-1] — drop exactly one separator char (F6).
     val region = when(yearStr.isNull, stripped)
-      .otherwise(regexp_replace(regexp_extract(stripped, "^(.*?)20[0-9][0-9]+", 1), "_$", ""))
+      .otherwise(before.substr(lit(1), length(before) - 1))
     docs
       .select(
         col("doc_id"), stripped.as("filename"), region.as("region"),
@@ -465,10 +467,11 @@ object SparkEntry {
         |  source || '_' || (CASE WHEN doc_id % 10 = 0 THEN 'NoYear' ELSE CAST(2008 + doc_id % 15 AS VARCHAR) END) || '/' AS prefix
         | FROM documents),
         |stripped AS (SELECT doc_id, replace(prefix, '/', '') AS filename FROM named),
-        |yr AS (SELECT doc_id, filename, nullif(regexp_extract(filename, '20[0-9][0-9]+', 0), '') AS year_str FROM stripped)
+        |yr AS (SELECT doc_id, filename, nullif(regexp_extract(filename, '20[0-9][0-9]+', 0), '') AS year_str,
+        |       regexp_extract(filename, '^(.*?)20[0-9][0-9]+', 1) AS before FROM stripped)
         |SELECT doc_id, filename,
         | CASE WHEN year_str IS NULL THEN filename
-        |      ELSE regexp_replace(regexp_extract(filename, '^(.*?)20[0-9][0-9]+', 1), '_$', '') END AS region,
+        |      ELSE substring(before, 1, length(before) - 1) END AS region,
         | CAST(year_str AS INTEGER) AS year,
         | CASE WHEN year_str IS NULL THEN 'Year: not_specified' ELSE year_str || '.0' END AS year_rendered
         |FROM yr ORDER BY doc_id""".stripMargin,

@@ -16,8 +16,11 @@ object CatalogOps {
 
   /** F6/F7 — name + year extraction from an S3 prefix
     * (`fetch_name_and_year`, `scripts/usgs_lidar.py:224-242`):
-    * strip '/', regex-match `20[0-9][0-9]+`, region = chars before the match
-    * minus a trailing '_'; no match -> (whole name, null year).
+    * strip '/', regex-match `20[0-9][0-9]+`, region =
+    * `location[:match.start() - 1]` — i.e. everything before the match
+    * minus exactly ONE separator character (usually '_', but '-' in e.g.
+    * IN_Statewide-HarrisonCo-2011 — verified against all 1,594 rows of the
+    * reference's own metadata.csv); no match -> (whole name, null year).
     */
   val YearPattern = "20[0-9][0-9]+"
 
@@ -25,8 +28,12 @@ object CatalogOps {
     val name = regexp_replace(col(prefixCol), "/", "")
     val year = nullif(regexp_extract(name, YearPattern, 0), lit(""))
     val before = regexp_extract(name, s"^(.*?)$YearPattern", 1)
+    // Python's location[:match.start()-1]: with the match at position 0 the
+    // slice wraps to location[:-1] (drop last char of the whole name).
     val region = when(year.isNull, name)
-      .otherwise(regexp_replace(before, "_$", ""))
+      .otherwise(
+        when(length(before) > 0, before.substr(lit(1), length(before) - 1))
+          .otherwise(name.substr(lit(1), length(name) - 1)))
     df.withColumn("filename", name)
       .withColumn("region", region)
       .withColumn("year", year.cast("int"))

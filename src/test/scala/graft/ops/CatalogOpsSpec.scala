@@ -20,6 +20,7 @@ class CatalogOpsSpec extends AnyFunSuite with Matchers with SparkTest {
       "AK_BrooksCamp_2012/", // ordinary year-bearing name
       "IA_FullState/", // no year (metadata.csv:229)
       "NE_Rainwater-2_2009/", // dash in region
+      "IN_Statewide-HarrisonCo-2011/", // DASH separator before the year
       "USGS_LPC_AL_SodaLake_2017_B17/", // year mid-name, suffix kept in filename only
       "MN_Xyz_2006_2008/" // first year wins (greedy first match)
     ).toDF("prefix")
@@ -29,6 +30,7 @@ class CatalogOpsSpec extends AnyFunSuite with Matchers with SparkTest {
       Row("AK_BrooksCamp_2012", "AK_BrooksCamp", 2012),
       Row("IA_FullState", "IA_FullState", null),
       Row("NE_Rainwater-2_2009", "NE_Rainwater-2", 2009),
+      Row("IN_Statewide-HarrisonCo-2011", "IN_Statewide-HarrisonCo", 2011),
       Row("USGS_LPC_AL_SodaLake_2017_B17", "USGS_LPC_AL_SodaLake", 2017),
       Row("MN_Xyz_2006_2008", "MN_Xyz", 2006))
   }
