@@ -243,6 +243,33 @@ object SparkEntry {
         when(col("p_name").like("%green%"), 1L).otherwise(0L).as("has_green"))
       .orderBy(col("p_partkey"))
 
+  /** Distinct aggregates: exact distinct counts per group (the
+    * approx_count_distinct upgrade path keeps the same plan shape with an
+    * HLL sketch instead of a distinct shuffle). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Window frames: lag + running decimal-exact sum per customer order
+    * history. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------------------
   // Reference-parity operators (SURVEY.md §2) expressed over the fixture tables
   // ---------------------------------------------------------------------------
@@ -346,6 +373,8 @@ object SparkEntry {
     "q15_correlated_subquery" -> (q15 _),
     "q16_cube" -> (q16 _),
     "q17_string_funcs" -> (q17 _),
+    "q18_distinct_agg" -> (q18 _),
+    "q19_window_frames" -> (q19 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -453,6 +482,20 @@ object SparkEntry {
         | regexp_replace(p_type, 'E', 'e', 'g') AS rep,
         | CAST(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS BIGINT) AS has_green
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+    "q18_distinct_agg" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q19_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey, 1) OVER w AS prev_order,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "r01_bbox_containment" ->
       """WITH cat AS (
         | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,

@@ -128,4 +128,49 @@ object Dedup {
 
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Duplicate-cluster resolution: given near-dup PAIRS (id1, id2), assign
+    * every id the minimum id of its connected component (the canonical
+    * "keep" document), so transitive duplicates (a~b, b~c) collapse to one
+    * cluster even when a~c was never compared.
+    *
+    * Iterative label propagation (the large-star/small-star style loop):
+    * each round every node adopts the smallest label among itself and its
+    * neighbours; converges in O(diameter) rounds. Each round is one
+    * shuffle on id; the driver only checks a scalar convergence count —
+    * no data is collected. Dup clusters from LSH are tiny (diameter a few
+    * hops), so `maxIter` default 10 is generous.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+    // Undirected adjacency including self-loops so isolated updates keep ids.
+    val adj = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+    var labels = adj.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighbourMin = adj
+        .join(labels, adj("b") === labels("id"))
+        .groupBy(adj("a").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels.alias("l")
+        .join(neighbourMin.alias("n"), col("l.id") === col("n.id"), "left_outer")
+        .select(
+          col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"))
+        .cache()
+      val changed = updated.alias("u")
+        .join(labels.alias("o"), col("u.id") === col("o.id"))
+        .filter(col("u.label") =!= col("o.label"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
 }

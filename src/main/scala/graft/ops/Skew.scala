@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter keys.
+  *
+  * At 100 TB a single hot key (one viral document source, one default
+  * region) can make one reducer the straggler for a whole stage. Salted
+  * two-phase aggregation spreads a hot key over `salts` reducers in phase 1
+  * (partial aggregates per (key, salt)), then combines the small per-salt
+  * partials in phase 2. Works for any algebraic aggregate (sum/count/min/
+  * max); AQE's skew-join handling covers the join side.
+  */
+object Skew {
+
+  /** Salted sum/count aggregation: semantically identical to
+    * `df.groupBy(key).agg(sum(value), count(*))` but with the shuffle for
+    * hot keys spread across `salts` partitions.
+    */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    // Deterministic salt (hash of the full row would be ideal; a spray on
+    // a monotonic id is enough to spread hot keys and keeps the test
+    // deterministic).
+    val salted = df.select(key.as("k"), value.as("v"))
+      .withColumn("salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val partial = salted
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("ps"), count(lit(1)).as("pc"))
+    partial
+      .groupBy(col("k"))
+      .agg(sum(col("ps")).as("sum_v"), sum(col("pc")).as("count_v"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Skew-salted aggregation equivalence + duplicate-cluster resolution. */
+class SkewAndClusterSpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  test("saltedSumCount equals the plain groupBy on a skewed distribution") {
+    val rnd = new scala.util.Random(5)
+    // 90% of rows hit one hot key.
+    val rows = Seq.fill(20000)(
+      (if (rnd.nextInt(10) == 0) s"k${rnd.nextInt(50)}" else "HOT", rnd.nextInt(100).toDouble))
+    val df = rows.toDF("key", "value")
+    val plain = df.groupBy($"key").agg(sum($"value").as("sum_v"), count(lit(1)).as("count_v"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(df, $"key", $"value", salts = 8)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    salted.keySet shouldBe plain.keySet
+    plain.foreach { case (k, (s, c)) =>
+      salted(k)._1 shouldBe s +- 1e-6 // integral doubles: exact
+      salted(k)._2 shouldBe c
+    }
+    // Phase-1 spread: the salted plan aggregates (key, salt) first.
+    Skew.saltedSumCount(df, $"key", $"value", 8)
+      .queryExecution.executedPlan.toString should include("salt")
+  }
+
+  test("duplicateClusters collapses transitive near-dup chains to min-id labels") {
+    // chains: 1~2, 2~3 (one cluster), 10~11, isolated pair 20~21,
+    // plus a diamond 30~31, 31~32, 30~32.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (30L, 31L), (31L, 32L), (30L, 32L)).toDF("id1", "id2")
+    val labels = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels(1L) shouldBe 1L
+    labels(2L) shouldBe 1L
+    labels(3L) shouldBe 1L // transitive: 3 never compared against 1
+    labels(10L) shouldBe 10L
+    labels(11L) shouldBe 10L
+    labels(20L) shouldBe 20L
+    labels(21L) shouldBe 20L
+    Seq(30L, 31L, 32L).foreach(id => labels(id) shouldBe 30L)
+  }
+
+  test("full dedup pipeline: LSH candidates -> Jaccard verify -> cluster -> keep min id") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def text(seed: Int) = { val r = new scala.util.Random(seed); Seq.fill(60)(vocab(r.nextInt(vocab.size))).mkString(" ") }
+    val base = (0L until 30L).map(i => (i, text(i.toInt)))
+    val dups = base.filter(_._1 % 3 == 0).map { case (i, t) => (i + 100, t + " x") }
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text")).as("s")).cache()
+    val sigs = sh.select(
+      col("doc_id") +: (0 until Dedup.MinHashK).map(i =>
+        Dedup.minhashComponent(transform(col("s"), x => graft.ops.TextOps.polyHash(x)), i).as(s"mh$i")): _*)
+    // LSH alone over-links here (8-word vocab -> unrelated docs share many
+    // shingles); the pipeline ALWAYS verifies candidates before clustering.
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+      .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("s", "s1"), "id1")
+      .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("s", "s2"), "id2")
+      .filter(Dedup.jaccard(col("s1"), col("s2")) >= 0.6)
+      .select(col("id1"), col("id2"))
+    val labels = Dedup.duplicateClusters(cands)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted dup resolves to its original's id
+    base.filter(_._1 % 3 == 0).foreach { case (i, _) =>
+      withClue(s"dup of $i:") { labels.get(i + 100).foreach(_ shouldBe i) }
+    }
+  }
+}

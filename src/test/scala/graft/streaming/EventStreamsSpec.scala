@@ -65,6 +65,34 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("CatalogStream: streaming catalog build appends each micro-batch (fetch_metadata upgrade)") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-catstream").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(String, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/$name")
+      rows.foreach { case (p, b) => w.println(s"""{"prefix": "$p", "body": "${b.replace("\"", "\\\"")}"}""") }
+      w.close()
+    }
+    writeBatch("b1.json", Seq(
+      ("AK_One_2010/", """{"bounds":[1.0,2.0,0.0,11.0,12.0,9.0],"points":5}"""),
+      ("Bad_Row/", "not json")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("prefix", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("body", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).json(srcDir)
+    val q1 = CatalogStream.build(stream, s"$root/sink", s"$root/chk")
+    q1.awaitTermination(60000)
+    spark.read.parquet(s"$root/sink").count() shouldBe 1L // bad row dropped
+    // second batch arrives; AvailableNow restart picks up only the new file
+    writeBatch("b2.json", Seq(("IA_Two_2011/", """{"bounds":[0.0,0.0,0.0,5.0,5.0,5.0],"points":9}""")))
+    val q2 = CatalogStream.build(spark.readStream.schema(schema).json(srcDir), s"$root/sink", s"$root/chk")
+    q2.awaitTermination(60000)
+    val cat = spark.read.parquet(s"$root/sink").orderBy("filename").collect()
+    cat.map(_.getString(0)).toSeq shouldBe Seq("AK_One_2010", "IA_Two_2011")
+    cat.head.getAs[Long]("points") shouldBe 5L
+  }
+
   test("windowedCounts is the streaming form of batch q10 (same results on a bounded frame)") {
     val batch = Seq(
       Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
