@@ -94,4 +94,14 @@ object PointCloudOps {
         floor(col(x) / cellX).as("gx"),
         floor(col(y) / cellY).as("gy"))
       .agg(Exact.davg(col(v)).as("avg_elevation"), count(lit(1)).as("n"))
+
+  /** K4 — deterministic point sample for rendering (`plot_terrain`,
+    * `scripts/usgs_lidar.py:342-359` plots raw points; the engine supplies
+    * a bounded, reproducible subset instead). Hash-ordered limit plans as
+    * TakeOrderedAndProject: each partition keeps its top-n by hash, no
+    * full sort shuffle — scale-safe unlike orderBy().limit on raw columns
+    * with skew.
+    */
+  def renderSample(points: DataFrame, n: Int): DataFrame =
+    points.orderBy(xxhash64(struct(points.columns.map(col): _*))).limit(n)
 }
