@@ -270,6 +270,31 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Exact percentiles (linear interpolation — DuckDB quantile_cont
+    * semantics) per group. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Sketch aggregates (HLL distinct, approximate quantiles) — inherently
+    * engine-specific, so no SQL oracle (driver records a rows-only check);
+    * the point is the plan shape: one pass, no distinct shuffle, constant
+    * memory per group — the 100 TB substitute for q18's exact distincts.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------------------
   // Reference-parity operators (SURVEY.md §2) expressed over the fixture tables
   // ---------------------------------------------------------------------------
@@ -375,6 +400,8 @@ object SparkEntry {
     "q17_string_funcs" -> (q17 _),
     "q18_distinct_agg" -> (q18 _),
     "q19_window_frames" -> (q19 _),
+    "q20_percentiles" -> (q20 _),
+    "q21_sketch_agg" -> (q21 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -496,6 +523,14 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q20_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q21_sketch_agg: intentionally no oracle — HLL/KLL sketch results are
+    // engine-specific; the driver records the weaker rows-only check.
     "r01_bbox_containment" ->
       """WITH cat AS (
         | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,

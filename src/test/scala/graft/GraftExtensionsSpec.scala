@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Extensions-based function injection: a session built with
+  * GraftExtensions has the custom functions with no explicit registration.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkTest {
+
+  test("a session built withExtensions(GraftExtensions) resolves the custom functions") {
+    spark.sparkContext // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          | poly_hash('ab') AS h, size(word_shingles('a b c d')) AS ns""".stripMargin).head()
+      r.getDouble(0) shouldBe 11.0 +- 1e-12
+      r.getLong(1) shouldBe 3105L
+      r.getInt(2) shouldBe 2
+      // do NOT stop s2 — it shares the JVM-wide SparkContext
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
