@@ -228,6 +228,29 @@ object ExtensionQueries {
         max(col("doc_id")).as("max_id"))
       .orderBy(col("split"))
 
+  /** IVF-ANN: cell histogram + per-query top-3 within the probed cell.
+    * Deterministic centroid set (vec_id < 16) makes even cell assignment
+    * oracle-checkable.
+    */
+  private def x13(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val assigned = Similarity.ivfAssign(e, e.filter(col("vec_id") < 16), EmbDim)
+    val queriesDf = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell_id").as("qcell"))
+    val cands = assigned.join(broadcast(queriesDf),
+      col("cell_id") === col("qcell") && col("vec_id") =!= col("qid"))
+    val scored = cands.select(
+      col("qid"), col("vec_id"),
+      round(
+        Similarity.cosineStatic(col("qv"), col("v"), Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim), EmbDim),
+        6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -240,7 +263,8 @@ object ExtensionQueries {
     "x09_embedding_neardup" -> (x09 _),
     "x10_quality_by_source" -> (x10 _),
     "x11_ann_lsh" -> (x11 _),
-    "x12_hash_split" -> (x12 _))
+    "x12_hash_split" -> (x12 _),
+    "x13_ann_ivf" -> (x13 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -354,6 +378,21 @@ object ExtensionQueries {
          | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id1, id2, cos FROM pr WHERE cos >= 0.9 ORDER BY id1, id2""".stripMargin
     },
+    "x13_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+        |scored AS (SELECT e.vec_id, e.v, cent.cell_id,
+        |  round(list_cosine_similarity(e.v, cent.cv), 6) AS cscore,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC, cent.cell_id) AS arnk
+        | FROM e CROSS JOIN cent),
+        |assigned AS (SELECT vec_id, v, cell_id FROM scored WHERE arnk = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv, cell_id AS qcell FROM assigned WHERE vec_id < 5),
+        |cand AS (SELECT q.qid, a.vec_id,
+        |  round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+        | FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM cand)
+        |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "x12_hash_split" ->
       s"""WITH h AS (SELECT doc_id, n_chars, ${polySql("text")} % 100 AS bucket FROM documents),
          |sp AS (SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,

@@ -84,6 +84,31 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * "centroid" (highest cosine), search only within the probed cell.
+    * Centroids here are a deterministic subset of the corpus (first
+    * `nCells` ids) rather than k-means output — same plan shape and
+    * pruning behavior, but reproducible on any engine, which lets the
+    * DuckDB oracle verify cell assignment exactly. Swapping in trained
+    * centroids is a data change, not a code change.
+    *
+    * Scale: assignment is a broadcast join (corpus x small centroid set,
+    * map-side); the search join shuffles on cell id only.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, dim: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("cv"))
+    val scored = corpus.crossJoin(broadcast(c))
+      .select(
+        col(idCol), col(vecCol),
+        col("cell_id"),
+        round(cosineStatic(col(vecCol), col("cv"), norm(col(vecCol), dim), norm(col("cv"), dim), dim), 6).as("cscore"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("cell_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
   /** Bucket corpus vectors by LSH signature; same-bucket pairs are
     * near-neighbour candidates (verify with exact cosine downstream).
     */
