@@ -64,42 +64,44 @@ object SparkEntry {
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
       .limit(100)
 
-  /** TPC-H Q3 shape: selective dims -> fact join. customer and orders are
-    * orders of magnitude smaller than lineitem, so both join sides that fit
-    * are broadcast — lineitem never shuffles. */
+  /** TPC-H Q3 shape: selective dims -> fact join. No broadcast hints: the
+    * non-fact sides scale with the data, so the broadcast decision belongs
+    * to Catalyst size estimates + AQE runtime conversion (verified
+    * broadcast at test scale in PlanSpec; at 100 TB the same code degrades
+    * gracefully to a shuffled join instead of OOMing a forced broadcast).
+    */
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
     val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
-    l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(20)
   }
 
-  /** EXISTS -> broadcast left-semi join (no row multiplication, no shuffle of
-    * the probe side beyond the aggregate). */
+  /** EXISTS -> left-semi join; broadcastability is AQE's call (the filtered
+    * lineitem side scales with the data). */
   private def q04(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").filter(col("o_orderdate") >= ts("1997-01-01"))
     val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1999-01-01"))
       .select(col("l_orderkey"))
-    o.join(broadcast(l), col("o_orderkey") === col("l_orderkey"), "left_semi")
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
   }
 
-  /** NOT EXISTS -> broadcast left-anti join: suppliers with no shipment in a
-    * window. */
+  /** NOT EXISTS -> left-anti join: suppliers with no shipment in a window. */
   private def q05(s: SparkSession, dir: String): DataFrame = {
     val sup = t(s, dir, "supplier")
     val l = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1995-01-01") && col("l_shipdate") < ts("1995-02-01") &&
         col("l_quantity") >= 49)
       .select(col("l_suppkey"))
-    sup.join(broadcast(l), col("s_suppkey") === col("l_suppkey"), "left_anti")
+    sup.join(l, col("s_suppkey") === col("l_suppkey"), "left_anti")
       .select("s_suppkey", "s_name", "s_acctbal")
       .orderBy(col("s_suppkey"))
   }
@@ -216,7 +218,7 @@ object SparkEntry {
     val thr = l.groupBy(col("l_partkey").as("t_partkey"))
       .agg((avg(col("l_quantity")) * 0.2).as("thr"))
     val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .join(thr, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("thr"))
       .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))

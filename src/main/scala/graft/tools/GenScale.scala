@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe data generator: replicates the big driver fixture tables
+  * k times (ids offset per copy so keys stay unique) into a new sf dir.
+  * Used to observe which plans hold at 10x before they meet a real
+  * cluster — not a driver artifact.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/sf1")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String, idCols: Seq[String], offset: Long): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val copies = (0 until k).map { i =>
+        idCols.foldLeft(base) { (df, c) => df.withColumn(c, col(c) + lit(i * offset)) }
+      }
+      copies.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"$name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+    // Facts replicated; dimension tables copied as-is.
+    replicate("lineitem", Seq("l_orderkey"), 100000000L)
+    replicate("orders", Seq("o_orderkey"), 100000000L)
+    replicate("documents", Seq("doc_id"), 10000000L)
+    replicate("embeddings", Seq("vec_id"), 10000000L)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    // events: ts is ns-long under nanosAsLong; keep one copy (streaming
+    // queries are already cheap).
+    spark.read.parquet(s"$src/events.parquet").write.mode("overwrite").parquet(s"$dst/events.parquet")
+    spark.stop()
+  }
+}
