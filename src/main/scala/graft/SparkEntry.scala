@@ -297,6 +297,56 @@ object SparkEntry {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q5 shape: 6-way star join (region -> nation -> customer ->
+    * orders -> lineitem -> supplier with the colocation predicate) —
+    * the join-reordering workhorse. Dimension chains are tiny; Catalyst
+    * folds them into broadcasts and the fact table shuffles at most once.
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Batch gap-sessionization — the batch twin of
+    * streaming.EventStreams.sessionize: session id = running count of
+    * gap-exceeded boundaries per user (window lag + cumulative sum), then
+    * per-user session stats. One shuffle on user_id.
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30 * 60 * 1000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        count(lit(1)).as("total_sessions_check"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------------------
   // Reference-parity operators (SURVEY.md §2) expressed over the fixture tables
   // ---------------------------------------------------------------------------
@@ -404,6 +454,8 @@ object SparkEntry {
     "q19_window_frames" -> (q19 _),
     "q20_percentiles" -> (q20 _),
     "q21_sketch_agg" -> (q21 _),
+    "q22_star_join" -> (q22 _),
+    "q23_sessionize_batch" -> (q23 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -533,6 +585,40 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q21_sketch_agg: intentionally no oracle — HLL/KLL sketch results are
     // engine-specific; the driver records the weaker rows-only check.
+    "q22_star_join" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q23_sessionize_batch" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |ns AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN prev_ts IS NULL
+        |       OR date_diff('millisecond', prev_ts, ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+        | FROM g),
+        |sid AS (
+        | SELECT user_id,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM ns),
+        |per_session AS (
+        | SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+        | FROM sid GROUP BY user_id, session_id)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        | CAST(max(n_events) AS BIGINT) AS max_session_events,
+        | CAST(count(*) AS BIGINT) AS total_sessions_check
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
     "r01_bbox_containment" ->
       """WITH cat AS (
         | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
