@@ -251,6 +251,38 @@ object ExtensionQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Per-dimension embedding statistics (posexplode -> per-index agg) —
+    * the embedding-QA sweep: dead dimensions, scale drift, outliers.
+    * Shuffle key is the dimension index (64 groups regardless of corpus
+    * size); map-side combine collapses each partition to 64 partials.
+    */
+  private def x14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
+      .groupBy(col("pos"))
+      .agg(
+        round(sum(col("v").cast("decimal(18,8)")).cast("double") / count(lit(1)), 6).as("mean_v"),
+        round(min(col("v")), 6).as("min_v"),
+        round(max(col("v")), 6).as("max_v"),
+        count(lit(1)).as("n"))
+      .orderBy(col("pos"))
+
+  /** Pivot: per-user event-type counts as columns (conditional aggregation
+    * — the shape `groupBy().pivot()` compiles to, spelled explicitly so
+    * the oracle matches column-for-column).
+    */
+  private def x15(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === types.head, 1L).otherwise(0L)).as(s"n_${types.head}"),
+        types.tail.map(t0 =>
+          sum(when(col("event_type") === t0, 1L).otherwise(0L)).as(s"n_$t0")): _*)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -264,7 +296,9 @@ object ExtensionQueries {
     "x10_quality_by_source" -> (x10 _),
     "x11_ann_lsh" -> (x11 _),
     "x12_hash_split" -> (x12 _),
-    "x13_ann_ivf" -> (x13 _))
+    "x13_ann_ivf" -> (x13 _),
+    "x14_embedding_dim_stats" -> (x14 _),
+    "x15_event_pivot" -> (x15 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -393,6 +427,25 @@ object ExtensionQueries {
         |r AS (SELECT qid, vec_id, cos,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM cand)
         |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "x14_embedding_dim_stats" ->
+      """WITH s0 AS (
+        | SELECT unnest(list_transform(range(1, len(embedding)+1),
+        |   i -> {'pos': i-1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+        | FROM embeddings),
+        |ex AS (SELECT CAST(s.pos AS BIGINT) AS pos, s.v AS v FROM s0)
+        |SELECT pos,
+        | round(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)/count(*), 6) AS mean_v,
+        | round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM ex GROUP BY pos ORDER BY pos""".stripMargin,
+    "x15_event_pivot" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x12_hash_split" ->
       s"""WITH h AS (SELECT doc_id, n_chars, ${polySql("text")} % 100 AS bucket FROM documents),
          |sp AS (SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
