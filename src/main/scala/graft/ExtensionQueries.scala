@@ -102,7 +102,7 @@ object ExtensionQueries {
     withSizes
       .select(col("id1"), col("id2"), (interD / union).as("jac"))
       .filter(col("jac") >= 0.5)
-      .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac"))
+      .select(col("id1"), col("id2"), col("jac"))
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -131,7 +131,7 @@ object ExtensionQueries {
     withSets
       .select(col("id1"), col("id2"), (inter / union).as("jac"))
       .filter(col("jac") >= 0.5)
-      .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac"))
+      .select(col("id1"), col("id2"), col("jac"))
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -203,7 +203,7 @@ object ExtensionQueries {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(sum(col("q").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_quality"))
+        (sum(col("q").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_quality"))
       .orderBy(col("source"))
 
   /** Deterministic train/val/test split by content hash — the reproducible
@@ -262,9 +262,9 @@ object ExtensionQueries {
       .select(col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
       .groupBy(col("pos"))
       .agg(
-        round(sum(col("v").cast("decimal(18,8)")).cast("double") / count(lit(1)), 6).as("mean_v"),
-        round(min(col("v")), 6).as("min_v"),
-        round(max(col("v")), 6).as("max_v"),
+        (sum(col("v").cast("decimal(18,8)")).cast("double") / count(lit(1))).as("mean_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
         count(lit(1)).as("n"))
       .orderBy(col("pos"))
 
@@ -354,7 +354,7 @@ object ExtensionQueries {
          |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
          |  CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS uni
          | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT id1, id2, round(inter/uni, 6) AS jac FROM pr
+         |SELECT id1, id2, inter/uni AS jac FROM pr
          |WHERE inter/uni >= 0.5 ORDER BY id1, id2""".stripMargin,
     "x05_minhash_sig" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
@@ -373,7 +373,7 @@ object ExtensionQueries {
          |  CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS inter,
          |  CAST(len(s1.s) + len(s2.s) AS DOUBLE) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS uni
          | FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
-         |SELECT id1, id2, round(inter/uni, 6) AS jac FROM pr
+         |SELECT id1, id2, inter/uni AS jac FROM pr
          |WHERE inter/uni >= 0.5 ORDER BY id1, id2""".stripMargin,
     "x07_simhash" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
@@ -434,8 +434,8 @@ object ExtensionQueries {
         | FROM embeddings),
         |ex AS (SELECT CAST(s.pos AS BIGINT) AS pos, s.v AS v FROM s0)
         |SELECT pos,
-        | round(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)/count(*), 6) AS mean_v,
-        | round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+        | CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS mean_v,
+        | min(v) AS min_v, max(v) AS max_v,
         | CAST(count(*) AS BIGINT) AS n
         |FROM ex GROUP BY pos ORDER BY pos""".stripMargin,
     "x15_event_pivot" ->
@@ -461,6 +461,6 @@ object ExtensionQueries {
          | FROM documents),
          |q AS (SELECT source, $QualitySql AS q FROM h)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         | round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS avg_quality
+         | CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_quality
          |FROM q GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -470,8 +470,8 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        | round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*), 2) AS avg_qty,
-        | round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*), 2) AS avg_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
         | CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -655,16 +655,16 @@ object SparkEntry {
         |SELECT CAST(floor((x - mx)/5000.0) AS BIGINT) AS vx,
         |       CAST(floor((y - my)/5.0) AS BIGINT) AS vy,
         |       CAST(floor((z - mz)/2.0) AS BIGINT) AS vz,
-        | round(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS avg_x,
-        | round(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS avg_y,
-        | round(CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS avg_z,
+        | CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_x,
+        | CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_y,
+        | CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_z,
         | CAST(count(*) AS BIGINT) AS n
         |FROM pts, m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "r05_grid_heatmap" ->
       """WITH pts AS (
         | SELECT l_extendedprice AS x, l_quantity AS y, l_discount*100.0 AS z FROM lineitem)
         |SELECT CAST(floor(x/5000.0) AS BIGINT) AS gx, CAST(floor(y/5.0) AS BIGINT) AS gy,
-        | round(CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS avg_elevation,
+        | CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_elevation,
         | CAST(count(*) AS BIGINT) AS n
         |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) ++ ExtensionQueries.oracleSql
 }

@@ -23,7 +23,19 @@ object Exact {
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Order-independent mean via exact decimal sum / count. */
+  /** Order-independent mean via exact decimal sum / count.
+    *
+    * Deliberately NOT rounded: both engines derive the identical double
+    * (exact decimal -> nearest double -> divide by the same count), so the
+    * values hash-match as-is — and rounding them is actively dangerous:
+    * decimal-quantized averages land on exact .5 ties at the rounding
+    * digit (e.g. sum(4dp)/2), where Spark's HALF_UP (on the double's exact
+    * decimal expansion) and DuckDB's half-to-even (on the scaled double)
+    * disagree. Rounding belongs only on values with genuine cross-engine
+    * ulp noise (libm transcendentals, engine-internal fold orders), where
+    * tie landings are measure-zero. `outScale` is retained for source
+    * compatibility and ignored.
+    */
   def davg(c: Column, scale: Int = 4, outScale: Int = 4): Column =
-    round(dsum(c, scale) / count(lit(1)), outScale)
+    dsum(c, scale) / count(lit(1))
 }
