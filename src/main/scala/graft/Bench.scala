@@ -34,15 +34,27 @@ object Bench {
         .groupBy(col("l_returnflag")).count().count()
     } catch { case _: Throwable => () }
 
+    // The noop sink forces FULL evaluation of every output column — a bare
+    // .count() lets Catalyst prune unused projections and eliminate sorts,
+    // so map-only queries would be timed as little more than a row-count
+    // scan. Failures are reported explicitly instead of masquerading as a
+    // fast timing.
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => errors += name }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Cache hygiene between queries (x04/x06 cache shingle frames);
+      // clearing is outside the timed window.
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -89,7 +89,17 @@ object ExtensionQueries {
     // shingling runs once, not per branch.
     val sh = plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s")).cache()
     val sizes = sh.select(col("doc_id"), size(col("s")).as("sz"))
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val ex0 = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+    // Hot-key guard for the pair join: drop shingles whose document
+    // frequency exceeds the cap before self-joining. At 100 TB one viral
+    // 3-gram otherwise becomes a single shuffle key generating O(df^2)
+    // pairs. The groupBy count is skew-safe (map-side partial agg); the cap
+    // (Dedup.ShingleDfCap = 1000) sits far above the fixture's max df
+    // (~40, the planted-tail shingles), so fixture results are unchanged —
+    // pinned in DedupSpec.
+    val rare = ex0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.ShingleDfCap).select(col("shingle"))
+    val ex = ex0.join(rare, "shingle")
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -152,19 +162,38 @@ object ExtensionQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Embedding near-dup at scale: LSH-candidate generation (two independent
+    * 8-bit hyperplane tables, unioned for recall) -> exact-cosine verify.
+    * The join key is the (table, bucket) pair — a shuffle on bucket keys,
+    * never an all-pairs BroadcastNestedLoopJoin (pinned in PlanSpec); near-
+    * identical vectors (cos >= 0.99) share every bit with high probability
+    * and exact copies always collide in both tables. Both engines apply the
+    * identical deterministic bucketing, so the candidate set — and hence
+    * the result — is hash-checkable despite being "approximate".
+    */
   private def x09(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
     val corpus = e.union(
       e.filter(col("vec_id") % 5 === 0).select((col("vec_id") + 100000).as("vec_id"), col("v")))
-      .select(col("vec_id"), col("v"), Similarity.norm(col("v"), EmbDim).as("nrm"))
-    val a = corpus.as("a"); val b = corpus.as("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
+    val sig = corpus.select(
+      col("vec_id"), col("v"),
+      Similarity.norm(col("v"), EmbDim).as("nrm"),
+      Similarity.lshSignature(col("v"), LshBits, EmbDim).as("b0"),
+      Similarity.lshSignature(col("v"), LshBits, EmbDim, planeOffset = LshBits).as("b1"))
+    val banded = sig.select(
+      col("vec_id"), col("v"), col("nrm"),
+      explode(array(
+        concat(lit("0:"), col("b0").cast("string")),
+        concat(lit("1:"), col("b1").cast("string")))).as("band"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         round(
           Similarity.cosineStatic(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"), EmbDim),
           6).as("cos"))
       .filter(col("cos") >= 0.99)
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -390,14 +419,22 @@ object ExtensionQueries {
         |r AS (SELECT qid, vec_id, cos,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
         |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
-    "x09_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |corpus AS (SELECT vec_id, v FROM e
-        | UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 5 = 0),
-        |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
-        | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-        |SELECT id1, id2, cos FROM pr WHERE cos >= 0.99 ORDER BY id1, id2""".stripMargin,
+    "x09_embedding_neardup" -> {
+      def bucketSql(offset: Int): String = (0 until LshBits).map { p =>
+        val plane = (0 until EmbDim).map(d => Similarity.planeComponent(offset + p, d)).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM e
+         | UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 5 = 0),
+         |sig AS (SELECT vec_id, v, ${bucketSql(0)} AS b0, ${bucketSql(LshBits)} AS b1 FROM corpus),
+         |banded AS (SELECT vec_id, v,
+         |  unnest(['0:' || CAST(b0 AS VARCHAR), '1:' || CAST(b1 AS VARCHAR)]) AS band FROM sig),
+         |pr AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         | FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, cos FROM pr WHERE cos >= 0.99 ORDER BY id1, id2""".stripMargin
+    },
     "x11_ann_lsh" -> {
       val bucketSql = (0 until LshBits).map { p =>
         val plane = (0 until EmbDim).map(d => Similarity.planeComponent(p, d)).mkString("[", ", ", "]")

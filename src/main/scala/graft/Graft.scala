@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{PolyHash, VectorDot, WordShingles}
+import graft.functions.{KMinValues, PolyHash, VectorDot, WordShingles}
 import graft.geo.WebMercator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -43,6 +43,12 @@ object Graft {
     reg.createOrReplaceTempFunction("vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("poly_hash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles", exprs => WordShingles(exprs.head, 3), "built-in")
+    // kmin_values(hash_col, k) — KMV distinct-count sketch aggregate; the
+    // analyzer wraps the AggregateFunction into an AggregateExpression.
+    reg.createOrReplaceTempFunction(
+      "kmin_values",
+      exprs => KMinValues(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
   }
 
   /** Register every fixture table in `dir` as a temp view (events with the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{PolyHash, VectorDot, WordShingles}
+import graft.functions.{KMinValues, PolyHash, VectorDot, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       exprs => WordShingles(exprs.head, 3)))
+    e.injectFunction((
+      FunctionIdentifier("kmin_values"),
+      new ExpressionInfo(classOf[KMinValues].getName, "kmin_values"),
+      exprs => KMinValues(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())))
   }
 }

@@ -283,19 +283,56 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
-  /** Sketch aggregates (HLL distinct, approximate quantiles) — inherently
-    * engine-specific, so no SQL oracle (driver records a rows-only check);
-    * the point is the plan shape: one pass, no distinct shuffle, constant
-    * memory per group — the 100 TB substitute for q18's exact distincts.
+  /** Sketch aggregates with the same plan shape as HLL/KLL (one pass, no
+    * distinct shuffle, constant memory per group — the 100 TB substitute
+    * for q18's exact distincts) but DETERMINISTIC, so the oracle verifies
+    * values, not just row counts:
+    *  - distinct counts via the custom [[graft.functions.KMinValues]] KMV
+    *    sketch (k smallest distinct hashes; estimate (k-1)*H/kth_min) over
+    *    an affine hash both engines compute identically;
+    *  - median via a fixed-width histogram (bin counts + cumulative
+    *    window), the streaming-friendly quantile sketch.
+    * The affine hash overflows i64 only past ~1e9 keys; production would
+    * swap in a 128-bit mix — the sketch itself is key-width agnostic.
     */
-  private def q21(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val K = 64
+    val P = 2147483647L // 2^31 - 1
+    val A = 506952114L // 2654435761 (Knuth multiplicative) mod P
+    val B = 12345L
+    def h(c: Column): Column = (lit(A) * c.cast("long") + lit(B)) % lit(P)
+    def est(arr: Column): Column =
+      round(
+        when(size(arr) < K, size(arr).cast("double"))
+          .otherwise(lit((K - 1).toDouble * P.toDouble) / element_at(arr, K).cast("double")),
+        4)
+    val l = t(s, dir, "lineitem")
+    val kmv = l.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+        graft.functions.SketchExprs.kMinValues(h(col("l_partkey")), K).as("mp"),
+        graft.functions.SketchExprs.kMinValues(h(col("l_orderkey")), K).as("mo"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col("l_returnflag"), est(col("mp")).as("kmv_parts"),
+        est(col("mo")).as("kmv_orders"), col("n_rows"))
+    val bins = l
+      .groupBy(col("l_returnflag"), floor(col("l_extendedprice") / 100.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = bins
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag").as("rf2"))
+      .agg(min(col("bin")).as("median_bin"))
+      .select(col("rf2"), (col("median_bin") * 100.0 + 50.0).as("approx_median_price"))
+    kmv.join(med, col("l_returnflag") === col("rf2"))
+      .select(
+        col("l_returnflag"), col("kmv_parts"), col("kmv_orders"),
+        col("approx_median_price"), col("n_rows"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** TPC-H Q5 shape: 6-way star join (region -> nation -> customer ->
     * orders -> lineitem -> supplier with the colocation predicate) —
@@ -378,23 +415,24 @@ object SparkEntry {
         .otherwise((lit(2008) + col("doc_id") % 15).cast("string")),
       lit("/"))
     val docs = t(s, dir, "documents").select(col("doc_id"), name0.as("prefix"))
-    val stripped = regexp_replace(col("prefix"), "/", "")
-    val yearStr = nullif(regexp_extract(stripped, "20[0-9][0-9]+", 0), lit(""))
-    val before = regexp_extract(stripped, "^(.*?)20[0-9][0-9]+", 1)
-    // location[:match.start()-1] — drop exactly one separator char (F6).
-    val region = when(yearStr.isNull, stripped)
-      .otherwise(before.substr(lit(1), length(before) - 1))
-    docs
+    // Single source of truth for F6/F7/F9 parity: the canonical
+    // CatalogOps.withNameAndYear (incl. the position-0 match guard) +
+    // yearSentinel, not a local re-implementation.
+    ops.CatalogOps.withNameAndYear(docs, "prefix")
       .select(
-        col("doc_id"), stripped.as("filename"), region.as("region"),
-        yearStr.cast("int").as("year"),
-        when(yearStr.isNull, lit("Year: not_specified"))
-          .otherwise(concat(yearStr, lit(".0"))).as("year_rendered"))
+        col("doc_id"), col("filename"), col("region"), col("year"),
+        ops.CatalogOps.yearSentinel(col("year")).as("year_rendered"))
       .orderBy(col("doc_id"))
   }
 
   /** F1 — closed-form Web-Mercator forward transform (4326 -> 3857) as pure
     * Column expressions (`scripts/usgs_lidar.py:69-70`).
+    *
+    * `+ 0.0` after each round normalizes IEEE signed zero: at lat = 0 the
+    * formula yields ~ -7e-10, which rounds to -0.0 in one engine and +0.0
+    * in the other — value-equal but bit-distinct, failing the driver's
+    * bit-pattern hash compare. `-0.0 + 0.0 == +0.0` canonicalizes both
+    * sides (mirrored in the oracle SQL).
     */
   private def refWebMercator(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -403,8 +441,8 @@ object SparkEntry {
     c.select(
       col("c_custkey"),
       round(lon, 6).as("lon"), round(lat, 6).as("lat"),
-      round(WebMercator.lonToX(lon), 4).as("mercator_x"),
-      round(WebMercator.latToY(lat), 4).as("mercator_y"))
+      (round(WebMercator.lonToX(lon), 4) + lit(0.0)).as("mercator_x"),
+      (round(WebMercator.latToY(lat), 4) + lit(0.0)).as("mercator_y"))
       .orderBy(col("c_custkey"))
   }
 
@@ -583,8 +621,34 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
         | CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // q21_sketch_agg: intentionally no oracle — HLL/KLL sketch results are
-    // engine-specific; the driver records the weaker rows-only check.
+    "q21_sketch_agg" ->
+      """WITH km AS (
+        | SELECT l_returnflag,
+        |  list_slice(list_sort(list_distinct(list_transform(array_agg(l_partkey), x -> (506952114::BIGINT * x + 12345) % 2147483647))), 1, 64) AS mp,
+        |  list_slice(list_sort(list_distinct(list_transform(array_agg(l_orderkey), x -> (506952114::BIGINT * x + 12345) % 2147483647))), 1, 64) AS mo,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        | FROM lineitem GROUP BY l_returnflag),
+        |est AS (
+        | SELECT l_returnflag, n_rows,
+        |  round(CASE WHEN len(mp) < 64 THEN CAST(len(mp) AS DOUBLE)
+        |        ELSE 135291469761.0 / CAST(mp[64] AS DOUBLE) END, 4) AS kmv_parts,
+        |  round(CASE WHEN len(mo) < 64 THEN CAST(len(mo) AS DOUBLE)
+        |        ELSE 135291469761.0 / CAST(mo[64] AS DOUBLE) END, 4) AS kmv_orders
+        | FROM km),
+        |bins AS (
+        | SELECT l_returnflag, CAST(floor(l_extendedprice/100.0) AS BIGINT) AS bin, count(*) AS c
+        | FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        | SELECT l_returnflag, bin,
+        |  SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+        | FROM bins),
+        |med AS (SELECT l_returnflag, min(bin) AS median_bin FROM cum WHERE cum*2 >= tot GROUP BY 1)
+        |SELECT e.l_returnflag, kmv_parts, kmv_orders,
+        | median_bin*100.0 + 50.0 AS approx_median_price, n_rows
+        |FROM est e JOIN med m ON e.l_returnflag = m.l_returnflag
+        |ORDER BY e.l_returnflag""".stripMargin,
     "q22_star_join" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -645,8 +709,8 @@ object SparkEntry {
       """SELECT c_custkey,
         | round((c_acctbal % 360.0) - 170.0, 6) AS lon,
         | round(CAST(c_custkey % 160 AS DOUBLE) - 80.0, 6) AS lat,
-        | round(((c_acctbal % 360.0) - 170.0) * pi() / 180.0 * 6378137.0, 4) AS mercator_x,
-        | round(ln(tan(pi()/4.0 + least(greatest(CAST(c_custkey % 160 AS DOUBLE) - 80.0, -85.05112878), 85.05112878) * pi()/180.0/2.0)) * 6378137.0, 4) AS mercator_y
+        | round(((c_acctbal % 360.0) - 170.0) * (pi() / 180.0) * 6378137.0, 4) + 0.0 AS mercator_x,
+        | round(ln(tan(pi()/4.0 + least(greatest(CAST(c_custkey % 160 AS DOUBLE) - 80.0, -85.05112878), 85.05112878) * (pi()/180.0) / 2.0)) * 6378137.0, 4) + 0.0 AS mercator_y
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "r04_voxel_subsample" ->
       """WITH pts AS (

@@ -90,15 +90,30 @@ object Dedup {
   def bandKey(b: Int): Column =
     concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
 
+  /** Document-frequency cap for shingle/band hot keys: a key shared by df
+    * documents generates O(df^2) candidate pairs, so one viral key melts a
+    * shuffle partition at 100 TB. Keys above the cap are dropped before
+    * pair generation — dup detection barely notices (a shingle in >1000
+    * docs carries no near-dup signal; a band bucket that big means an
+    * exact-dup cluster better handled by exact dedup first).
+    */
+  val ShingleDfCap = 1000
+
   /** Candidate near-dup pairs via LSH banding over a (id, sig-columns)
     * frame: explode band keys, self-join per band, dedupe pairs.
+    * Buckets larger than `maxBucket` are dropped before the self-join
+    * (hot-key guard — see [[ShingleDfCap]]); the count uses map-side
+    * partial aggregation, so the guard itself is skew-safe.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+  def lshCandidates(sigs: DataFrame, idCol: String, maxBucket: Int = ShingleDfCap): DataFrame = {
     val banded = sigs.select(
       col(idCol),
       explode(array((0 until LshBands).map(bandKey): _*)).as("band"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val small = banded.groupBy(col("band")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket).select(col("band"))
+    val capped = banded.join(small, "band")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
@@ -141,7 +156,13 @@ object Dedup {
     * no data is collected. Dup clusters from LSH are tiny (diameter a few
     * hops), so `maxIter` default 10 is generous.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** Rounds between lineage truncations: label propagation otherwise grows
+    * the plan by one join per round, and at large graph diameters the DAG
+    * itself becomes the straggler.
+    */
+  private val CheckpointEvery = 5
+
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10, failOnNonConvergence: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
     // Undirected adjacency including self-loops so isolated updates keep ids.
     val adj = edges
@@ -150,6 +171,7 @@ object Dedup {
       .cache()
     var labels = adj.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
+      .cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -157,19 +179,31 @@ object Dedup {
         .join(labels, adj("b") === labels("id"))
         .groupBy(adj("a").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val updated = labels.alias("l")
+      val next = labels.alias("l")
         .join(neighbourMin.alias("n"), col("l.id") === col("n.id"), "left_outer")
         .select(
           col("l.id").as("id"),
           least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"))
-        .cache()
+      // localCheckpoint (eager) every few rounds truncates lineage; cache
+      // otherwise. Both materialize `next` before the superseded
+      // generation is unpersisted, so nothing recomputes from scratch.
+      val updated =
+        if ((i + 1) % CheckpointEvery == 0) next.localCheckpoint(eager = true) else next.cache()
       val changed = updated.alias("u")
         .join(labels.alias("o"), col("u.id") === col("o.id"))
         .filter(col("u.label") =!= col("o.label"))
         .count()
+      labels.unpersist(blocking = false)
       labels = updated
       converged = changed == 0
       i += 1
+    }
+    adj.unpersist(blocking = false)
+    if (!converged) {
+      val msg = s"duplicateClusters did not converge within $maxIter rounds; " +
+        "labels may span unresolved components (component diameter > maxIter)"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels
   }

@@ -75,10 +75,14 @@ object Similarity {
     (h.toDouble / 1000003.0) * 2.0 - 1.0
   }
 
-  /** b-bit random-hyperplane signature of a double vector column. */
-  def lshSignature(vec: Column, bits: Int, dim: Int): Column = {
+  /** b-bit random-hyperplane signature of a double vector column.
+    * `planeOffset` selects an independent plane set (planes
+    * [offset, offset+bits)) so callers can union several hash tables —
+    * the standard LSH recall knob: P(candidate) = 1 - (1 - p^bits)^tables.
+    */
+  def lshSignature(vec: Column, bits: Int, dim: Int, planeOffset: Int = 0): Column = {
     val bitCols = (0 until bits).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      val plane = array((0 until dim).map(d => lit(planeComponent(planeOffset + p, d))): _*)
       when(dotNative(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)

@@ -75,6 +75,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("x09: near-dup is LSH-bucketed — no quadratic nested-loop pair join") {
+    val p = finalPlan("x09_embedding_neardup")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q21: KMV sketch aggregates one-pass via ObjectHashAggregate, no distinct expand") {
+    val p = plan("q21_sketch_agg")
+    p should include("kmin_values")
+    p should include("ObjectHashAggregate")
+    p should not include "Expand" // the exact-distinct rewrite never appears
+  }
+
   test("x08: cosine top-k uses the native vector_dot expression, queries broadcast") {
     val p = plan("x08_cosine_topk")
     p should include("vectordot")

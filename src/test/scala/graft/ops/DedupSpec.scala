@@ -76,6 +76,20 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
     (wanted.intersect(cands).size.toDouble / wanted.size) should be >= 0.8
   }
 
+  test("lshCandidates: oversized buckets are dropped (hot-key guard), default cap inert") {
+    val base = (0L until 40L).map(i => (i, randText(i.toInt, 80)))
+    val planted = base.filter(_._1 % 4 == 0).map { case (i, t) => (i + 1000, t + " tail") }
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    val sigs = corpus.select(
+      col("doc_id") +: (0 until Dedup.MinHashK).map(i =>
+        Dedup.minhashComponent(Dedup.shingleHashes(col("text")), i).as(s"mh$i")): _*)
+    // A cap of 1 drops every bucket (any candidate-producing bucket has >= 2 members).
+    Dedup.lshCandidates(sigs, "doc_id", maxBucket = 1).count() shouldBe 0L
+    // The default cap (1000) sits far above any fixture bucket: results identical.
+    Dedup.lshCandidates(sigs, "doc_id").collect().toSet shouldBe
+      Dedup.lshCandidates(sigs, "doc_id", maxBucket = Int.MaxValue).collect().toSet
+  }
+
   test("native WordShingles/PolyHash agree with the composed HOF twins on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(100)
