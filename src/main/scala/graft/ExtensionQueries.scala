@@ -257,13 +257,23 @@ object ExtensionQueries {
         max(col("doc_id")).as("max_id"))
       .orderBy(col("split"))
 
-  /** IVF-ANN: cell histogram + per-query top-3 within the probed cell.
-    * Deterministic centroid set (vec_id < 16) makes even cell assignment
-    * oracle-checkable.
+  /** k-means training iterations for the IVF index (fixed + deterministic
+    * so both engines train identical centroids — see
+    * [[Similarity.kmeansCentroids]]).
+    */
+  private val KmIters = 2
+
+  /** IVF-ANN with TRAINED centroids: deterministic k-means (seeded from
+    * vec_id < 16, [[KmIters]] iterations, decimal-quantized means) then
+    * cell assignment + per-query top-3 within the probed cell. The oracle
+    * unrolls the identical training loop in SQL, so even the trained
+    * index is hash-checked end to end.
     */
   private def x13(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
-    val assigned = Similarity.ivfAssign(e, e.filter(col("vec_id") < 16), EmbDim)
+    val trained = Similarity.kmeansCentroids(e, e.filter(col("vec_id") < 16), KmIters, EmbDim)
+    val assigned = Similarity.ivfAssign(
+      e, trained.select(col("cell_id").as("vec_id"), col("cv").as("v")), EmbDim)
     val queriesDf = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell_id").as("qcell"))
     val cands = assigned.join(broadcast(queriesDf),
@@ -449,21 +459,40 @@ object ExtensionQueries {
          | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id1, id2, cos FROM pr WHERE cos >= 0.9 ORDER BY id1, id2""".stripMargin
     },
-    "x13_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
-        |scored AS (SELECT e.vec_id, e.v, cent.cell_id,
-        |  round(list_cosine_similarity(e.v, cent.cv), 6) AS cscore,
-        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC, cent.cell_id) AS arnk
-        | FROM e CROSS JOIN cent),
-        |assigned AS (SELECT vec_id, v, cell_id FROM scored WHERE arnk = 1),
-        |q AS (SELECT vec_id AS qid, v AS qv, cell_id AS qcell FROM assigned WHERE vec_id < 5),
-        |cand AS (SELECT q.qid, a.vec_id,
-        |  round(list_cosine_similarity(q.qv, a.v), 6) AS cos
-        | FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id <> q.qid),
-        |r AS (SELECT qid, vec_id, cos,
-        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM cand)
-        |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "x13_ann_ivf" -> {
+      // One k-means iteration: assign to nearest centroid, then per-(cell,
+      // dim) decimal-exact mean reassembled into centroid arrays — the SQL
+      // mirror of Similarity.kmeansCentroids, unrolled KmIters times.
+      def assignSql(cent: String, out: String): String =
+        s"""$out AS (SELECT vec_id, v, cell_id FROM (
+           | SELECT e.vec_id, e.v, $cent.cell_id,
+           |  row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY round(list_cosine_similarity(e.v, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
+           | FROM e CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
+      def updateSql(assigned: String, out: String): String =
+        s"""${out}_m AS (
+           | SELECT cell_id, CAST(s.pos AS BIGINT) AS pos,
+           |  CAST(SUM(CAST(s.xv AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS m
+           | FROM (SELECT cell_id,
+           |   unnest(list_transform(range(1, len(v)+1), i -> {'pos': i-1, 'xv': v[i]})) AS s
+           |  FROM $assigned)
+           | GROUP BY cell_id, s.pos),
+           |$out AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         |${assignSql("c0", "a1")},
+         |${updateSql("a1", "c1")},
+         |${assignSql("c1", "a2")},
+         |${updateSql("a2", "c2")},
+         |${assignSql("c2", "assigned")},
+         |q AS (SELECT vec_id AS qid, v AS qv, cell_id AS qcell FROM assigned WHERE vec_id < 5),
+         |cand AS (SELECT q.qid, a.vec_id,
+         |  round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+         | FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM cand)
+         |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    },
     "x14_embedding_dim_stats" ->
       """WITH s0 AS (
         | SELECT unnest(list_transform(range(1, len(embedding)+1),

@@ -469,6 +469,26 @@ object SparkEntry {
       .orderBy(col("gx"), col("gy"))
   }
 
+  /** S1 full fidelity — the DSv2 tiled point-cloud scan
+    * ([[graft.sources.PointsSource]]) with bbox pushdown, reproducing
+    * `readers.ept`'s bounds behavior (`/root/reference/pipeline.json:4-6`):
+    * the range predicates reach the connector's pushed-filter list and
+    * prune whole tiles from footer statistics before any data is read.
+    * The tile set derives deterministically from lineitem, so the oracle
+    * applies the identical predicate to lineitem directly.
+    */
+  private def refEptScan(s: SparkSession, dir: String): DataFrame = {
+    val tiles = sources.PointsLayout.ensure(s, dir)
+    s.read.format("graft.sources.PointsSource").option("path", tiles).load()
+      .filter(col("x") >= 20000.0 && col("x") <= 30000.0 &&
+        col("y") >= 10.0 && col("y") <= 40.0)
+      .select(col("pid"), col("x"), col("y"), col("z"))
+      // pid alone is not unique in the synthetic fixture (duplicate
+      // (orderkey, linenumber) pairs exist) — order by the full row so the
+      // driver's row-order compare is deterministic.
+      .orderBy(col("pid"), col("x"), col("y"), col("z"))
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ §7.7 extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
@@ -498,7 +518,8 @@ object SparkEntry {
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
     "r04_voxel_subsample" -> (refVoxelSubsample _),
-    "r05_grid_heatmap" -> (refGridHeatmap _)) ++ ExtensionQueries.queries
+    "r05_grid_heatmap" -> (refGridHeatmap _),
+    "r06_ept_scan" -> (refEptScan _)) ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -730,5 +751,12 @@ object SparkEntry {
         |SELECT CAST(floor(x/5000.0) AS BIGINT) AS gx, CAST(floor(y/5.0) AS BIGINT) AS gy,
         | CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_elevation,
         | CAST(count(*) AS BIGINT) AS n
-        |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) ++ ExtensionQueries.oracleSql
+        |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r06_ept_scan" ->
+      """SELECT l_orderkey * 8 + l_linenumber AS pid,
+        | l_extendedprice AS x, l_quantity AS y, l_discount*100.0 AS z
+        |FROM lineitem
+        |WHERE l_extendedprice >= 20000.0 AND l_extendedprice <= 30000.0
+        |  AND l_quantity >= 10.0 AND l_quantity <= 40.0
+        |ORDER BY pid, x, y, z""".stripMargin) ++ ExtensionQueries.oracleSql
 }

@@ -113,6 +113,41 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell_id"))
   }
 
+  /** Deterministic k-means training for IVF centroids: fixed iteration
+    * count, deterministic seed set (caller-provided init vectors), and
+    * decimal-quantized means, so the trained centroids — and therefore the
+    * final cell assignment — are bit-reproducible on any engine, any
+    * partitioning (the property that keeps x13 oracle-checkable with
+    * TRAINED centroids, not just a corpus subset).
+    *
+    * Per iteration: (1) assign — broadcast the <=k centroid frame against
+    * the corpus, keep each vector's best cell (highest cosine, ties to the
+    * lower cell id); (2) update — per-(cell, dimension) mean via posexplode
+    * + decimal-exact sum (x14's machinery: summation-order independent),
+    * reassembled into centroid arrays with a deterministic sort. Shuffle
+    * keys are (cell, dim) — k*dim groups regardless of corpus size; the
+    * corpus itself never shuffles. Empty cells drop out (standard k-means).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, init: DataFrame, iters: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    var cents = init.select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(
+        corpus, cents.select(col("cell_id").as(idCol), col("cv").as(vecCol)), dim, idCol, vecCol)
+      cents = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "xf")))
+        .select(col("cell_id"), col("pos"), col("xf").cast("double").as("xv"))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg((sum(col("xv").cast("decimal(18,8)")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv"))
+    }
+    cents
+  }
+
   /** Bucket corpus vectors by LSH signature; same-bucket pairs are
     * near-neighbour candidates (verify with exact cosine downstream).
     */

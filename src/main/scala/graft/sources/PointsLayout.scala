@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Tiled point-cloud layout builder for the [[PointsSource]] connector: the
+  * lineitem-derived point table (the same x/y/z mapping every r-query uses)
+  * written as x-range-partitioned parquet tiles, so tile footer min/max
+  * statistics carry tight, near-disjoint x ranges — the property the
+  * reference's EPT octree gives its tiles spatially
+  * (`/root/reference/scripts/usgs_lidar.py:245-276` builds the analogous
+  * bounds index from ept.json metadata).
+  *
+  * Derivation is deterministic from the fixture, so the DuckDB oracle can
+  * reproduce the dataset straight from lineitem: pid = l_orderkey * 8 +
+  * l_linenumber (unique: TPC-H line numbers are 1..7), x = extendedprice,
+  * y = quantity, z = discount*100, classification = linenumber.
+  */
+object PointsLayout {
+
+  val Tiles = 8
+
+  /** Build the tile directory for `sfDir` if absent; returns its path.
+    * Idempotent and session-safe: keyed by the sf directory, guarded by the
+    * parquet writer's _SUCCESS marker.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"/tmp/graft_points_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Tables(spark, sfDir, "lineitem")
+        .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("pid"),
+          col("l_extendedprice").as("x"),
+          col("l_quantity").as("y"),
+          (col("l_discount") * 100.0).as("z"),
+          col("l_linenumber").as("classification"))
+        .repartitionByRange(Tiles, col("x"))
+        .sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+}

@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, IsNotNull, LessThanOrEqual, StringContains}
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** DSv2 connector behavior: read-back fidelity, tile pruning from footer
+  * stats, column pruning into the parquet projection, filter bookkeeping.
+  */
+class PointsSourceSpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  /** 4 x-range tiles over x in [0, 4000): tile k holds x in [k*1000, (k+1)*1000). */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dsv2").toString + "/tiles"
+    (0 until 4000).map(i => (i.toLong, i.toDouble, (i % 100).toDouble, i / 40.0))
+      .toDF("pid", "x", "y", "z")
+      .repartitionByRange(4, col("x"))
+      .sortWithinPartitions(col("x"))
+      .write.parquet(d)
+    d
+  }
+
+  private def read() =
+    spark.read.format("graft.sources.PointsSource").option("path", dir).load()
+
+  test("schema inference and full read-back match the written data") {
+    val df = read()
+    df.schema.fieldNames.toSeq shouldBe Seq("pid", "x", "y", "z")
+    df.count() shouldBe 4000L
+    df.agg(sum(col("pid"))).head().getLong(0) shouldBe (0L until 4000L).sum
+  }
+
+  test("bbox filter reaches the scan's pushed list and rows are exact") {
+    val q = read().filter(col("x") >= 1500.0 && col("x") <= 1600.0)
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("graft-points")
+    plan should include("GreaterThanOrEqual(x,1500.0)")
+    plan should include("LessThanOrEqual(x,1600.0)")
+    q.count() shouldBe 101L
+    q.agg(min(col("pid")), max(col("pid"))).head() match {
+      case r => (r.getLong(0), r.getLong(1)) shouldBe ((1500L, 1600L))
+    }
+  }
+
+  test("tile pruning: a narrow x range plans only the intersecting tile(s)") {
+    val schema = read().schema
+    val all = new PointsScan(dir, schema, Array.empty).planInputPartitions()
+    all.length shouldBe 4
+    val pruned = new PointsScan(dir, schema,
+      Array(GreaterThanOrEqual("x", 1500.0), LessThanOrEqual("x", 1600.0)))
+      .planInputPartitions()
+    pruned.length shouldBe 1
+    // A range outside the data prunes everything.
+    new PointsScan(dir, schema,
+      Array(GreaterThanOrEqual("x", 99999.0))).planInputPartitions().length shouldBe 0
+  }
+
+  test("column pruning: projected read returns only requested columns, values intact") {
+    val q = read().select(col("pid"), col("z")).filter(col("pid") < 10)
+    q.schema.fieldNames.toSeq shouldBe Seq("pid", "z")
+    val rows = q.orderBy(col("pid")).collect()
+    rows.length shouldBe 10
+    rows(4).getLong(0) shouldBe 4L
+    rows(4).getDouble(1) shouldBe 0.1 +- 1e-12
+    // count(*) works with an empty required schema
+    read().count() shouldBe 4000L
+  }
+
+  test("unsupported filters are not recorded as pushed") {
+    val b = new PointsScanBuilder(dir, read().schema)
+    val residual = b.pushFilters(Array(
+      GreaterThanOrEqual("x", 1.0), StringContains("pid", "9"), IsNotNull("x")))
+    // everything comes back as residual (Spark re-evaluates row-level)...
+    residual.length shouldBe 3
+    // ...but only the understood filters count as pushed.
+    b.pushedFilters().map(_.toString).toSet shouldBe
+      Set("GreaterThanOrEqual(x,1.0)", "IsNotNull(x)")
+  }
+
+  test("PointsLayout.ensure is idempotent and the r06 path stays green") {
+    val p1 = PointsLayout.ensure(spark, "/root/testdata/sf0.001")
+    val p2 = PointsLayout.ensure(spark, "/root/testdata/sf0.001")
+    p1 shouldBe p2
+    val df = graft.SparkEntry.queries("r06_ept_scan")(spark, "/root/testdata/sf0.001")
+    df.count() should be > 0L
+  }
+}
