@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.geo.WebMercator
+import graft.geo.{Polygon, WebMercator}
 import graft.util.Exact.{davg, dsum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -489,6 +489,39 @@ object SparkEntry {
       .orderBy(col("pid"), col("x"), col("y"), col("z"))
   }
 
+  /** The r07 query polygon, defined as WKT exactly like the reference's
+    * pipeline config carries it (`/root/reference/pipeline.json:6`) and
+    * parsed back by [[Polygon.parseWkt]] (F4's inverse). An L-shaped
+    * (non-convex) ring over the lineitem point cloud — a pure bbox crop
+    * would wrongly keep the (35000..60000) x (25..45) notch.
+    */
+  private val r07Wkt =
+    "POLYGON((10000.0 5.0, 60000.0 5.0, 60000.0 25.0, 35000.0 25.0, " +
+      "35000.0 45.0, 10000.0 45.0, 10000.0 5.0))"
+  private lazy val r07Ring = Polygon.parseWkt(r07Wkt)
+
+  /** Exact polygon crop (`filters.crop` semantics, the reference's
+    * `pipeline.json:6` polygon pushdown): bbox conjuncts first (these reach
+    * the parquet scan's pushed filters and prune row groups), then the
+    * unrolled even-odd ray cast, then the usual downstream aggregate. The
+    * oracle applies the character-identical predicate via
+    * [[Polygon.predicateSql]].
+    */
+  private def refPolygonCrop(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "lineitem").select(
+      col("l_extendedprice").as("x"), col("l_quantity").as("y"),
+      (col("l_discount") * 100.0).as("z"))
+    pts
+      .filter(Polygon.bbox(col("x"), col("y"), r07Ring))
+      .filter(Polygon.contains(col("x"), col("y"), r07Ring))
+      .groupBy(col("y"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        dsum(col("x"), 2).as("sum_x"),
+        davg(col("z"), 2, 2).as("avg_z"))
+      .orderBy(col("y"))
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ §7.7 extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
@@ -519,7 +552,8 @@ object SparkEntry {
     "r03_webmercator" -> (refWebMercator _),
     "r04_voxel_subsample" -> (refVoxelSubsample _),
     "r05_grid_heatmap" -> (refGridHeatmap _),
-    "r06_ept_scan" -> (refEptScan _)) ++ ExtensionQueries.queries
+    "r06_ept_scan" -> (refEptScan _),
+    "r07_polygon_crop" -> (refPolygonCrop _)) ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -758,5 +792,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_extendedprice >= 20000.0 AND l_extendedprice <= 30000.0
         |  AND l_quantity >= 10.0 AND l_quantity <= 40.0
-        |ORDER BY pid, x, y, z""".stripMargin) ++ ExtensionQueries.oracleSql
+        |ORDER BY pid, x, y, z""".stripMargin,
+    "r07_polygon_crop" ->
+      s"""WITH pts AS (
+         | SELECT l_extendedprice AS x, l_quantity AS y, l_discount*100.0 AS z FROM lineitem)
+         |SELECT y, CAST(count(*) AS BIGINT) AS n_points,
+         | CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+         | CAST(SUM(CAST(z AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_z
+         |FROM pts
+         |WHERE ${Polygon.bboxSql("x", "y", r07Ring)}
+         |  AND ${Polygon.predicateSql("x", "y", r07Ring)}
+         |GROUP BY y ORDER BY y""".stripMargin) ++ ExtensionQueries.oracleSql
 }

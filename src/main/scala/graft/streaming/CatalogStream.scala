@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.ops.CatalogOps
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -17,9 +18,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CatalogStream {
 
-  /** Wire a streaming (prefix, body) frame through buildCatalog into an
-    * append-mode parquet sink. Caller starts with `.start()` semantics via
-    * the returned query handle.
+  /** Wire a streaming (prefix, body) frame through buildCatalog into a
+    * parquet sink. Caller starts with `.start()` semantics via the returned
+    * query handle.
+    *
+    * Exactly-once, not just at-least-once: each micro-batch lands in its own
+    * `batch_id=<id>` partition directory, written with mode=overwrite. A
+    * batch replayed after a crash (foreachBatch's contract is at-least-once
+    * delivery of each batchId) overwrites its own partial output instead of
+    * appending duplicate catalog rows. Readers get the batch id as a
+    * partition column for free (`spark.read.parquet(sinkPath)`) — useful
+    * provenance, prunable, droppable.
     */
   def build(
       eptMetaStream: DataFrame,
@@ -29,9 +38,10 @@ object CatalogStream {
     eptMetaStream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = new Path(sinkPath, s"batch_id=$batchId").toString
         CatalogOps.buildCatalog(batch)
-          .write.mode("append").parquet(sinkPath)
+          .write.mode("overwrite").parquet(target)
       }
       .start()
 }

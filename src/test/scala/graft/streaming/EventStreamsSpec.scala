@@ -91,6 +91,19 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     val cat = spark.read.parquet(s"$root/sink").orderBy("filename").collect()
     cat.map(_.getString(0)).toSeq shouldBe Seq("AK_One_2010", "IA_Two_2011")
     cat.head.getAs[Long]("points") shouldBe 5L
+
+    // Exactly-once on replay: drop batch 1's commit marker so the engine
+    // re-executes that micro-batch on restart (foreachBatch is at-least-once
+    // per batchId); the batch_id=1 overwrite must not duplicate rows.
+    // (the commit file plus its Hadoop .crc checksum sidecar — an orphan
+    // sidecar trips Spark 4.1's concurrent-modification guard on rewrite)
+    new java.io.File(s"$root/chk/commits").listFiles()
+      .filter(f => f.getName == "1" || f.getName.startsWith(".1."))
+      .foreach(f => f.delete() shouldBe true)
+    val q3 = CatalogStream.build(spark.readStream.schema(schema).json(srcDir), s"$root/sink", s"$root/chk")
+    q3.awaitTermination(60000)
+    val replayed = spark.read.parquet(s"$root/sink").orderBy("filename").collect()
+    replayed.map(_.getString(0)).toSeq shouldBe Seq("AK_One_2010", "IA_Two_2011")
   }
 
   test("windowedCounts is the streaming form of batch q10 (same results on a bounded frame)") {
