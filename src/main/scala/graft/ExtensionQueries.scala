@@ -272,9 +272,13 @@ object ExtensionQueries {
   private def x13(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
     val trained = Similarity.kmeansCentroids(e, e.filter(col("vec_id") < 16), KmIters, EmbDim)
-    val assigned = Similarity.ivfAssign(
-      e, trained.select(col("cell_id").as("vec_id"), col("cv").as("v")), EmbDim)
-    val queriesDf = assigned.filter(col("vec_id") < 5)
+    val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val assigned = Similarity.ivfAssign(e, cents, EmbDim)
+    // Assign the (tiny) query set in its own pass rather than filtering the
+    // full corpus assignment: per-row assignment is deterministic, so the
+    // cells match — and the corpus-sized `assigned` frame is then evaluated
+    // exactly once (as the probe side) instead of twice.
+    val queriesDf = Similarity.ivfAssign(e.filter(col("vec_id") < 5), cents, EmbDim)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell_id").as("qcell"))
     val cands = assigned.join(broadcast(queriesDf),
       col("cell_id") === col("qcell") && col("vec_id") =!= col("qid"))

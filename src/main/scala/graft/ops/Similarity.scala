@@ -144,6 +144,12 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("cv"))
+        // Materialize the k-row model and cut its lineage (the MLlib
+        // pattern): without this each iteration stacks assign+update onto
+        // one growing DAG, and every downstream use of the centroids
+        // replays the entire training history. The frame is k*dim values —
+        // at any corpus scale this is a fixed-size model, not data.
+        .localCheckpoint(true)
     }
     cents
   }
