@@ -94,6 +94,20 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("Broadcast")
   }
 
+  test("r07: polygon-crop bbox conjuncts reach the parquet scan; ray cast stays codegen'd") {
+    val p = plan("r07_polygon_crop")
+    // The bbox pre-filter must push to the scan so row groups outside the
+    // polygon's envelope are pruned before any per-edge arithmetic.
+    p should include("PushedFilters: [IsNotNull(l_extendedprice), IsNotNull(l_quantity)")
+    p should include("GreaterThanOrEqual(l_extendedprice,10000.0)")
+    // The unrolled even-odd predicate is plain arithmetic — the Filter sits
+    // inside a whole-stage-codegen span (the `*(n)` prefix in the final
+    // adaptive plan), not in a UDF island.
+    val fp = finalPlan("r07_polygon_crop")
+    fp should include regex """\*\(\d+\) Filter"""
+    fp should not include "UDF"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
