@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Streaming document ingest: quality gate + exact dedup within the
+  * watermark horizon (streaming twins of batch x02/x03).
+  */
+class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val prose =
+    "the cat and the dog sat in the sun and the rain came to the field of green grass"
+  private val junk = "@@@ ### !!! %% ^^ && ** (( ))"
+
+  test("ingest: quality gate drops junk; duplicate within the horizon admitted once") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DocStreams.ingest(in.toDF(), minQuality = 0.3, watermark = "1 hour")
+      .writeStream.format("memory").queryName("ingested").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Doc(1, ts("2024-01-01 10:00:00"), prose),
+        Doc(2, ts("2024-01-01 10:01:00"), junk), // fails the quality gate
+        Doc(3, ts("2024-01-01 10:02:00"), prose)) // exact duplicate of doc 1
+      q.processAllAvailable()
+      in.addData(Doc(4, ts("2024-01-01 10:30:00"), prose)) // still within horizon
+      q.processAllAvailable()
+      val admitted = spark.table("ingested").select("doc_id").as[Long].collect().toSet
+      admitted shouldBe Set(1L)
+    } finally q.stop()
+  }
+
+  test("withCuration matches the batch scoring exactly (same expressions, stream or batch)") {
+    val batch = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
+    val out = DocStreams.withCuration(batch).orderBy("doc_id").collect()
+    out(0).getAs[String]("lang_guess") shouldBe "en"
+    out(0).getAs[Double]("quality") should be > 0.3
+    out(1).getAs[Double]("quality") should be < 0.3
+    out(0).getAs[String]("content_hash") should have length 32
+  }
+
+  test("ingest state is the content hash only — admitted schema carries curation columns") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val df = DocStreams.ingest(in.toDF(), minQuality = 0.3)
+    df.columns.toSeq should contain allOf ("doc_id", "ts", "text", "content_hash", "lang_guess", "quality")
+  }
+}
