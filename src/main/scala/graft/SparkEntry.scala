@@ -522,6 +522,35 @@ object SparkEntry {
       .orderBy(col("y"))
   }
 
+  /** J1 at scale — the gridded containment join
+    * ([[ops.CatalogOps.matchRegionsIndexed]]): a lineitem-derived catalog
+    * of per-supplier boxes joined against 100 customer-derived query boxes
+    * via the multi-level cell index (hash equi-join on (level, cx, cy) +
+    * exact containment filter). The index is lossless, so the oracle is the
+    * plain theta join — identical results, scale-safe plan.
+    */
+  private def refSpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val catalog = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(
+        min(col("l_extendedprice")).as("xmin"), max(col("l_extendedprice")).as("xmax"),
+        min(col("l_quantity")).as("ymin"), max(col("l_quantity")).as("ymax"))
+    val queriesDf = t(s, dir, "customer").filter(col("c_custkey") <= 100)
+      .select(
+        col("c_custkey").as("qid"),
+        (lit(15000.0) + (col("c_custkey") % 100) * 500.0).as("qminx"),
+        (lit(10.0) + (col("c_custkey") % 20)).as("qminy"))
+      .withColumn("qmaxx", col("qminx") + 1000.0)
+      .withColumn("qmaxy", col("qminy") + 5.0)
+    ops.CatalogOps.matchRegionsIndexed(queriesDf, catalog)
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_regions"),
+        min(col("l_suppkey")).as("min_supp"),
+        max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("qid"))
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ §7.7 extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
@@ -553,7 +582,8 @@ object SparkEntry {
     "r04_voxel_subsample" -> (refVoxelSubsample _),
     "r05_grid_heatmap" -> (refGridHeatmap _),
     "r06_ept_scan" -> (refEptScan _),
-    "r07_polygon_crop" -> (refPolygonCrop _)) ++ ExtensionQueries.queries
+    "r07_polygon_crop" -> (refPolygonCrop _),
+    "r08_spatial_join" -> (refSpatialJoin _)) ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -802,5 +832,20 @@ object SparkEntry {
          |FROM pts
          |WHERE ${Polygon.bboxSql("x", "y", r07Ring)}
          |  AND ${Polygon.predicateSql("x", "y", r07Ring)}
-         |GROUP BY y ORDER BY y""".stripMargin) ++ ExtensionQueries.oracleSql
+         |GROUP BY y ORDER BY y""".stripMargin,
+    "r08_spatial_join" ->
+      """WITH catalog AS (
+        | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
+        |        min(l_quantity) AS ymin, max(l_quantity) AS ymax
+        | FROM lineitem GROUP BY l_suppkey),
+        |q AS (
+        | SELECT c_custkey AS qid,
+        |   15000.0 + (c_custkey % 100) * 500.0 AS qminx,
+        |   10.0 + (c_custkey % 20) AS qminy
+        | FROM customer WHERE c_custkey <= 100)
+        |SELECT qid, CAST(count(*) AS BIGINT) AS n_regions,
+        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |FROM q JOIN catalog ON xmin <= qminx AND xmax >= qminx + 1000.0
+        |  AND ymin <= qminy AND ymax >= qminy + 5.0
+        |GROUP BY qid ORDER BY qid""".stripMargin) ++ ExtensionQueries.oracleSql
 }

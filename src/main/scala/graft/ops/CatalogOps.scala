@@ -94,6 +94,51 @@ object CatalogOps {
       catalog("xmin") <= queries("qminx") && catalog("xmax") >= queries("qmaxx") &&
         catalog("ymin") <= queries("qminy") && catalog("ymax") >= queries("qmaxy"))
 
+  /** J1 at catalog scale — the gridded (multi-level) containment join.
+    *
+    * [[matchRegions]]'s broadcast nested-loop is right for the reference's
+    * 1,594-row catalog; it dies on a 10M-box catalog (O(catalog x queries)
+    * pairs, catalog must fit in one broadcast). This form is an EQUI-join:
+    *
+    *  - each catalog box is assigned the power-of-two level `l` with
+    *    `2^l >= max(width, height)`; at that level the box intersects at
+    *    most 2 cells per axis, so it explodes into <= 4 (level, cx, cy)
+    *    index rows — constant fan-out per box, any box size;
+    *  - containment (box ⊇ query) implies the box covers the query's min
+    *    corner, so each query probes exactly ONE cell per distinct level
+    *    (the tiny distinct-level frame is broadcast — <= ~60 rows ever);
+    *  - candidates equi-join on (level, cx, cy) — shuffle-partitioned on
+    *    both sides, no broadcast of anything data-sized — then the exact
+    *    4-way containment predicate filters false positives.
+    *
+    * Result is identical to the nested-loop form (the index is lossless for
+    * containment), so correctness oracles stay plain theta-join SQL. Level
+    * choice only affects performance, never the result — float noise in
+    * `log2` near exact powers of two is harmless.
+    */
+  def matchRegionsIndexed(queries: DataFrame, catalog: DataFrame): DataFrame = {
+    val span = greatest(col("xmax") - col("xmin"), col("ymax") - col("ymin"), lit(1.0))
+    val cat = catalog
+      .withColumn("lvl", ceil(log(2.0, span)).cast("int"))
+      .withColumn("cs", pow(lit(2.0), col("lvl")))
+      .withColumn("cx", explode(sequence(
+        floor(col("xmin") / col("cs")).cast("long"), floor(col("xmax") / col("cs")).cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor(col("ymin") / col("cs")).cast("long"), floor(col("ymax") / col("cs")).cast("long"))))
+      .drop("cs")
+    val levels = cat.select("lvl").distinct()
+    val probes = queries.crossJoin(broadcast(levels))
+      .withColumn("cs", pow(lit(2.0), col("lvl")))
+      .withColumn("cx", floor(col("qminx") / col("cs")).cast("long"))
+      .withColumn("cy", floor(col("qminy") / col("cs")).cast("long"))
+      .drop("cs")
+    probes.join(cat, Seq("lvl", "cx", "cy"))
+      .filter(
+        col("xmin") <= col("qminx") && col("xmax") >= col("qmaxx") &&
+          col("ymin") <= col("qminy") && col("ymax") >= col("qmaxy"))
+      .drop("lvl", "cx", "cy")
+  }
+
   /** F9 — year rendering at the API boundary: float-style string ("2009.0"),
     * null -> "Year: not_specified" (`scripts/usgs_lidar.py:328-332`).
     */

@@ -83,6 +83,42 @@ class CatalogOpsSpec extends AnyFunSuite with Matchers with SparkTest {
     plan should include("BroadcastNestedLoopJoin")
   }
 
+  test("matchRegionsIndexed: gridded equi-join == nested-loop join, no BNLJ in plan") {
+    // Deterministic synthetic workload: 200 catalog boxes of wildly varying
+    // spans (1e-1 .. 1e4), 150 small query boxes scattered over the same area.
+    val catalog = (0 until 200).map { i =>
+      val cx = (i % 20) * 500.0 - 3000.0
+      val cy = (i / 20) * 700.0 - 1000.0
+      val span = math.pow(10.0, (i % 6) - 1) // 0.1 .. 10000
+      (s"R_$i", cx - span / 2, cx + span / 2, cy - span / 2, cy + span / 2)
+    }.toDF("filename", "xmin", "xmax", "ymin", "ymax")
+    val queries = (0 until 150).map { q =>
+      val px = (q % 15) * 610.0 - 2800.0
+      val py = (q / 15) * 820.0 - 900.0
+      val w = 0.5 + (q % 7) * 30.0
+      (q, px, py, px + w, py + w)
+    }.toDF("qid", "qminx", "qminy", "qmaxx", "qmaxy")
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Int, String)] =
+      df.select(col("qid"), col("filename")).as[(Int, String)].collect().toSet
+
+    val viaLoop = pairs(CatalogOps.matchRegions(queries, catalog))
+    val viaGrid = pairs(CatalogOps.matchRegionsIndexed(queries, catalog))
+    viaGrid shouldBe viaLoop
+    viaLoop.nonEmpty shouldBe true // workload actually exercises matches
+
+    // The whole point: candidate generation is a HASH equi-join on the
+    // (lvl, cx, cy) index key — data-sized sides never meet in a nested
+    // loop. (The one BNLJ in the plan is the query x distinct-levels cross
+    // join — a broadcast of a <= ~60-row constant-size frame, by design.)
+    val plan = CatalogOps.matchRegionsIndexed(queries, catalog)
+      .queryExecution.executedPlan.toString
+    plan should include regex """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[lvl"""
+    // The containment predicate must ride the hash join, not a nested loop.
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => l should not include "xmin")
+  }
+
   test("yearSentinel renders float-style years and the not_specified sentinel (F9)") {
     val out = miniCatalog
       .select(CatalogOps.yearSentinel(col("year")).as("y"))
