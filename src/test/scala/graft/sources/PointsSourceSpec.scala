@@ -83,6 +83,29 @@ class PointsSourceSpec extends AnyFunSuite with Matchers with SparkTest {
       Set("GreaterThanOrEqual(x,1.0)", "IsNotNull(x)")
   }
 
+  test("full pipeline shape: bounds pushed to the connector + polygon crop on top") {
+    // The reference's readers.ept bounds + filters.crop polygon, end to end:
+    // bbox conjuncts prune tiles inside the connector, the even-odd ray cast
+    // filters the survivors. L-shaped ring inside x [1000, 3000], y [0, 100].
+    val ring = Seq((1000.0, 0.0), (3000.0, 0.0), (3000.0, 50.0), (2000.0, 50.0), (2000.0, 100.0), (1000.0, 100.0))
+    import graft.geo.Polygon
+    val viaConnector = read()
+      .filter(Polygon.bbox(col("x"), col("y"), ring))
+      .filter(Polygon.contains(col("x"), col("y"), ring))
+    val plan = viaConnector.queryExecution.executedPlan.toString
+    plan should include("graft-points")
+    plan should include("GreaterThanOrEqual(x,1000.0)") // bounds reached the scan
+    val viaParquet = spark.read.parquet(dir)
+      .filter(Polygon.bbox(col("x"), col("y"), ring))
+      .filter(Polygon.contains(col("x"), col("y"), ring))
+    viaConnector.count() shouldBe viaParquet.count()
+    viaConnector.agg(sum(col("pid"))).head().getLong(0) shouldBe
+      viaParquet.agg(sum(col("pid"))).head().getLong(0)
+    // The notch (x in (2000,3000], y in (50,100]) is inside the bbox but
+    // outside the polygon — prove the crop actually cut it.
+    viaConnector.filter(col("x") > 2000.0 && col("y") > 50.0).count() shouldBe 0L
+  }
+
   test("PointsLayout.ensure is idempotent and the r06 path stays green") {
     val p1 = PointsLayout.ensure(spark, "/root/testdata/sf0.001")
     val p2 = PointsLayout.ensure(spark, "/root/testdata/sf0.001")
