@@ -18,6 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Graft {
 
   def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.analysis
     import org.apache.spark.sql.catalyst.expressions._
     val reg = spark.sessionState.functionRegistry
 
@@ -48,6 +49,26 @@ object Graft {
     reg.createOrReplaceTempFunction(
       "kmin_values",
       exprs => KMinValues(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+    // st_point_in_poly(x, y, 'POLYGON((...))') — exact polygon containment.
+    // The WKT must be a literal (it parametrizes the plan): the ring is
+    // parsed at resolution time and unrolled into the same per-edge
+    // arithmetic as the DataFrame path. Implementation detail: composed
+    // Columns can't round-trip through the function registry (they wrap
+    // into unresolvable ColumnNode exprs), so the predicate is built by
+    // parsing Polygon.predicateSql — the exact string the oracle runs —
+    // and splicing the argument expressions over the placeholder columns.
+    reg.createOrReplaceTempFunction(
+      "st_point_in_poly",
+      exprs => {
+        val ring = graft.geo.Polygon.parseWkt(exprs(2).eval(null).toString)
+        val template = spark.sessionState.sqlParser.parseExpression(
+          graft.geo.Polygon.predicateSql("graft_ppx", "graft_ppy", ring))
+        template.transform {
+          case a: analysis.UnresolvedAttribute if a.name == "graft_ppx" => exprs(0)
+          case a: analysis.UnresolvedAttribute if a.name == "graft_ppy" => exprs(1)
+        }
+      },
       "built-in")
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.geo.WebMercator
+import graft.geo.{Polygon, WebMercator}
 import graft.io.Readers
 import graft.model.Bbox
 import graft.ops.{CatalogOps, PointCloudOps}
@@ -56,15 +56,23 @@ final class LidarEngine(
     * reproduces the reference's dict-of-DataFrames shape when wanted.
     */
   def fetchData(verticesLonLat: Seq[(Double, Double)], region: Option[String] = None): DataFrame = {
-    val (_, bbox) = fetchPolygonBoundaries(verticesLonLat)
+    val v3857 = verticesLonLat.map { case (lon, lat) =>
+      (WebMercator.lonToX(lon), WebMercator.latToY(lat))
+    }
+    val bbox = Bbox.ofVertices(v3857)
     val matched = CatalogOps.fetchRegions(catalog, bbox)
     val wanted = region.fold(matched)(r => matched.filter(col("filename") === r))
       .select("filename", "year")
     // Catalog side is tiny -> broadcast equi-join against the partitioned
     // point table; region filter prunes partitions, bbox filter prunes
-    // row groups.
+    // row groups; the exact polygon crop (the reference's `filters.crop`
+    // stage, `pipeline.json:6`) then cuts bbox survivors outside the ring —
+    // pruning first, per-edge arithmetic only on candidates.
     val cropped = PointCloudOps.cropBbox(points, bbox)
-    val filtered = PointCloudOps.noiseFilter(cropped)
+    val exact =
+      if (v3857.size >= 3) cropped.filter(Polygon.contains(col("x"), col("y"), v3857))
+      else cropped
+    val filtered = PointCloudOps.noiseFilter(exact)
     filtered
       .join(broadcast(wanted), filtered("region") === wanted("filename"))
       .select(

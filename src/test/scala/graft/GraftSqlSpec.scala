@@ -26,6 +26,24 @@ class GraftSqlSpec extends AnyFunSuite with Matchers with SparkTest {
     r.getInt(5) shouldBe 2
   }
 
+  test("st_point_in_poly: SQL and DataFrame paths agree on a non-convex ring") {
+    Graft.init(spark, dir)
+    val wkt = "POLYGON((0.0 0.0, 10.0 0.0, 10.0 5.0, 5.0 5.0, 5.0 10.0, 0.0 10.0, 0.0 0.0))"
+    val viaSql = spark.sql(
+      s"""SELECT p_partkey FROM part
+         |WHERE st_point_in_poly(CAST(p_partkey % 11 AS DOUBLE), CAST(p_partkey % 13 AS DOUBLE), '$wkt')
+         |ORDER BY p_partkey""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    import org.apache.spark.sql.functions._
+    val ring = graft.geo.Polygon.parseWkt(wkt)
+    val viaDf = Tables(spark, dir, "part")
+      .filter(graft.geo.Polygon.contains(
+        (col("p_partkey") % 11).cast("double"), (col("p_partkey") % 13).cast("double"), ring))
+      .orderBy("p_partkey").collect().map(_.getLong(0)).toSeq
+    viaSql shouldBe viaDf
+    viaSql.nonEmpty shouldBe true
+  }
+
   test("an end-to-end reference query runs as pure SQL over the views") {
     Graft.init(spark, dir)
     // Voxel subsample (A1) as SQL with the registered tables.

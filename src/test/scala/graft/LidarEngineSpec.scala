@@ -70,6 +70,20 @@ class LidarEngineSpec extends AnyFunSuite with Matchers with SparkTest {
     LidarEngine.boundsString(bbox) should fullyMatch regex """\(\[.+, .+\], \[.+, .+\]\)"""
   }
 
+  test("fetchData crops to the exact polygon, not just its bbox (filters.crop parity)") {
+    // Triangle = upper-left half of the demo rectangle: same bbox, half the
+    // area. A bbox-only crop would return identical counts for both — the
+    // strict inequality proves the ray-cast crop actually cuts.
+    val triangle = Seq(
+      (-93.759055, 41.925015), (-93.766155, 41.925015), (-93.766155, 41.921818))
+    val rectCount = engine.fetchData(demoPolygon).count()
+    val triCount = engine.fetchData(triangle).count()
+    triCount should be > 0L
+    triCount should be < rectCount
+    // Uniform points: the triangle holds roughly half the rectangle's points.
+    triCount.toDouble / rectCount.toDouble shouldBe 0.5 +- 0.1
+  }
+
   test("fetchData: crop + noise filter + reproject + year keys (flagship §3.1)") {
     val out = engine.fetchData(demoPolygon).cache()
     // Noise (class 7) excluded, outside-box points excluded; every in-box
