@@ -326,6 +326,15 @@ object ExtensionQueries {
       .orderBy(col("user_id"))
   }
 
+  /** 64-bit SimHash signatures (the production fingerprint width) — native
+    * one-pass salted-composition expression; same corpus slice as x07 so
+    * the two widths are directly comparable.
+    */
+  private def x16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash64"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -341,7 +350,8 @@ object ExtensionQueries {
     "x12_hash_split" -> (x12 _),
     "x13_ann_ivf" -> (x13 _),
     "x14_embedding_dim_stats" -> (x14 _),
-    "x15_event_pivot" -> (x15 _))
+    "x15_event_pivot" -> (x15 _),
+    "x16_simhash64" -> (x16 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -532,5 +542,28 @@ object ExtensionQueries {
          |q AS (SELECT source, $QualitySql AS q FROM h)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_quality
-         |FROM q GROUP BY source ORDER BY source""".stripMargin)
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "x16_simhash64" -> {
+      // The same salted-composition fold as the native expression: four
+      // hash families h0..h3 = polyhash of the 'a'/'b'/'c'/'d'-prefixed
+      // token, 16 sign-vote bits from each. 1::BIGINT << 63 overflows
+      // DuckDB's checked shift, so bit weights are emitted as literals
+      // (with the min-long written as -(2^63-1)-1).
+      def votes(h: String, i: Int): String =
+        s"list_sum(list_transform($h, v -> CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END))"
+      def weight(idx: Int): String =
+        if (idx == 63) "(-9223372036854775807::BIGINT - 1::BIGINT)" else s"${1L << idx}::BIGINT"
+      val terms = (for (j <- 0 until 4; i <- 0 until 16) yield
+        s"CASE WHEN ${votes(s"h$j", i)} > 0 THEN ${weight(j * 16 + i)} ELSE 0::BIGINT END")
+        .mkString("\n  + ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM corpus),
+         |th AS (SELECT doc_id,
+         |  list_transform(t, x -> ${polySql("'a' || x")}) AS h0,
+         |  list_transform(t, x -> ${polySql("'b' || x")}) AS h1,
+         |  list_transform(t, x -> ${polySql("'c' || x")}) AS h2,
+         |  list_transform(t, x -> ${polySql("'d' || x")}) AS h3 FROM tk)
+         |SELECT doc_id, CAST($terms AS BIGINT) AS simhash64
+         |FROM th ORDER BY doc_id""".stripMargin
+    })
 }

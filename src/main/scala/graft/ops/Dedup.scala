@@ -141,6 +141,13 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** 64-bit SimHash — salted composition of four 16-bit hash families in a
+    * single native pass ([[graft.functions.SimHash64]]). At corpus scale
+    * 16 bits collide constantly (2^16 buckets); 64 bits is the production
+    * fingerprint width.
+    */
+  def simhash64(text: Column): Column = graft.functions.TextExprs.simHash64(text)
+
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 

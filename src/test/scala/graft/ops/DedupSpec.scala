@@ -109,6 +109,38 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
     edge.filter(col("nat") =!= col("hof") || col("nat_h") =!= col("hof_h")).count() shouldBe 0L
   }
 
+  test("simhash64: near-dups close, unrelated ~32 bits apart, matches a reference fold") {
+    // Disjoint vocabularies -> independent fingerprints (~32 bits apart);
+    // fixture word-salad shares a vocab, which correlates simhashes, so the
+    // unrelated pair is built from disjoint token sets deliberately.
+    val disjointA = (0 until 80).map(i => s"alpha$i").mkString(" ")
+    val disjointB = (0 until 80).map(i => s"beta$i").mkString(" ")
+    val df = Seq(
+      (randText(5, 100), randText(5, 100) + " tiny tail"),
+      (disjointA, disjointB))
+      .toDF("t1", "t2")
+      .select(Dedup.hamming(Dedup.simhash64(col("t1")), Dedup.simhash64(col("t2"))).as("d"))
+    val ds = df.as[Long].collect()
+    ds(0) should be <= 8L
+    ds(1) should be >= 16L // ~32 expected for independent 64-bit prints
+
+    // Pin the exact semantics against an independent driver-side fold.
+    def ref(text: String): Long = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val votes = new Array[Int](64)
+      for (t <- toks; j <- 0 until 4) {
+        var acc = ('a' + j).toLong
+        t.foreach(c => acc = (acc * 31 + c.toLong) % 1000000007L)
+        for (b <- 0 until 16)
+          if (((acc >> b) & 1L) == 1L) votes(j * 16 + b) += 1 else votes(j * 16 + b) -= 1
+      }
+      (0 until 64).foldLeft(0L)((o, i) => if (votes(i) > 0) o | (1L << i) else o)
+    }
+    val sample = Seq("the quick brown fox", "", "  ", "one", randText(9, 40))
+    val got = sample.toDF("text").select(Dedup.simhash64(col("text")).as("h")).as[Long].collect()
+    got.toSeq shouldBe sample.map(ref)
+  }
+
   test("simhash: hamming 0-ish for near-dups, large for unrelated") {
     val df = Seq(
       (randText(5, 100), randText(5, 100) + " tiny tail"),
