@@ -99,6 +99,22 @@ object Dedup {
     */
   val ShingleDfCap = 1000
 
+  /** (id, band) LSH keys straight from raw text — shingle, hash, minhash,
+    * band in one map-only projection. Docs too short to shingle produce no
+    * rows (a null signature would otherwise give every short doc the same
+    * band key and weld them into one giant false-dup bucket).
+    */
+  def bandKeysFor(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = df.select(
+      (col(idCol) +:
+        (0 until MinHashK).map(i =>
+          minhashComponent(
+            transform(shingles(col(textCol)), x => TextOps.polyHash(x)), i).as(s"mh$i"))): _*)
+    sigs
+      .filter(col("mh0").isNotNull)
+      .select(col(idCol), explode(array((0 until LshBands).map(bandKey): _*)).as("band"))
+  }
+
   /** Candidate near-dup pairs via LSH banding over a (id, sig-columns)
     * frame: explode band keys, self-join per band, dedupe pairs.
     * Buckets larger than `maxBucket` are dropped before the self-join

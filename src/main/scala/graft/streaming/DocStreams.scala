@@ -1,8 +1,11 @@
 package graft.streaming
 
 import graft.ops.{Dedup, TextOps}
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Streaming document ingest — the unbounded form of the batch curation
   * queries (x02 quality gate, x03 exact dedup): documents arrive on a feed
@@ -43,4 +46,69 @@ object DocStreams {
       .filter(col("quality") >= minQuality)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming NEAR-dup admission — the unbounded form of the x06 MinHash/
+    * LSH batch sweep. Exact streaming dedup ([[ingest]]) can hold its
+    * 16-byte hashes in operator state; near-dup state is the full LSH
+    * signature store of every admitted document, which at corpus scale
+    * belongs on storage, not in the state store. So the stream keeps its
+    * index AS A TABLE: per micro-batch,
+    *
+    *  1. band-key the batch (map-only MinHash/LSH projection);
+    *  2. equi-join those keys against the on-disk store of all previously
+    *     ADMITTED documents' keys — any collision = near-dup, drop;
+    *  3. within the batch, keep the lowest id per band bucket (greedy
+    *     first-wins, same tie rule as the batch pipeline);
+    *  4. write admitted docs to `sinkPath/batch_id=N` and their band keys
+    *     to `storePath/batch_id=N`, both overwrite-by-batch-dir.
+    *
+    * Exactly-once on replay: the store read prunes `batch_id >= N` (its
+    * own partition column), so a re-executed batch N never collides with
+    * the keys it wrote before crashing, and both overwrites land
+    * idempotently. All joins are equi-joins on band keys; nothing
+    * data-sized is broadcast or nested-looped.
+    */
+  def nearDupIngest(
+      docs: DataFrame,
+      sinkPath: String,
+      storePath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bands = Dedup.bandKeysFor(batch, idCol, textCol).cache()
+        val prior = readStore(spark, storePath).filter(col("batch_id") < batchId)
+        val hitStore = bands.join(prior.select("band").distinct(), "band")
+          .select(idCol).distinct()
+        val firstPerBand = bands.groupBy(col("band")).agg(min(col(idCol)).as("keep_id"))
+        val inBatchDup = bands.join(firstPerBand, "band")
+          .filter(col(idCol) =!= col("keep_id"))
+          .select(idCol).distinct()
+        val dupIds = hitStore.union(inBatchDup).distinct()
+        val admitted = batch.join(dupIds, Seq(idCol), "left_anti")
+        admitted.write.mode("overwrite")
+          .parquet(new Path(sinkPath, s"batch_id=$batchId").toString)
+        bands.join(admitted.select(idCol), Seq(idCol), "left_semi")
+          .write.mode("overwrite")
+          .parquet(new Path(storePath, s"batch_id=$batchId").toString)
+        bands.unpersist(false)
+        () // foreachBatch wants Unit; unpersist returns the frame
+      }
+      .start()
+
+  /** The signature store, or its empty shape before the first batch lands. */
+  private def readStore(spark: SparkSession, storePath: String): DataFrame = {
+    val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(storePath))) spark.read.parquet(storePath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("band", StringType),
+        StructField("batch_id", LongType))))
+  }
 }

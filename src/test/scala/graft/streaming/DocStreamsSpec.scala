@@ -49,6 +49,54 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     out(0).getAs[String]("content_hash") should have length 32
   }
 
+  test("nearDupIngest: LSH store drops near-dups across batches; replay is exactly-once") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-neardup").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/$name")
+      rows.foreach { case (id, t) => w.println(s"""{"doc_id": $id, "text": "$t"}""") }
+      w.close()
+    }
+    val baseText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val q = DocStreams.nearDupIngest(
+        spark.readStream.schema(schema).json(srcDir),
+        s"$root/sink", s"$root/store", s"$root/chk")
+      q.awaitTermination(60000)
+    }
+
+    // Batch 1: doc 1 unique, doc 2 = doc 1 (in-batch near-dup, first wins),
+    // doc 3 unrelated, doc 4 too short to shingle (admitted, never banded).
+    writeBatch("b1.json", Seq(
+      (1L, baseText), (2L, baseText),
+      (3L, "completely different words about maritime navigation charts and coastal tides"),
+      (4L, "too short")))
+    run()
+    val after1 = spark.read.parquet(s"$root/sink").select("doc_id").as[Long].collect().toSet
+    after1 shouldBe Set(1L, 3L, 4L)
+
+    // Batch 2: doc 5 near-dups the STORED doc 1 -> dropped; doc 6 is new.
+    writeBatch("b2.json", Seq(
+      (5L, baseText),
+      (6L, "fresh topic entirely about orbital mechanics and satellite constellations tonight")))
+    run()
+    val after2 = spark.read.parquet(s"$root/sink").select("doc_id").as[Long].collect().toSet
+    after2 shouldBe Set(1L, 3L, 4L, 6L)
+
+    // Replay batch 1 (drop its commit marker + crc sidecar): its own stored
+    // band keys must not make it drop itself; sink unchanged.
+    new java.io.File(s"$root/chk/commits").listFiles()
+      .filter(f => f.getName == "1" || f.getName.startsWith(".1."))
+      .foreach(_.delete())
+    run()
+    val after3 = spark.read.parquet(s"$root/sink").select("doc_id").as[Long].collect().toSet
+    after3 shouldBe Set(1L, 3L, 4L, 6L)
+  }
+
   test("ingest state is the content hash only — admitted schema carries curation columns") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Doc]
