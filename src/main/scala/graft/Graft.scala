@@ -18,7 +18,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Graft {
 
   def registerFunctions(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.analysis
     import org.apache.spark.sql.catalyst.expressions._
     val reg = spark.sessionState.functionRegistry
 
@@ -52,24 +51,20 @@ object Graft {
       "built-in")
     // st_point_in_poly(x, y, 'POLYGON((...))') — exact polygon containment.
     // The WKT must be a literal (it parametrizes the plan): the ring is
-    // parsed at resolution time and unrolled into the same per-edge
-    // arithmetic as the DataFrame path. Implementation detail: composed
-    // Columns can't round-trip through the function registry (they wrap
-    // into unresolvable ColumnNode exprs), so the predicate is built by
-    // parsing Polygon.predicateSql — the exact string the oracle runs —
-    // and splicing the argument expressions over the placeholder columns.
+    // parsed at resolution time into the native PointInPolygon expression
+    // (same per-edge arithmetic as the Column path), and the companion
+    // optimizer rule auto-injects the ring's bbox conjuncts under any
+    // Filter so scan pruning happens without a manual pre-filter.
     reg.createOrReplaceTempFunction(
       "st_point_in_poly",
-      exprs => {
-        val ring = graft.geo.Polygon.parseWkt(exprs(2).eval(null).toString)
-        val template = spark.sessionState.sqlParser.parseExpression(
-          graft.geo.Polygon.predicateSql("graft_ppx", "graft_ppy", ring))
-        template.transform {
-          case a: analysis.UnresolvedAttribute if a.name == "graft_ppx" => exprs(0)
-          case a: analysis.UnresolvedAttribute if a.name == "graft_ppy" => exprs(1)
-        }
-      },
+      exprs => graft.functions.PointInPolygon(
+        Cast(exprs(0), org.apache.spark.sql.types.DoubleType),
+        Cast(exprs(1), org.apache.spark.sql.types.DoubleType),
+        graft.geo.Polygon.parseWkt(exprs(2).eval(null).toString)),
       "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.functions.PushPolygonBbox))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.functions.PushPolygonBbox
   }
 
   /** Register every fixture table in `dir` as a temp view (events with the

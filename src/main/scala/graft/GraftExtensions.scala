@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{KMinValues, PolyHash, VectorDot, WordShingles}
+import graft.functions.{KMinValues, PointInPolygon, PolyHash, PushPolygonBbox, VectorDot, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,5 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmin_values"),
       new ExpressionInfo(classOf[KMinValues].getName, "kmin_values"),
       exprs => KMinValues(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("st_point_in_poly"),
+      new ExpressionInfo(classOf[PointInPolygon].getName, "st_point_in_poly"),
+      exprs => PointInPolygon(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.DoubleType),
+        graft.geo.Polygon.parseWkt(exprs(2).eval(null).toString))))
+    // Auto-inject the ring bbox next to any st_point_in_poly filter, so the
+    // range conjuncts push into the scan (row-group pruning) with no manual
+    // pre-filter.
+    e.injectOptimizerRule(_ => PushPolygonBbox)
   }
 }

@@ -89,6 +89,18 @@ object Polygon {
     s"(${terms.mkString(" + ")}) % 2 = 1"
   }
 
+  /** Edge table for the native expression ([[graft.functions.PointInPolygon]]):
+    * rows yi / yj / dx / dy / xi, one column per non-horizontal edge — the
+    * same driver-side precomputation [[contains]] unrolls into literals, so
+    * loop and unrolled forms execute identical IEEE sequences per edge.
+    */
+  def edgeTable(ring: Seq[(Double, Double)]): Array[Array[Double]] = {
+    val es = edges(ring)
+    Array(
+      es.map(_.yi).toArray, es.map(_.yj).toArray,
+      es.map(_.dx).toArray, es.map(_.dy).toArray, es.map(_.xi).toArray)
+  }
+
   /** Bbox pre-filter conjuncts for the ring — the pushdown-friendly
     * companion: apply before [[contains]] so parquet/DSv2 min-max pruning
     * eliminates non-candidate row groups before any per-edge arithmetic.
