@@ -102,6 +102,23 @@ object Multimodal {
       }(enc)
   }
 
+  /** Media near-dup: decoded feature vectors into the SAME LSH machinery
+    * the text/embedding paths use ([[Similarity.lshBucketCandidates]]) —
+    * bucket on hyperplane signatures, verify candidates with exact cosine.
+    * Payloads never shuffle (decode is map-side; only FeatureDim floats
+    * flow into the bucket join), and candidates come from an equi-join on
+    * bucket keys, never all-pairs. With a real codec plugged into
+    * [[extractFeatures]] this is perceptual image/audio dedup end to end.
+    */
+  def nearDupMedia(media: DataFrame, bits: Int = 8, minCos: Double = 0.999): DataFrame = {
+    val feats = extractFeatures(media)
+      .filter(col("features").isNotNull)
+      .select(col("media_id").as("vec_id"), col("features").as("v"))
+    Similarity.lshBucketCandidates(feats, bits, FeatureDim)
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** Metadata-only resize: scales target dimensions without touching
     * payloads (a real resize would re-encode in the same mapPartitions
     * shape as extractFeatures).

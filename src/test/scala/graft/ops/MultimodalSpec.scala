@@ -55,6 +55,21 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("nearDupMedia: identical payloads pair via LSH buckets; distinct byte content does not") {
+    // Crafted payloads with near-orthogonal byte histograms: 1 and 2 are
+    // byte-identical (cos = 1); 3 shares only the space bin with them.
+    val media = Seq(
+      (1L, "aaaa aaaa aaaa"), (2L, "aaaa aaaa aaaa"), (3L, "bbbb bbbb bbbb"))
+      .toDF("doc_id", "text")
+      .select(
+        $"doc_id".as("media_id"), encode($"text", "UTF-8").as("payload"),
+        struct(lit("image").as("kind"), lit(4).as("width"), lit(4).as("height"),
+          lit(16000).as("sample_rate_hz"), lit(0L).as("duration_ms")).as("meta"))
+    val pairs = Multimodal.nearDupMedia(media)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+
   test("frameSamplePlan explodes one row per sampled frame for video rows only") {
     val media = Multimodal.packFromDocuments(docs)
     val frames = Multimodal.frameSamplePlan(media, everyMs = 1000)
