@@ -384,6 +384,34 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Interval (range) join via the leveled-grid equi-join
+    * ([[ops.Intervals.intervalJoin]]) — point-in-interval without the
+    * nested loop Spark would otherwise plan. Lossless index, so the oracle
+    * is the plain BETWEEN theta join.
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "lineitem").select(col("l_extendedprice").as("t"))
+    val iv = t(s, dir, "supplier").select(
+      col("s_suppkey").as("iid"),
+      (col("s_acctbal") * 10.0).as("start"),
+      (col("s_acctbal") * 10.0 + 500.0).as("end"))
+    ops.Intervals.intervalJoin(pts, iv)
+      .groupBy(col("iid"))
+      .agg(count(lit(1)).as("n_points"), dsum(col("t"), 2).as("sum_t"))
+      .orderBy(col("iid"))
+  }
+
+  /** Explicit GROUPING SETS (beyond q09 rollup / q16 cube): per-priority,
+    * per-status, and grand-total slices in one pass.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
   // ---------------------------------------------------------------------------
   // Reference-parity operators (SURVEY.md §2) expressed over the fixture tables
   // ---------------------------------------------------------------------------
@@ -576,6 +604,8 @@ object SparkEntry {
     "q21_sketch_agg" -> (q21 _),
     "q22_star_join" -> (q22 _),
     "q23_sessionize_batch" -> (q23 _),
+    "q24_range_join" -> (q24 _),
+    "q25_grouping_sets" -> (q25 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -768,6 +798,19 @@ object SparkEntry {
         | CAST(max(n_events) AS BIGINT) AS max_session_events,
         | CAST(count(*) AS BIGINT) AS total_sessions_check
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q24_range_join" ->
+      """WITH iv AS (SELECT s_suppkey AS iid, s_acctbal*10.0 AS s, s_acctbal*10.0 + 500.0 AS e
+        | FROM supplier)
+        |SELECT iid, CAST(count(*) AS BIGINT) AS n_points,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_t
+        |FROM lineitem JOIN iv ON l_extendedprice >= s AND l_extendedprice <= e
+        |GROUP BY iid ORDER BY iid""".stripMargin,
+    "q25_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
     "r01_bbox_containment" ->
       """WITH cat AS (
         | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
