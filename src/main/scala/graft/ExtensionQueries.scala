@@ -335,6 +335,23 @@ object ExtensionQueries {
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash64"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic stratified sampling: per-stratum keep-rates applied via
+    * a content-hash threshold, not an RNG — the sample is reproducible on
+    * any engine, any partitioning, any run (the property x12's split has,
+    * extended to per-stratum rates). Map-only; the sample decision never
+    * shuffles.
+    */
+  private def x17(s: SparkSession, dir: String): DataFrame = {
+    val rate = (length(col("source")) % 3 + 1) * 10 // 10/20/30% by stratum
+    t(s, dir, "documents")
+      .filter(TextOps.polyHash(col("text")) % 100 < rate)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -351,7 +368,8 @@ object ExtensionQueries {
     "x13_ann_ivf" -> (x13 _),
     "x14_embedding_dim_stats" -> (x14 _),
     "x15_event_pivot" -> (x15 _),
-    "x16_simhash64" -> (x16 _))
+    "x16_simhash64" -> (x16 _),
+    "x17_stratified_sample" -> (x17 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -565,5 +583,11 @@ object ExtensionQueries {
          |  list_transform(t, x -> ${polySql("'d' || x")}) AS h3 FROM tk)
          |SELECT doc_id, CAST($terms AS BIGINT) AS simhash64
          |FROM th ORDER BY doc_id""".stripMargin
-    })
+    },
+    "x17_stratified_sample" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         | CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |FROM documents
+         |WHERE ${polySql("text")} % 100 < (length(source) % 3 + 1) * 10
+         |GROUP BY source ORDER BY source""".stripMargin)
 }
