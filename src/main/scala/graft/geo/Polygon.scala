@@ -74,7 +74,11 @@ object Polygon {
       val crossX = lit(e.dx) * (y - lit(e.yi)) / lit(e.dy) + lit(e.xi)
       when(straddles && x < crossX, 1).otherwise(0)
     }
-    terms.reduce(_ + _) % 2 === 1
+    // A degenerate ring (all vertices collinear on one horizontal line) has
+    // no non-horizontal edges: zero area, nothing is inside — and must not
+    // crash on empty.reduce (matches PointInPolygon's zero-crossings false).
+    if (terms.isEmpty) lit(false)
+    else terms.reduce(_ + _) % 2 === 1
   }
 
   /** The identical unrolled predicate as ANSI SQL over column names xCol /
@@ -86,7 +90,8 @@ object Polygon {
       s"(CASE WHEN (${e.yi} > $yCol) <> (${e.yj} > $yCol) " +
         s"AND $xCol < ((${e.dx} * ($yCol - ${e.yi})) / ${e.dy} + ${e.xi}) THEN 1 ELSE 0 END)"
     }
-    s"(${terms.mkString(" + ")}) % 2 = 1"
+    if (terms.isEmpty) "1 = 0" // degenerate ring: zero area (see contains)
+    else s"(${terms.mkString(" + ")}) % 2 = 1"
   }
 
   /** Edge table for the native expression ([[graft.functions.PointInPolygon]]):

@@ -125,13 +125,19 @@ object Dedup {
     val banded = sigs.select(
       col(idCol),
       explode(array((0 until LshBands).map(bandKey): _*)).as("band"))
-    val small = banded.groupBy(col("band")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket).select(col("band"))
-    val capped = banded.join(small, "band")
-    val a = capped.as("a")
-    val b = capped.as("b")
-    a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+    // ONE shuffle: group each band's members into a (bounded) list, drop
+    // hot buckets, and emit member pairs with a double explode. The
+    // previous shape (count subplan + self-join) evaluated the signature
+    // projection three times; this evaluates it once, and the collected
+    // lists are capped at maxBucket so executor memory is bounded.
+    banded
+      .groupBy(col("band"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
       .distinct()
   }
 

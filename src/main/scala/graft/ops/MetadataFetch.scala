@@ -61,6 +61,10 @@ object MetadataFetch {
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
         if (resp.statusCode() == 200) Some(resp.body()) else None
       } catch {
+        // Task kills arrive as thread interrupts — propagate them so the
+        // partition stops instead of grinding through its remaining GETs
+        // with the failure masked as a dropped row.
+        case ie: InterruptedException => Thread.currentThread().interrupt(); throw ie
         case _: Exception => None // unreachable host / timeout -> dropped row
       }
     }

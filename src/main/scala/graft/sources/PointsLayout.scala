@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Derivation is deterministic from the fixture, so the DuckDB oracle can
   * reproduce the dataset straight from lineitem: pid = l_orderkey * 8 +
-  * l_linenumber (unique: TPC-H line numbers are 1..7), x = extendedprice,
-  * y = quantity, z = discount*100, classification = linenumber.
+  * l_linenumber, x = extendedprice, y = quantity, z = discount*100,
+  * classification = linenumber. NOTE pid is NOT unique in the synthetic
+  * fixture (duplicate (orderkey, linenumber) pairs exist) — consumers must
+  * not key joins or dedup on it; r06 orders by the full row for exactly
+  * this reason.
   */
 object PointsLayout {
 
@@ -27,7 +30,13 @@ object PointsLayout {
     */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = s"/tmp/graft_points_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    // Check the marker through the same Hadoop filesystem the writer uses —
+    // a java.io.File probe only works when the default FS is the driver's
+    // local disk and would re-run the write every session on HDFS/object
+    // stores.
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
       Tables(spark, sfDir, "lineitem")
         .select(
           (col("l_orderkey") * 8 + col("l_linenumber")).as("pid"),

@@ -95,6 +95,14 @@ object PointsSource {
     import scala.jdk.CollectionConverters._
     StructType(mt.getFields.asScala.toSeq.map { f =>
       val p = f.asPrimitiveType()
+      // Logical-type-annotated physicals (DECIMAL-as-INT64, TIMESTAMP,
+      // non-UTF8 BINARY, ...) would decode to wrong values if mapped by
+      // physical type alone — reject them loudly instead of corrupting.
+      val ann = p.getLogicalTypeAnnotation
+      val annOk = ann == null ||
+        ann.isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      if (!annOk) throw new IllegalArgumentException(
+        s"graft-points supports plain primitive columns only; ${f.getName} carries logical type $ann")
       val dt: DataType = p.getPrimitiveTypeName match {
         case PrimitiveTypeName.INT64 => LongType
         case PrimitiveTypeName.INT32 => IntegerType
@@ -220,24 +228,38 @@ class PointsScan(path: String, required: StructType, pushed: Array[Filter]) exte
       s"ReadSchema: ${required.simpleString}"
 
   /** One partition per surviving tile; pruning happens here, driver-side,
-    * from footer statistics only (no data reads).
+    * from footer statistics only (no data reads). Footer fetches are
+    * independent remote metadata ops, so they run in parallel; the dataset
+    * schema (uniform across tiles — one writer) is read once and shipped in
+    * each InputPartition, so executors never re-fetch a footer just for the
+    * projection schema.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val bounds = PointsSource.rangeBounds(pushed)
-    PointsSource.listFiles(path)
-      .filter(f => bounds.isEmpty || PointsSource.tileSurvives(PointsSource.footerOf(f), bounds))
-      .map(f => PointsInputPartition(f.toString): InputPartition)
-      .toArray
+    val files = PointsSource.listFiles(path)
+    if (files.isEmpty) return Array.empty
+    val schemaStr = PointsSource.footerOf(files.head).getFileMetaData.getSchema.toString
+    val survivors =
+      if (bounds.isEmpty) files
+      else {
+        import scala.jdk.CollectionConverters._
+        files.asJava.parallelStream()
+          .filter(f => PointsSource.tileSurvives(PointsSource.footerOf(f), bounds))
+          .collect(java.util.stream.Collectors.toList[Path]).asScala.toSeq
+      }
+    survivors.map(f => PointsInputPartition(f.toString, schemaStr): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PointsReaderFactory(required)
 }
 
-case class PointsInputPartition(file: String) extends InputPartition
+case class PointsInputPartition(file: String, schemaStr: String) extends InputPartition
 
 class PointsReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PointsPartitionReader(partition.asInstanceOf[PointsInputPartition].file, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PointsInputPartition]
+    new PointsPartitionReader(p.file, p.schemaStr, required)
+  }
 }
 
 /** Executor-side tile reader: parquet Group API with a projection schema
@@ -245,11 +267,12 @@ class PointsReaderFactory(required: StructType) extends PartitionReaderFactory {
   * not just the row conversion). An empty projection (count(*) plans) reads
   * the narrowest available column and emits empty rows.
   */
-class PointsPartitionReader(file: String, required: StructType) extends PartitionReader[InternalRow] {
+class PointsPartitionReader(file: String, schemaStr: String, required: StructType)
+  extends PartitionReader[InternalRow] {
 
   private val conf = PointsSource.hadoopConf()
   private val fileSchema: MessageType =
-    PointsSource.footerOf(new Path(file)).getFileMetaData.getSchema
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(schemaStr)
   private val readNames: Array[String] =
     if (required.isEmpty) Array(fileSchema.getFields.get(0).getName) else required.fieldNames
   private val projection: MessageType = new MessageType(

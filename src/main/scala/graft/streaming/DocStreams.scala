@@ -82,7 +82,7 @@ object DocStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val bands = Dedup.bandKeysFor(batch, idCol, textCol).cache()
-        val prior = readStore(spark, storePath).filter(col("batch_id") < batchId)
+        val prior = readStore(spark, storePath, idCol).filter(col("batch_id") < batchId)
         val hitStore = bands.join(prior.select("band").distinct(), "band")
           .select(idCol).distinct()
         val firstPerBand = bands.groupBy(col("band")).agg(min(col(idCol)).as("keep_id"))
@@ -90,25 +90,32 @@ object DocStreams {
           .filter(col(idCol) =!= col("keep_id"))
           .select(idCol).distinct()
         val dupIds = hitStore.union(inBatchDup).distinct()
-        val admitted = batch.join(dupIds, Seq(idCol), "left_anti")
+        // admitted chains the store scan + three joins; both writes consume
+        // it, so materialize once instead of re-running the tree per write.
+        val admitted = batch.join(dupIds, Seq(idCol), "left_anti").cache()
         admitted.write.mode("overwrite")
           .parquet(new Path(sinkPath, s"batch_id=$batchId").toString)
         bands.join(admitted.select(idCol), Seq(idCol), "left_semi")
           .write.mode("overwrite")
           .parquet(new Path(storePath, s"batch_id=$batchId").toString)
+        admitted.unpersist(false)
         bands.unpersist(false)
         () // foreachBatch wants Unit; unpersist returns the frame
       }
       .start()
 
-  /** The signature store, or its empty shape before the first batch lands. */
-  private def readStore(spark: SparkSession, storePath: String): DataFrame = {
+  /** The signature store, or its empty shape before the first batch lands.
+    * The schema is always supplied explicitly: after a mid-write crash the
+    * store directory can exist with zero committed footers (only
+    * `_temporary` debris), and schema INFERENCE over that throws — which
+    * would wedge the very replay the batch_id layout exists to recover.
+    */
+  private def readStore(spark: SparkSession, storePath: String, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("band", StringType),
+      StructField("batch_id", LongType)))
     val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(storePath))) spark.read.parquet(storePath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("doc_id", LongType), StructField("band", StringType),
-        StructField("batch_id", LongType))))
+    if (fs.exists(new Path(storePath))) spark.read.schema(schema).parquet(storePath)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 }

@@ -52,6 +52,13 @@ class PolygonSpec extends AnyFunSuite with Matchers with SparkTest {
     viaColumn.nonEmpty shouldBe true
   }
 
+  test("degenerate all-horizontal ring: zero area, nothing inside, no crash") {
+    val flat = Seq((0.0, 5.0), (10.0, 5.0), (20.0, 5.0))
+    val pts = Seq((1, 5.0, 5.0), (2, 5.0, 6.0)).toDF("id", "x", "y")
+    pts.filter(Polygon.contains(col("x"), col("y"), flat)).count() shouldBe 0L
+    Polygon.predicateSql("x", "y", flat) shouldBe "1 = 0"
+  }
+
   test("unclosed ring and closed ring agree; horizontal edges are skipped safely") {
     val closed = lRing :+ lRing.head
     val pts = Seq((1, 2.0, 2.0), (2, 7.0, 7.0)).toDF("id", "x", "y")
