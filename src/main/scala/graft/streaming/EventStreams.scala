@@ -34,6 +34,34 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-stream attribution join: each purchase joins the view(s) by the
+    * same user within the preceding `windowSpec` — the watermarked
+    * stream-stream interval join (state on BOTH sides, evicted once the
+    * watermark passes the join window, so state stays bounded on unbounded
+    * feeds). The time-bound condition is what makes eviction possible:
+    * without it Spark must keep every row forever.
+    */
+  def attributionJoin(
+      views: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "2 hours",
+      windowSpec: String = "1 hour"): DataFrame = {
+    val v = views.select(
+      col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases.select(
+      col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"), col("value").as("amount"))
+      .withWatermark("p_ts", watermark)
+    v.join(
+      p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowSpec"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"), col("amount"),
+        col("v_ts"), col("p_ts"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, lastTs: Long, nEvents: Long, totalValue: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long, total_value: Double)

@@ -65,6 +65,27 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("attributionJoin: stream-stream interval join attributes purchases to in-window views") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = EventStreams.attributionJoin(views.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 10:00:00"), 2, "view", 0.0))
+      buys.addData(
+        Event(10, ts("2024-01-01 10:30:00"), 1, "purchase", 9.99), // in window for view 1
+        Event(11, ts("2024-01-01 12:30:00"), 2, "purchase", 5.00)) // outside the 1 h window
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("user_id", "purchase_id", "view_id")
+        .as[(Long, Long, Long)].collect().toSet
+      rows shouldBe Set((1L, 10L, 1L))
+    } finally q.stop()
+  }
+
   test("CatalogStream: streaming catalog build appends each micro-batch (fetch_metadata upgrade)") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-catstream").toString
