@@ -156,14 +156,19 @@ object Similarity {
 
   /** Bucket corpus vectors by LSH signature; same-bucket pairs are
     * near-neighbour candidates (verify with exact cosine downstream).
+    * Single pass: members are collected per bucket and pairs emitted with
+    * a double explode — the self-join form evaluated the signature
+    * projection (bits x dim dot products per row) twice.
     */
-  def lshBucketCandidates(corpus: DataFrame, bits: Int, dim: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
-    val sig = corpus.select(col(idCol), col(vecCol), lshSignature(col(vecCol), bits, dim).as("bucket"))
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+  def lshBucketCandidates(corpus: DataFrame, bits: Int, dim: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
+    corpus
+      .select(col(idCol), col(vecCol), lshSignature(col(vecCol), bits, dim).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("vec"))).as("ms"))
+      .select(explode(col("ms")).as("m1"), col("ms"))
+      .select(col("m1"), explode(col("ms")).as("m2"))
+      .filter(col("m1.id") < col("m2.id"))
       .select(
-        col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
-        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos"))
-  }
+        col("m1.id").as("id1"), col("m2.id").as("id2"),
+        round(cosine(col("m1.vec"), col("m2.vec")), 6).as("cos"))
 }
