@@ -412,6 +412,28 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
       .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** Unpivot / melt: wide per-supplier bbox columns back to long
+    * (dimension, value) rows — the inverse of x15's pivot. Generator-based
+    * (Expand), no shuffle until the aggregate.
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(
+        min(col("l_extendedprice")).as("xmin"), max(col("l_extendedprice")).as("xmax"),
+        min(col("l_quantity")).as("ymin"), max(col("l_quantity")).as("ymax"))
+      .unpivot(
+        Array(col("l_suppkey")),
+        Array(col("xmin"), col("xmax"), col("ymin"), col("ymax")),
+        "dim", "bound")
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("bound"), 2).as("sum_bound"),
+        min(col("bound")).as("min_bound"),
+        max(col("bound")).as("max_bound"))
+      .orderBy(col("dim"))
+
   // ---------------------------------------------------------------------------
   // Reference-parity operators (SURVEY.md §2) expressed over the fixture tables
   // ---------------------------------------------------------------------------
@@ -606,6 +628,7 @@ object SparkEntry {
     "q23_sessionize_batch" -> (q23 _),
     "q24_range_join" -> (q24 _),
     "q25_grouping_sets" -> (q25 _),
+    "q26_unpivot" -> (q26 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -811,6 +834,20 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q26_unpivot" ->
+      """WITH wide AS (
+        | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
+        |        min(l_quantity) AS ymin, max(l_quantity) AS ymax
+        | FROM lineitem GROUP BY l_suppkey),
+        |long AS (
+        | SELECT l_suppkey, 'xmin' AS dim, xmin AS bound FROM wide
+        | UNION ALL SELECT l_suppkey, 'xmax', xmax FROM wide
+        | UNION ALL SELECT l_suppkey, 'ymin', ymin FROM wide
+        | UNION ALL SELECT l_suppkey, 'ymax', ymax FROM wide)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(bound AS DECIMAL(18,2))) AS DOUBLE) AS sum_bound,
+        | min(bound) AS min_bound, max(bound) AS max_bound
+        |FROM long GROUP BY dim ORDER BY dim""".stripMargin,
     "r01_bbox_containment" ->
       """WITH cat AS (
         | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
