@@ -412,6 +412,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
       .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** Built-in session windows (vs q23's hand-rolled lag/cumsum and the
+    * streaming flatMapGroupsWithState form): gap-merged per-user sessions
+    * in one groupBy. Semantics note mirrored in the oracle: session_window
+    * is half-open — an event exactly `gap` after the previous one starts a
+    * NEW session (diff >= gap), where q23's explicit form used diff > gap.
+    * Outputs are second-truncated epochs: Spark reads the nanos fixture
+    * truncated to micros while DuckDB reads full nanos, so raw timestamp
+    * bounds could differ in the sub-micro digits.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        unix_seconds(col("session_window.start")).as("start_s"),
+        unix_seconds(col("session_window.end")).as("end_s"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("start_s"))
+
   /** Unpivot / melt: wide per-supplier bbox columns back to long
     * (dimension, value) rows — the inverse of x15's pivot. Generator-based
     * (Expand), no shuffle until the aggregate.
@@ -629,6 +649,7 @@ object SparkEntry {
     "q24_range_join" -> (q24 _),
     "q25_grouping_sets" -> (q25 _),
     "q26_unpivot" -> (q26 _),
+    "q27_session_window" -> (q27 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -848,6 +869,27 @@ object SparkEntry {
         | CAST(SUM(CAST(bound AS DECIMAL(18,2))) AS DOUBLE) AS sum_bound,
         | min(bound) AS min_bound, max(bound) AS max_bound
         |FROM long GROUP BY dim ORDER BY dim""".stripMargin,
+    "q27_session_window" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts, value,
+        |  lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |ns AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN prev_ts IS NULL
+        |       OR date_diff('millisecond', prev_ts, ts) >= 1800000 THEN 1 ELSE 0 END AS new_s
+        | FROM g),
+        |sid AS (
+        | SELECT user_id, ts, value,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM ns)
+        |SELECT user_id,
+        | CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        | CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS end_s,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sid GROUP BY user_id, sid ORDER BY user_id, start_s""".stripMargin,
     "r01_bbox_containment" ->
       """WITH cat AS (
         | SELECT l_suppkey, min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
