@@ -43,9 +43,12 @@ object Bench {
     // scan. Failures are reported explicitly instead of masquerading as a
     // fast timing. Each query runs `reps` times and reports the MIN —
     // machine-load spikes otherwise distort single-shot timings by tens of
-    // percent run to run (data caches are cleared between reps, so the min
-    // is warm-codegen/cold-data steady state, not a cache artifact).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // percent run to run. Spark-level caches are cleared between reps (the
+    // x04/x06 shingle frames), so the min is warm-JVM/warm-page-cache
+    // steady state — the page cache is already warm after the warmup
+    // scans, same as rep 1.
+    val reps = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>

@@ -163,13 +163,14 @@ object ExtensionQueries {
   }
 
   /** Embedding near-dup at scale: LSH-candidate generation (two independent
-    * 8-bit hyperplane tables, unioned for recall) -> exact-cosine verify.
-    * The join key is the (table, bucket) pair — a shuffle on bucket keys,
-    * never an all-pairs BroadcastNestedLoopJoin (pinned in PlanSpec); near-
-    * identical vectors (cos >= 0.99) share every bit with high probability
-    * and exact copies always collide in both tables. Both engines apply the
-    * identical deterministic bucketing, so the candidate set — and hence
-    * the result — is hash-checkable despite being "approximate".
+    * hyperplane tables, unioned for recall) -> exact-cosine verify.
+    * Candidates come from grouping on the (table, bucket) band key — one
+    * shuffle, never an all-pairs BroadcastNestedLoopJoin (pinned in
+    * PlanSpec); near-identical vectors (cos >= 0.99) share every bit with
+    * high probability and exact copies always collide in both tables. Both
+    * engines apply the identical deterministic bucketing AND the identical
+    * hot-band cap, so the candidate set — and hence the result — is
+    * hash-checkable despite being "approximate".
     */
   private def x09(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
@@ -185,13 +186,11 @@ object ExtensionQueries {
       explode(array(
         concat(lit("0:"), col("b0").cast("string")),
         concat(lit("1:"), col("b1").cast("string")))).as("band"))
-    // Single pass (see x11): both 32 plane dot products per row run once,
-    // not twice as in the banded self-join form. Same pairs, same cosine.
-    banded
-      .groupBy(col("band"))
-      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
-      .select(explode(col("ms")).as("m1"), col("ms"))
-      .select(col("m1"), explode(col("ms")).as("m2"))
+    // Single-pass pair generation (all 32 plane dot products per row run
+    // once, not twice as in the banded self-join form) with the standard
+    // hot-band cap; the oracle mirrors the cap with HAVING count <= cap.
+    Similarity.bucketMemberPairs(
+      banded, "band", struct(col("vec_id"), col("v"), col("nrm")), Dedup.ShingleDfCap)
       .filter(col("m1.vec_id") < col("m2.vec_id"))
       .select(
         col("m1.vec_id").as("id1"), col("m2.vec_id").as("id2"),
@@ -222,13 +221,10 @@ object ExtensionQueries {
       Similarity.norm(col("v"), EmbDim).as("nrm"),
       Similarity.lshSignature(col("v"), LshBits, EmbDim).as("bucket"))
     // Single pass over the signature projection (16 plane dot products per
-    // row): collect bucket members once, explode pairs — the self-join form
-    // computed every signature twice. Same pairs, same cosine arithmetic.
-    sig
-      .groupBy(col("bucket"))
-      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
-      .select(explode(col("ms")).as("m1"), col("ms"))
-      .select(col("m1"), explode(col("ms")).as("m2"))
+    // row) via the shared pair generator, hot buckets capped; the oracle
+    // mirrors the cap with HAVING count <= cap. Same pairs, same cosine.
+    Similarity.bucketMemberPairs(
+      sig, "bucket", struct(col("vec_id"), col("v"), col("nrm")), Dedup.ShingleDfCap)
       .filter(col("m1.vec_id") < col("m2.vec_id"))
       .select(
         col("m1.vec_id").as("id1"), col("m2.vec_id").as("id2"),
@@ -485,9 +481,11 @@ object ExtensionQueries {
          |sig AS (SELECT vec_id, v, ${bucketSql(0)} AS b0, ${bucketSql(LshBits)} AS b1 FROM corpus),
          |banded AS (SELECT vec_id, v,
          |  unnest(['0:' || CAST(b0 AS VARCHAR), '1:' || CAST(b1 AS VARCHAR)]) AS band FROM sig),
+         |cool AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= ${Dedup.ShingleDfCap}),
+         |capped AS (SELECT banded.* FROM banded JOIN cool USING (band)),
          |pr AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
          |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
-         | FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id)
+         | FROM capped a JOIN capped b ON a.band = b.band AND a.vec_id < b.vec_id)
          |SELECT id1, id2, cos FROM pr WHERE cos >= 0.99 ORDER BY id1, id2""".stripMargin
     },
     "x11_ann_lsh" -> {
@@ -499,9 +497,11 @@ object ExtensionQueries {
          |corpus AS (SELECT vec_id, v FROM e
          | UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 5 = 0),
          |sig AS (SELECT vec_id, v, $bucketSql AS bucket FROM corpus),
+         |cool AS (SELECT bucket FROM sig GROUP BY bucket HAVING count(*) <= ${Dedup.ShingleDfCap}),
+         |capped AS (SELECT sig.* FROM sig JOIN cool USING (bucket)),
          |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
          |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
-         | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         | FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id1, id2, cos FROM pr WHERE cos >= 0.9 ORDER BY id1, id2""".stripMargin
     },
     "x13_ann_ivf" -> {

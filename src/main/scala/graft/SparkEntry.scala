@@ -417,6 +417,9 @@ object SparkEntry {
     * in one groupBy. Semantics note mirrored in the oracle: session_window
     * is half-open — an event exactly `gap` after the previous one starts a
     * NEW session (diff >= gap), where q23's explicit form used diff > gap.
+    * The oracle measures the gap in MICROSECONDS (Spark compares exact
+    * micros-precision event times — a millisecond-truncated diff would
+    * split sessions differently for sub-ms gaps straddling the boundary).
     * Outputs are second-truncated epochs: Spark reads the nanos fixture
     * truncated to micros while DuckDB reads full nanos, so raw timestamp
     * bounds could differ in the sub-micro digits.
@@ -877,7 +880,7 @@ object SparkEntry {
         |ns AS (
         | SELECT user_id, event_id, ts, value,
         |  CASE WHEN prev_ts IS NULL
-        |       OR date_diff('millisecond', prev_ts, ts) >= 1800000 THEN 1 ELSE 0 END AS new_s
+        |       OR date_diff('microsecond', prev_ts, ts) >= 1800000000 THEN 1 ELSE 0 END AS new_s
         | FROM g),
         |sid AS (
         | SELECT user_id, ts, value,

@@ -125,19 +125,12 @@ object Dedup {
     val banded = sigs.select(
       col(idCol),
       explode(array((0 until LshBands).map(bandKey): _*)).as("band"))
-    // ONE shuffle: group each band's members into a (bounded) list, drop
-    // hot buckets, and emit member pairs with a double explode. The
-    // previous shape (count subplan + self-join) evaluated the signature
-    // projection three times; this evaluates it once, and the collected
-    // lists are capped at maxBucket so executor memory is bounded.
-    banded
-      .groupBy(col("band"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) <= maxBucket)
-      .select(explode(col("ids")).as("id1"), col("ids"))
-      .select(col("id1"), explode(col("ids")).as("id2"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+    // ONE shuffle via the shared single-pass pair generator (the previous
+    // count-subplan + self-join shape evaluated the signature projection
+    // three times); hot bands above maxBucket are dropped inside it.
+    Similarity.bucketMemberPairs(banded, "band", struct(col(idCol).as("id")), maxBucket)
+      .filter(col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id1"), col("m2.id").as("id2"))
       .distinct()
   }
 

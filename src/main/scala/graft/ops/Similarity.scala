@@ -154,19 +154,39 @@ object Similarity {
     cents
   }
 
-  /** Bucket corpus vectors by LSH signature; same-bucket pairs are
-    * near-neighbour candidates (verify with exact cosine downstream).
-    * Single pass: members are collected per bucket and pairs emitted with
-    * a double explode — the self-join form evaluated the signature
-    * projection (bits x dim dot products per row) twice.
+  /** Shared single-pass bucket-pair generator: collect each bucket's
+    * members ONCE (the self-join form evaluated the upstream projection on
+    * both sides), drop buckets above `maxBucket`, and emit (m1, m2) member
+    * pairs via a double explode. The cap is load-bearing at scale twice
+    * over: it bounds the single collect_list aggregation row (an
+    * unbounded hot bucket would otherwise OOM the task), and it is the
+    * hot-key guard against one viral bucket emitting O(n^2) pairs — same
+    * rationale as [[Dedup.ShingleDfCap]]. The explodes themselves pipeline
+    * row-at-a-time, so peak memory is one bucket array, not bucket^2.
+    * Callers using an oracle must mirror the cap (HAVING count <= cap).
     */
-  def lshBucketCandidates(corpus: DataFrame, bits: Int, dim: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
-    corpus
-      .select(col(idCol), col(vecCol), lshSignature(col(vecCol), bits, dim).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("vec"))).as("ms"))
+  def bucketMemberPairs(
+      bucketed: DataFrame, bucketCol: String, member: Column, maxBucket: Int): DataFrame =
+    bucketed
+      .groupBy(col(bucketCol))
+      .agg(collect_list(member).as("ms"))
+      .filter(size(col("ms")) <= maxBucket)
       .select(explode(col("ms")).as("m1"), col("ms"))
       .select(col("m1"), explode(col("ms")).as("m2"))
+
+  /** Bucket corpus vectors by LSH signature; same-bucket pairs are
+    * near-neighbour candidates (verify with exact cosine downstream).
+    * Single pass via [[bucketMemberPairs]]; buckets above `maxBucket`
+    * are dropped (hot-bucket guard — for near-dup detection a bucket that
+    * hot is an exact-dup cluster better handled by exact dedup first).
+    */
+  def lshBucketCandidates(
+      corpus: DataFrame, bits: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      maxBucket: Int = Dedup.ShingleDfCap): DataFrame =
+    bucketMemberPairs(
+      corpus.select(col(idCol), col(vecCol), lshSignature(col(vecCol), bits, dim).as("bucket")),
+      "bucket", struct(col(idCol).as("id"), col(vecCol).as("vec")), maxBucket)
       .filter(col("m1.id") < col("m2.id"))
       .select(
         col("m1.id").as("id1"), col("m2.id").as("id2"),
