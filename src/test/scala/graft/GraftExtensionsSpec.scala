@@ -24,6 +24,16 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkTest {
       r.getDouble(0) shouldBe 11.0 +- 1e-12
       r.getLong(1) shouldBe 3105L
       r.getInt(2) shouldBe 2
+      // st_point_in_poly resolves through the extension. (Over a
+      // LocalRelation the optimizer constant-folds the whole filter, so
+      // only the RESULT is assertable here — the bbox-injection plan shape
+      // is pinned against parquet in GraftSqlSpec.)
+      s2.createDataFrame(Seq((1L, 2.0, 2.0), (2L, 50.0, 50.0)))
+        .toDF("id", "x", "y")
+        .createOrReplaceTempView("ext_pts")
+      val q = s2.sql(
+        "SELECT id FROM ext_pts WHERE st_point_in_poly(x, y, 'POLYGON((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0))')")
+      q.collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
       // do NOT stop s2 — it shares the JVM-wide SparkContext
     } finally {
       SparkSession.setDefaultSession(spark)
