@@ -21,7 +21,9 @@ object ZOrder {
 
   /** Morton key: x and y quantized to `bits` each over their [min, max]
     * domains, bits interleaved (x even positions, y odd). Out-of-domain
-    * values clamp to the edge cells.
+    * values clamp to the edge cells. NULL coordinates also land in cell 0
+    * (Spark's greatest/least skip nulls) — filter nulls first if clustering
+    * them at the origin tile is not what the layout wants.
     */
   def interleave(
       x: Column, y: Column,

@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 
 /** Tiled point-cloud layout builder for the [[PointsSource]] connector: the
   * lineitem-derived point table (the same x/y/z mapping every r-query uses)
-  * written as Z-ORDER-partitioned parquet tiles ([[graft.geo.ZOrder]]):
-  * tile footer min/max statistics carry tight ranges in BOTH x and y, so a
-  * 2-D bbox query prunes on both axes — the property the reference's EPT
-  * octree gives its tiles spatially
+  * written as x-range-partitioned parquet tiles, so tile footer min/max
+  * statistics carry tight, near-disjoint x ranges — the property the
+  * reference's EPT octree gives its tiles spatially
   * (`/root/reference/scripts/usgs_lidar.py:245-276` builds the analogous
-  * bounds index from ept.json metadata; ZOrderSpec measures the pruning
-  * win over an x-only sort).
+  * bounds index from ept.json metadata).
+  *
+  * Layout choice is WORKLOAD-dependent: r06's query box is x-narrow (~9%
+  * of the domain) but y-wide (~61%), so the x-sort prunes best for it; a
+  * workload of 2-D-selective or y-selective boxes should write
+  * [[graft.geo.ZOrder]]-sorted tiles instead (ZOrderSpec measures that
+  * trade: a y-band query keeps ALL x-sorted tiles but few z-sorted ones).
   *
   * Derivation is deterministic from the fixture, so the DuckDB oracle can
   * reproduce the dataset straight from lineitem: pid = l_orderkey * 8 +
@@ -31,9 +35,7 @@ object PointsLayout {
     * parquet writer's _SUCCESS marker.
     */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    // v2: z-order layout (dir name versioned so a pre-z layout from an
-    // earlier session is never silently reused).
-    val dir = s"/tmp/graft_points_v2_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val dir = s"/tmp/graft_points_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     // Check the marker through the same Hadoop filesystem the writer uses —
     // a java.io.File probe only works when the default FS is the driver's
     // local disk and would re-run the write every session on HDFS/object
@@ -48,10 +50,8 @@ object PointsLayout {
           col("l_quantity").as("y"),
           (col("l_discount") * 100.0).as("z"),
           col("l_linenumber").as("classification"))
-        .repartitionByRange(Tiles, graft.geo.ZOrder.interleave(
-          col("x"), col("y"), 900.0, 105000.0, 1.0, 50.0))
-        .sortWithinPartitions(graft.geo.ZOrder.interleave(
-          col("x"), col("y"), 900.0, 105000.0, 1.0, 50.0))
+        .repartitionByRange(Tiles, col("x"))
+        .sortWithinPartitions(col("x"))
         .write.mode("overwrite").parquet(dir)
     }
     dir
