@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * partition streams through a reusable decoder without materializing the
   * partition).
   *
-  * The byte-decode step is a STUB — a deterministic fake standing in for a
-  * real image/audio codec (this environment ships no media libraries). The
-  * Spark-side contract is real and tested: schema, encoder, batch shape,
-  * null-payload handling, and partition-local decoder reuse are exactly what
-  * a production decoder would plug into.
+  * Image payloads are decoded FOR REAL via the JDK's `javax.imageio`
+  * (PNG/JPEG/GIF/BMP — zero external media libraries) into a perceptual
+  * mean-luminance thumbnail ([[decodeImage]]); non-image payloads (audio/
+  * video codecs genuinely absent from the JDK) fall back to the
+  * deterministic byte-histogram stand-in ([[decodeStub]]). Either way the
+  * Spark-side contract is identical: schema, encoder, batch shape,
+  * null-payload handling, and partition-local decoder reuse are what any
+  * production codec plugs into.
   *
   * Scale posture: payloads never shuffle — decode/feature-extract runs
   * map-side where the scan happens; only the small fixed-width feature
@@ -54,10 +57,56 @@ object Multimodal {
         lit(16000).as("sample_rate_hz"),
         (col("doc_id") % 10000).as("duration_ms")).as("meta"))
 
-  /** STUB decoder: a real implementation would hand `payload` to an image/
-    * audio codec here. The fake is a deterministic byte histogram folded to
-    * `FeatureDim` floats — enough to exercise the full distributed plumbing
-    * (schema in/out, batching, nulls) with verifiable outputs.
+  /** Real image decode: `ImageIO.read` over the payload bytes (PNG/JPEG/
+    * GIF/BMP via the JDK's built-in codecs), reduced to a `FeatureDim`-cell
+    * (4 x 2) mean-luminance grid normalized to [0, 1] — the thumbnail stage
+    * of the aHash perceptual-hash family. The grid averages ~W*H/8 pixels
+    * per cell, so it is stable under lossy recompression (JPEG round-trip
+    * noise averages out) while distinct content diverges; cosine over the
+    * grids feeds the same LSH machinery the text/embedding paths use.
+    * Returns None when the bytes are not a decodable image (no magic-number
+    * match), letting [[decode]] fall back to the byte-histogram stand-in.
+    */
+  private[ops] def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val cols = 4
+        val rows = FeatureDim / cols
+        val sums = new Array[Double](FeatureDim)
+        val counts = new Array[Long](FeatureDim)
+        var y = 0
+        while (y < img.getHeight) {
+          val cy = math.min(rows - 1, y * rows / img.getHeight)
+          var x = 0
+          while (x < img.getWidth) {
+            val cx = math.min(cols - 1, x * cols / img.getWidth)
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            val c = cy * cols + cx
+            sums(c) += lum
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val out = new Array[Float](FeatureDim)
+        var i = 0
+        while (i < FeatureDim) {
+          out(i) = if (counts(i) == 0) 0.0f else (sums(i) / (255.0 * counts(i))).toFloat
+          i += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Non-image fallback: a deterministic byte histogram folded to
+    * `FeatureDim` floats — the stand-in for audio/video codecs the JDK does
+    * not ship. Keeps every payload featurizable so the distributed plumbing
+    * (schema in/out, batching, nulls) is exercised uniformly.
     */
   private[ops] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](FeatureDim)
@@ -74,6 +123,12 @@ object Multimodal {
     acc
   }
 
+  /** Full decode: real image decode first, byte-histogram fallback for
+    * payloads no JDK image codec recognizes.
+    */
+  private[ops] def decode(payload: Array[Byte]): Array[Float] =
+    decodeImage(payload).getOrElse(decodeStub(payload))
+
   private val featureRowSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = true),
@@ -81,18 +136,19 @@ object Multimodal {
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
 
   /** Decode + feature-extract over a media table. Iterator-in/iterator-out:
-    * the (stub) decoder is created once per partition and streams rows —
-    * the same shape a heavyweight codec or model session needs.
+    * decoder state lives per partition and streams rows — the same shape a
+    * heavyweight codec or model session needs. Image payloads get the real
+    * ImageIO decode; everything else the histogram fallback.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val enc = Encoders.row(featureRowSchema)
     media.select(col("media_id"), col("payload"), col("meta.kind").as("kind"))
       .mapPartitions { rows =>
-        // per-partition decoder/session init happens here (stubbed)
+        // per-partition decoder/session init happens here
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val features = if (payload == null) null else decodeStub(payload)
+          val features = if (payload == null) null else decode(payload)
           Row(
             r.getAs[Long]("media_id"),
             r.getAs[String]("kind"),
@@ -107,8 +163,10 @@ object Multimodal {
     * bucket on hyperplane signatures, verify candidates with exact cosine.
     * Payloads never shuffle (decode is map-side; only FeatureDim floats
     * flow into the bucket join), and candidates come from an equi-join on
-    * bucket keys, never all-pairs. With a real codec plugged into
-    * [[extractFeatures]] this is perceptual image/audio dedup end to end.
+    * bucket keys, never all-pairs. For image payloads this is perceptual
+    * dedup end to end: the ImageIO luminance grid is recompression-stable,
+    * so a JPEG round-trip of the same picture lands in the same buckets and
+    * verifies at cos ~ 1.
     */
   def nearDupMedia(media: DataFrame, bits: Int = 8, minCos: Double = 0.999): DataFrame = {
     val feats = extractFeatures(media)

@@ -70,6 +70,79 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
     pairs shouldBe Set((1L, 2L))
   }
 
+  // --- real image decode (JDK ImageIO — no external media libs) -----------
+
+  /** Deterministic test image: a horizontal luminance gradient with a
+    * per-image phase so distinct `seed`s give distinct grids.
+    */
+  private def testImage(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum = ((x * 255 / math.max(w - 1, 1)) + seed * 40) % 256
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeBytes(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  test("decodeImage: real PNG bytes decode to the pixel-derived luminance grid") {
+    val img = testImage(32, 16, seed = 0)
+    val png = encodeBytes(img, "png")
+    val feats = Multimodal.decodeImage(png).get
+    feats.length shouldBe Multimodal.FeatureDim
+    // Recompute the 4x2 grid means directly from the BufferedImage — the
+    // features must come from PIXELS, not from the encoded bytes.
+    val expected = {
+      val sums = new Array[Double](8); val counts = new Array[Long](8)
+      for (y <- 0 until 16; x <- 0 until 32) {
+        val cell = math.min(1, y * 2 / 16) * 4 + math.min(3, x * 4 / 32)
+        val rgb = img.getRGB(x, y)
+        sums(cell) += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        counts(cell) += 1
+      }
+      (0 until 8).map(i => (sums(i) / (255.0 * counts(i))).toFloat)
+    }
+    feats.toSeq shouldBe expected
+    // gradient: cells brighten left to right, top/bottom rows agree
+    feats(0) should be < feats(3)
+    feats(0) shouldBe feats(4)
+    // and this is NOT the byte-histogram fallback
+    feats.toSeq should not be Multimodal.decodeStub(png).toSeq
+  }
+
+  test("decode falls back to the byte histogram for non-image payloads") {
+    val textBytes = "not an image".getBytes("UTF-8")
+    Multimodal.decodeImage(textBytes) shouldBe None
+    Multimodal.decode(textBytes).toSeq shouldBe Multimodal.decodeStub(textBytes).toSeq
+  }
+
+  test("nearDupMedia: JPEG-recompressed copy of a PNG pairs; a different image does not") {
+    val a = testImage(64, 32, seed = 0)
+    val media = Seq(
+      (1L, encodeBytes(a, "png")), // original
+      (2L, encodeBytes(a, "jpg")), // lossy recompression of the SAME pixels
+      (3L, encodeBytes(testImage(64, 32, seed = 3), "png"))) // different content
+      .toDF("media_id", "payload")
+      .select(
+        $"media_id", $"payload",
+        struct(lit("image").as("kind"), lit(64).as("width"), lit(32).as("height"),
+          lit(16000).as("sample_rate_hz"), lit(0L).as("duration_ms")).as("meta"))
+    val pairs = Multimodal.nearDupMedia(media, minCos = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+
   test("frameSamplePlan explodes one row per sampled frame for video rows only") {
     val media = Multimodal.packFromDocuments(docs)
     val frames = Multimodal.frameSamplePlan(media, everyMs = 1000)
