@@ -273,15 +273,46 @@ object SparkEntry {
   }
 
   /** Exact percentiles (linear interpolation — DuckDB quantile_cont
-    * semantics) per group. */
-  private def q20(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90_price"),
-        count(lit(1)).as("n"))
+    * semantics) per group, computed SCALE-SAFE: a per-group spillable sort +
+    * row_number, then interpolation between the two straddling rows.
+    * Spark's `percentile` aggregate buffers a value->count map PER GROUP in
+    * executor memory — at 100 TB with millions of distinct prices per
+    * return flag that buffer is the OOM, not the shuffle. Here the heavy
+    * lifting is sort-based (WindowExec spills to disk), only <= 2 rows per
+    * group survive the rank filter, and the group-count side is a 3-row
+    * broadcast. Two percentiles over different sort keys = two ranked
+    * passes joined on the tiny group key. (Residual skew note: exact
+    * per-group quantiles with few groups parallelize at most to the group
+    * count in the window stage — inherent to micros-exact semantics; the
+    * q21 histogram sketch is the fixed-parallelism alternative.)
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val counts = l.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    def qcont(valCol: Column, p: Double, out: String): DataFrame = {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      val ranked = l.select(col("l_returnflag"), valCol.cast("double").as("v"))
+        .withColumn("rn", row_number().over(w))
+      ranked.join(broadcast(counts), "l_returnflag")
+        // 0-based fractional index p*(n-1): same double arithmetic as
+        // DuckDB's quantile_cont, so the interpolated value hash-matches.
+        .withColumn("idx", lit(p) * (col("n") - lit(1)).cast("double"))
+        .filter(col("rn") - 1 === floor(col("idx")) || col("rn") - 1 === ceil(col("idx")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("rn") - 1 === floor(col("idx")), col("v"))).as("vlo"),
+          max(when(col("rn") - 1 === ceil(col("idx")), col("v"))).as("vhi"),
+          max(col("idx") - floor(col("idx"))).as("frac"))
+        .select(
+          col("l_returnflag"),
+          round(col("vlo") + (col("vhi") - col("vlo")) * col("frac"), 6).as(out))
+    }
+    qcont(col("l_quantity"), 0.5, "median_qty")
+      .join(qcont(col("l_extendedprice"), 0.9, "p90_price"), "l_returnflag")
+      .join(counts, "l_returnflag")
+      .select(col("l_returnflag"), col("median_qty"), col("p90_price"), col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Sketch aggregates with the same plan shape as HLL/KLL (one pass, no
     * distinct shuffle, constant memory per group — the 100 TB substitute

@@ -108,6 +108,26 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     fp should not include "UDF"
   }
 
+  test("q20: percentiles run as spillable sort/window interpolation, no percentile buffer agg") {
+    val p = finalPlan("q20_percentiles")
+    // The scale-unsafe shape this replaces was an ObjectHashAggregate over
+    // `percentile(...)` — a per-group value->count map in executor memory.
+    p should include("Window")
+    p should include("row_number")
+    p should not include "percentile("
+  }
+
+  test("x01/x16: native text expressions stay inside whole-stage codegen") {
+    // PolyHash/SimHash64/WordShingles implement doGenCode — the Project
+    // evaluating them must carry the `*(n)` whole-stage-codegen prefix. A
+    // CodegenFallback regression would print the node without it (and
+    // de-codegen the entire enclosing stage).
+    def exprLineCodegend(planStr: String, expr: String): Boolean =
+      planStr.linesIterator.exists(l => l.contains(expr) && l.matches(""".*\*\(\d+\) \w+.*"""))
+    exprLineCodegend(finalPlan("x01_text_stats"), "polyhash") shouldBe true
+    exprLineCodegend(finalPlan("x16_simhash64"), "simhash64") shouldBe true
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
