@@ -50,18 +50,23 @@ object Bench {
     val reps = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
+    // A rep that throws is EXCLUDED from the timings (a fast failure would
+    // otherwise report a misleadingly tiny min and still count toward the
+    // suite total); queries with zero successful reps appear only in
+    // `errors`, never in `queries`.
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      val times = (0 until reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => if (!errors.contains(name)) errors += name }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => if (!errors.contains(name)) errors += name; false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // Cache hygiene between reps/queries (x04/x06 cache shingle
         // frames); clearing is outside the timed window.
         spark.catalog.clearCache()
-        elapsed
+        if (ok) Some(elapsed) else None
       }
-      name -> times.min
+      if (times.nonEmpty) Some(name -> times.min) else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

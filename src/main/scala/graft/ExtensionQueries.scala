@@ -428,12 +428,23 @@ object ExtensionQueries {
         | CAST(count(*) AS BIGINT) AS copies
         |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY content_hash""".stripMargin,
     "x04_ngram_jaccard_pairs" ->
+      // Mirrors the Spark path structurally: explode shingles, drop shingles
+      // with document frequency above Dedup.ShingleDfCap (the hot-key guard
+      // — referenced here so the two sides cannot drift), count shared RARE
+      // shingles per pair, set sizes from the FULL shingle lists. On any
+      // corpus where some shingle exceeds the cap both engines exclude it
+      // from the intersection identically.
       s"""WITH $PlantedDocsSql,
          |$ShinglesSql,
-         |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
-         |  CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS uni
-         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= ${Dedup.ShingleDfCap}),
+         |exr AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS DOUBLE) AS inter
+         | FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY a.doc_id, b.doc_id),
+         |sz AS (SELECT doc_id, CAST(len(s) AS DOUBLE) AS sz FROM sh),
+         |pr AS (SELECT id1, id2, inter, s1.sz + s2.sz - inter AS uni
+         | FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2)
          |SELECT id1, id2, inter/uni AS jac FROM pr
          |WHERE inter/uni >= 0.5 ORDER BY id1, id2""".stripMargin,
     "x05_minhash_sig" ->
@@ -448,7 +459,9 @@ object ExtensionQueries {
          |hh AS (SELECT doc_id, s, list_transform(s, x -> ${polySql("x")}) AS hs FROM sh),
          |sig AS (SELECT doc_id, s, ${(0 until Dedup.MinHashK).map(i => minhashSql(i, "hs") + s" AS mh$i").mkString(",\n ")} FROM hh),
          |banded AS (SELECT doc_id, unnest([${(0 until Dedup.LshBands).map(b => s"'$b:' || mh${2 * b} || ':' || mh${2 * b + 1}").mkString(", ")}]) AS band FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |cool AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= ${Dedup.ShingleDfCap}),
+         |capped AS (SELECT banded.* FROM banded JOIN cool USING (band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
          |pr AS (SELECT id1, id2,
          |  CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS inter,
          |  CAST(len(s1.s) + len(s2.s) AS DOUBLE) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS uni

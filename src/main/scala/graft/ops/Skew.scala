@@ -20,11 +20,15 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    // Deterministic salt (hash of the full row would be ideal; a spray on
-    // a monotonic id is enough to spread hot keys and keeps the test
-    // deterministic).
+    // CONTENT-hash salt: deterministic per row VALUE, so the phase-1
+    // distribution — the thing this operator exists to control — is
+    // identical under any repartition/retry/input order. (A
+    // monotonically_increasing_id salt is layout-dependent: the same data
+    // repartitioned differently would spread differently, which breaks
+    // reproducibility of the partials even though the final aggregate is
+    // unaffected.)
     val salted = df.select(key.as("k"), value.as("v"))
-      .withColumn("salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .withColumn("salt", pmod(xxhash64(col("k"), col("v")), lit(salts.toLong)))
     val partial = salted
       .groupBy(col("k"), col("salt"))
       .agg(sum(col("v")).as("ps"), count(lit(1)).as("pc"))

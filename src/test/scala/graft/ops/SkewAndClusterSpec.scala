@@ -29,6 +29,30 @@ class SkewAndClusterSpec extends AnyFunSuite with Matchers with SparkTest {
       .queryExecution.executedPlan.toString should include("salt")
   }
 
+  test("salt is content-derived: identical results AND partials under any repartition") {
+    val rows = (0 until 5000).map(i => (s"k${i % 7}", (i % 13).toDouble))
+    val df = rows.toDF("key", "value")
+    // The phase-1 partials are keyed by (k, salt); with a content-hash salt
+    // they are a pure function of the data, so any physical layout produces
+    // byte-identical partial groups (a monotonic-id salt would shift the
+    // spread under repartition even though the final sums agree).
+    def partials(n: Int): Set[(String, Long, Double, Long)] =
+      df.repartition(n)
+        .select($"key".as("k"), $"value".as("v"))
+        .withColumn("salt", pmod(xxhash64($"k", $"v"), lit(8L)))
+        .groupBy($"k", $"salt")
+        .agg(sum($"v").as("ps"), count(lit(1)).as("pc"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val p3 = partials(3)
+    partials(13) shouldBe p3
+    partials(32) shouldBe p3
+    // and the operator's final output is layout-invariant too
+    def out(n: Int): Map[String, (Double, Long)] =
+      Skew.saltedSumCount(df.repartition(n), $"key", $"value", 8)
+        .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    out(13) shouldBe out(3)
+  }
+
   test("duplicateClusters collapses transitive near-dup chains to min-id labels") {
     // chains: 1~2, 2~3 (one cluster), 10~11, isolated pair 20~21,
     // plus a diamond 30~31, 31~32, 30~32.
