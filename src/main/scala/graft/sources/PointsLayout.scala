@@ -41,7 +41,8 @@ object PointsLayout {
     // local disk and would re-run the write every session on HDFS/object
     // stores.
     val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = marker.getFileSystem(conf)
     if (!fs.exists(marker)) {
       Tables(spark, sfDir, "lineitem")
         .select(
@@ -53,6 +54,12 @@ object PointsLayout {
         .repartitionByRange(Tiles, col("x"))
         .sortWithinPartitions(col("x"))
         .write.mode("overwrite").parquet(dir)
+      // Layout owns the manifest: write it with the tiles so planning is
+      // one metadata read instead of one footer per tile per query.
+      PointsManifest.write(dir, conf)
+    } else if (!PointsManifest.exists(dir, conf)) {
+      // Backfill for tile dirs written before manifests existed.
+      PointsManifest.write(dir, conf)
     }
     dir
   }

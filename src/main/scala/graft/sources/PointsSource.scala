@@ -48,8 +48,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class PointsSource extends TableProvider {
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PointsSource.sparkSchema(PointsSource.firstFileSchema(PointsSource.pathOf(options.get("path"))))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = PointsSource.pathOf(options.get("path"))
+    PointsSource.sparkSchema(PointsSource.datasetSchema(dir, PointsSource.sessionHadoopConf()))
+  }
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
@@ -65,28 +67,49 @@ object PointsSource {
     p
   }
 
-  private[sources] def hadoopConf(): Configuration = new Configuration()
+  /** Driver-side Hadoop configuration: the ACTIVE session's, so
+    * fs.defaultFS / object-store credentials / io settings all apply to
+    * listing, footer reads and manifest reads — a bare `new Configuration()`
+    * would silently pin the connector to the driver's local filesystem.
+    * Executors get the same conf serialized through the reader factory.
+    */
+  private[sources] def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** Count of parquet footer reads — test instrumentation for the
+    * "manifest planning reads no footers" property.
+    */
+  private[sources] val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Data files under the dataset directory, name-sorted for determinism. */
-  private[sources] def listFiles(dir: String): Seq[Path] = {
+  private[sources] def listFiles(dir: String, conf: Configuration): Seq[Path] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(hadoopConf())
+    val fs = p.getFileSystem(conf)
     fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
       .sortBy(_.getName)
   }
 
-  private[sources] def footerOf(file: Path): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf()))
+  private[sources] def footerOf(file: Path, conf: Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    footerReads.incrementAndGet()
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try r.getFooter finally r.close()
   }
 
-  private[sources] def firstFileSchema(dir: String): MessageType = {
-    val files = listFiles(dir)
-    require(files.nonEmpty, s"no parquet files under $dir")
-    footerOf(files.head).getFileMetaData.getSchema
-  }
+  /** Dataset schema: from the manifest when one exists (zero footer reads),
+    * else from the first tile's footer.
+    */
+  private[sources] def datasetSchema(dir: String, conf: Configuration): MessageType =
+    PointsManifest.read(dir, conf) match {
+      case Some(m) => org.apache.parquet.schema.MessageTypeParser.parseMessageType(m.schemaStr)
+      case None =>
+        val files = listFiles(dir, conf)
+        require(files.nonEmpty, s"no parquet files under $dir")
+        footerOf(files.head, conf).getFileMetaData.getSchema
+    }
 
   /** Parquet primitive schema -> Spark schema (flat point-cloud columns:
     * ints, longs, floats, doubles, strings).
@@ -157,33 +180,59 @@ object PointsSource {
     m.toMap
   }
 
-  /** Does the tile possibly intersect the pushed bounds? Decided from the
-    * footer's per-column min/max statistics, unioned across row groups.
-    * Missing/empty statistics mean "cannot prune" — keep the tile.
+  /** Per-column [min, max] from a tile footer, unioned across row groups —
+    * only columns with complete numeric statistics in EVERY block appear
+    * (absence = "unknown, cannot prune on it"). Shared by live footer
+    * pruning and the manifest writer, so both prune identically.
     */
-  private[sources] def tileSurvives(
-      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
-      bounds: Map[String, (Double, Double)]): Boolean = {
+  private[sources] def footerStats(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): Map[String, (Double, Double)] = {
     import scala.jdk.CollectionConverters._
-    bounds.forall { case (colName, (lo, hi)) =>
-      var minV = Double.PositiveInfinity
-      var maxV = Double.NegativeInfinity
-      var known = true
-      footer.getBlocks.asScala.foreach { block =>
-        block.getColumns.asScala.find(_.getPath.toDotString == colName) match {
-          case Some(cc) =>
-            val st = cc.getStatistics
-            if (st == null || !st.hasNonNullValue) known = false
-            else {
-              minV = math.min(minV, st.genericGetMin.asInstanceOf[Number].doubleValue())
-              maxV = math.max(maxV, st.genericGetMax.asInstanceOf[Number].doubleValue())
+    val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val unknown = scala.collection.mutable.Set.empty[String]
+    val blockHits = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val nBlocks = footer.getBlocks.size()
+    footer.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { cc =>
+        val name = cc.getPath.toDotString
+        blockHits(name) += 1
+        if (!unknown(name)) {
+          val st = cc.getStatistics
+          val pair =
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: Number, mx: Number) => Some((mn.doubleValue(), mx.doubleValue()))
+              case _ => None // non-numeric (e.g. binary) stats — not prunable here
             }
-          case None => known = false
+          pair match {
+            case Some((mn, mx)) =>
+              val (m0, x0) = acc.getOrElse(name, (Double.PositiveInfinity, Double.NegativeInfinity))
+              acc(name) = (math.min(m0, mn), math.max(x0, mx))
+            case None =>
+              unknown += name
+              acc.remove(name)
+          }
         }
       }
-      !known || (maxV >= lo && minV <= hi)
     }
+    // a column absent from some block has incomplete coverage -> unknown
+    acc.filter { case (name, _) => blockHits(name) == nBlocks }.toMap
   }
+
+  /** Does a tile with these known column ranges possibly intersect the
+    * pushed bounds? Columns with unknown statistics cannot prune.
+    */
+  private[sources] def statsSurvive(
+      stats: Map[String, (Double, Double)],
+      bounds: Map[String, (Double, Double)]): Boolean =
+    bounds.forall { case (colName, (lo, hi)) =>
+      stats.get(colName).forall { case (minV, maxV) => maxV >= lo && minV <= hi }
+    }
+
+  private[sources] def tileSurvives(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      bounds: Map[String, (Double, Double)]): Boolean =
+    statsSurvive(footerStats(footer), bounds)
 }
 
 class PointsTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
@@ -219,6 +268,11 @@ class PointsScanBuilder(path: String, dataSchema: StructType)
 
 class PointsScan(path: String, required: StructType, pushed: Array[Filter]) extends Scan with Batch {
 
+  /** Captured on the driver at scan build; serialized to executors through
+    * the reader factory so data reads see the same fs settings/credentials.
+    */
+  private val driverConf: Configuration = PointsSource.sessionHadoopConf()
+
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
@@ -228,37 +282,49 @@ class PointsScan(path: String, required: StructType, pushed: Array[Filter]) exte
       s"ReadSchema: ${required.simpleString}"
 
   /** One partition per surviving tile; pruning happens here, driver-side,
-    * from footer statistics only (no data reads). Footer fetches are
-    * independent remote metadata ops, so they run in parallel; the dataset
-    * schema (uniform across tiles — one writer) is read once and shipped in
-    * each InputPartition, so executors never re-fetch a footer just for the
-    * projection schema.
+    * from metadata only (no data reads). With a [[PointsManifest]] present
+    * (any layout-writer dataset) planning is ONE small sequential file
+    * read — file list, schema and per-column min/max all come from it, so
+    * per-query cost is independent of tile count. Without one, the footer
+    * path remains: parallel per-tile footer fetches, schema from the first
+    * tile (uniform across tiles — one writer).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val bounds = PointsSource.rangeBounds(pushed)
-    val files = PointsSource.listFiles(path)
-    if (files.isEmpty) return Array.empty
-    val schemaStr = PointsSource.footerOf(files.head).getFileMetaData.getSchema.toString
-    val survivors =
-      if (bounds.isEmpty) files
-      else {
-        import scala.jdk.CollectionConverters._
-        files.asJava.parallelStream()
-          .filter(f => PointsSource.tileSurvives(PointsSource.footerOf(f), bounds))
-          .collect(java.util.stream.Collectors.toList[Path]).asScala.toSeq
-      }
-    survivors.map(f => PointsInputPartition(f.toString, schemaStr): InputPartition).toArray
+    PointsManifest.read(path, driverConf) match {
+      case Some(m) =>
+        m.tiles
+          .filter(t => bounds.isEmpty || PointsSource.statsSurvive(t.cols, bounds))
+          .map(t => PointsInputPartition(new Path(path, t.file).toString, m.schemaStr): InputPartition)
+          .toArray
+      case None =>
+        val files = PointsSource.listFiles(path, driverConf)
+        if (files.isEmpty) return Array.empty
+        val schemaStr = PointsSource.footerOf(files.head, driverConf).getFileMetaData.getSchema.toString
+        val survivors =
+          if (bounds.isEmpty) files
+          else {
+            import scala.jdk.CollectionConverters._
+            files.asJava.parallelStream()
+              .filter(f => PointsSource.tileSurvives(PointsSource.footerOf(f, driverConf), bounds))
+              .collect(java.util.stream.Collectors.toList[Path]).asScala.toSeq
+          }
+        survivors.map(f => PointsInputPartition(f.toString, schemaStr): InputPartition).toArray
+    }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new PointsReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PointsReaderFactory(required, new org.apache.spark.util.SerializableConfiguration(driverConf))
 }
 
 case class PointsInputPartition(file: String, schemaStr: String) extends InputPartition
 
-class PointsReaderFactory(required: StructType) extends PartitionReaderFactory {
+class PointsReaderFactory(
+    required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PointsInputPartition]
-    new PointsPartitionReader(p.file, p.schemaStr, required)
+    new PointsPartitionReader(p.file, p.schemaStr, required, conf.value)
   }
 }
 
@@ -267,10 +333,12 @@ class PointsReaderFactory(required: StructType) extends PartitionReaderFactory {
   * not just the row conversion). An empty projection (count(*) plans) reads
   * the narrowest available column and emits empty rows.
   */
-class PointsPartitionReader(file: String, schemaStr: String, required: StructType)
+class PointsPartitionReader(file: String, schemaStr: String, required: StructType, baseConf: Configuration)
   extends PartitionReader[InternalRow] {
 
-  private val conf = PointsSource.hadoopConf()
+  // Private copy: ReadSupport.PARQUET_READ_SCHEMA is a per-reader setting
+  // and the shared executor conf must not be mutated concurrently.
+  private val conf = new Configuration(baseConf)
   private val fileSchema: MessageType =
     org.apache.parquet.schema.MessageTypeParser.parseMessageType(schemaStr)
   private val readNames: Array[String] =

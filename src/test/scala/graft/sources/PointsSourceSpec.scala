@@ -106,6 +106,44 @@ class PointsSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     viaConnector.filter(col("x") > 2000.0 && col("y") > 50.0).count() shouldBe 0L
   }
 
+  test("manifest: identical pruning decisions to the footer path, zero footer reads at plan time") {
+    import org.apache.spark.sql.sources.Filter
+    val schema = read().schema
+    def planFiles(pushed: Array[Filter]): Seq[String] =
+      new PointsScan(dir, schema, pushed).planInputPartitions()
+        .map(_.asInstanceOf[PointsInputPartition].file.split('/').last).toSeq.sorted
+    val cases: Seq[Array[Filter]] = Seq(
+      Array.empty[Filter],
+      Array(GreaterThanOrEqual("x", 1500.0), LessThanOrEqual("x", 1600.0)),
+      Array(GreaterThanOrEqual("x", 99999.0)),
+      Array(LessThanOrEqual("y", 10.0))) // y spans every tile -> prunes none
+    val footerDecisions = cases.map(planFiles)
+    // Write the manifest (one-time layout cost), re-plan every case: the
+    // decisions must match the footer path exactly and plan WITHOUT any
+    // footer read — the O(tiles)-metadata-ops-per-query fix.
+    PointsManifest.write(dir, spark.sparkContext.hadoopConfiguration)
+    PointsSource.footerReads.set(0)
+    cases.map(planFiles) shouldBe footerDecisions
+    PointsSource.footerReads.get() shouldBe 0L
+    // data results unchanged through the manifest plan path
+    read().count() shouldBe 4000L
+    read().filter(col("x") >= 1500.0 && col("x") <= 1600.0).count() shouldBe 101L
+  }
+
+  test("manifest round-trips schema and stats through the text format") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = PointsManifest.read(dir, conf).get
+    m.tiles.length shouldBe 4
+    // schema string parses back to the exact written message type
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(m.schemaStr)
+      .toString shouldBe m.schemaStr
+    // x tiles are disjoint ranges covering [0, 3999]
+    val xr = m.tiles.map(_.cols("x")).sortBy(_._1)
+    xr.head._1 shouldBe 0.0
+    xr.last._2 shouldBe 3999.0
+    xr.sliding(2).foreach { case Seq((_, hi), (lo, _)) => hi should be < lo; case _ => () }
+  }
+
   test("PointsLayout.ensure is idempotent and the r06 path stays green") {
     val p1 = PointsLayout.ensure(spark, "/root/testdata/sf0.001")
     val p2 = PointsLayout.ensure(spark, "/root/testdata/sf0.001")
