@@ -75,14 +75,21 @@ object DocStreams {
       checkpointPath: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      horizonBatches: Option[Long] = None): StreamingQuery =
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val bands = Dedup.bandKeysFor(batch, idCol, textCol).cache()
-        val prior = readStore(spark, storePath, idCol).filter(col("batch_id") < batchId)
+        // Dedup horizon (the near-dup analog of ingest's watermark
+        // eviction): only band keys from the last `horizonBatches` batches
+        // gate admission; older dups are re-admitted and left to the
+        // periodic batch sweep. Also the bound compactStore evicts by.
+        val prior = readStore(spark, storePath, idCol)
+          .filter(col("batch_id") < batchId &&
+            horizonBatches.map(h => col("batch_id") >= batchId - h).getOrElse(lit(true)))
         val hitStore = bands.join(prior.select("band").distinct(), "band")
           .select(idCol).distinct()
         val firstPerBand = bands.groupBy(col("band")).agg(min(col(idCol)).as("keep_id"))
@@ -103,6 +110,78 @@ object DocStreams {
         () // foreachBatch wants Unit; unpersist returns the frame
       }
       .start()
+
+  /** Compact the band-key store: merge every `batch_id=K` segment with
+    * `evictBeforeBatchId <= K <= upToBatchId` into ONE band-sorted segment
+    * at `batch_id=upToBatchId`, and DELETE segments older than
+    * `evictBeforeBatchId` (the on-disk form of the dedup horizon — keys
+    * evicted here stop gating admission, mirroring `ingest`'s watermark
+    * eviction). Run periodically between triggers: per-trigger store
+    * listing and join input drop from O(batches) files to O(1) per
+    * compaction window.
+    *
+    * Replay safety: only pass an `upToBatchId` that is durably committed in
+    * the checkpoint (never the in-flight batch). The compacted segment
+    * keeps id `upToBatchId`, so a later batch N's `batch_id < N` store
+    * prune still sees every surviving key, and a replay of batch N >
+    * upToBatchId behaves identically pre- and post-compaction.
+    *
+    * Crash ordering: the merged segment is written to a dot-temp dir,
+    * swapped in with renames, and only then are the superseded segments
+    * deleted — a crash mid-delete leaves DUPLICATE band keys (harmless:
+    * admission reads are distinct/semi joins; re-running compaction heals).
+    * The one loss window is between the two renames of the `upToBatchId`
+    * segment itself; production would fence that behind the same commit
+    * log the sink uses.
+    */
+  def compactStore(
+      spark: SparkSession,
+      storePath: String,
+      upToBatchId: Long,
+      evictBeforeBatchId: Long = 0L,
+      idCol: String = "doc_id"): Unit = {
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val segIds = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val toEvict = segIds.filter(_ < evictBeforeBatchId)
+    val toMerge = segIds.filter(id => id >= evictBeforeBatchId && id <= upToBatchId)
+    if (toMerge.size > 1 || toEvict.nonEmpty) {
+      val schema = StructType(Seq(
+        StructField(idCol, LongType), StructField("band", StringType)))
+      val merged =
+        if (toMerge.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema)
+          .parquet(toMerge.map(id => new Path(root, s"batch_id=$id").toString): _*)
+      val tmp = new Path(root, s".compact_tmp_$upToBatchId")
+      merged
+        .repartitionByRange(col("band"))
+        .sortWithinPartitions(col("band"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val target = new Path(root, s"batch_id=$upToBatchId")
+      val old = new Path(root, s".compact_old_$upToBatchId")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(target)) fs.rename(target, old)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"could not move $tmp to $target")
+      (toMerge.filter(_ != upToBatchId) ++ toEvict)
+        .foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
+      fs.delete(old, true)
+    }
+  }
+
+  /** Segment count in the store — observability for the compaction spec. */
+  private[streaming] def storeSegments(spark: SparkSession, storePath: String): Seq[Long] = {
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong).sorted
+  }
 
   /** The signature store, or its empty shape before the first batch lands.
     * The schema is always supplied explicitly: after a mid-write crash the

@@ -97,6 +97,63 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     after3 shouldBe Set(1L, 3L, 4L, 6L)
   }
 
+  test("compactStore: admissions identical across a compaction boundary; horizon evicts") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-neardup-compact").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/$name")
+      rows.foreach { case (id, t) => w.println(s"""{"doc_id": $id, "text": "$t"}""") }
+      w.close()
+    }
+    val baseText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val q = DocStreams.nearDupIngest(
+        spark.readStream.schema(schema).json(srcDir),
+        s"$root/sink", s"$root/store", s"$root/chk")
+      q.awaitTermination(60000)
+    }
+    def sinkIds(): Set[Long] =
+      spark.read.parquet(s"$root/sink").select("doc_id").as[Long].collect().toSet
+
+    writeBatch("b1.json", Seq((1L, baseText),
+      (3L, "completely different words about maritime navigation charts and coastal tides")))
+    run() // batch 0
+    writeBatch("b2.json", Seq(
+      (6L, "fresh topic entirely about orbital mechanics and satellite constellations tonight")))
+    run() // batch 1
+    DocStreams.storeSegments(spark, s"$root/store") shouldBe Seq(0L, 1L)
+
+    // Compact batches 0..1 (both durably committed) into one segment.
+    DocStreams.compactStore(spark, s"$root/store", upToBatchId = 1L)
+    DocStreams.storeSegments(spark, s"$root/store") shouldBe Seq(1L)
+
+    // Batch 2 AFTER compaction: doc 7 near-dups doc 1 whose keys now live
+    // only in the compacted segment -> still dropped; doc 8 admitted.
+    writeBatch("b3.json", Seq((7L, baseText),
+      (8L, "novel subject on glacier cores and isotope ratios measured last winter")))
+    run() // batch 2
+    sinkIds() shouldBe Set(1L, 3L, 6L, 8L)
+    // Replay batch 2 ACROSS the compaction boundary: identical admissions.
+    new java.io.File(s"$root/chk/commits").listFiles()
+      .filter(f => f.getName == "2" || f.getName.startsWith(".2."))
+      .foreach(_.delete())
+    run()
+    sinkIds() shouldBe Set(1L, 3L, 6L, 8L)
+
+    // Horizon eviction: drop keys older than batch 2. The evicted doc-1
+    // keys stop gating admission, so a late duplicate is re-admitted —
+    // the watermark-eviction semantics of `ingest`, on disk.
+    DocStreams.compactStore(spark, s"$root/store", upToBatchId = 2L, evictBeforeBatchId = 2L)
+    DocStreams.storeSegments(spark, s"$root/store") shouldBe Seq(2L)
+    writeBatch("b4.json", Seq((9L, baseText)))
+    run() // batch 3
+    sinkIds() shouldBe Set(1L, 3L, 6L, 8L, 9L)
+  }
+
   test("ingest state is the content hash only — admitted schema carries curation columns") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Doc]
