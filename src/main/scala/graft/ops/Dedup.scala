@@ -64,31 +64,47 @@ object Dedup {
 
   // --- MinHash -------------------------------------------------------------
 
-  /** Mersenne prime 2^31-1; affine permutation coefficients are fixed so
-    * signatures are reproducible across engines and runs.
+  /** Mersenne prime 2^31-1; affine permutation coefficients are a fixed
+    * function of the component index, so signatures of ANY width k are
+    * reproducible across engines and runs (widening k extends the family,
+    * it never re-keys existing components).
     */
   val MinHashP = 2147483647L
+
+  /** Default signature width / band count. The k/bands trade is per-corpus:
+    * more bands of fewer rows = higher recall, more candidate pairs; the
+    * defaults (8 = 4 bands x 2 rows) target Jaccard ~0.5 at fixture scale.
+    * Every operator below takes explicit k/bands with these as defaults —
+    * see the width probe table in SURVEY §8 for measured precision/recall
+    * at other widths.
+    */
   val MinHashK = 8
-  val MinHashA: IndexedSeq[Long] = (1 to MinHashK).map(i => (2654435761L * i) % MinHashP)
-  val MinHashB: IndexedSeq[Long] = (1 to MinHashK).map(i => (40503L * i * 9973L) % MinHashP)
+  val LshBands = 4
+
+  def minHashA(i: Int): Long = (2654435761L * (i + 1)) % MinHashP
+  def minHashB(i: Int): Long = (40503L * (i + 1) * 9973L) % MinHashP
+
+  /** First-MinHashK coefficient vectors (oracle SQL builders index these). */
+  val MinHashA: IndexedSeq[Long] = (0 until MinHashK).map(minHashA)
+  val MinHashB: IndexedSeq[Long] = (0 until MinHashK).map(minHashB)
 
   /** MinHash signature component i: min over shingle hashes of
     * (A_i * h + B_i) mod P. Null for docs with no shingles.
     */
   def minhashComponent(hashes: Column, i: Int): Column =
-    array_min(transform(hashes, h => (lit(MinHashA(i)) * h + lit(MinHashB(i))) % lit(MinHashP)))
+    array_min(transform(hashes, h => (lit(minHashA(i)) * h + lit(minHashB(i))) % lit(MinHashP)))
 
   /** Full k-component signature as flat columns mh0..mh{k-1}. */
-  def minhashSig(hashes: Column): Seq[Column] =
-    (0 until MinHashK).map(i => minhashComponent(hashes, i).as(s"mh$i"))
+  def minhashSig(hashes: Column, k: Int = MinHashK): Seq[Column] =
+    (0 until k).map(i => minhashComponent(hashes, i).as(s"mh$i"))
 
-  /** LSH band keys: k=8 signature split into 4 bands of 2 rows; docs
-    * sharing any band key are candidate pairs. Banding turns near-dup
-    * search from O(n^2) into a shuffle on band keys.
+  /** LSH band key b over a signature split into bands of `rowsPerBand`
+    * components; docs sharing any band key are candidate pairs. Banding
+    * turns near-dup search from O(n^2) into a shuffle on band keys.
     */
-  val LshBands = 4
-  def bandKey(b: Int): Column =
-    concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+  def bandKey(b: Int, rowsPerBand: Int = 2): Column =
+    concat_ws(":",
+      lit(b) +: (0 until rowsPerBand).map(j => col(s"mh${rowsPerBand * b + j}")): _*)
 
   /** Document-frequency cap for shingle/band hot keys: a key shared by df
     * documents generates O(df^2) candidate pairs, so one viral key melts a
@@ -104,15 +120,19 @@ object Dedup {
     * rows (a null signature would otherwise give every short doc the same
     * band key and weld them into one giant false-dup bucket).
     */
-  def bandKeysFor(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bandKeysFor(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = MinHashK, bands: Int = LshBands): DataFrame = {
+    require(k % bands == 0, s"signature width $k must split evenly into $bands bands")
+    val r = k / bands
     val sigs = df.select(
       (col(idCol) +:
-        (0 until MinHashK).map(i =>
+        (0 until k).map(i =>
           minhashComponent(
             transform(shingles(col(textCol)), x => TextOps.polyHash(x)), i).as(s"mh$i"))): _*)
     sigs
       .filter(col("mh0").isNotNull)
-      .select(col(idCol), explode(array((0 until LshBands).map(bandKey): _*)).as("band"))
+      .select(col(idCol), explode(array((0 until bands).map(bandKey(_, r)): _*)).as("band"))
   }
 
   /** Candidate near-dup pairs via LSH banding over a (id, sig-columns)
@@ -121,10 +141,12 @@ object Dedup {
     * (hot-key guard — see [[ShingleDfCap]]); the count uses map-side
     * partial aggregation, so the guard itself is skew-safe.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, maxBucket: Int = ShingleDfCap): DataFrame = {
+  def lshCandidates(
+      sigs: DataFrame, idCol: String, maxBucket: Int = ShingleDfCap,
+      bands: Int = LshBands, rowsPerBand: Int = 2): DataFrame = {
     val banded = sigs.select(
       col(idCol),
-      explode(array((0 until LshBands).map(bandKey): _*)).as("band"))
+      explode(array((0 until bands).map(bandKey(_, rowsPerBand)): _*)).as("band"))
     // ONE shuffle via the shared single-pass pair generator (the previous
     // count-subplan + self-join shape evaluated the signature projection
     // three times); hot bands above maxBucket are dropped inside it.
