@@ -454,6 +454,12 @@ object SparkEntry {
     * Outputs are second-truncated epochs: Spark reads the nanos fixture
     * truncated to micros while DuckDB reads full nanos, so raw timestamp
     * bounds could differ in the sub-micro digits.
+    *
+    * Perf profile (tools.Q27Probe, sf0.1): warm steady state ~0.8-1.0 s —
+    * partial session-agg before the shuffle, one exchange on user_id, then
+    * the spillable sort + MergingSessions merge; no skew (hottest user has
+    * ~100 events) and nothing to tune. The 5.7 s in BENCH_r02 was one-time
+    * codegen compile + machine load on the first rep, not plan cost.
     */
   private def q27(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
