@@ -41,5 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // range conjuncts push into the scan (row-group pruning) with no manual
     // pre-filter.
     e.injectOptimizerRule(_ => PushPolygonBbox)
+    // Rewrite point-in-interval theta joins (BETWEEN with no equi key) from
+    // the nested loop Spark would plan into the leveled-grid equi-join.
+    e.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale-safe interval (range) join — point-in-interval as an EQUI-join,
@@ -41,5 +41,44 @@ object Intervals {
     probes.join(iv, Seq("lvl", "cell"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("lvl", "cell")
+  }
+
+  /** Expression-based variant used by the [[graft.plans.RewriteRangeJoin]]
+    * optimizer rule: point/start/end arrive as arbitrary Columns over the
+    * two frames and the EXACT original predicate is re-applied as the
+    * residual filter (so strict/inclusive bound mixes stay lossless).
+    * The interval side is the LEFT of the final equi-join on purpose: the
+    * levels subtree inside the probe side duplicates the interval subtree,
+    * and analysis deduplicates attribute ids on the RIGHT side of a
+    * conflicting join — keeping the interval branch's original ids, which
+    * the caller's output projection needs. Intervals with end < start (or
+    * null bounds) match nothing in the theta form and are pre-filtered so
+    * the cell `sequence` never sees descending bounds.
+    */
+  def intervalJoinOn(
+      points: DataFrame,
+      intervals: DataFrame,
+      pt: Column,
+      lo: Column,
+      hi: Column,
+      residual: Column): DataFrame = {
+    val loD = lo.cast("double")
+    val hiD = hi.cast("double")
+    val span = greatest(hiD - loD, lit(1.0))
+    val iv = intervals
+      .filter(loD <= hiD)
+      .withColumn("__lvl", ceil(log(2.0, span)).cast("int"))
+      .withColumn("__cell", explode(sequence(
+        floor(loD / pow(lit(2.0), col("__lvl"))).cast("long"),
+        floor(hiD / pow(lit(2.0), col("__lvl"))).cast("long"))))
+    // distinct levels via groupBy/count (never a Deduplicate node: this
+    // plan can be spliced in AFTER the optimizer batch that would rewrite
+    // one, so only nodes with direct physical strategies may appear)
+    val levels = iv.groupBy(col("__lvl")).count().select(col("__lvl"))
+    val probes = points.crossJoin(broadcast(levels))
+      .withColumn("__cell", floor(pt.cast("double") / pow(lit(2.0), col("__lvl"))).cast("long"))
+    iv.join(probes, Seq("__lvl", "__cell"))
+      .filter(residual)
+      .drop("__lvl", "__cell")
   }
 }
