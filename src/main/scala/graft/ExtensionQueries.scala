@@ -361,6 +361,90 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** PII scrubbing patterns — deliberately RE2-compatible (no \b, no
+    * lookaround) so the DuckDB oracle applies the byte-identical regex.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: redact emails/phones to typed placeholders + per-doc hit
+    * counts. Map-only (the 100 TB shape: scan -> regex -> write); the
+    * corpus has no natural PII, so deterministic contact tails are planted
+    * on every 7th doc in-query, and the SCRUBBED text is verified by
+    * fingerprint (hashing avoids shipping whole texts through the compare
+    * while still proving the replacement happened byte-for-byte).
+    */
+  private def x18(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("t2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+    planted.select(
+      col("doc_id"),
+      regexp_count(col("t2"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("t2"), lit(PhoneRe)).cast("long").as("n_phones"),
+      TextOps.polyHash(
+        regexp_replace(regexp_replace(col("t2"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"))
+        .as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition / boilerplate metrics: distinct-token ratio and top-token
+    * share per document — the curation signal for template spam and
+    * low-entropy boilerplate. Distributed shape: explode -> (doc, token)
+    * partial counts (map-side combine) -> per-doc roll-up; the shuffle key
+    * is (doc_id, token), so no per-doc in-memory token map ever forms.
+    * Docs with no tokens produce no row (both engines drop them in the
+    * explode/unnest).
+    */
+  private def x19(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_freq"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6).as("distinct_ratio"),
+        round(col("top_freq").cast("double") / col("n_tokens").cast("double"), 6).as("top_token_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-window budget for x20 packing (BPE-ish tokens per bin). */
+  private val PackBudget = 512
+
+  /** Sequential context-window packing: docs in id order fill fixed token
+    * bins per source shard — the standard pretraining concat-and-chunk,
+    * with each doc assigned to the bin its START offset lands in. Window
+    * cumsum partitioned BY SOURCE: packing parallelizes across shards (a
+    * single global order would serialize the window at 100 TB), which is
+    * how production packers shard anyway.
+    */
+  private def x20(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), TextOps.bpeTokenCount(col("text")).as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("tok")).cast("double") / lit(PackBudget.toDouble)).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -378,7 +462,10 @@ object ExtensionQueries {
     "x14_embedding_dim_stats" -> (x14 _),
     "x15_event_pivot" -> (x15 _),
     "x16_simhash64" -> (x16 _),
-    "x17_stratified_sample" -> (x17 _))
+    "x17_stratified_sample" -> (x17 _),
+    "x18_pii_scrub" -> (x18 _),
+    "x19_repetition" -> (x19 _),
+    "x20_doc_pack" -> (x20 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -615,5 +702,36 @@ object ExtensionQueries {
          | CAST(SUM(n_chars) AS BIGINT) AS kept_chars
          |FROM documents
          |WHERE ${polySql("text")} % 100 < (length(source) % 3 + 1) * 10
-         |GROUP BY source ORDER BY source""".stripMargin)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "x18_pii_scrub" ->
+      s"""WITH planted AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |   THEN text || ' contact user' || doc_id || '@example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |   ELSE text END AS t2
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(length(regexp_extract_all(t2, '$EmailRe')) AS BIGINT) AS n_emails,
+         | CAST(length(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
+         | ${polySql(s"regexp_replace(regexp_replace(t2, '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g')")} AS scrubbed_fp
+         |FROM planted ORDER BY doc_id""".stripMargin,
+    "x19_repetition" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok FROM documents),
+        |pt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        | CAST(SUM(c) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | round(CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_ratio,
+        | round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_share
+        |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x20_doc_pack" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |  CAST(length(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT) AS tok
+         | FROM documents),
+         |c AS (SELECT source, doc_id, tok,
+         |  SUM(tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM d)
+         |SELECT source, CAST(floor(CAST(cum - tok AS DOUBLE) / ${PackBudget}.0) AS BIGINT) AS bin,
+         | CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+         | CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin)
 }
