@@ -445,6 +445,45 @@ object ExtensionQueries {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Int8 scalar quantization + quantized top-k: per-dimension min/max
+    * (64-group aggregate, same shuffle shape as x14) broadcast into a
+    * map-only encode to 0..254 codes — the 4x memory/bandwidth reduction
+    * that makes billion-vector ANN shelves fit — then brute-force top-3 in
+    * QUANTIZED space for the x08 query set. Codes are exact integers and
+    * the rank orders by the rounded cosine, so even this lossy operator is
+    * hash-checked end to end: both engines must agree on every code, every
+    * quantized cosine, every rank. The reassembly groupBy shuffles codes
+    * (a quarter of the float bytes); array order is pinned by sorting
+    * (pos, code) structs, never collect_list order.
+    */
+  private def x21(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ex = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val stats = ex.groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val codes = ex.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        when(col("mx") > col("mn"),
+          round((col("x") - col("mn")) / (col("mx") - col("mn")) * 254.0).cast("int"))
+          .otherwise(lit(0)).as("code"))
+    val qvecs = codes.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("code")))),
+        s0 => s0("code").cast("double")).as("qvec"))
+    val queriesQ = qvecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qvec").as("quv"))
+    val scored = qvecs.join(broadcast(queriesQ), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(
+          Similarity.cosineStatic(col("quv"), col("qvec"),
+            Similarity.norm(col("quv"), EmbDim), Similarity.norm(col("qvec"), EmbDim), EmbDim),
+          6).as("qcos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -465,7 +504,8 @@ object ExtensionQueries {
     "x17_stratified_sample" -> (x17 _),
     "x18_pii_scrub" -> (x18 _),
     "x19_repetition" -> (x19 _),
-    "x20_doc_pack" -> (x20 _))
+    "x20_doc_pack" -> (x20 _),
+    "x21_quantized_topk" -> (x21 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -733,5 +773,20 @@ object ExtensionQueries {
          |SELECT source, CAST(floor(CAST(cum - tok AS DOUBLE) / ${PackBudget}.0) AS BIGINT) AS bin,
          | CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS bin_tokens,
          | CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
-         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin)
+         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "x21_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, CAST(s.pos AS BIGINT) AS pos, s.x AS x FROM
+        | (SELECT vec_id, unnest(list_transform(range(1, len(v)+1), i -> {'pos': i-1, 'x': v[i]})) AS s FROM e)),
+        |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+        |cd AS (SELECT vec_id, ex.pos AS pos,
+        |  CASE WHEN mx > mn THEN CAST(round((x - mn) / (mx - mn) * 254.0) AS INT) ELSE 0 END AS code
+        | FROM ex JOIN st ON ex.pos = st.pos),
+        |qv AS (SELECT vec_id, list(CAST(code AS DOUBLE) ORDER BY pos) AS qvec FROM cd GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, qvec AS quv FROM qv WHERE vec_id < 5),
+        |p AS (SELECT qid, qv.vec_id AS vec_id, round(list_cosine_similarity(quv, qvec), 6) AS qcos
+        | FROM qv, q WHERE qv.vec_id <> qid),
+        |r AS (SELECT qid, vec_id, qcos,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS BIGINT) AS rnk FROM p)
+        |SELECT qid, vec_id, qcos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)
 }
