@@ -99,7 +99,23 @@ object Similarity {
     * Scale: assignment is a broadcast join (corpus x small centroid set,
     * map-side); the search join shuffles on cell id only.
     */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame, dim: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, dim: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
+    ivfProbe(corpus, centroids, dim, 1, idCol, vecCol)
+
+  /** IVF probing with the standard `nprobe` recall/cost knob: each vector
+    * keeps its `nprobe` NEAREST cells (one output row per kept cell).
+    * nprobe=1 is index ASSIGNMENT (each corpus vector lives in exactly one
+    * cell); at query time a larger nprobe widens the search to neighboring
+    * cells, trading candidate volume (shuffle + verify cost scales
+    * linearly in nprobe) for recall of matches that fell across a Voronoi
+    * boundary. Deterministic: ties break to the lower cell id on the
+    * rounded cosine, so probed candidate sets are engine-reproducible like
+    * everything else in this family.
+    */
+  def ivfProbe(
+      corpus: DataFrame, centroids: DataFrame, dim: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("cv"))
     val scored = corpus.crossJoin(broadcast(c))
       .select(
@@ -109,7 +125,7 @@ object Similarity {
     val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("cell_id"))
     scored
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+      .filter(col("rnk") <= nprobe)
       .select(col(idCol), col(vecCol), col("cell_id"))
   }
 

@@ -58,4 +58,35 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
     cands.filter(col("id2") >= 1000 && col("id1") === col("id2") - 1000)
       .select(min("cos")).head().getDouble(0) should be >= 0.999
   }
+
+  test("ivfProbe: nprobe widens the candidate set monotonically; nprobe=1 is assignment") {
+    val corpus = (0 until 200).map(i => (i.toLong, randVec(i))).toDF("vec_id", "v")
+    val cents = (0 until 8).map(i => (i.toLong, randVec(1000 + i))).toDF("vec_id", "v")
+    val p1 = Similarity.ivfProbe(corpus, cents, dim, 1)
+    val p3 = Similarity.ivfProbe(corpus, cents, dim, 3)
+    // assignment: exactly one cell per vector; probing: exactly min(nprobe, cells)
+    p1.groupBy("vec_id").count().filter(col("count") =!= 1).count() shouldBe 0L
+    p3.groupBy("vec_id").count().filter(col("count") =!= 3).count() shouldBe 0L
+    // monotone: every (vec, cell) probed at nprobe=1 is probed at nprobe=3
+    p1.join(p3, Seq("vec_id", "cell_id"), "left_anti").count() shouldBe 0L
+    // ivfAssign is the nprobe=1 alias
+    Similarity.ivfAssign(corpus, cents, dim).select("vec_id", "cell_id")
+      .except(p1.select("vec_id", "cell_id")).count() shouldBe 0L
+    // recall: brute-force nearest neighbour of each query is found within
+    // the probed cells strictly more often at nprobe=3 than misses allow
+    val queries = corpus.filter(col("vec_id") < 20)
+    def recalled(probed: org.apache.spark.sql.DataFrame): Long = {
+      val truth = Similarity.bruteForceTopK(corpus, queries, 1, dim = dim)
+        .select(col("qid"), col("vec_id").as("nn"))
+      val qcells = probed.join(queries.select("vec_id"), "vec_id")
+        .select(col("vec_id").as("qid"), col("cell_id"))
+      val nncells = probed.select(col("vec_id").as("nn"), col("cell_id"))
+      truth.join(qcells, "qid").join(nncells, Seq("nn", "cell_id"), "left_semi")
+        .select("qid").distinct().count()
+    }
+    val r1 = recalled(p1)
+    val r3 = recalled(p3)
+    r3 should be >= r1
+    r3 should be > 10L // with 8 cells and nprobe 3, most true NNs are reachable
+  }
 }
