@@ -484,6 +484,45 @@ object ExtensionQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Unigram language-model quality score (the CCNet-style LM filter,
+    * simplified to unigrams so it is exactly oracle-checkable): two-pass —
+    * (1) corpus unigram counts (shuffle key = token, map-side combine),
+    * (2) score each doc by mean log-probability of its tokens under that
+    * distribution (join back on token, decimal-quantized mean so the
+    * result is summation-order independent). Low scores = out-of-
+    * distribution/garbage docs; the token join is the only data-sized
+    * shuffle and the 1-row total broadcasts.
+    */
+  private def x22(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+    val total = vocab.agg(sum(col("tc")).as("tt"))
+    tok.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("tc").cast("double") / col("tt").cast("double")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(graft.util.Exact.davg(col("lp"), 6), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary extraction: top-100 tokens by term frequency with document
+    * frequency — the tokenizer-training precursor. Two-level aggregation
+    * (token, doc) -> token keeps the distinct-doc count shuffle-safe;
+    * deterministic tie-break on the token string.
+    */
+  private def x23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("tok"))
+      .agg(sum(col("c")).cast("long").as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -505,7 +544,9 @@ object ExtensionQueries {
     "x18_pii_scrub" -> (x18 _),
     "x19_repetition" -> (x19 _),
     "x20_doc_pack" -> (x20 _),
-    "x21_quantized_topk" -> (x21 _))
+    "x21_quantized_topk" -> (x21 _),
+    "x22_unigram_logprob" -> (x22 _),
+    "x23_vocab" -> (x23 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -788,5 +829,18 @@ object ExtensionQueries {
         | FROM qv, q WHERE qv.vec_id <> qid),
         |r AS (SELECT qid, vec_id, qcos,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS BIGINT) AS rnk FROM p)
-        |SELECT qid, vec_id, qcos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)
+        |SELECT qid, vec_id, qcos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "x22_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok FROM documents),
+        |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS tc FROM tk GROUP BY tok),
+        |tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt FROM vc),
+        |lp AS (SELECT doc_id, ln(CAST(tc AS DOUBLE) / CAST(tt AS DOUBLE)) AS lp FROM tk JOIN vc USING (tok) CROSS JOIN tt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x23_vocab" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok FROM documents),
+        |pd AS (SELECT tok, doc_id, count(*) AS c FROM tk GROUP BY tok, doc_id)
+        |SELECT tok, CAST(SUM(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+        |FROM pd GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin)
 }
