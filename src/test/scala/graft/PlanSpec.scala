@@ -128,6 +128,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     exprLineCodegend(finalPlan("x16_simhash64"), "simhash64") shouldBe true
   }
 
+  test("x18: PII scrub is map-only — no exchange before the final order") {
+    val p = plan("x18_pii_scrub")
+    // one rangepartitioning exchange for the ORDER BY, nothing else
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    p should include("rangepartitioning")
+  }
+
+  test("x22: LM scoring joins on the token hash-side, total is a broadcast") {
+    val p = finalPlan("x22_unigram_logprob")
+    p should include("BroadcastExchange") // the 1-row total
+    p should include("HashAggregate")     // vocab counts with partial agg
+    p should not include "CartesianProduct"
+  }
+
+  test("x21: quantization stats broadcast; only the tiny query set nested-loops") {
+    val p = finalPlan("x21_quantized_topk")
+    p should include("BroadcastExchange")
+    // any BNLJ line must be the 5-row query-side broadcast, never the corpus
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => l should include("BuildRight"))
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
