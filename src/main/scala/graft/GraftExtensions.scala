@@ -44,5 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Rewrite point-in-interval theta joins (BETWEEN with no equi key) from
     // the nested loop Spark would plan into the leveled-grid equi-join.
     e.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
+    // Native as-of join: plan graft.plans.AsOfJoin logical nodes as the
+    // sort-merge AsOfJoinExec.
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

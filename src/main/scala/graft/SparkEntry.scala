@@ -472,6 +472,25 @@ object SparkEntry {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("start_s"))
 
+  /** The SAME as-of semantics as q12, through the NATIVE whole-operator
+    * path: [[graft.plans.AsOfJoin]] (custom logical node -> strategy ->
+    * sort-merge AsOfJoinExec) instead of the union + running-last window
+    * emulation. Both queries share the DuckDB ASOF LEFT JOIN oracle, so
+    * the custom physical operator is hash-verified end to end.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("uid"), col("ts").as("sts")).distinct()
+    graft.plans.AsOf.join(purchases, signups, Seq("user_id" -> "uid"), "ts" -> "sts")
+      .select(
+        col("event_id"), col("user_id"),
+        date_trunc("minute", col("sts")).as("signup_minute"))
+      .orderBy(col("event_id"))
+  }
+
   /** Unpivot / melt: wide per-supplier bbox columns back to long
     * (dimension, value) rows — the inverse of x15's pivot. Generator-based
     * (Expand), no shuffle until the aggregate.
@@ -690,6 +709,7 @@ object SparkEntry {
     "q25_grouping_sets" -> (q25 _),
     "q26_unpivot" -> (q26 _),
     "q27_session_window" -> (q27 _),
+    "q28_asof_native" -> (q28 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -767,6 +787,12 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q12_asof_join" ->
+      """WITH s AS (SELECT DISTINCT user_id AS uid, ts AS sts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, CAST(date_trunc('minute', s.sts) AS TIMESTAMP) AS signup_minute
+        |FROM events p ASOF LEFT JOIN s ON p.user_id = s.uid AND p.ts >= s.sts
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    "q28_asof_native" ->
       """WITH s AS (SELECT DISTINCT user_id AS uid, ts AS sts FROM events WHERE event_type = 'signup')
         |SELECT p.event_id, p.user_id, CAST(date_trunc('minute', s.sts) AS TIMESTAMP) AS signup_minute
         |FROM events p ASOF LEFT JOIN s ON p.user_id = s.uid AND p.ts >= s.sts
