@@ -523,6 +523,39 @@ object ExtensionQueries {
       .orderBy(col("tf").desc, col("tok"))
       .limit(100)
 
+  /** Eval decontamination: which test-split documents share 5-gram content
+    * with the train split (the benchmark-leakage sweep every training run
+    * needs). Deterministic hash split (x12's buckets), train side reduced
+    * to a DISTINCT shingle set (shuffle key = shingle, map-side combine),
+    * test side exploded and equi-joined on the shingle — no document ever
+    * compares against another document directly, so the pair space is
+    * shared-content only. Contamination is PLANTED (train docs re-added to
+    * the test split at +200000) since the hash split makes natural 5-gram
+    * overlap in word salad essentially zero; planted docs report
+    * containment 1.0.
+    */
+  private def x24(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(
+      col("doc_id"), col("text"), (TextOps.polyHash(col("text")) % 100).as("bucket"))
+    val trainSh = base.filter(col("bucket") < 80)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("shingle")).distinct()
+    val planted = base.filter(col("bucket") < 80 && col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    val test = base.filter(col("bucket") >= 90).select(col("doc_id"), col("text"))
+      .union(planted)
+    val testSh = test.select(col("doc_id"), Dedup.shingles(col("text"), 5).as("s"))
+      .filter(size(col("s")) > 0)
+    testSh
+      .select(col("doc_id"), size(col("s")).as("n_shingles"), explode(col("s")).as("shingle"))
+      .join(trainSh, "shingle")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        col("doc_id"), col("n_shingles").cast("long").as("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6).as("containment"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -546,7 +579,8 @@ object ExtensionQueries {
     "x20_doc_pack" -> (x20 _),
     "x21_quantized_topk" -> (x21 _),
     "x22_unigram_logprob" -> (x22 _),
-    "x23_vocab" -> (x23 _))
+    "x23_vocab" -> (x23 _),
+    "x24_decontamination" -> (x24 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -842,5 +876,24 @@ object ExtensionQueries {
       """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok FROM documents),
         |pd AS (SELECT tok, doc_id, count(*) AS c FROM tk GROUP BY tok, doc_id)
         |SELECT tok, CAST(SUM(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
-        |FROM pd GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin)
+        |FROM pd GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin,
+    "x24_decontamination" -> {
+      val fiveGram =
+        """CASE WHEN len(t) >= 5
+          | THEN list_distinct(list_transform(range(1, len(t)-3), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+          | ELSE []::VARCHAR[] END""".stripMargin
+      s"""WITH b AS (SELECT doc_id, text, ${polySql("text")} % 100 AS bucket FROM documents),
+         |trtk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM b WHERE bucket < 80),
+         |trsh AS (SELECT DISTINCT unnest($fiveGram) AS shingle FROM trtk),
+         |tes AS (SELECT doc_id, text FROM b WHERE bucket >= 90
+         | UNION ALL SELECT doc_id + 200000, text FROM b WHERE bucket < 80 AND doc_id % 13 = 0),
+         |tetk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM tes),
+         |tesh AS (SELECT doc_id, $fiveGram AS s FROM tetk),
+         |tesz AS (SELECT doc_id, len(s) AS n_shingles FROM tesh WHERE len(s) > 0),
+         |teex AS (SELECT doc_id, unnest(s) AS shingle FROM tesh),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM teex JOIN trsh USING (shingle) GROUP BY doc_id)
+         |SELECT h.doc_id, CAST(z.n_shingles AS BIGINT) AS n_shingles, n_hits,
+         | round(CAST(n_hits AS DOUBLE) / CAST(z.n_shingles AS DOUBLE), 6) AS containment
+         |FROM hits h JOIN tesz z USING (doc_id) ORDER BY doc_id""".stripMargin
+    })
 }
