@@ -273,43 +273,86 @@ object SparkEntry {
   }
 
   /** Exact percentiles (linear interpolation — DuckDB quantile_cont
-    * semantics) per group, computed SCALE-SAFE: a per-group spillable sort +
-    * row_number, then interpolation between the two straddling rows.
-    * Spark's `percentile` aggregate buffers a value->count map PER GROUP in
-    * executor memory — at 100 TB with millions of distinct prices per
-    * return flag that buffer is the OOM, not the shuffle. Here the heavy
-    * lifting is sort-based (WindowExec spills to disk), only <= 2 rows per
-    * group survive the rank filter, and the group-count side is a 3-row
-    * broadcast. Two percentiles over different sort keys = two ranked
-    * passes joined on the tiny group key. (Residual skew note: exact
-    * per-group quantiles with few groups parallelize at most to the group
-    * count in the window stage — inherent to micros-exact semantics; the
-    * q21 histogram sketch is the fixed-parallelism alternative.)
+    * semantics) per group, computed SCALE-SAFE by histogram-refine: find
+    * the exact order statistics without ever sorting a whole group.
+    *
+    * Spark's `percentile` aggregate buffers a value->count map PER GROUP
+    * in executor memory (OOM at scale); a per-group sort/window is
+    * spillable but parallelizes only to the GROUP COUNT (3 return flags =
+    * 3-way parallelism — the 10x scale probe showed it 5.9x-ing while the
+    * suite grew 1.7x). Histogram-refine keeps exactness AND parallelism:
+    *  1. per-group count/min/max (one agg) -> target ranks klo/khi for
+    *     p*(n-1) and a 10k-bucket bin width; all broadcast (rows = groups);
+    *  2. per-(group, bin) counts (one agg, full parallelism) -> cumulative
+    *     over the <=10k bins per group (tiny window) locates the bin
+    *     holding each target rank and the count of rows before it;
+    *  3. only rows in the located bins (~n/10k per group) re-rank by value
+    *     — the k-th smallest overall is the (k - before)-th within its bin
+    *     — and interpolation uses the two recovered order statistics.
+    * Every data-sized stage is a hash aggregate with map-side combine; the
+    * sorts touch ~0.01% of rows. Degenerate case: a group with all-equal
+    * values collapses to one bin (trivially sorted equal keys). The
+    * recovered values are EXACT order statistics, so the oracle stays
+    * plain quantile_cont.
     */
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
-    val counts = l.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    def qcont(valCol: Column, p: Double, out: String): DataFrame = {
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-      val ranked = l.select(col("l_returnflag"), valCol.cast("double").as("v"))
-        .withColumn("rn", row_number().over(w))
-      ranked.join(broadcast(counts), "l_returnflag")
-        // 0-based fractional index p*(n-1): same double arithmetic as
-        // DuckDB's quantile_cont, so the interpolated value hash-matches.
+    val Buckets = 10000
+    // ONE shared stats pass: counts and both columns' min/max (the probe
+    // showed per-column stats passes dominating once the sorts were gone).
+    val stats = l.groupBy(col("l_returnflag").as("g")).agg(
+      count(lit(1)).as("n"),
+      min(col("l_quantity").cast("double")).as("mn1"),
+      max(col("l_quantity").cast("double")).as("mx1"),
+      min(col("l_extendedprice").cast("double")).as("mn2"),
+      max(col("l_extendedprice").cast("double")).as("mx2"))
+      // 3-row model frame feeding five plan branches — cache so the scan+
+      // agg runs once, not per branch (Bench/Verify clear caches between
+      // queries).
+      .cache()
+    def qcont(valCol: Column, p: Double, out: String, mnCol: String, mxCol: String): DataFrame = {
+      val src = l.select(col("l_returnflag").as("g"), valCol.cast("double").as("v"))
+      // 0-based fractional index p*(n-1): same double arithmetic as
+      // DuckDB's quantile_cont, so the interpolated value hash-matches.
+      val tgt = stats
         .withColumn("idx", lit(p) * (col("n") - lit(1)).cast("double"))
-        .filter(col("rn") - 1 === floor(col("idx")) || col("rn") - 1 === ceil(col("idx")))
-        .groupBy(col("l_returnflag"))
+        .select(col("g"), col(mnCol).as("mn"),
+          (floor(col("idx")) + 1).cast("long").as("klo"),
+          (ceil(col("idx")) + 1).cast("long").as("khi"),
+          (col("idx") - floor(col("idx"))).as("frac"),
+          ((col(mxCol) - col(mnCol)) / Buckets).as("w"))
+      val binned = src.join(broadcast(tgt.select(col("g"), col("mn"), col("w"))), "g")
+        .select(col("g"), col("v"),
+          when(col("w") > 0,
+            least(floor((col("v") - col("mn")) / col("w")), lit((Buckets - 1).toLong)))
+            .otherwise(lit(0L)).as("bin"))
+      val binCounts = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
+      val wBins = Window.partitionBy(col("g")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = binCounts
+        .withColumn("cum", sum(col("c")).over(wBins))
+        .withColumn("before", col("cum") - col("c"))
+      def locate(kCol: String, tag: String) =
+        cum.join(broadcast(tgt.select(col("g"), col(kCol).as("k"))), "g")
+          .filter(col("cum") >= col("k") && col("before") < col("k"))
+          .select(col("g"), col("bin"), lit(tag).as("which"), col("k"), col("before"))
+      val located = locate("klo", "lo").union(locate("khi", "hi"))
+      val wSel = Window.partitionBy(col("g"), col("which")).orderBy(col("v"))
+      val picked = binned.join(broadcast(located), Seq("g", "bin"))
+        .withColumn("rn", row_number().over(wSel))
+        .filter(col("rn") === col("k") - col("before"))
+        .groupBy(col("g"))
         .agg(
-          max(when(col("rn") - 1 === floor(col("idx")), col("v"))).as("vlo"),
-          max(when(col("rn") - 1 === ceil(col("idx")), col("v"))).as("vhi"),
-          max(col("idx") - floor(col("idx"))).as("frac"))
+          max(when(col("which") === "lo", col("v"))).as("vlo"),
+          max(when(col("which") === "hi", col("v"))).as("vhi"))
+      picked.join(broadcast(tgt.select(col("g"), col("frac"))), "g")
         .select(
-          col("l_returnflag"),
+          col("g").as("l_returnflag"),
           round(col("vlo") + (col("vhi") - col("vlo")) * col("frac"), 6).as(out))
     }
-    qcont(col("l_quantity"), 0.5, "median_qty")
-      .join(qcont(col("l_extendedprice"), 0.9, "p90_price"), "l_returnflag")
-      .join(counts, "l_returnflag")
+    qcont(col("l_quantity"), 0.5, "median_qty", "mn1", "mx1")
+      .join(qcont(col("l_extendedprice"), 0.9, "p90_price", "mn2", "mx2"), "l_returnflag")
+      .join(stats.select(col("g").as("l_returnflag"), col("n")), "l_returnflag")
       .select(col("l_returnflag"), col("median_qty"), col("p90_price"), col("n"))
       .orderBy(col("l_returnflag"))
   }

@@ -108,10 +108,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     fp should not include "UDF"
   }
 
-  test("q20: percentiles run as spillable sort/window interpolation, no percentile buffer agg") {
+  test("q20: percentiles run histogram-refine (hash aggs + tiny windows), no percentile buffer agg") {
     val p = finalPlan("q20_percentiles")
     // The scale-unsafe shape this replaces was an ObjectHashAggregate over
     // `percentile(...)` — a per-group value->count map in executor memory.
+    // Histogram-refine: data-sized stages are HashAggregates (bin counts);
+    // windows (bin cumsum + candidate re-rank) touch only per-group bins
+    // and ~n/10k candidate rows.
+    p should include("HashAggregate")
     p should include("Window")
     p should include("row_number")
     p should not include "percentile("
