@@ -154,6 +154,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
       .foreach(l => l should include("BuildRight"))
   }
 
+  test("top-k windows get WindowGroupLimit (bounded per-group heaps, not full sorts)") {
+    // Declarative rank-filter shapes let Catalyst insert WindowGroupLimit:
+    // each group retains only k rows before the sort — the free scale win
+    // a hand-scheduled top-k would have to reimplement. Pin it so a
+    // refactor to a shape the rule can't see fails loudly.
+    Seq("x08_cosine_topk", "q07_window_topn", "x13_ann_ivf", "x21_quantized_topk").foreach { q =>
+      withClue(q) { plan(q) should include("WindowGroupLimit") }
+    }
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
