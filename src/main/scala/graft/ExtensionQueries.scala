@@ -361,11 +361,9 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
-  /** PII scrubbing patterns — deliberately RE2-compatible (no \b, no
-    * lookaround) so the DuckDB oracle applies the byte-identical regex.
-    */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  /** PII patterns live in [[TextOps]] (shared with streaming curation). */
+  private val EmailRe = TextOps.EmailRe
+  private val PhoneRe = TextOps.PhoneRe
 
   /** PII scrub: redact emails/phones to typed placeholders + per-doc hit
     * counts. Map-only (the 100 TB shape: scan -> regex -> write); the
@@ -384,11 +382,9 @@ object ExtensionQueries {
           .otherwise(col("text")))
     planted.select(
       col("doc_id"),
-      regexp_count(col("t2"), lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(col("t2"), lit(PhoneRe)).cast("long").as("n_phones"),
-      TextOps.polyHash(
-        regexp_replace(regexp_replace(col("t2"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"))
-        .as("scrubbed_fp"))
+      TextOps.emailCount(col("t2")).as("n_emails"),
+      TextOps.phoneCount(col("t2")).as("n_phones"),
+      TextOps.polyHash(TextOps.scrubPii(col("t2"))).as("scrubbed_fp"))
       .orderBy(col("doc_id"))
   }
 

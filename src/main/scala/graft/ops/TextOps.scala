@@ -58,6 +58,20 @@ object TextOps {
   def punctCount(c: Column): Column =
     size(regexp_extract_all(c, lit(PunctPattern), lit(0))).cast("long")
 
+  /** PII scrubbing patterns — deliberately RE2-compatible (no \b, no
+    * lookaround) so the DuckDB oracle applies the byte-identical regex.
+    * Shared by the batch x18 query and the streaming curation stage.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phones to typed placeholders (map-only). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe)).cast("long")
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe)).cast("long")
+
   /** Per-language stopword patterns for the n-gram language-ID heuristic. */
   val StopwordPatterns: Seq[(String, String)] = Seq(
     "en" -> "\\b(the|a|and|of|to|in|is)\\b",

@@ -26,23 +26,35 @@ object DocStreams {
 
   /** Map-only curation columns — reused verbatim from the batch operators
     * so stream and batch score identically (same codegen'd expressions).
+    * With `scrubPii` the admitted text is the REDACTED form (x18's exact
+    * expressions) plus per-doc hit counts; hashing/scoring stay on the
+    * original text so a scrubbed duplicate still dedups against its
+    * unscrubbed twin.
     */
-  def withCuration(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+  def withCuration(docs: DataFrame, textCol: String = "text", scrubPii: Boolean = false): DataFrame = {
+    val curated = docs
       .withColumn("content_hash", Dedup.contentKey(col(textCol)))
       .withColumn("lang_guess", TextOps.langGuess(col(textCol)))
       .withColumn("quality", TextOps.quality(col(textCol)))
+    if (!scrubPii) curated
+    else curated
+      .withColumn("n_emails", TextOps.emailCount(col(textCol)))
+      .withColumn("n_phones", TextOps.phoneCount(col(textCol)))
+      .withColumn(textCol, TextOps.scrubPii(col(textCol)))
+  }
 
-  /** Full ingest pipeline: curate -> quality gate -> exact dedup within the
-    * watermark horizon. Emits admitted documents in append mode.
+  /** Full ingest pipeline: curate (optionally PII-scrub) -> quality gate ->
+    * exact dedup within the watermark horizon. Emits admitted documents in
+    * append mode.
     */
   def ingest(
       docs: DataFrame,
       tsCol: String = "ts",
       textCol: String = "text",
       minQuality: Double = 0.5,
-      watermark: String = "1 hour"): DataFrame =
-    withCuration(docs, textCol)
+      watermark: String = "1 hour",
+      scrubPii: Boolean = false): DataFrame =
+    withCuration(docs, textCol, scrubPii)
       .filter(col("quality") >= minQuality)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")

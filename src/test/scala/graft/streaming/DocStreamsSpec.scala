@@ -154,6 +154,32 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     sinkIds() shouldBe Set(1L, 3L, 6L, 8L, 9L)
   }
 
+  test("scrubPii: admitted stream carries redacted text + counts; dedup still sees the original") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DocStreams.ingest(in.toDF(), minQuality = 0.2, scrubPii = true)
+      .writeStream.format("memory").queryName("scrubbed").outputMode(OutputMode.Append()).start()
+    try {
+      val withPii = prose + " contact user1@example.com or call 555-0042"
+      in.addData(
+        Doc(1, ts("2024-01-01 10:00:00"), withPii),
+        Doc(2, ts("2024-01-01 10:01:00"), withPii)) // exact dup of the ORIGINAL text
+      q.processAllAvailable()
+      val rows = spark.table("scrubbed").orderBy("doc_id").collect()
+      rows.length shouldBe 1 // dedup keyed on the pre-scrub content hash
+      val r = rows.head
+      r.getAs[String]("text") should include("[EMAIL]")
+      r.getAs[String]("text") should include("[PHONE]")
+      r.getAs[String]("text") should not include "@example.com"
+      r.getAs[Long]("n_emails") shouldBe 1L
+      r.getAs[Long]("n_phones") shouldBe 1L
+      // identical expressions to the batch x18 path
+      val batch = Seq((1L, withPii)).toDF("doc_id", "text")
+        .select(graft.ops.TextOps.scrubPii(org.apache.spark.sql.functions.col("text"))).head().getString(0)
+      r.getAs[String]("text") shouldBe batch
+    } finally q.stop()
+  }
+
   test("ingest state is the content hash only — admitted schema carries curation columns") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Doc]
