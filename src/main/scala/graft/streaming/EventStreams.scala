@@ -34,6 +34,39 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Windowed approximate distinct users via the custom [[graft.functions
+    * .KMinValues]] sketch — custom TypedImperativeAggregates ride
+    * Structured Streaming's partial/merge/state protocol exactly like
+    * built-ins, so the one-pass sketch that replaces exact distincts in
+    * batch (q21) bounds STREAMING state too: per window the state store
+    * holds the k smallest hashes (k longs), never the user-id set — the
+    * difference between O(k) and O(users) state per window on an unbounded
+    * feed. Exact below k distinct keys; the (k-1)*P/kth_min estimator
+    * above.
+    */
+  def windowedDistinctUsers(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours",
+      k: Int = 64): DataFrame = {
+    val P = 2147483647L
+    val A = 506952114L
+    val B = 12345L
+    val h = (lit(A) * col("user_id").cast("long") + lit(B)) % lit(P)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), windowDur))
+      .agg(
+        graft.functions.SketchExprs.kMinValues(h, k).as("kmv"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * P.toDouble) / element_at(col("kmv"), k).cast("double"))
+          .as("approx_users"),
+        col("n_events"))
+  }
+
   /** Stream-stream attribution join: each purchase joins the view(s) by the
     * same user within the preceding `windowSpec` — the watermarked
     * stream-stream interval join (state on BOTH sides, evicted once the

@@ -41,6 +41,36 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsers: custom KMV aggregate holds O(k) streaming state, exact below k") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedDistinctUsers(in.toDF(), windowDur = "1 hour", k = 64)
+      .writeStream.format("memory").queryName("wdu").outputMode(OutputMode.Update()).start()
+    try {
+      // window 10:00: users 1,2,3 (user 1 twice); window 11:00: users 7,8 —
+      // delivered across TWO micro-batches so the sketch buffer round-trips
+      // the state store and merges.
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        Event(3, ts("2024-01-01 10:20:00"), 1, "view", 1.0),
+        Event(4, ts("2024-01-01 10:30:00"), 3, "view", 1.0),
+        Event(5, ts("2024-01-01 11:05:00"), 7, "view", 1.0),
+        Event(6, ts("2024-01-01 11:10:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wdu")
+        .groupBy($"window_start")
+        .agg(
+          org.apache.spark.sql.functions.max($"approx_users").as("u"),
+          org.apache.spark.sql.functions.max($"n_events").as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> (r.getDouble(1), r.getLong(2))).toMap
+      rows("2024-01-01 10:00:00.0") shouldBe ((3.0, 4L)) // 3 distinct users, 4 events
+      rows("2024-01-01 11:00:00.0") shouldBe ((2.0, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; closed sessions emit on the next event") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
