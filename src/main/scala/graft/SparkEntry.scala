@@ -534,6 +534,21 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Batch twin of [[graft.streaming.EventStreams.windowedDistinctUsers]]
+    * (the repo's stream/batch pattern: every streaming operator has an
+    * oracle-checked bounded form — q10/q23/q27 likewise). Same code path:
+    * the custom KMV sketch aggregate over 1-hour windows; the oracle
+    * reproduces the k-smallest-hashes estimator exactly (q21's machinery
+    * keyed by hour).
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    streaming.EventStreams.windowedDistinctUsers(Tables.events(s, dir), windowDur = "1 hour", k = 64)
+      .select(
+        col("window_start").as("hour_start"),
+        round(col("approx_users"), 4).as("approx_users"),
+        col("n_events"))
+      .orderBy(col("hour_start"))
+
   /** Unpivot / melt: wide per-supplier bbox columns back to long
     * (dimension, value) rows — the inverse of x15's pivot. Generator-based
     * (Expand), no shuffle until the aggregate.
@@ -753,6 +768,7 @@ object SparkEntry {
     "q26_unpivot" -> (q26 _),
     "q27_session_window" -> (q27 _),
     "q28_asof_native" -> (q28 _),
+    "q29_kmv_hourly" -> (q29 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -917,6 +933,17 @@ object SparkEntry {
         | median_bin*100.0 + 50.0 AS approx_median_price, n_rows
         |FROM est e JOIN med m ON e.l_returnflag = m.l_returnflag
         |ORDER BY e.l_returnflag""".stripMargin,
+    "q29_kmv_hourly" ->
+      """WITH km AS (
+        | SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  list_slice(list_sort(list_distinct(list_transform(array_agg(user_id), x -> (506952114::BIGINT * x + 12345) % 2147483647))), 1, 64) AS mu,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY 1)
+        |SELECT hour_start,
+        | round(CASE WHEN len(mu) < 64 THEN CAST(len(mu) AS DOUBLE)
+        |       ELSE 135291469761.0 / CAST(mu[64] AS DOUBLE) END, 4) AS approx_users,
+        | n_events
+        |FROM km ORDER BY hour_start""".stripMargin,
     "q22_star_join" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
