@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       exprs => WordShingles(exprs.head, 3)))
     e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      exprs => graft.functions.SimHash64(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("kmin_values"),
       new ExpressionInfo(classOf[KMinValues].getName, "kmin_values"),
       exprs => KMinValues(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())))

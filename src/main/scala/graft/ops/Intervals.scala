@@ -26,22 +26,11 @@ object Intervals {
       intervals: DataFrame,
       ptCol: String = "t",
       startCol: String = "start",
-      endCol: String = "end"): DataFrame = {
-    val span = greatest(col(endCol) - col(startCol), lit(1.0))
-    val iv = intervals
-      .withColumn("lvl", ceil(log(2.0, span)).cast("int"))
-      .withColumn("cs", pow(lit(2.0), col("lvl")))
-      .withColumn("cell", explode(sequence(
-        floor(col(startCol) / col("cs")).cast("long"),
-        floor(col(endCol) / col("cs")).cast("long"))))
-      .drop("cs")
-    val levels = iv.select("lvl").distinct()
-    val probes = points.crossJoin(broadcast(levels))
-      .withColumn("cell", floor(col(ptCol) / pow(lit(2.0), col("lvl"))).cast("long"))
-    probes.join(iv, Seq("lvl", "cell"))
-      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
-      .drop("lvl", "cell")
-  }
+      endCol: String = "end"): DataFrame =
+    intervalJoinOn(
+      points, intervals,
+      col(ptCol), col(startCol), col(endCol),
+      col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
 
   /** Expression-based variant used by the [[graft.plans.RewriteRangeJoin]]
     * optimizer rule: point/start/end arrive as arbitrary Columns over the

@@ -29,7 +29,7 @@ class IntervalsSpec extends AnyFunSuite with Matchers with SparkTest {
 
     // Candidates must come from a hash equi-join on (lvl, cell).
     val plan = Intervals.intervalJoin(points, intervals).queryExecution.executedPlan.toString
-    plan should include regex """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[lvl"""
+    plan should include regex """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[__lvl"""
     plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
       .foreach(l => l should not include "start")
   }
