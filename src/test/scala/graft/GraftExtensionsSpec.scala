@@ -24,6 +24,13 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkTest {
       r.getDouble(0) shouldBe 11.0 +- 1e-12
       r.getLong(1) shouldBe 3105L
       r.getInt(2) shouldBe 2
+      // simhash64 through SQL agrees with the DataFrame expression
+      val sh = s2.sql("SELECT simhash64('the quick brown fox') AS h").head().getLong(0)
+      import s2.implicits._
+      val dfH = Seq("the quick brown fox").toDF("t")
+        .select(graft.functions.TextExprs.simHash64(org.apache.spark.sql.functions.col("t")))
+        .head().getLong(0)
+      sh shouldBe dfH
       // st_point_in_poly resolves through the extension. (Over a
       // LocalRelation the optimizer constant-folds the whole filter, so
       // only the RESULT is assertable here — the bbox-injection plan shape
