@@ -87,6 +87,24 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers with SparkTest {
     plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 2
   }
 
+  test("mismatched input partitionings reconcile (EnsureRequirements co-partitions both sides)") {
+    // left pre-shuffled on an unrelated column into an odd partition count,
+    // right a skinny local frame: the planner must still co-partition both
+    // sides on the keys before the zip-merge.
+    val lefts = (0 until 500).map(i => (i.toLong, (i % 9).toLong, i.toLong))
+      .toDF("lid", "k", "t").repartition(7, $"lid")
+    val rights = (0 until 90).map(i => ((i % 9).toLong, (i * 7 % 500).toLong, i.toLong))
+      .toDF("rk", "rt", "rid").repartition(3, $"rt")
+    val out = AsOf.join(lefts, rights, Seq("k" -> "rk"), "t" -> "rt")
+    out.count() shouldBe 500L // left outer: every left row exactly once
+    // spot-check one value against the definition
+    val row = out.filter($"lid" === 499).select($"rt").head()
+    val expect = (0 until 90).map(i => ((i % 9).toLong, (i * 7 % 500).toLong))
+      .filter { case (rk, rt) => rk == 499 % 9 && rt <= 499 }
+      .map(_._2).sorted.lastOption
+    Option(row.get(0)).map(_.asInstanceOf[Long]) shouldBe expect
+  }
+
   test("q28 equals q12 (emulated vs native as-of) on the real events fixture") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.SparkEntry.queries("q12_asof_join")(spark, dir).collect().toSeq
