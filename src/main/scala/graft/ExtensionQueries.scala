@@ -519,6 +519,36 @@ object ExtensionQueries {
       .orderBy(col("tf").desc, col("tok"))
       .limit(100)
 
+  /** IVF-ANN with nprobe=2: identical trained index to x13, but each query
+    * probes its TWO nearest cells — the standard recall/cost knob
+    * ([[Similarity.ivfProbe]]) made hash-checkable: the oracle ranks the
+    * same centroids and unions the same two cells, so both engines must
+    * agree on every probed candidate and rank. Candidate volume doubles;
+    * recall strictly improves for neighbors across a Voronoi boundary.
+    */
+  private def x25(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val trained = Similarity.kmeansCentroids(e, e.filter(col("vec_id") < 16), KmIters, EmbDim)
+    val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val assigned = Similarity.ivfAssign(e, cents, EmbDim)
+    val queriesDf = Similarity.ivfProbe(e.filter(col("vec_id") < 5), cents, EmbDim, nprobe = 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell_id").as("qcell"))
+    val cands = assigned.join(broadcast(queriesDf),
+      col("cell_id") === col("qcell") && col("vec_id") =!= col("qid"))
+    val scored = cands.select(
+      col("qid"), col("vec_id"),
+      round(
+        Similarity.cosineStatic(col("qv"), col("v"), Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim), EmbDim),
+        6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      // a candidate can arrive via both probed cells only if it tied cells;
+      // corpus assignment is unique, so rows are already distinct
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Eval decontamination: which test-split documents share 5-gram content
     * with the train split (the benchmark-leakage sweep every training run
     * needs). Deterministic hash split (x12's buckets), train side reduced
@@ -576,7 +606,8 @@ object ExtensionQueries {
     "x21_quantized_topk" -> (x21 _),
     "x22_unigram_logprob" -> (x22 _),
     "x23_vocab" -> (x23 _),
-    "x24_decontamination" -> (x24 _))
+    "x24_decontamination" -> (x24 _),
+    "x25_ann_ivf_nprobe2" -> (x25 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -592,6 +623,27 @@ object ExtensionQueries {
 
   private def minhashSql(i: Int, hs: String): String =
     s"list_min(list_transform($hs, h -> (${Dedup.MinHashA(i)} * h + ${Dedup.MinHashB(i)}) % ${Dedup.MinHashP}))"
+
+  /** One k-means iteration, unrolled for the IVF oracles: assign to the
+    * nearest centroid, then per-(cell, dim) decimal-exact mean reassembled
+    * into centroid arrays — the SQL mirror of Similarity.kmeansCentroids.
+    */
+  private def ivfAssignSql(cent: String, out: String): String =
+    s"""$out AS (SELECT vec_id, v, cell_id FROM (
+       | SELECT e.vec_id, e.v, $cent.cell_id,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(list_cosine_similarity(e.v, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
+       | FROM e CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
+
+  private def ivfUpdateSql(assigned: String, out: String): String =
+    s"""${out}_m AS (
+       | SELECT cell_id, CAST(s.pos AS BIGINT) AS pos,
+       |  CAST(SUM(CAST(s.xv AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS m
+       | FROM (SELECT cell_id,
+       |   unnest(list_transform(range(1, len(v)+1), i -> {'pos': i-1, 'xv': v[i]})) AS s
+       |  FROM $assigned)
+       | GROUP BY cell_id, s.pos),
+       |$out AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell_id)""".stripMargin
 
   val oracleSql: Map[String, String] = ListMap(
     "x01_text_stats" ->
@@ -715,40 +767,42 @@ object ExtensionQueries {
          | FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id1, id2, cos FROM pr WHERE cos >= 0.9 ORDER BY id1, id2""".stripMargin
     },
-    "x13_ann_ivf" -> {
-      // One k-means iteration: assign to nearest centroid, then per-(cell,
-      // dim) decimal-exact mean reassembled into centroid arrays — the SQL
-      // mirror of Similarity.kmeansCentroids, unrolled KmIters times.
-      def assignSql(cent: String, out: String): String =
-        s"""$out AS (SELECT vec_id, v, cell_id FROM (
-           | SELECT e.vec_id, e.v, $cent.cell_id,
-           |  row_number() OVER (PARTITION BY e.vec_id
-           |    ORDER BY round(list_cosine_similarity(e.v, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
-           | FROM e CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
-      def updateSql(assigned: String, out: String): String =
-        s"""${out}_m AS (
-           | SELECT cell_id, CAST(s.pos AS BIGINT) AS pos,
-           |  CAST(SUM(CAST(s.xv AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS m
-           | FROM (SELECT cell_id,
-           |   unnest(list_transform(range(1, len(v)+1), i -> {'pos': i-1, 'xv': v[i]})) AS s
-           |  FROM $assigned)
-           | GROUP BY cell_id, s.pos),
-           |$out AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell_id)""".stripMargin
+    "x13_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
-         |${assignSql("c0", "a1")},
-         |${updateSql("a1", "c1")},
-         |${assignSql("c1", "a2")},
-         |${updateSql("a2", "c2")},
-         |${assignSql("c2", "assigned")},
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfUpdateSql("a2", "c2")},
+         |${ivfAssignSql("c2", "assigned")},
          |q AS (SELECT vec_id AS qid, v AS qv, cell_id AS qcell FROM assigned WHERE vec_id < 5),
          |cand AS (SELECT q.qid, a.vec_id,
          |  round(list_cosine_similarity(q.qv, a.v), 6) AS cos
          | FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id <> q.qid),
          |r AS (SELECT qid, vec_id, cos,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM cand)
-         |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
-    },
+         |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "x25_ann_ivf_nprobe2" ->
+      // identical trained index; the query side keeps its TWO nearest cells
+      // (arnk <= 2) — the SQL mirror of Similarity.ivfProbe(nprobe = 2).
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfUpdateSql("a2", "c2")},
+         |${ivfAssignSql("c2", "assigned")},
+         |q AS (SELECT vec_id AS qid, qv, qcell FROM (
+         | SELECT e.vec_id, e.v AS qv, c2.cell_id AS qcell,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(list_cosine_similarity(e.v, c2.cv), 6) DESC, c2.cell_id) AS arnk
+         | FROM e CROSS JOIN c2 WHERE e.vec_id < 5) WHERE arnk <= 2),
+         |cand AS (SELECT q.qid, a.vec_id,
+         |  round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+         | FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM cand)
+         |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "x14_embedding_dim_stats" ->
       """WITH s0 AS (
         | SELECT unnest(list_transform(range(1, len(embedding)+1),
