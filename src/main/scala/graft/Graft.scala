@@ -62,9 +62,16 @@ object Graft {
         Cast(exprs(1), org.apache.spark.sql.types.DoubleType),
         graft.geo.Polygon.parseWkt(exprs(2).eval(null).toString)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => graft.functions.SimHash64(exprs.head), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.functions.PushPolygonBbox))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.functions.PushPolygonBbox
+    // Same optimizer-rule parity as the extensions path: plain BETWEEN theta
+    // joins execute as the leveled-grid equi-join here too.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteRangeJoin
   }
 
   /** Register every fixture table in `dir` as a temp view (events with the
