@@ -549,6 +549,34 @@ object SparkEntry {
         col("n_events"))
       .orderBy(col("hour_start"))
 
+  /** Funnel / conversion analysis: users counted by their furthest stage
+    * in the signup -> first-view-after-signup -> first-purchase-after-view
+    * sequence. The temporal-order constraint is what distinguishes this
+    * from a pivot: each stage joins back on user_id and filters on the
+    * previous stage's timestamp. All three stages shuffle on the SAME key
+    * (user_id), so at scale the exchanges line up and the per-stage frames
+    * shrink monotonically (signed-up users -> converted users).
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val vi = ev.filter(col("event_type") === "view").join(su, "user_id")
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val pu = ev.filter(col("event_type") === "purchase").join(vi, "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    su.join(vi, Seq("user_id"), "left_outer")
+      .join(pu, Seq("user_id"), "left_outer")
+      .select(
+        when(col("p_ts").isNotNull, 3)
+          .when(col("v_ts").isNotNull, 2)
+          .otherwise(1).cast("int").as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   /** Unpivot / melt: wide per-supplier bbox columns back to long
     * (dimension, value) rows — the inverse of x15's pivot. Generator-based
     * (Expand), no shuffle until the aggregate.
@@ -769,6 +797,7 @@ object SparkEntry {
     "q27_session_window" -> (q27 _),
     "q28_asof_native" -> (q28 _),
     "q29_kmv_hourly" -> (q29 _),
+    "q30_funnel" -> (q30 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -944,6 +973,27 @@ object SparkEntry {
         |       ELSE 135291469761.0 / CAST(mu[64] AS DOUBLE) END, 4) AS approx_users,
         | n_events
         |FROM km ORDER BY hour_start""".stripMargin,
+    "q30_funnel" ->
+      """WITH su AS (
+        | SELECT user_id, min(ts) AS s_ts FROM events
+        | WHERE event_type = 'signup' GROUP BY user_id),
+        |vi AS (
+        | SELECT e.user_id, min(e.ts) AS v_ts FROM events e
+        | JOIN su ON e.user_id = su.user_id
+        | WHERE e.event_type = 'view' AND e.ts >= su.s_ts GROUP BY e.user_id),
+        |pu AS (
+        | SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        | JOIN vi ON e.user_id = vi.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts >= vi.v_ts GROUP BY e.user_id),
+        |staged AS (
+        | SELECT CAST(CASE WHEN pu.p_ts IS NOT NULL THEN 3
+        |             WHEN vi.v_ts IS NOT NULL THEN 2
+        |             ELSE 1 END AS INT) AS stage
+        | FROM su
+        | LEFT JOIN vi ON su.user_id = vi.user_id
+        | LEFT JOIN pu ON su.user_id = pu.user_id)
+        |SELECT stage, count(*) AS n_users FROM staged
+        |GROUP BY stage ORDER BY stage""".stripMargin,
     "q22_star_join" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
