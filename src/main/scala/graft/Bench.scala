@@ -35,7 +35,13 @@ object Bench {
       // One-time tile-layout build for the DSv2 scan query — dataset prep,
       // not query time.
       sources.PointsLayout.ensure(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch {
+      // A broken fixture here would silently skip warmup and charge one-time
+      // codegen/footer cost to the first timed query — surface it loudly
+      // (on stderr, so the stdout JSON line stays parseable).
+      case t: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED: ${t.getClass.getName}: ${t.getMessage}")
+    }
 
     // The noop sink forces FULL evaluation of every output column — a bare
     // .count() lets Catalyst prune unused projections and eliminate sorts,
@@ -43,10 +49,15 @@ object Bench {
     // scan. Failures are reported explicitly instead of masquerading as a
     // fast timing. Each query runs `reps` times and reports the MIN —
     // machine-load spikes otherwise distort single-shot timings by tens of
-    // percent run to run. Spark-level caches are cleared between reps (the
-    // x04/x06 shingle frames), so the min is warm-JVM/warm-page-cache
-    // steady state — the page cache is already warm after the warmup
-    // scans, same as rep 1.
+    // percent run to run. Reps are interleaved ROUND-ROBIN across the whole
+    // suite (rep 1 of every query, then rep 2, ...) so a multi-minute
+    // co-located load spike contaminates at most one rep of each query
+    // instead of every back-to-back rep of a few adjacent queries — with
+    // back-to-back reps, min-of-reps cannot save a query whose entire rep
+    // window falls inside the spike. Spark-level caches are cleared between
+    // runs (the x04/x06 shingle frames), so the min is warm-JVM/
+    // warm-page-cache steady state — the page cache is already warm after
+    // the warmup scans, same as rep 1.
     val reps = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
     val errors = scala.collection.mutable.ListBuffer[String]()
@@ -54,20 +65,22 @@ object Bench {
     // otherwise report a misleadingly tiny min and still count toward the
     // suite total); queries with zero successful reps appear only in
     // `errors`, never in `queries`.
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
-      val times = (0 until reps).flatMap { _ =>
+    val timings = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val ordered = SparkEntry.queries.toSeq
+    (0 until reps).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => if (!errors.contains(name)) errors += name; false }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        // Cache hygiene between reps/queries (x04/x06 cache shingle
-        // frames); clearing is outside the timed window.
+        // Cache hygiene between runs (x04/x06 cache shingle frames);
+        // clearing is outside the timed window.
         spark.catalog.clearCache()
-        if (ok) Some(elapsed) else None
+        if (ok) timings(name) = elapsed :: timings.getOrElse(name, Nil)
       }
-      if (times.nonEmpty) Some(name -> times.min) else None
     }
+    val results = timings.map { case (name, ts) => name -> ts.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")

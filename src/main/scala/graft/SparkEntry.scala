@@ -294,6 +294,14 @@ object SparkEntry {
     * values collapses to one bin (trivially sorted equal keys). The
     * recovered values are EXACT order statistics, so the oracle stays
     * plain quantile_cont.
+    *
+    * BOTH quantile columns share every full-data pass: rows explode into
+    * (column-id, value, bin) pairs once, so one fused bin-count aggregate
+    * and one fused re-rank branch serve both columns — 3 lineitem passes
+    * total (stats, bin counts, re-rank) instead of the 5 the per-column
+    * form ran. The explode doubles rows but they pipeline straight into the
+    * aggregate's map-side combine (nothing widens in memory), and the
+    * post-agg frames stay tiny (<= groups x 2 x 10k bins).
     */
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
@@ -306,54 +314,76 @@ object SparkEntry {
       max(col("l_quantity").cast("double")).as("mx1"),
       min(col("l_extendedprice").cast("double")).as("mn2"),
       max(col("l_extendedprice").cast("double")).as("mx2"))
-      // 3-row model frame feeding five plan branches — cache so the scan+
-      // agg runs once, not per branch (Bench/Verify clear caches between
-      // queries).
+      // 3-row model frame feeding several plan branches — cache so the
+      // scan+agg runs once, not per branch (Bench/Verify clear caches
+      // between queries).
       .cache()
-    def qcont(valCol: Column, p: Double, out: String, mnCol: String, mxCol: String): DataFrame = {
-      val src = l.select(col("l_returnflag").as("g"), valCol.cast("double").as("v"))
-      // 0-based fractional index p*(n-1): same double arithmetic as
-      // DuckDB's quantile_cont, so the interpolated value hash-matches.
-      val tgt = stats
+    // Per-column targets: 0-based fractional index p*(n-1) — the same
+    // double arithmetic as DuckDB's quantile_cont, so the interpolated
+    // value hash-matches. cid 1 = l_quantity@0.5, cid 2 = l_extendedprice@0.9.
+    def tgtFor(cid: Int, p: Double, mnCol: String, mxCol: String): DataFrame =
+      stats
         .withColumn("idx", lit(p) * (col("n") - lit(1)).cast("double"))
-        .select(col("g"), col(mnCol).as("mn"),
+        .select(col("g"), lit(cid).as("cid"), col(mnCol).as("mn"),
           (floor(col("idx")) + 1).cast("long").as("klo"),
           (ceil(col("idx")) + 1).cast("long").as("khi"),
           (col("idx") - floor(col("idx"))).as("frac"),
           ((col(mxCol) - col(mnCol)) / Buckets).as("w"))
-      val binned = src.join(broadcast(tgt.select(col("g"), col("mn"), col("w"))), "g")
-        .select(col("g"), col("v"),
-          when(col("w") > 0,
-            least(floor((col("v") - col("mn")) / col("w")), lit((Buckets - 1).toLong)))
-            .otherwise(lit(0L)).as("bin"))
-      val binCounts = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
-      val wBins = Window.partitionBy(col("g")).orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = binCounts
-        .withColumn("cum", sum(col("c")).over(wBins))
-        .withColumn("before", col("cum") - col("c"))
-      def locate(kCol: String, tag: String) =
-        cum.join(broadcast(tgt.select(col("g"), col(kCol).as("k"))), "g")
-          .filter(col("cum") >= col("k") && col("before") < col("k"))
-          .select(col("g"), col("bin"), lit(tag).as("which"), col("k"), col("before"))
-      val located = locate("klo", "lo").union(locate("khi", "hi"))
-      val wSel = Window.partitionBy(col("g"), col("which")).orderBy(col("v"))
-      val picked = binned.join(broadcast(located), Seq("g", "bin"))
-        .withColumn("rn", row_number().over(wSel))
-        .filter(col("rn") === col("k") - col("before"))
-        .groupBy(col("g"))
-        .agg(
-          max(when(col("which") === "lo", col("v"))).as("vlo"),
-          max(when(col("which") === "hi", col("v"))).as("vhi"))
-      picked.join(broadcast(tgt.select(col("g"), col("frac"))), "g")
-        .select(
-          col("g").as("l_returnflag"),
-          round(col("vlo") + (col("vhi") - col("vlo")) * col("frac"), 6).as(out))
-    }
-    qcont(col("l_quantity"), 0.5, "median_qty", "mn1", "mx1")
-      .join(qcont(col("l_extendedprice"), 0.9, "p90_price", "mn2", "mx2"), "l_returnflag")
-      .join(stats.select(col("g").as("l_returnflag"), col("n")), "l_returnflag")
-      .select(col("l_returnflag"), col("median_qty"), col("p90_price"), col("n"))
+    // 6-row (g, cid) target frame — broadcast everywhere below.
+    val tgt = tgtFor(1, 0.5, "mn1", "mx1").union(tgtFor(2, 0.9, "mn2", "mx2"))
+    def binOf(v: Column, mn: Column, w: Column): Column =
+      when(w > 0, least(floor((v - mn) / w), lit((Buckets - 1).toLong)))
+        .otherwise(lit(0L))
+    // The fused full-data frame: each lineitem row becomes two
+    // (cid, v, bin) rows via explode — one pass feeds both columns.
+    val exploded = l
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("double").as("v1"),
+        col("l_extendedprice").cast("double").as("v2"))
+      .join(broadcast(stats.select(col("g"), col("mn1"), col("mx1"), col("mn2"), col("mx2"))), "g")
+      .select(col("g"), explode(array(
+        struct(lit(1).as("cid"), col("v1").as("v"),
+          binOf(col("v1"), col("mn1"), (col("mx1") - col("mn1")) / Buckets).as("bin")),
+        struct(lit(2).as("cid"), col("v2").as("v"),
+          binOf(col("v2"), col("mn2"), (col("mx2") - col("mn2")) / Buckets).as("bin"))))
+        .as("e"))
+      .select(col("g"), col("e.cid").as("cid"), col("e.v").as("v"), col("e.bin").as("bin"))
+    // Fused bin counts: ONE full-data hash aggregate for both columns.
+    val binCounts = exploded.groupBy(col("g"), col("cid"), col("bin")).agg(count(lit(1)).as("c"))
+    val wBins = Window.partitionBy(col("g"), col("cid")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binCounts
+      .withColumn("cum", sum(col("c")).over(wBins))
+      .withColumn("before", col("cum") - col("c"))
+    def locate(kCol: String, tag: String) =
+      cum.join(broadcast(tgt.select(col("g"), col("cid"), col(kCol).as("k"))), Seq("g", "cid"))
+        .filter(col("cum") >= col("k") && col("before") < col("k"))
+        .select(col("g"), col("cid"), col("bin"), lit(tag).as("which"), col("k"), col("before"))
+    val located = locate("klo", "lo").union(locate("khi", "hi"))
+    // Fused re-rank: ONE pass over the exploded frame; only rows in the
+    // located bins (~n/10k per (g, cid)) reach the row_number sort.
+    val wSel = Window.partitionBy(col("g"), col("cid"), col("which")).orderBy(col("v"))
+    val picked = exploded.join(broadcast(located), Seq("g", "cid", "bin"))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") === col("k") - col("before"))
+      .groupBy(col("g"))
+      .agg(
+        max(when(col("cid") === 1 && col("which") === "lo", col("v"))).as("vlo1"),
+        max(when(col("cid") === 1 && col("which") === "hi", col("v"))).as("vhi1"),
+        max(when(col("cid") === 2 && col("which") === "lo", col("v"))).as("vlo2"),
+        max(when(col("cid") === 2 && col("which") === "hi", col("v"))).as("vhi2"))
+    val fracs = tgt.select(col("g"), col("cid"), col("frac"))
+      .groupBy(col("g"))
+      .agg(
+        max(when(col("cid") === 1, col("frac"))).as("frac1"),
+        max(when(col("cid") === 2, col("frac"))).as("frac2"))
+    picked.join(broadcast(fracs), "g")
+      .join(broadcast(stats.select(col("g"), col("n"))), "g")
+      .select(
+        col("g").as("l_returnflag"),
+        round(col("vlo1") + (col("vhi1") - col("vlo1")) * col("frac1"), 6).as("median_qty"),
+        round(col("vlo2") + (col("vhi2") - col("vlo2")) * col("frac2"), 6).as("p90_price"),
+        col("n"))
       .orderBy(col("l_returnflag"))
   }
 

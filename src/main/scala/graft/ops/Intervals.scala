@@ -21,6 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
+  /** Clamp bound for cell ids: 2^62, exactly representable as a double and
+    * safely inside Long range. Under ANSI mode (Spark 4 default) a bare
+    * `floor(x / 2^lvl).cast(long)` throws a cast-overflow
+    * ArithmeticException when |x|/2^lvl exceeds Long.MaxValue (huge
+    * magnitudes with small spans) — and [[graft.plans.RewriteRangeJoin]]
+    * applies this computation to arbitrary user theta joins that would have
+    * worked as nested loops. Clamping is lossless: the clamp is monotone
+    * and applied identically on the interval and probe sides, so a point's
+    * clamped cell always falls inside its interval's clamped [lo, hi] cell
+    * range (the residual filter still removes any extra collisions), and
+    * since unclamped cellHi - cellLo <= 2 by the level construction, the
+    * contraction keeps `sequence` spans <= 3 cells.
+    */
+  private val CellClamp = 4.611686018427387904e18
+
+  private def cellId(x: Column, lvl: Column): Column =
+    least(greatest(floor(x / pow(lit(2.0), lvl)), lit(-CellClamp)), lit(CellClamp))
+      .cast("long")
+
   def intervalJoin(
       points: DataFrame,
       intervals: DataFrame,
@@ -58,14 +77,14 @@ object Intervals {
       .filter(loD <= hiD)
       .withColumn("__lvl", ceil(log(2.0, span)).cast("int"))
       .withColumn("__cell", explode(sequence(
-        floor(loD / pow(lit(2.0), col("__lvl"))).cast("long"),
-        floor(hiD / pow(lit(2.0), col("__lvl"))).cast("long"))))
+        cellId(loD, col("__lvl")),
+        cellId(hiD, col("__lvl")))))
     // distinct levels via groupBy/count (never a Deduplicate node: this
     // plan can be spliced in AFTER the optimizer batch that would rewrite
     // one, so only nodes with direct physical strategies may appear)
     val levels = iv.groupBy(col("__lvl")).count().select(col("__lvl"))
     val probes = points.crossJoin(broadcast(levels))
-      .withColumn("__cell", floor(pt.cast("double") / pow(lit(2.0), col("__lvl"))).cast("long"))
+      .withColumn("__cell", cellId(pt.cast("double"), col("__lvl")))
     iv.join(probes, Seq("__lvl", "__cell"))
       .filter(residual)
       .drop("__lvl", "__cell")

@@ -17,18 +17,39 @@ object Skew {
   /** Salted sum/count aggregation: semantically identical to
     * `df.groupBy(key).agg(sum(value), count(*))` but with the shuffle for
     * hot keys spread across `salts` partitions.
+    *
+    * CAVEAT — spreading requires VALUE diversity: the salt is
+    * `xxhash64(key, value)`, so every row with an identical (key, value)
+    * pair lands on the same salt. For a hot key whose values are constant
+    * or low-cardinality the salt stops spreading at the shuffle layer
+    * (map-side partial aggregation masks this for sum/count, which
+    * collapse duplicates before the shuffle — but the premise weakens for
+    * shapes without a partial). When a per-row discriminator exists (a
+    * document id, an event id), use the overload below.
     */
-  def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame = {
+  def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =
+    saltedSumCountBy(df, key, value, salts, xxhash64(key, value))
+
+  /** Variant with a caller-supplied per-row discriminator (e.g. an id
+    * column) mixed into the salt, so spreading holds even when a hot key's
+    * values are constant. The discriminator must be deterministic per row —
+    * `monotonically_increasing_id` is layout-dependent (the same data
+    * repartitioned differently would spread differently, breaking
+    * reproducibility of the partials even though the final aggregate is
+    * unaffected).
+    */
+  def saltedSumCount(
+      df: DataFrame, key: Column, value: Column, salts: Int, discriminator: Column): DataFrame =
+    saltedSumCountBy(df, key, value, salts, xxhash64(key, value, discriminator))
+
+  private def saltedSumCountBy(
+      df: DataFrame, key: Column, value: Column, salts: Int, saltSrc: Column): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    // CONTENT-hash salt: deterministic per row VALUE, so the phase-1
+    // CONTENT-hash salt: deterministic per row content, so the phase-1
     // distribution — the thing this operator exists to control — is
-    // identical under any repartition/retry/input order. (A
-    // monotonically_increasing_id salt is layout-dependent: the same data
-    // repartitioned differently would spread differently, which breaks
-    // reproducibility of the partials even though the final aggregate is
-    // unaffected.)
-    val salted = df.select(key.as("k"), value.as("v"))
-      .withColumn("salt", pmod(xxhash64(col("k"), col("v")), lit(salts.toLong)))
+    // identical under any repartition/retry/input order.
+    val salted = df.select(key.as("k"), value.as("v"), saltSrc.as("h"))
+      .withColumn("salt", pmod(col("h"), lit(salts.toLong)))
     val partial = salted
       .groupBy(col("k"), col("salt"))
       .agg(sum(col("v")).as("ps"), count(lit(1)).as("pc"))

@@ -192,11 +192,24 @@ object AsOf {
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"as-of $side column '$n' not found in ${p.output.map(_.name)}"))
-    DatasetBridge.ofRows(spark, AsOfJoin(
-      lp, rp,
-      keys.map(k => attr(lp, k._1, "left key")),
-      keys.map(k => attr(rp, k._2, "right key")),
-      attr(lp, time._1, "left time"),
-      attr(rp, time._2, "right time")))
+    val lKeys = keys.map(k => attr(lp, k._1, "left key"))
+    val rKeys = keys.map(k => attr(rp, k._2, "right key"))
+    val lTime = attr(lp, time._1, "left time")
+    val rTime = attr(rp, time._2, "right time")
+    // The logical node is built from already-ANALYZED children, so
+    // Catalyst's implicit type coercion never runs over it: an IntegerType
+    // left key against a LongType right key would compare UnsafeRows of
+    // different physical layouts using the left side's ordering and
+    // silently return wrong rows (mismatched time types at best throw a
+    // ClassCastException in the interpreted ordering). Fail fast instead.
+    def sameType(l: Attribute, r: Attribute, what: String): Unit =
+      require(
+        org.apache.spark.sql.types.DataType.equalsStructurally(
+          l.dataType, r.dataType, ignoreNullability = true),
+        s"as-of $what type mismatch: left '${l.name}' is ${l.dataType.sql} but " +
+          s"right '${r.name}' is ${r.dataType.sql} — cast one side before joining")
+    lKeys.lazyZip(rKeys).foreach((l, r) => sameType(l, r, "key"))
+    sameType(lTime, rTime, "time")
+    DatasetBridge.ofRows(spark, AsOfJoin(lp, rp, lKeys, rKeys, lTime, rTime))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, PredicateHelper}
 import org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
@@ -101,7 +101,11 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     if (sparkOpt.isEmpty) return plan
     val spark = sparkOpt.get
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), _)
+      // An explicit user join hint (broadcast/merge/...) is a stronger
+      // signal than this heuristic — rewriting would silently discard it
+      // (the spliced subplan carries its own join keys and hints), so such
+      // joins are left for the planner to honor as written.
+      case j @ Join(left, right, Inner, Some(cond), JoinHint.NONE)
         if !j.outputSet.exists(a => a.name == "__lvl" || a.name == "__cell") =>
         extract(left, right, cond) match {
           case Some((p, lo, hi, pointsOnLeft)) =>

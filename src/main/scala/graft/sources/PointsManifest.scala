@@ -123,8 +123,15 @@ object PointsManifest {
           curFile = rest
           curCols = Map.newBuilder
         case "COL" =>
-          val parts = rest.split(' ')
-          curCols += parts(0) -> (parts(1).toDouble, parts(2).toDouble)
+          // Split from the RIGHT: a parquet column name may legally contain
+          // spaces, so the last two tokens are (min, max) and everything
+          // before them is the name — a left split would shift the stats
+          // fields and throw NumberFormatException (or mis-key the stats).
+          val mxSp = rest.lastIndexOf(' ')
+          val mnSp = if (mxSp > 0) rest.lastIndexOf(' ', mxSp - 1) else -1
+          require(mnSp > 0, s"bad COL record '$line' in $p")
+          curCols += rest.substring(0, mnSp) ->
+            (rest.substring(mnSp + 1, mxSp).toDouble, rest.substring(mxSp + 1).toDouble)
         case other => throw new IllegalArgumentException(s"bad manifest line tag '$other' in $p")
       }
     }
