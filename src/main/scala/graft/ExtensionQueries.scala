@@ -582,6 +582,93 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** 60-word tails for the x26 chain corpus, with the BASE doc id embedded
+    * in every tail word. Per-doc-unique tails matter: a shared tail would
+    * weld different docs' variants together (short word-salad docs become
+    * tail-dominated, so e.g. docs d+200000 and e+200000 would share ~60 of
+    * ~60+w shingles), producing components whose diameter exceeds the
+    * oracle's unrolled rounds. With unique tails each component is exactly
+    * one doc's variant set, diameter <= 2.
+    *
+    * Appending T1 adds ~60 distinct shingles, so for a base doc with w
+    * distinct shingles: Jaccard(v1, v1+T1) ~ w/(w+60) and
+    * Jaccard(v1, v1+T1+T2) ~ w/(w+120) — mid-length docs (60 <= w < 120)
+    * link v1~v2 and v2~v3 but NOT v1~v3, a genuine transitive chain only
+    * connected components can merge.
+    */
+  private def chainTail(prefix: String): org.apache.spark.sql.Column =
+    concat((0 until 60).flatMap(i =>
+      Seq(lit(s" $prefix${i}x"), col("doc_id").cast("string"))): _*)
+  private def chainTailSql(prefix: String): String =
+    // variadic concat, not chained || — DuckDB's binder recurses per ||
+    // operator and rejects expressions deeper than 128
+    "concat(" + (0 until 60).map(i => s"' $prefix${i}x', doc_id").mkString(", ") + ")"
+
+  /** End-to-end dedup pipeline (the flagship composite a training run
+    * actually executes) as ONE oracle-checked query:
+    * exact dedup -> LSH candidate pairs -> Jaccard verification ->
+    * connected components ([[Dedup.duplicateClusters]] label propagation)
+    * -> per-cluster keep-id + surviving-corpus count.
+    *
+    * The corpus plants exact copies (+100000) and a CHAIN of near-dup
+    * variants (+200000 = text+T1, +300000 = text+T1+T2): for mid-length
+    * docs v1~v2 and v2~v3 pass the 0.5 Jaccard bar while v1~v3 fails it,
+    * so only label propagation merges the component. The DuckDB oracle
+    * unrolls FOUR propagation rounds in SQL (fixture component diameter
+    * <= 3, and a converged propagation round is a no-op, so extra rounds
+    * are safe) — the same unrolled-iteration trick as the x13 k-means
+    * oracle. Scale posture: every stage is the already-verified x03/x06
+    * shape (content-hash groups, band-key equi-joins, per-round id-key
+    * shuffles); nothing quadratic, nothing data-sized on the driver.
+    *
+    * Output: one row per duplicate cluster (keep_id = component-min id,
+    * n = member count) plus a keep_id = -1 summary row carrying the
+    * surviving document count (total - removed).
+    */
+  private def x26(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val third = base.filter(col("doc_id") % 3 === 0)
+    val corpus = base
+      .union(third.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .union(third.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), chainTail("chainalpha")).as("text")))
+      .union(third.select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), chainTail("chainalpha"), chainTail("chainbeta")).as("text")))
+    // Shingle sets feed signature computation AND pair verification — cache
+    // (interpreted HOF expression, multiple DAG branches; see x04/x06).
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text")).as("s")).cache()
+    // Stage 1 — exact dedup: edges (group-min id) ~ member, shuffling the
+    // 128-bit content hash, never the text.
+    val exactEdges = corpus
+      .select(col("doc_id"), Dedup.contentKey(col("text")).as("h"))
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("id1"), col("doc_id").as("id2"))
+    // Stage 2 — LSH candidates + Jaccard >= 0.5 verification (x06 shape).
+    val sigs = sh.select(
+      (col("doc_id") +:
+        (0 until Dedup.MinHashK).map(i =>
+          Dedup.minhashComponent(transform(col("s"), x => TextOps.polyHash(x)), i).as(s"mh$i"))): _*)
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+    val withSets = cands
+      .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("s", "s1"), "id1")
+      .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("s", "s2"), "id2")
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val union = (size(col("s1")) + size(col("s2"))).cast("double") - inter
+    val nearPairs = withSets
+      .filter((inter / union) >= 0.5)
+      .select(col("id1"), col("id2"))
+    // Stage 3 — connected components over the union of both edge kinds.
+    val labels = Dedup.duplicateClusters(exactEdges.union(nearPairs))
+    // Stage 4 — keep-list + surviving-corpus stats.
+    val clusters = labels.groupBy(col("label").as("keep_id")).agg(count(lit(1)).as("n"))
+    val total = corpus.agg(count(lit(1)).as("tot"))
+    val removed = clusters.agg(coalesce(sum(col("n") - 1), lit(0L)).as("removed"))
+    val summary = total.crossJoin(removed)
+      .select(lit(-1L).as("keep_id"), (col("tot") - col("removed")).as("n"))
+    clusters.union(summary).orderBy(col("keep_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -607,7 +694,8 @@ object ExtensionQueries {
     "x22_unigram_logprob" -> (x22 _),
     "x23_vocab" -> (x23 _),
     "x24_decontamination" -> (x24 _),
-    "x25_ann_ivf_nprobe2" -> (x25 _))
+    "x25_ann_ivf_nprobe2" -> (x25 _),
+    "x26_dedup_pipeline" -> (x26 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -945,5 +1033,46 @@ object ExtensionQueries {
          |SELECT h.doc_id, CAST(z.n_shingles AS BIGINT) AS n_shingles, n_hits,
          | round(CAST(n_hits AS DOUBLE) / CAST(z.n_shingles AS DOUBLE), 6) AS containment
          |FROM hits h JOIN tesz z USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "x26_dedup_pipeline" -> {
+      // One label-propagation round, unrolled (the x13 k-means trick):
+      // label' = least(own, min over neighbours) — the exact SQL mirror of
+      // Dedup.duplicateClusters' neighbourMin + least/coalesce step.
+      def labRound(prev: String, out: String): String =
+        s"""$out AS (SELECT l.id, least(min(l.label), coalesce(min(nb.label), min(l.label))) AS label
+           | FROM $prev l LEFT JOIN adj ON adj.a = l.id LEFT JOIN $prev nb ON nb.id = adj.b
+           | GROUP BY l.id)""".stripMargin
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+         |corpus AS (SELECT doc_id, text FROM base
+         | UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id % 3 = 0
+         | UNION ALL SELECT doc_id + 200000, text || ${chainTailSql("chainalpha")} FROM base WHERE doc_id % 3 = 0
+         | UNION ALL SELECT doc_id + 300000, text || ${chainTailSql("chainalpha")} || ${chainTailSql("chainbeta")} FROM base WHERE doc_id % 3 = 0),
+         |$ShinglesSql,
+         |hh AS (SELECT doc_id, s, list_transform(s, x -> ${polySql("x")}) AS hs FROM sh),
+         |sig AS (SELECT doc_id, s, ${(0 until Dedup.MinHashK).map(i => minhashSql(i, "hs") + s" AS mh$i").mkString(",\n ")} FROM hh),
+         |banded AS (SELECT doc_id, unnest([${(0 until Dedup.LshBands).map(b => s"'$b:' || mh${2 * b} || ':' || mh${2 * b + 1}").mkString(", ")}]) AS band FROM sig),
+         |cool AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= ${Dedup.ShingleDfCap}),
+         |capped AS (SELECT banded.* FROM banded JOIN cool USING (band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |nearp AS (SELECT id1, id2 FROM (
+         |  SELECT id1, id2,
+         |   CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS inter,
+         |   CAST(len(s1.s) + len(s2.s) AS DOUBLE) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS uni
+         |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+         | WHERE inter/uni >= 0.5),
+         |exact AS (SELECT m AS id1, doc_id AS id2 FROM
+         |  (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m FROM corpus) WHERE doc_id <> m),
+         |edges AS (SELECT id1, id2 FROM exact UNION SELECT id1, id2 FROM nearp),
+         |adj AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+         |lab0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
+         |${labRound("lab0", "lab1")},
+         |${labRound("lab1", "lab2")},
+         |${labRound("lab2", "lab3")},
+         |${labRound("lab3", "lab4")},
+         |clusters AS (SELECT CAST(label AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n FROM lab4 GROUP BY label)
+         |SELECT keep_id, n FROM clusters
+         |UNION ALL SELECT -1::BIGINT AS keep_id,
+         | (SELECT CAST(count(*) AS BIGINT) FROM corpus) - (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM clusters) AS n
+         |ORDER BY keep_id""".stripMargin
     })
 }

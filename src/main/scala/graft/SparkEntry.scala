@@ -607,6 +607,29 @@ object SparkEntry {
       .orderBy(col("stage"))
   }
 
+  /** Batch twin of [[graft.streaming.EventStreams.attributionJoin]] — the
+    * last streaming operator without an oracle-checked bounded form
+    * (completing the q10/q23/q27/q29 stream/batch pattern). The SAME code
+    * path runs here: `withWatermark` on a batch frame is a legal no-op, so
+    * the stream-stream interval join plans as a batch join. The join has
+    * an equi key (user_id), so the planner hash-joins on the user and
+    * applies the time bound as a residual — the scale-correct plan (the
+    * shuffle key is user_id; RewriteRangeJoin's grid is for joins with NO
+    * equi key and deliberately skips this shape). Timestamps are emitted
+    * as epoch millis: Spark reads the nanos fixture micros-truncated, and
+    * milliseconds is where both engines agree exactly.
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    streaming.EventStreams.attributionJoin(views, purchases)
+      .select(
+        col("user_id"), col("purchase_id"), col("view_id"), col("amount"),
+        unix_millis(col("v_ts")).as("v_ms"), unix_millis(col("p_ts")).as("p_ms"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
   /** Unpivot / melt: wide per-supplier bbox columns back to long
     * (dimension, value) rows — the inverse of x15's pivot. Generator-based
     * (Expand), no shuffle until the aggregate.
@@ -828,6 +851,7 @@ object SparkEntry {
     "q28_asof_native" -> (q28 _),
     "q29_kmv_hourly" -> (q29 _),
     "q30_funnel" -> (q30 _),
+    "q31_attribution" -> (q31 _),
     "r01_bbox_containment" -> (refBboxContainment _),
     "r02_regex_year" -> (refRegexYear _),
     "r03_webmercator" -> (refWebMercator _),
@@ -1024,6 +1048,14 @@ object SparkEntry {
         | LEFT JOIN pu ON su.user_id = pu.user_id)
         |SELECT stage, count(*) AS n_users FROM staged
         |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q31_attribution" ->
+      """WITH v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id, value AS amount FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, purchase_id, view_id, amount,
+        | epoch_ms(v_ts) AS v_ms, epoch_ms(p_ts) AS p_ms
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+        |ORDER BY purchase_id, view_id""".stripMargin,
     "q22_star_join" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -81,6 +81,37 @@ object Dedup {
   val MinHashK = 8
   val LshBands = 4
 
+  /** Corpus statistics the width decision needs: document count and the
+    * expected near-dup fraction (estimate from a sample or a prior run's
+    * exact-dedup rate).
+    */
+  final case class CorpusStats(nDocs: Long, dupRate: Double)
+
+  /** (k, bands, rowsPerBand) sized from the measured probe table
+    * (SURVEY §8, `tools.LshWidthProbe`) — the 100x-corpus knob turn as a
+    * function call with provenance, not a judgment call:
+    *
+    *  - large corpora (>= 100k docs): 16/4/4 — same recall class as the
+    *    default (0.916 vs 0.986) at ~2.4x the precision (0.429 vs 0.190),
+    *    i.e. ~2.4x less candidate shuffle, which is what dominates cost
+    *    once the band join is the big shuffle;
+    *  - small corpora hunting RARE dups (dupRate < 1%): 16/8/2 — recall
+    *    0.998; with few true pairs the extra candidate volume is cheap
+    *    and a missed dup is the expensive outcome;
+    *  - otherwise: the measured default 8/4/2 (recall 0.986).
+    *
+    * Size precedence beats rarity: at >= 100k docs the candidate-volume
+    * cost of 8 narrow bands is what melts the shuffle, so the
+    * precision-leaning row wins even for rare dups.
+    */
+  def suggestWidths(stats: CorpusStats): (Int, Int, Int) = {
+    require(stats.nDocs >= 0, "nDocs must be >= 0")
+    require(stats.dupRate >= 0.0 && stats.dupRate <= 1.0, "dupRate must be in [0, 1]")
+    if (stats.nDocs >= 100000L) (16, 4, 4)
+    else if (stats.dupRate < 0.01) (16, 8, 2)
+    else (MinHashK, LshBands, 2)
+  }
+
   def minHashA(i: Int): Long = (2654435761L * (i + 1)) % MinHashP
   def minHashB(i: Int): Long = (40503L * (i + 1) * 9973L) % MinHashP
 

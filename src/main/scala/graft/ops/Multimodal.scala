@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   *
   * Image payloads are decoded FOR REAL via the JDK's `javax.imageio`
   * (PNG/JPEG/GIF/BMP — zero external media libraries) into a perceptual
-  * mean-luminance thumbnail ([[decodeImage]]); non-image payloads (audio/
-  * video codecs genuinely absent from the JDK) fall back to the
-  * deterministic byte-histogram stand-in ([[decodeStub]]). Either way the
-  * Spark-side contract is identical: schema, encoder, batch shape,
-  * null-payload handling, and partition-local decoder reuse are what any
-  * production codec plugs into.
+  * mean-luminance thumbnail ([[decodeImage]]); audio payloads FOR REAL via
+  * `javax.sound.sampled` (WAV/PCM/AU — also JDK-built-in) into windowed
+  * RMS-energy features ([[decodeAudio]]); video payloads (codecs genuinely
+  * absent from the JDK) fall back to the deterministic byte-histogram
+  * stand-in ([[decodeStub]]). Either way the Spark-side contract is
+  * identical: schema, encoder, batch shape, null-payload handling, and
+  * partition-local decoder reuse are what any production codec plugs into.
   *
   * Scale posture: payloads never shuffle — decode/feature-extract runs
   * map-side where the scan happens; only the small fixed-width feature
@@ -103,10 +104,81 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Non-image fallback: a deterministic byte histogram folded to
-    * `FeatureDim` floats — the stand-in for audio/video codecs the JDK does
-    * not ship. Keeps every payload featurizable so the distributed plumbing
-    * (schema in/out, batching, nulls) is exercised uniformly.
+  /** Real audio decode: `javax.sound.sampled.AudioSystem` over the payload
+    * bytes (WAV/PCM/AU/AIFF via the JDK's built-in codecs), converted to
+    * 16-bit signed PCM, channel-mixed to mono, and reduced to `FeatureDim`
+    * time-proportional windows of RMS energy normalized to [0, 1].
+    *
+    * The features are deliberately invariant to the two mutations a media
+    * pipeline most often re-ingests: RESAMPLING (windows are fractions of
+    * the clip, not fixed sample counts, so the same sound at 8 kHz and
+    * 16 kHz yields ~identical window energies) and REQUANTIZATION (8-bit
+    * vs 16-bit normalize to the same amplitude scale, quantization noise
+    * averages out in the RMS), so a re-encoded duplicate verifies at
+    * cos ~ 1 through the same LSH machinery the image path feeds.
+    * Returns None when the bytes carry no recognizable audio header,
+    * letting [[decode]] fall through.
+    */
+  private[ops] def decodeAudio(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val base = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = base.getFormat
+        val target = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, base)
+        try {
+          val bytes = pcm.readAllBytes()
+          val channels = target.getChannels
+          val frameBytes = channels * 2
+          val nFrames = bytes.length / frameBytes
+          if (nFrames <= 0) return None
+          // channel-mixed mono samples in [-1, 1]
+          val mono = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var sum = 0.0
+            var c = 0
+            while (c < channels) {
+              val o = f * frameBytes + c * 2
+              val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+              sum += s / 32768.0
+              c += 1
+            }
+            mono(f) = sum / channels
+            f += 1
+          }
+          // time-proportional windowed RMS (same index math as the image
+          // grid cells, so short clips distribute remainder frames evenly)
+          val sumSq = new Array[Double](FeatureDim)
+          val counts = new Array[Long](FeatureDim)
+          var i = 0
+          while (i < nFrames) {
+            val w = math.min(FeatureDim - 1, i * FeatureDim / nFrames)
+            sumSq(w) += mono(i) * mono(i)
+            counts(w) += 1
+            i += 1
+          }
+          val out = new Array[Float](FeatureDim)
+          var j = 0
+          while (j < FeatureDim) {
+            out(j) = if (counts(j) == 0) 0.0f else math.sqrt(sumSq(j) / counts(j)).toFloat
+            j += 1
+          }
+          Some(out)
+        } finally pcm.close()
+      } finally base.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Non-image, non-audio fallback: a deterministic byte histogram folded
+    * to `FeatureDim` floats — the stand-in for the video codecs the JDK
+    * does not ship. Keeps every payload featurizable so the distributed
+    * plumbing (schema in/out, batching, nulls) is exercised uniformly.
     */
   private[ops] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](FeatureDim)
@@ -123,11 +195,15 @@ object Multimodal {
     acc
   }
 
-  /** Full decode: real image decode first, byte-histogram fallback for
-    * payloads no JDK image codec recognizes.
+  /** Full decode: real image decode, then real audio decode, byte-histogram
+    * fallback only for payloads no JDK codec recognizes (video). Codec
+    * sniffing is by content (magic numbers), not metadata, so mislabeled
+    * rows still decode correctly.
     */
   private[ops] def decode(payload: Array[Byte]): Array[Float] =
-    decodeImage(payload).getOrElse(decodeStub(payload))
+    decodeImage(payload)
+      .orElse(decodeAudio(payload))
+      .getOrElse(decodeStub(payload))
 
   private val featureRowSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -137,8 +213,8 @@ object Multimodal {
 
   /** Decode + feature-extract over a media table. Iterator-in/iterator-out:
     * decoder state lives per partition and streams rows — the same shape a
-    * heavyweight codec or model session needs. Image payloads get the real
-    * ImageIO decode; everything else the histogram fallback.
+    * heavyweight codec or model session needs. Image and audio payloads get
+    * the real JDK decodes; everything else the histogram fallback.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

@@ -28,8 +28,12 @@ import org.apache.hadoop.fs.Path
   * Doubles round-trip through `java.lang.Double.toString`/`parseDouble`
   * exactly; a column absent from a TILE block means "statistics unknown —
   * cannot prune on it", the same semantics the footer path gives a missing
-  * statistic. Stale-manifest hazard is owned by the writer: the layout
-  * rewrites tiles and manifest together (both behind its _SUCCESS guard).
+  * statistic. Stale-manifest hazard is guarded twice: the layout writer
+  * rewrites tiles and manifest together (behind its _SUCCESS guard), and
+  * the reader verifies the manifest's tile set against the directory
+  * listing at plan time, falling back to footer planning on any drift
+  * (see [[PointsSource]] — a trusted-but-stale manifest would silently
+  * drop tiles added after it was written).
   */
 object PointsManifest {
 

@@ -292,25 +292,45 @@ class PointsScan(path: String, required: StructType, pushed: Array[Filter]) exte
   override def planInputPartitions(): Array[InputPartition] = {
     val bounds = PointsSource.rangeBounds(pushed)
     PointsManifest.read(path, driverConf) match {
+      // STALENESS GUARD: the manifest is only trusted when its tile set
+      // matches the directory's actual listing. A stale manifest is a
+      // CORRECTNESS bug, not a perf bug — tiles added after the manifest
+      // was written would silently vanish from every query (removed tiles
+      // at least fail loudly). The check costs one directory listing
+      // (paginated LIST RPCs), which stays far below the O(tiles) footer
+      // GETs it protects, and the listing is reused for the fallback plan.
       case Some(m) =>
-        m.tiles
-          .filter(t => bounds.isEmpty || PointsSource.statsSurvive(t.cols, bounds))
-          .map(t => PointsInputPartition(new Path(path, t.file).toString, m.schemaStr): InputPartition)
-          .toArray
+        val listed = PointsSource.listFiles(path, driverConf)
+        if (listed.map(_.getName).toSet == m.tiles.map(_.file).toSet)
+          m.tiles
+            .filter(t => bounds.isEmpty || PointsSource.statsSurvive(t.cols, bounds))
+            .map(t => PointsInputPartition(new Path(path, t.file).toString, m.schemaStr): InputPartition)
+            .toArray
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"stale manifest under $path (tile set differs from listing); " +
+              "planning from footers — rewrite the layout to restore manifest planning")
+          footerPlan(listed, bounds)
+        }
       case None =>
-        val files = PointsSource.listFiles(path, driverConf)
-        if (files.isEmpty) return Array.empty
-        val schemaStr = PointsSource.footerOf(files.head, driverConf).getFileMetaData.getSchema.toString
-        val survivors =
-          if (bounds.isEmpty) files
-          else {
-            import scala.jdk.CollectionConverters._
-            files.asJava.parallelStream()
-              .filter(f => PointsSource.tileSurvives(PointsSource.footerOf(f, driverConf), bounds))
-              .collect(java.util.stream.Collectors.toList[Path]).asScala.toSeq
-          }
-        survivors.map(f => PointsInputPartition(f.toString, schemaStr): InputPartition).toArray
+        footerPlan(PointsSource.listFiles(path, driverConf), bounds)
     }
+  }
+
+  private def footerPlan(
+      files: Seq[Path],
+      bounds: Map[String, (Double, Double)]): Array[InputPartition] = {
+    if (files.isEmpty) return Array.empty
+    val schemaStr = PointsSource.footerOf(files.head, driverConf).getFileMetaData.getSchema.toString
+    val survivors =
+      if (bounds.isEmpty) files
+      else {
+        import scala.jdk.CollectionConverters._
+        files.asJava.parallelStream()
+          .filter(f => PointsSource.tileSurvives(PointsSource.footerOf(f, driverConf), bounds))
+          .collect(java.util.stream.Collectors.toList[Path]).asScala.toSeq
+      }
+    survivors.map(f => PointsInputPartition(f.toString, schemaStr): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -67,6 +67,62 @@ class GraftSqlSpec extends AnyFunSuite with Matchers with SparkTest {
     q.count() shouldBe expected
   }
 
+  test("r07 polygon crop runs as pure SQL through Graft.init and matches the DataFrame path") {
+    Graft.init(spark, dir)
+    // The FULL r07 query as SQL text: st_point_in_poly predicate (bbox
+    // conjuncts auto-injected by PushPolygonBbox) + the decimal-exact
+    // aggregate mirrors of Exact.dsum/davg. Must reproduce the registered
+    // DataFrame query row-for-row, proving the SQL surface executes the
+    // same optimized semantics end to end.
+    val wkt = "POLYGON((10000.0 5.0, 60000.0 5.0, 60000.0 25.0, 35000.0 25.0, " +
+      "35000.0 45.0, 10000.0 45.0, 10000.0 5.0))"
+    val viaSql = spark.sql(
+      s"""SELECT y, CAST(count(*) AS BIGINT) AS n_points,
+         | CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+         | CAST(SUM(CAST(z AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_z
+         |FROM (SELECT l_extendedprice AS x, l_quantity AS y, l_discount*100.0 AS z FROM lineitem)
+         |WHERE st_point_in_poly(x, y, '$wkt')
+         |GROUP BY y ORDER BY y""".stripMargin)
+    val viaDf = SparkEntry.queries("r07_polygon_crop")(spark, dir)
+    viaSql.collect().toSeq shouldBe viaDf.collect().toSeq
+    viaSql.count() should be > 0L
+  }
+
+  test("a plain BETWEEN theta join auto-rewrites to the grid equi-join and matches the DataFrame path") {
+    Graft.init(spark, dir)
+    // q24's shape as SQL text: no manual grid code, just BETWEEN. The
+    // RewriteRangeJoin rule (injected by Graft.init) must splice the
+    // leveled-grid plan — pinned by the __lvl key and the absence of a
+    // nested-loop join — and results must equal the explicit
+    // Intervals.intervalJoin DataFrame path.
+    val q = spark.sql(
+      """SELECT iid, CAST(count(*) AS BIGINT) AS n_points,
+        | CAST(SUM(CAST(t AS DECIMAL(18,2))) AS DOUBLE) AS sum_t
+        |FROM (SELECT l_extendedprice AS t FROM lineitem) p
+        |JOIN (SELECT s_suppkey AS iid, s_acctbal*10.0 AS start,
+        |      s_acctbal*10.0 + 500.0 AS `end` FROM supplier) i
+        |  ON p.t BETWEEN i.start AND i.`end`
+        |GROUP BY iid ORDER BY iid""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("__lvl")
+    // The only nested loop allowed is the tiny broadcast-levels cross join,
+    // which never references the interval bounds; a data-sized BNLJ would
+    // carry start/end in its condition line.
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => { l should not include "start"; l should not include "end" })
+    import org.apache.spark.sql.functions._
+    val pts = Tables(spark, dir, "lineitem").select(col("l_extendedprice").as("t"))
+    val iv = Tables(spark, dir, "supplier").select(
+      col("s_suppkey").as("iid"),
+      (col("s_acctbal") * 10.0).as("start"),
+      (col("s_acctbal") * 10.0 + 500.0).as("end"))
+    val expected = ops.Intervals.intervalJoin(pts, iv)
+      .groupBy(col("iid"))
+      .agg(count(lit(1)).as("n_points"), graft.util.Exact.dsum(col("t"), 2).as("sum_t"))
+      .orderBy(col("iid"))
+    q.collect().toSeq shouldBe expected.collect().toSeq
+  }
+
   test("an end-to-end reference query runs as pure SQL over the views") {
     Graft.init(spark, dir)
     // Voxel subsample (A1) as SQL with the registered tables.

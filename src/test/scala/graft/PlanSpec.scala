@@ -164,6 +164,22 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
+    // The inner assignment window (row_number <= nprobe partitioned by
+    // vec_id) ranks |corpus| x |cells| scored rows; without the group
+    // limit every vector's candidate list is fully sorted — a per-vector
+    // sort that surfaces at billion-vector scale. The x13/x25 pins above
+    // only prove SOME window in the composed query got the limit; this
+    // pins the operator in isolation.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), ops.Similarity.toDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < 16)
+    val p = ops.Similarity.ivfProbe(emb, cents, 64, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    p should include("WindowGroupLimit")
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }

@@ -90,6 +90,21 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
       Dedup.lshCandidates(sigs, "doc_id", maxBucket = Int.MaxValue).collect().toSet
   }
 
+  test("suggestWidths maps corpus stats to measured probe-table rows") {
+    // fixture scale (SURVEY §8 probe: 6,667 docs, ~25% planted dups) ->
+    // the measured 8/4/2 default
+    Dedup.suggestWidths(Dedup.CorpusStats(6667L, 0.25)) shouldBe ((8, 4, 2))
+    // 100x corpus -> the precision-leaning 16/4/4 row (same recall class,
+    // ~2.4x less candidate shuffle)
+    Dedup.suggestWidths(Dedup.CorpusStats(666700L, 0.25)) shouldBe ((16, 4, 4))
+    // small corpus, rare dups -> the recall-max 16/8/2 row
+    Dedup.suggestWidths(Dedup.CorpusStats(10000L, 0.001)) shouldBe ((16, 8, 2))
+    // size precedence: a huge corpus stays precision-leaning even for rare dups
+    Dedup.suggestWidths(Dedup.CorpusStats(1000000000L, 0.001)) shouldBe ((16, 4, 4))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.suggestWidths(Dedup.CorpusStats(100L, 1.5))
+  }
+
   test("native WordShingles/PolyHash agree with the composed HOF twins on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(100)

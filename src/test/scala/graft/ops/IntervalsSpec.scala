@@ -34,6 +34,23 @@ class IntervalsSpec extends AnyFunSuite with Matchers with SparkTest {
       .foreach(l => l should not include "start")
   }
 
+  test("huge-magnitude bounds don't overflow the cell cast (ANSI-safe clamp)") {
+    // |bound| / 2^lvl past Long.MaxValue used to throw a cast-overflow
+    // ArithmeticException under ANSI mode (Spark 4 default); the clamp is
+    // monotone and applied on both join sides, so results still equal the
+    // theta join exactly.
+    val intervals = Seq(
+      (1, 1.0e300, 1.0e300 + 1.0), (2, -1.0e300, -1.0e300 + 1.0), (3, 10.0, 20.0))
+      .toDF("iid", "start", "end")
+    val points = Seq((10, 1.0e300), (11, -1.0e300), (12, 15.0), (13, 30.0)).toDF("pid", "t")
+    val viaGrid = Intervals.intervalJoin(points, intervals)
+      .select("pid", "iid").as[(Int, Int)].collect().toSet
+    val viaLoop = points.join(intervals, col("t") >= col("start") && col("t") <= col("end"))
+      .select("pid", "iid").as[(Int, Int)].collect().toSet
+    viaGrid shouldBe viaLoop
+    viaGrid should contain allOf ((10, 1), (11, 2), (12, 3))
+  }
+
   test("zero-length and point-sized intervals still match exactly their point") {
     val intervals = Seq((1, 5.0, 5.0), (2, -3.0, -3.0)).toDF("iid", "start", "end")
     val points = Seq((10, 5.0), (11, -3.0), (12, 4.999)).toDF("pid", "t")

@@ -121,10 +121,82 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
     feats.toSeq should not be Multimodal.decodeStub(png).toSeq
   }
 
-  test("decode falls back to the byte histogram for non-image payloads") {
+  test("decode falls back to the byte histogram for non-image, non-audio payloads") {
     val textBytes = "not an image".getBytes("UTF-8")
     Multimodal.decodeImage(textBytes) shouldBe None
+    Multimodal.decodeAudio(textBytes) shouldBe None
     Multimodal.decode(textBytes).toSeq shouldBe Multimodal.decodeStub(textBytes).toSeq
+  }
+
+  // --- real audio decode (JDK javax.sound.sampled — no external libs) ------
+
+  /** Deterministic test clip: a sine carrier under an 8-step amplitude
+    * staircase, so each RMS window has a distinct expected energy
+    * (amp_w / sqrt(2)). `descending` flips the staircase for a
+    * different-content clip.
+    */
+  private def testClip(n: Int, sampleRate: Float, descending: Boolean = false): Array[Double] =
+    Array.tabulate(n) { i =>
+      val w = math.min(7, i * 8 / n)
+      val amp = if (descending) 0.8 - 0.1 * w else 0.1 + 0.1 * w
+      amp * math.sin(2 * math.Pi * 440.0 * i / sampleRate)
+    }
+
+  /** Encode samples as a real WAV file: 16-bit signed or 8-bit unsigned
+    * PCM, mono.
+    */
+  private def wavBytes(samples: Array[Double], sampleRate: Float, bits: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val data: Array[Byte] =
+      if (bits == 16) {
+        val b = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) {
+          val s = math.max(-32768, math.min(32767, math.round(samples(i) * 32767).toInt))
+          b(2 * i) = (s & 0xff).toByte
+          b(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        b
+      } else {
+        samples.map(x => (math.round(math.max(-1.0, math.min(1.0, x)) * 127).toInt + 128).toByte)
+      }
+    val enc = if (bits == 16) AudioFormat.Encoding.PCM_SIGNED else AudioFormat.Encoding.PCM_UNSIGNED
+    val fmt = new AudioFormat(enc, sampleRate, bits, 1, bits / 8, sampleRate, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("decodeAudio: real WAV bytes decode to windowed RMS energies") {
+    val wav = wavBytes(testClip(16000, 16000f), 16000f, bits = 16)
+    val feats = Multimodal.decodeAudio(wav).get
+    feats.length shouldBe Multimodal.FeatureDim
+    // each window's RMS ~ amp_w / sqrt(2) for the staircase amplitudes
+    for (w <- 0 until 8)
+      feats(w).toDouble shouldBe ((0.1 + 0.1 * w) / math.sqrt(2.0)) +- 0.02
+    // staircase: energies strictly increase window to window
+    feats.sliding(2).foreach { case Array(a, b) => a should be < b }
+    // decode() routes through the audio decoder, not the byte histogram
+    Multimodal.decode(wav).toSeq shouldBe feats.toSeq
+    Multimodal.decode(wav).toSeq should not be Multimodal.decodeStub(wav).toSeq
+  }
+
+  test("nearDupMedia: resampled + requantized audio dup pairs; different clip does not") {
+    val original = wavBytes(testClip(16000, 16000f), 16000f, bits = 16)
+    // the SAME sound re-ingested at half the sample rate and 8-bit depth
+    val reEncoded = wavBytes(testClip(8000, 8000f), 8000f, bits = 8)
+    val different = wavBytes(testClip(16000, 16000f, descending = true), 16000f, bits = 16)
+    val media = Seq((1L, original), (2L, reEncoded), (3L, different))
+      .toDF("media_id", "payload")
+      .select(
+        $"media_id", $"payload",
+        struct(lit("audio").as("kind"), lit(0).as("width"), lit(0).as("height"),
+          lit(16000).as("sample_rate_hz"), lit(1000L).as("duration_ms")).as("meta"))
+    val pairs = Multimodal.nearDupMedia(media, minCos = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
   }
 
   test("nearDupMedia: JPEG-recompressed copy of a PNG pairs; a different image does not") {

@@ -53,6 +53,21 @@ class SkewAndClusterSpec extends AnyFunSuite with Matchers with SparkTest {
     out(13) shouldBe out(3)
   }
 
+  test("discriminator overload spreads a hot key with CONSTANT values; plain salt cannot") {
+    // A hot key whose value never varies gives xxhash64(k, v) ONE salt for
+    // every row — the documented limitation; mixing in a per-row id
+    // restores the spread while keeping results identical.
+    val rows = (0L until 10000L).map(i => (i, "HOT", 1.0))
+    val df = rows.toDF("id", "key", "value")
+    def spread(salt: org.apache.spark.sql.Column): Long =
+      df.select(pmod(salt, lit(8L)).as("s")).distinct().count()
+    spread(xxhash64($"key", $"value")) shouldBe 1L
+    spread(xxhash64($"key", $"value", $"id")) shouldBe 8L
+    val out = Skew.saltedSumCount(df, $"key", $"value", 8, discriminator = $"id")
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    out shouldBe Map("HOT" -> ((10000.0, 10000L)))
+  }
+
   test("duplicateClusters collapses transitive near-dup chains to min-id labels") {
     // chains: 1~2, 2~3 (one cluster), 10~11, isolated pair 20~21,
     // plus a diamond 30~31, 31~32, 30~32.

@@ -105,6 +105,21 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers with SparkTest {
     Option(row.get(0)).map(_.asInstanceOf[Long]) shouldBe expect
   }
 
+  test("mismatched key or time types fail fast instead of corrupting the merge") {
+    // The logical node is built from already-analyzed children, so Catalyst
+    // coercion never runs: an int-vs-long key would compare UnsafeRows of
+    // different physical layouts and silently return wrong rows.
+    val l = Seq((1, 10L)).toDF("k", "t")
+    val rKeyMismatch = Seq((1L, 5L)).toDF("k2", "t2")
+    (the[IllegalArgumentException] thrownBy
+      AsOf.join(l, rKeyMismatch, Seq("k" -> "k2"), "t" -> "t2")).getMessage should
+      include("key type mismatch")
+    val rTimeMismatch = Seq((1, 5)).toDF("k2", "t2")
+    (the[IllegalArgumentException] thrownBy
+      AsOf.join(l, rTimeMismatch, Seq("k" -> "k2"), "t" -> "t2")).getMessage should
+      include("time type mismatch")
+  }
+
   test("q28 equals q12 (emulated vs native as-of) on the real events fixture") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.SparkEntry.queries("q12_asof_join")(spark, dir).collect().toSeq

@@ -85,6 +85,19 @@ class RangeJoinRuleSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("an explicit user join hint disables the rewrite (hint honored, not dropped)") {
+    val baseline = pairs(points.join(intervals, $"t" >= $"lo" && $"t" <= $"hi"))
+    withRule {
+      val hinted = points.join(intervals.hint("broadcast"), $"t" >= $"lo" && $"t" <= $"hi")
+      val plan = hinted.queryExecution.executedPlan.toString
+      // The user asked for broadcast: the rule must leave the join alone
+      // (the spliced grid subplan would silently discard the hint).
+      plan should not include "__lvl"
+      plan should include("BroadcastNestedLoopJoin")
+      pairs(hinted) shouldBe baseline
+    }
+  }
+
   test("spark.graft.rangeJoin.enabled=false disables the rewrite") {
     withRule {
       spark.conf.set("spark.graft.rangeJoin.enabled", "false")

@@ -144,6 +144,45 @@ class PointsSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     xr.sliding(2).foreach { case Seq((_, hi), (lo, _)) => hi should be < lo; case _ => () }
   }
 
+  test("manifest COL records parse column names containing spaces") {
+    // Parquet legally allows spaces in column names; COL records must split
+    // from the right (last two tokens = min/max) or the stats shift and the
+    // read throws NumberFormatException.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = Files.createTempDirectory("graft-manifest-space").toString
+    val text =
+      """graft-points-manifest v1
+        |SCHEMA message spark_schema {\n}
+        |TILE part-0.parquet
+        |COL plain 1.0 2.0
+        |COL name with spaces -3.5 7.25
+        |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, PointsManifest.FileName), text)
+    val m = PointsManifest.read(d, conf).get
+    m.tiles.head.cols("plain") shouldBe ((1.0, 2.0))
+    m.tiles.head.cols("name with spaces") shouldBe ((-3.5, 7.25))
+  }
+
+  test("stale manifest (tile-set drift) falls back to footer planning — no silent row loss") {
+    val d = Files.createTempDirectory("graft-stale").toString + "/tiles"
+    (0 until 2000).map(i => (i.toLong, i.toDouble, 0.0, 0.0)).toDF("pid", "x", "y", "z")
+      .repartitionByRange(2, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(d)
+    val conf = spark.sparkContext.hadoopConfiguration
+    PointsManifest.write(d, conf)
+    def readD() = spark.read.format("graft.sources.PointsSource").option("path", d).load()
+    readD().count() shouldBe 2000L
+    // a tile arrives AFTER the manifest was written: trusting the manifest
+    // would silently drop its rows; the listing guard must catch the drift
+    val tiles = PointsSource.listFiles(d, conf)
+    val headRows = spark.read.parquet(tiles.head.toString).count()
+    val extra = new org.apache.hadoop.fs.Path(d, "zz-extra.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(
+      extra.getFileSystem(conf), tiles.head, extra.getFileSystem(conf), extra, false, conf)
+    readD().count() shouldBe 2000L + headRows
+  }
+
   test("PointsLayout.ensure is idempotent and the r06 path stays green") {
     val p1 = PointsLayout.ensure(spark, "/root/testdata/sf0.001")
     val p2 = PointsLayout.ensure(spark, "/root/testdata/sf0.001")

@@ -116,6 +116,38 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("attributionJoin: batch twin (q31 shape) agrees with the stream on the fixture") {
+    // The repo's stream/batch pattern: withWatermark on a batch frame is a
+    // legal no-op, so the SAME attributionJoin code runs bounded — q31
+    // oracle-checks that form; this pins that both forms agree.
+    implicit val sq = spark.sqlContext
+    val vData = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Event(2, ts("2024-01-01 10:00:00"), 2, "view", 0.0),
+      Event(3, ts("2024-01-01 10:50:00"), 1, "view", 0.0))
+    val pData = Seq(
+      Event(10, ts("2024-01-01 10:30:00"), 1, "purchase", 9.99), // in window of view 1 only
+      Event(11, ts("2024-01-01 12:30:00"), 2, "purchase", 5.00), // outside every window
+      Event(12, ts("2024-01-01 11:20:00"), 1, "purchase", 7.50)) // in window of view 3 only
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = EventStreams.attributionJoin(views.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("attr_twin").outputMode(OutputMode.Append()).start()
+    val streamed =
+      try {
+        views.addData(vData: _*)
+        buys.addData(pData: _*)
+        q.processAllAvailable()
+        spark.table("attr_twin").select("user_id", "purchase_id", "view_id", "amount")
+          .as[(Long, Long, Long, Double)].collect().toSet
+      } finally q.stop()
+    val batch = EventStreams.attributionJoin(vData.toDF(), pData.toDF())
+      .select("user_id", "purchase_id", "view_id", "amount")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    batch shouldBe streamed
+    batch.map(t => (t._1, t._2, t._3)) shouldBe Set((1L, 10L, 1L), (1L, 12L, 3L))
+  }
+
   test("CatalogStream: streaming catalog build appends each micro-batch (fetch_metadata upgrade)") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-catstream").toString
