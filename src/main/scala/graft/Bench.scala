@@ -66,7 +66,13 @@ object Bench {
     // suite total); queries with zero successful reps appear only in
     // `errors`, never in `queries`.
     val timings = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // Optional comma-separated query filter for local iteration on one
+    // query's timing; the driver never sets it, so per-round runs time the
+    // full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     (0 until reps).foreach { _ =>
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -231,12 +231,6 @@ object Dedup {
     * no data is collected. Dup clusters from LSH are tiny (diameter a few
     * hops), so `maxIter` default 10 is generous.
     */
-  /** Rounds between lineage truncations: label propagation otherwise grows
-    * the plan by one join per round, and at large graph diameters the DAG
-    * itself becomes the straggler.
-    */
-  private val CheckpointEvery = 5
-
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10, failOnNonConvergence: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
     // Undirected adjacency including self-loops so isolated updates keep ids.
@@ -246,7 +240,19 @@ object Dedup {
       .cache()
     var labels = adj.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .cache()
+      .localCheckpoint(eager = true)
+    // Convergence via the LABEL-SUM fixpoint: every round each node's label
+    // is least(own, neighbour labels), so labels are monotonically
+    // non-increasing and the total sum strictly decreases until the
+    // fixpoint — sum unchanged <=> no label changed. This replaces the
+    // per-round updated-vs-old equality JOIN (two more shuffles per round
+    // — the dominant cost of the loop at small scale, and an extra
+    // id-keyed shuffle at any scale) with a single aggregate over the
+    // frame the round materializes anyway. Decimal-exact so node counts
+    // past 2^63/maxId cannot overflow the comparison.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -259,18 +265,23 @@ object Dedup {
         .select(
           col("l.id").as("id"),
           least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"))
-      // localCheckpoint (eager) every few rounds truncates lineage; cache
-      // otherwise. Both materialize `next` before the superseded
-      // generation is unpersisted, so nothing recomputes from scratch.
-      val updated =
-        if ((i + 1) % CheckpointEvery == 0) next.localCheckpoint(eager = true) else next.cache()
-      val changed = updated.alias("u")
-        .join(labels.alias("o"), col("u.id") === col("o.id"))
-        .filter(col("u.label") =!= col("o.label"))
-        .count()
+      // localCheckpoint EVERY round: materializes the generation AND
+      // truncates lineage to a LogicalRDD, which makes it immune to the
+      // next line's unpersist of its parent. A cache()d generation is
+      // PLAN-dependent on the superseded generation's cache — Spark
+      // re-caches dependents when a parent is unpersisted, which silently
+      // turned every later round and every consumer of the returned labels
+      // into a full recomputation of the entire propagation history
+      // (measured in tools.X26Probe: rounds degraded 0.7 -> 2.5 s within
+      // 3 iterations and the downstream aggregate re-paid ~8 s). The
+      // checkpointed blocks of dropped generations are reclaimed by the
+      // ContextCleaner once unreferenced.
+      val updated = next.localCheckpoint(eager = true)
+      val newSum = labelSum(updated)
       labels.unpersist(blocking = false)
       labels = updated
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     adj.unpersist(blocking = false)

@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.ops.{Dedup, TextOps}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Streaming document ingest — the unbounded form of the batch curation
@@ -122,6 +122,46 @@ object DocStreams {
         () // foreachBatch wants Unit; unpersist returns the frame
       }
       .start()
+
+  case class PackDoc(source: String, doc_id: Long, tok: Long)
+  case class PackedDoc(source: String, doc_id: Long, tok: Long, bin: Long)
+  // public (not private): the state ENCODER's generated code constructs
+  // instances reflectively and cannot see a private constructor
+  case class PackState(cum: Long)
+
+  /** Streaming context-window packing — the unbounded form of the x20
+    * batch packer (pretraining concat-and-chunk): each source's documents
+    * accumulate token counts and every doc is assigned the bin its
+    * cumulative-before offset falls in (`floor(cum_before / budget)`),
+    * the identical binning rule as x20's window-cumsum form, so a doc
+    * stream packed incrementally lands in the same bins the batch job
+    * would produce over the same arrival order (spec-pinned).
+    *
+    * State is ONE long per source (the running token offset) — bounded on
+    * an unbounded feed regardless of document volume, checkpointed by the
+    * state store, and sources pack independently so the operator
+    * parallelizes by shard exactly like the batch window. Within a
+    * micro-batch docs are processed in doc_id order (the batch form's
+    * ORDER BY); cross-batch order is arrival order, which a monotonic
+    * upstream id makes deterministic.
+    */
+  def packIngest(docs: Dataset[PackDoc], budget: Long = 512L): Dataset[PackedDoc] = {
+    require(budget >= 1, "budget must be >= 1")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val bin = cum / budget
+            cum += d.tok
+            PackedDoc(src, d.doc_id, d.tok, bin)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
 
   /** Compact the band-key store: merge every `batch_id=K` segment with
     * `evictBeforeBatchId <= K <= upToBatchId` into ONE band-sorted segment

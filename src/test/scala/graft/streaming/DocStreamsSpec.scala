@@ -180,6 +180,38 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("packIngest: streaming packing equals the batch cumsum binning across micro-batches") {
+    import DocStreams.{PackDoc, PackedDoc}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[PackDoc]
+    val q = DocStreams.packIngest(in.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("pack").outputMode(OutputMode.Append()).start()
+    val streamed =
+      try {
+        in.addData(PackDoc("a", 1, 40), PackDoc("a", 2, 50), PackDoc("b", 1, 90))
+        q.processAllAvailable()
+        // second micro-batch: state carries each source's running offset
+        in.addData(PackDoc("a", 3, 30), PackDoc("a", 4, 50), PackDoc("b", 2, 30))
+        q.processAllAvailable()
+        spark.table("pack").as[PackedDoc].collect()
+          .map(p => (p.source, p.doc_id) -> p.bin).toMap
+      } finally q.stop()
+    // a4: cum_before = 120 -> bin 1 (crossed the budget across batches)
+    streamed(("a", 4L)) shouldBe 1L
+    streamed(("a", 3L)) shouldBe 0L
+    // batch twin: x20's window-cumsum binning over the union, same order
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val all = Seq(("a", 1L, 40L), ("a", 2L, 50L), ("a", 3L, 30L), ("a", 4L, 50L),
+      ("b", 1L, 90L), ("b", 2L, 30L)).toDF("source", "doc_id", "tok")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val batch = all
+      .withColumn("bin", floor((sum($"tok").over(w) - $"tok") / 100.0).cast("long"))
+      .select($"source", $"doc_id", $"bin").as[(String, Long, Long)].collect()
+      .map { case (s, d, b) => (s, d) -> b }.toMap
+    streamed shouldBe batch
+  }
+
   test("ingest state is the content hash only — admitted schema carries curation columns") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Doc]
