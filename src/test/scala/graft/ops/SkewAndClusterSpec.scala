@@ -86,6 +86,18 @@ class SkewAndClusterSpec extends AnyFunSuite with Matchers with SparkTest {
     Seq(30L, 31L, 32L).foreach(id => labels(id) shouldBe 30L)
   }
 
+  test("duplicateClusters returns a lineage-truncated frame (repeat consumption never replays training)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val labels = Dedup.duplicateClusters(pairs)
+    // The returned plan must be a LogicalRDD (localCheckpoint output). A
+    // cache()-rooted plan is invalidated by the loop's own unpersist of
+    // superseded generations — Spark re-caches dependents by plan, so
+    // every consumer would silently recompute the whole propagation
+    // history (the x26 15.5 s bench regression).
+    labels.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] shouldBe true
+  }
+
   test("full dedup pipeline: LSH candidates -> Jaccard verify -> cluster -> keep min id") {
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
     def text(seed: Int) = { val r = new scala.util.Random(seed); Seq.fill(60)(vocab(r.nextInt(vocab.size))).mkString(" ") }
