@@ -164,6 +164,26 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("q31: attribution join hash-joins on the user key; time bound is a residual") {
+    // The equi key (user_id) must be the join key — a BETWEEN-only plan
+    // would nested-loop. RewriteRangeJoin deliberately skips equi-keyed
+    // joins, so this pins that the planner's hash path is what runs.
+    val p = finalPlan("q31_attribution")
+    p should include regex """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[v_user"""
+    p should not include "BroadcastNestedLoopJoin"
+    // event_type filters reach the parquet scan
+    p should include("PushedFilters: [IsNotNull(event_type)")
+  }
+
+  test("x26: pipeline stages are hash-shuffles, never data-sized nested loops") {
+    val p = plan("x26_dedup_pipeline")
+    p should not include "CartesianProduct"
+    // label propagation + LSH stage joins are all equi (hash/sort-merge);
+    // the only BNLJ-free requirement: no join line carries the text column
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => l should not include "text")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group

@@ -37,7 +37,19 @@ def main():
     con = duckdb.connect()
     for f in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(f)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+        # a Spark-written table is a DIRECTORY of part files (the 10x
+        # GenScale probe layout); the driver fixtures are single files
+        src = f"{f}/*.parquet" if os.path.isdir(f) else f
+        if name == "events":
+            # probe layout stores ts as BIGINT nanos (Spark cannot write
+            # TIMESTAMP(NANOS)); normalize to micros exactly like
+            # graft.Tables.events does (`ts div 1000` -> timestamp_micros)
+            typ = con.sql(f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
+            if typ == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{src}'")
+                continue
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
