@@ -17,17 +17,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
-  def registerFunctions(spark: SparkSession): Unit = {
+  /** Catalyst twins of the WebMercator Column formulas — same literal
+    * values and operation order, so SQL and DataFrame paths agree
+    * bit-for-bit. (Composed Columns can't round-trip through the function
+    * registry: they wrap into unresolvable ColumnNode exprs.) Shared by
+    * the session-local registration below and [[GraftExtensions]].
+    */
+  private[graft] object MercatorExprs {
     import org.apache.spark.sql.catalyst.expressions._
-    val reg = spark.sessionState.functionRegistry
-
-    // Catalyst twins of the WebMercator Column formulas — same literal
-    // values and operation order, so SQL and DataFrame paths agree
-    // bit-for-bit. (Composed Columns can't round-trip through the
-    // function registry: they wrap into unresolvable ColumnNode exprs.)
-    val d2r = Literal(math.Pi / 180.0)
-    val r = Literal(WebMercator.R)
-    def clampLat(e: Expression): Expression =
+    private val d2r = Literal(math.Pi / 180.0)
+    private val r = Literal(WebMercator.R)
+    private def clampLat(e: Expression): Expression =
       Least(Seq(Greatest(Seq(e, Literal(-WebMercator.MaxLat))), Literal(WebMercator.MaxLat)))
     def lonToX(e: Expression): Expression = Multiply(Multiply(e, d2r), r)
     def latToY(e: Expression): Expression =
@@ -35,11 +35,16 @@ object Graft {
     def xToLon(e: Expression): Expression = Divide(Divide(e, r), d2r)
     def yToLat(e: Expression): Expression =
       Divide(Subtract(Multiply(Atan(Exp(Divide(e, r))), Literal(2.0)), Literal(math.Pi / 2.0)), d2r)
+  }
 
-    reg.createOrReplaceTempFunction("st_lon_to_x", exprs => lonToX(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("st_lat_to_y", exprs => latToY(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("st_x_to_lon", exprs => xToLon(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("st_y_to_lat", exprs => yToLat(exprs.head), "built-in")
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val reg = spark.sessionState.functionRegistry
+
+    reg.createOrReplaceTempFunction("st_lon_to_x", exprs => MercatorExprs.lonToX(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("st_lat_to_y", exprs => MercatorExprs.latToY(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("st_x_to_lon", exprs => MercatorExprs.xToLon(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("st_y_to_lat", exprs => MercatorExprs.yToLat(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("poly_hash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles", exprs => WordShingles(exprs.head, 3), "built-in")

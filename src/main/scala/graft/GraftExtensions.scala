@@ -14,6 +14,20 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Web-Mercator scalar functions — the same shared Catalyst builders the
+    // session-local Graft.registerFunctions path uses, so both surfaces
+    // agree bit-for-bit with the DataFrame WebMercator columns.
+    Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)](
+      ("st_lon_to_x", exprs => Graft.MercatorExprs.lonToX(exprs.head)),
+      ("st_lat_to_y", exprs => Graft.MercatorExprs.latToY(exprs.head)),
+      ("st_x_to_lon", exprs => Graft.MercatorExprs.xToLon(exprs.head)),
+      ("st_y_to_lat", exprs => Graft.MercatorExprs.yToLat(exprs.head))).foreach {
+      case (name, builder) =>
+        e.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(graft.geo.WebMercator.getClass.getName, name),
+          builder))
+    }
     e.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),

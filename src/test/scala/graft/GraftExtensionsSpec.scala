@@ -31,6 +31,14 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkTest {
         .select(graft.functions.TextExprs.simHash64(org.apache.spark.sql.functions.col("t")))
         .head().getLong(0)
       sh shouldBe dfH
+      // Web-Mercator functions inject too (parity with Graft.init's
+      // session-local registration — same shared Catalyst builders)
+      val m = s2.sql(
+        """SELECT st_lon_to_x(-93.759055) AS x, st_lat_to_y(41.925015) AS y,
+          | st_x_to_lon(st_lon_to_x(-93.759055)) AS lon_rt""".stripMargin).head()
+      m.getDouble(0) shouldBe graft.geo.WebMercator.lonToX(-93.759055)
+      m.getDouble(1) shouldBe graft.geo.WebMercator.latToY(41.925015)
+      m.getDouble(2) shouldBe -93.759055 +- 1e-9
       // st_point_in_poly resolves through the extension. (Over a
       // LocalRelation the optimizer constant-folds the whole filter, so
       // only the RESULT is assertable here — the bbox-injection plan shape
