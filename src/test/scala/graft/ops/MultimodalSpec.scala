@@ -215,6 +215,69 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
     pairs shouldBe Set((1L, 2L))
   }
 
+  // --- video container metadata (ISO-BMFF box walk — no codec needed) -----
+
+  /** Minimal valid MP4: ftyp + moov{mvhd(v0), trak{tkhd(v0)}}. */
+  private def miniMp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(512) // big-endian by default
+    def box(name: String)(body: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val inner = java.nio.ByteBuffer.allocate(256)
+      body(inner)
+      val payload = java.util.Arrays.copyOf(inner.array(), inner.position())
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    val ftyp = box("ftyp")(b => b.put("isom".getBytes).putInt(512).put("isom".getBytes))
+    val mvhd = box("mvhd") { b =>
+      b.putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0) // ctime mtime
+      b.putInt(timescale).putInt(duration)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate volume res
+      (0 until 2).foreach(_ => b.putInt(0)) // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt) // matrix
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2) // next_track_ID
+    }
+    val tkhd = box("tkhd") { b =>
+      b.putInt(0) // version + flags
+      b.putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration) // ctime mtime id res dur
+      b.putInt(0).putInt(0) // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0) // layer alt volume res
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt) // matrix
+      b.putInt(w << 16).putInt(h << 16) // 16.16 fixed dims
+    }
+    val trak = box("trak")(b => b.put(tkhd))
+    val moov = box("moov") { b => b.put(mvhd).put(trak) }
+    bb.put(ftyp).put(moov)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("probeVideoMeta parses duration and dimensions from a real MP4 box structure") {
+    // 90 s at timescale 600, 640x360
+    val mp4 = miniMp4(timescale = 600, duration = 54000, w = 640, h = 360)
+    Multimodal.probeVideoMeta(mp4) shouldBe
+      Some(Multimodal.VideoMeta(90000L, 640, 360))
+    // non-BMFF payloads refuse cleanly
+    Multimodal.probeVideoMeta("just text".getBytes("UTF-8")) shouldBe None
+    Multimodal.probeVideoMeta(null) shouldBe None
+  }
+
+  test("videoMeta extracts container facts map-side; non-video rows drop out") {
+    val media = Seq(
+      (1L, miniMp4(600, 54000, 640, 360)),
+      (2L, miniMp4(1000, 2500, 1920, 1080)),
+      (3L, "not a video".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .select(
+        $"media_id", $"payload",
+        struct(lit("video").as("kind"), lit(0).as("width"), lit(0).as("height"),
+          lit(0).as("sample_rate_hz"), lit(0L).as("duration_ms")).as("meta"))
+    val out = Multimodal.videoMeta(media).orderBy("media_id")
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    out shouldBe Seq((1L, 90000L, 640, 360), (2L, 2500L, 1920, 1080))
+  }
+
   test("frameSamplePlan explodes one row per sampled frame for video rows only") {
     val media = Multimodal.packFromDocuments(docs)
     val frames = Multimodal.frameSamplePlan(media, everyMs = 1000)
