@@ -251,7 +251,10 @@ object Dedup {
     // frame the round materializes anyway. Decimal-exact so node counts
     // past 2^63/maxId cannot overflow the comparison.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      // coalesce: sum over ZERO rows is null — empty `pairs` (a corpus with
+      // no duplicate candidates) must converge cleanly, not NPE
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0

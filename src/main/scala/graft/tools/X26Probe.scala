@@ -69,6 +69,14 @@ object X26Probe {
       .select(col("m").as("id1"), col("doc_id").as("id2"))
     time("exact edges")(exactEdges.count())
 
+    // The LIBRARY path first — this is the number that matters; keep it in
+    // sync by construction. The inline replica below exists only to attach
+    // per-round timers the library loop doesn't expose; if its numbers ever
+    // diverge from this one, the replica is stale and must be re-synced.
+    time("duplicateClusters (library)") {
+      Dedup.duplicateClusters(exactEdges.union(nearPairs)).count()
+    }
+
     // inline replica of duplicateClusters with per-round timing
     val pairs = exactEdges.union(nearPairs)
     val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))

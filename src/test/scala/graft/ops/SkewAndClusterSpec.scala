@@ -86,6 +86,13 @@ class SkewAndClusterSpec extends AnyFunSuite with Matchers with SparkTest {
     Seq(30L, 31L, 32L).foreach(id => labels(id) shouldBe 30L)
   }
 
+  test("duplicateClusters on an empty pair set converges to an empty frame (no NPE)") {
+    // the normal outcome of a dedup run that found no candidates — the
+    // label-sum convergence check must coalesce the empty-aggregate null
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    Dedup.duplicateClusters(empty).count() shouldBe 0L
+  }
+
   test("duplicateClusters returns a lineage-truncated frame (repeat consumption never replays training)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
     val labels = Dedup.duplicateClusters(pairs)
