@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Similarity, Skew, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -669,6 +669,58 @@ object ExtensionQueries {
     clusters.union(summary).orderBy(col("keep_id"))
   }
 
+  /** Salted two-phase aggregation ([[graft.ops.Skew.saltedSumCount]])
+    * routed through the oracle gate: semantically a plain
+    * `groupBy(l_returnflag).agg(sum, count)`, executed with the hot-key
+    * spreading path (content-hash salt + per-(key, salt) partials +
+    * per-key combine) so the skew mitigation itself is hash-verified
+    * against the unsalted SQL. Values are cast to DECIMAL per row before
+    * summing, so the two-phase sum is bit-identical to the one-phase one
+    * under any partitioning — the property that makes the salted plan
+    * substitutable for the plain one at 100 TB.
+    */
+  private def x27(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("q"), col("l_orderkey")),
+      col("l_returnflag"), col("q"), salts = 8, discriminator = col("l_orderkey"))
+      .select(col("k"), col("sum_v").cast("double").as("sum_v"), col("count_v"))
+      .orderBy(col("k"))
+
+  /** Temperature-based source mixing (the multilingual/pretraining data-
+    * mixing rule w_s proportional to n_s^alpha, alpha = 0.5): per-source
+    * sampling rates that up-weight small sources toward uniform, applied
+    * as a deterministic content-hash threshold. All rate arithmetic is
+    * INTEGER (floor(sqrt(n)*1000) weights, integer-division permyriad
+    * rates) so both engines compute identical thresholds — no float
+    * summation-order hazard between the weight total and the rates.
+    * Scale posture: rates derive from a per-source count frame (tiny) and
+    * broadcast back; the keep decision is map-only on the corpus.
+    */
+  private def x29(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.withColumn(
+      "w", floor(sqrt(col("n_docs").cast("double")) * 1000.0).cast("long"))
+    val total = weighted.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("tn"))
+    // Overall target ~40% of the corpus, split across sources by w/n:
+    // rate_pm = floor(tn*4000*w / (n*tw)) per-10000, capped at keep-all.
+    val rates = weighted.crossJoin(broadcast(total))
+      .withColumn("rate_pm", least(expr("(tn * 4000 * w) div (n_docs * tw)"), lit(10000L)))
+      .select(col("source"), col("n_docs"), col("w"), col("rate_pm"))
+    val kept = docs.join(broadcast(rates.select(col("source"), col("rate_pm"))), "source")
+      .filter(pmod(TextOps.polyHash(col("text")), lit(10000L)) < col("rate_pm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("kept_chars"))
+    rates
+      .join(kept, Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"), col("w"), col("rate_pm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -695,7 +747,9 @@ object ExtensionQueries {
     "x23_vocab" -> (x23 _),
     "x24_decontamination" -> (x24 _),
     "x25_ann_ivf_nprobe2" -> (x25 _),
-    "x26_dedup_pipeline" -> (x26 _))
+    "x26_dedup_pipeline" -> (x26 _),
+    "x27_salted_agg" -> (x27 _),
+    "x29_source_mix" -> (x29 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1074,5 +1128,28 @@ object ExtensionQueries {
          |UNION ALL SELECT -1::BIGINT AS keep_id,
          | (SELECT CAST(count(*) AS BIGINT) FROM corpus) - (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM clusters) AS n
          |ORDER BY keep_id""".stripMargin
-    })
+    },
+    "x27_salted_agg" ->
+      // The oracle is the UNSALTED aggregate — the salted two-phase plan
+      // must be observationally identical to it.
+      """SELECT l_returnflag AS k,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | CAST(count(*) AS BIGINT) AS count_v
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x29_source_mix" ->
+      s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000.0) AS BIGINT) AS w FROM counts),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(n_docs) AS BIGINT) AS tn FROM w),
+         |rates AS (SELECT source, n_docs, w,
+         |  CAST(least((tn * 4000 * w) // (n_docs * tw), 10000) AS BIGINT) AS rate_pm
+         | FROM w CROSS JOIN tot),
+         |kept AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         | FROM documents JOIN rates USING (source)
+         | WHERE ${polySql("text")} % 10000 < rate_pm GROUP BY source)
+         |SELECT r.source, r.n_docs, r.w, r.rate_pm,
+         | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         | CAST(coalesce(k.kept_chars, 0) AS BIGINT) AS kept_chars
+         |FROM rates r LEFT JOIN kept k USING (source) ORDER BY r.source""".stripMargin)
 }
