@@ -687,6 +687,51 @@ object ExtensionQueries {
       .select(col("k"), col("sum_v").cast("double").as("sum_v"), col("count_v"))
       .orderBy(col("k"))
 
+  /** PQ geometry: 64-dim embeddings as m=4 subspaces of 16 dims, k=8
+    * codewords per subspace (3-bit codes; 256 bytes -> 4 codes).
+    */
+  private val PqM = 4
+  private val PqSubDim = EmbDim / PqM
+  private val PqK = 8
+
+  /** Product-quantization ANN: train per-subspace codebooks
+    * ([[Similarity.pqCodebooks]], deterministic k-means), encode the
+    * corpus to m codes per vector, then answer queries by ASYMMETRIC
+    * distance — the uncompressed query scored against each vector's
+    * reconstruction (codeword concatenation). The oracle retrains the
+    * identical codebooks by unrolling the k-means iterations per subspace
+    * in SQL (the x13 trick, four times), so codes, reconstructions, and
+    * the final top-k ranking are all hash-checked.
+    *
+    * Scale posture: the codebook frame is m*k = 32 rows (broadcast);
+    * encoding is one broadcast pass + a rank-1 window (WindowGroupLimit);
+    * search scans CODES (4 B/vector, not 256 B) plus a broadcast of the
+    * query set — at billion-vector scale the 64x scan-size reduction is
+    * the point of PQ, and nothing here shuffles the corpus.
+    */
+  private def x28(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = Similarity.pqCodebooks(e, PqM, PqSubDim, PqK, KmIters)
+    val codes = Similarity.pqEncode(e, cb, PqSubDim)
+    val recon = Similarity.pqReconstruct(codes, cb)
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = recon.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"), col("vec_id"),
+        round(
+          Similarity.cosineStatic(
+            col("qv"), col("rv"),
+            Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("rv"), EmbDim), EmbDim),
+          6).as("acos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Temperature-based source mixing (the multilingual/pretraining data-
     * mixing rule w_s proportional to n_s^alpha, alpha = 0.5): per-source
     * sampling rates that up-weight small sources toward uniform, applied
@@ -749,6 +794,7 @@ object ExtensionQueries {
     "x25_ann_ivf_nprobe2" -> (x25 _),
     "x26_dedup_pipeline" -> (x26 _),
     "x27_salted_agg" -> (x27 _),
+    "x28_pq_topk" -> (x28 _),
     "x29_source_mix" -> (x29 _))
 
   // --- oracle SQL ----------------------------------------------------------
@@ -1136,6 +1182,48 @@ object ExtensionQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         | CAST(count(*) AS BIGINT) AS count_v
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x28_pq_topk" -> {
+      // Per-subspace k-means on list SLICES, unrolled like x13's — aSql
+      // mirrors Similarity.pqEncode's rank-1 assignment, uSql mirrors
+      // kmeansCentroids' decimal-exact mean update.
+      def aSql(tbl: String, cent: String, out: String): String =
+        s"""$out AS (SELECT vec_id, sv, cell_id FROM (
+           | SELECT t.vec_id, t.sv, $cent.cell_id,
+           |  row_number() OVER (PARTITION BY t.vec_id
+           |    ORDER BY round(list_cosine_similarity(t.sv, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
+           | FROM $tbl t CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
+      def uSql(assigned: String, out: String): String =
+        s"""${out}_m AS (
+           | SELECT cell_id, CAST(s.pos AS BIGINT) AS pos,
+           |  CAST(SUM(CAST(s.xv AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS m
+           | FROM (SELECT cell_id,
+           |   unnest(list_transform(range(1, len(sv)+1), i -> {'pos': i-1, 'xv': sv[i]})) AS s
+           |  FROM $assigned)
+           | GROUP BY cell_id, s.pos),
+           |$out AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell_id)""".stripMargin
+      val subs = (0 until PqM).map { sub =>
+        val lo = sub * PqSubDim + 1
+        val hi = (sub + 1) * PqSubDim
+        s"""s$sub AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+           |c${sub}_0 AS (SELECT vec_id AS cell_id, sv AS cv FROM s$sub WHERE vec_id < $PqK),
+           |${aSql(s"s$sub", s"c${sub}_0", s"a${sub}_1")},
+           |${uSql(s"a${sub}_1", s"c${sub}_1")},
+           |${aSql(s"s$sub", s"c${sub}_1", s"a${sub}_2")},
+           |${uSql(s"a${sub}_2", s"c${sub}_2")},
+           |${aSql(s"s$sub", s"c${sub}_2", s"f$sub")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$subs,
+         |recon AS (SELECT f0.vec_id, ${(0 until PqM).map(i => s"cb$i.cv").mkString(" || ")} AS rv
+         | FROM f0 ${(1 until PqM).map(i => s"JOIN f$i ON f$i.vec_id = f0.vec_id").mkString(" ")}
+         | ${(0 until PqM).map(i => s"JOIN c${i}_2 cb$i ON cb$i.cell_id = f$i.cell_id").mkString(" ")}),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT qid, r.vec_id, round(list_cosine_similarity(qv, rv), 6) AS acos
+         | FROM recon r, q WHERE r.vec_id <> qid),
+         |rk AS (SELECT qid, vec_id, acos,
+         | CAST(row_number() OVER (PARTITION BY qid ORDER BY acos DESC, vec_id) AS BIGINT) AS rnk FROM p)
+         |SELECT qid, vec_id, acos, rnk FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    },
     "x29_source_mix" ->
       s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
          |w AS (SELECT source, n_docs,

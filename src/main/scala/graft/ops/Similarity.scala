@@ -170,6 +170,72 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization codebooks: split a `m * subDim`-dim vector into
+    * `m` independent subspaces and train a deterministic k-means codebook
+    * of `k` codewords per subspace ([[kmeansCentroids]] on the slice). A
+    * vector is then representable as m small codes (log2 k bits each)
+    * instead of `m * subDim` floats — with 64-dim float32 and m=4, k=8
+    * that is 256 bytes -> 4 codes, the memory/bandwidth compression
+    * behind billion-vector ANN indexes (IVF-PQ). Init per subspace = the
+    * slices of the first k corpus ids, so the oracle can retrain the
+    * identical codebooks in SQL (the x13 unrolled-k-means trick, once per
+    * subspace). Returns (subspace, cell_id, cv); each per-subspace model
+    * is k rows and lineage-cut by the trainer.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 1, "m, subDim, k must be >= 1")
+    (0 until m).map { sub =>
+      val sliced = corpus.select(
+        col(idCol), slice(col(vecCol), sub * subDim + 1, subDim).as("sv"))
+      kmeansCentroids(sliced, sliced.filter(col(idCol) < k), iters, subDim, idCol, "sv")
+        .select(lit(sub).as("subspace"), col("cell_id"), col("cv"))
+    }.reduce(_ union _)
+  }
+
+  /** PQ encoding: each vector's nearest codeword per subspace (highest
+    * rounded cosine, ties to the lower cell id — the [[ivfProbe]] rule, so
+    * assignment is engine-reproducible). ONE broadcast pass scores every
+    * (vector, subspace, codeword) triple against the m*k-row codebook
+    * frame; the per-(vector, subspace) argmax is a rank-1 window, which
+    * Spark executes with WindowGroupLimit (bounded per-group state — the
+    * corpus never sorts). Output: (idCol, subspace, code).
+    */
+  def pqEncode(
+      corpus: DataFrame, codebooks: DataFrame, subDim: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val cb = codebooks.select(col("subspace"), col("cell_id"), col("cv"))
+    val sl = slice(col(vecCol), col("subspace") * lit(subDim) + lit(1), lit(subDim))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cb))
+      .select(
+        col(idCol), col("subspace"), col("cell_id"),
+        round(cosineStatic(sl, col("cv"), norm(sl, subDim), norm(col("cv"), subDim), subDim), 6)
+          .as("cscore"))
+    val w = Window.partitionBy(col(idCol), col("subspace"))
+      .orderBy(col("cscore").desc, col("cell_id"))
+    scored
+      .withColumn("arnk", row_number().over(w))
+      .filter(col("arnk") === 1)
+      .select(col(idCol), col("subspace"), col("cell_id").as("code"))
+  }
+
+  /** PQ reconstruction: codes -> the concatenation of their codewords, the
+    * approximation target asymmetric-distance search scores against (the
+    * query side stays uncompressed). Broadcast join on (subspace, code);
+    * the full-dim vector reassembles with a deterministic subspace sort.
+    */
+  def pqReconstruct(codes: DataFrame, codebooks: DataFrame, idCol: String = "vec_id"): DataFrame =
+    codes
+      .join(
+        broadcast(codebooks.select(col("subspace"), col("cell_id").as("code"), col("cv"))),
+        Seq("subspace", "code"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("subspace"), col("cv")))),
+        e => e.getField("cv"))).as("rv"))
+
   /** Shared single-pass bucket-pair generator: collect each bucket's
     * members ONCE (the self-join form evaluated the upstream projection on
     * both sides), drop buckets above `maxBucket`, and emit (m1, m2) member

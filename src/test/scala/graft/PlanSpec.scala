@@ -200,6 +200,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("WindowGroupLimit")
   }
 
+  test("pqEncode: the per-(vector, subspace) assignment window gets WindowGroupLimit") {
+    // Same rationale as the ivfProbe pin: encoding ranks |corpus| x m x k
+    // scored rows; the rank-1 filter must bound per-group state or every
+    // vector sorts its codeword candidates at billion-vector scale.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = ops.Similarity.pqCodebooks(emb, m = 4, subDim = 16, k = 8, iters = 1)
+    val p = ops.Similarity.pqEncode(emb, cb, subDim = 16)
+      .queryExecution.executedPlan.toString
+    p should include("WindowGroupLimit")
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTest
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -88,5 +89,42 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
     val r3 = recalled(p3)
     r3 should be >= r1
     r3 should be > 10L // with 8 cells and nprobe 3, most true NNs are reachable
+  }
+
+  test("PQ: codes are bounded by the codebook, reconstruction recovers clustered structure") {
+    // Corpus built FROM k prototypes per subspace (+ tiny noise), so a
+    // k-codeword codebook can represent it well: every reconstruction
+    // must stay near its source vector.
+    val m = 4
+    val subDim = 4
+    val k = 4
+    val protos = (0 until m).map(sub => (0 until k).map(c => randVec(sub * 100 + c).take(subDim)))
+    val rnd = new scala.util.Random(7)
+    // ids 0..k-1 are the pure prototypes (the trainer seeds from the first
+    // k ids, so every prototype cluster gets a seed); the rest sample a
+    // random prototype per subspace + tiny noise.
+    val corpus = (0 until 60).map { i =>
+      val v = (0 until m).flatMap { sub =>
+        val p = protos(sub)(if (i < k) i else rnd.nextInt(k))
+        if (i < k) p else p.map(_ + (rnd.nextDouble() - 0.5) * 1e-3)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "v")
+    val cb = Similarity.pqCodebooks(corpus, m, subDim, k, iters = 2)
+    // codebook: at most k codewords per subspace, each of subDim dims
+    cb.groupBy("subspace").count().filter(col("count") > k).count() shouldBe 0L
+    cb.filter(functions.size(col("cv")) =!= subDim).count() shouldBe 0L
+    val codes = Similarity.pqEncode(corpus, cb, subDim)
+    // exactly one code per (vector, subspace); codes come from the codebook
+    codes.groupBy("vec_id").count().filter(col("count") =!= m).count() shouldBe 0L
+    codes.join(cb.withColumnRenamed("cell_id", "code"), Seq("subspace", "code"), "left_anti")
+      .count() shouldBe 0L
+    // reconstruction: full dim, and cosine-close to the original for ALL
+    // vectors (the corpus is k-representable by construction)
+    val recon = Similarity.pqReconstruct(codes, cb)
+    recon.filter(functions.size(col("rv")) =!= m * subDim).count() shouldBe 0L
+    recon.join(corpus, "vec_id")
+      .select(Similarity.cosine(col("v"), col("rv")).as("c"))
+      .agg(min(col("c"))).head().getDouble(0) should be > 0.98
   }
 }
