@@ -766,6 +766,132 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** RAG-style sliding-window chunking: split each document into
+    * fixed-width token windows (ChunkTokens) advancing by ChunkStride
+    * (so consecutive chunks overlap by ChunkTokens - ChunkStride tokens),
+    * and fingerprint each chunk. Pure map-side work — tokenize, generate
+    * the start offsets with `sequence`, `posexplode`, `slice` — so at
+    * 100 TB chunking fuses into the scan with zero shuffles; the only
+    * exchange in the plan is the presentation sort. The fingerprint (the
+    * same polynomial hash the dedup family uses) is what downstream
+    * chunk-level dedup/retrieval would key on.
+    */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+  private def x30(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+    docs
+      .select(
+        col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("tk"), col("start") + 1, lit(ChunkTokens)).as("ck"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("ck")).cast("long").as("n_tokens"),
+        TextOps.polyHash(concat_ws(" ", col("ck"))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** BM25 keyword retrieval: score every document against a fixed query
+    * and return the top 20. Classic sparse retrieval — the lexical half of
+    * a retrieval pipeline (the dense half is x08/x11/x13).
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE the
+    * (doc, term) tf shuffle, so the exchange carries only matching tokens
+    * — O(matches), not O(corpus tokens). Document frequency and the
+    * (n_docs, total_dl) frame are tiny and broadcast. Per-term
+    * contributions are summed through a fixed-scale decimal
+    * ([[graft.util.Exact.dsum]]) so the score is partition-order
+    * independent; ties in the top-20 break on doc_id.
+    */
+  private val Bm25Terms = Seq("join", "vector", "stream")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private def x31(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    val dl = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5) / (col("df").cast("double") + 0.5))
+    val num = col("tf").cast("double") * lit(Bm25K1 + 1.0)
+    val den = col("tf").cast("double") +
+      lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl)
+    tf.join(dl, "doc_id")
+      .join(broadcast(dft), "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), (idf * (num / den)).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(graft.util.Exact.dsum(col("contrib"), 8), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** CDC merge / upsert: apply a change batch (updates + inserts, derived
+    * deterministically from the snapshot so both engines see identical
+    * inputs) to the orders snapshot with MERGE semantics — one full-outer
+    * equi-join on the key, row disposition (updated / inserted / carried)
+    * from side markers, `coalesce` picks the surviving column values.
+    *
+    * Scale shape: the single shuffle is the join on o_orderkey; with the
+    * snapshot bucketed by key (BucketedLayoutSpec's layout) only the
+    * change batch moves. This is the merge-on-read compaction pattern every
+    * incremental 100 TB corpus needs. Output = all changed rows plus a
+    * deterministic 2% sample of carried rows, so row-level merge results
+    * are hash-checked without dumping the full snapshot.
+    */
+  private def x32(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), lit(1).as("in_base"))
+    val changed = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("R").as("u_status"), (col("o_totalprice") * 1.1).as("u_price"))
+    val inserted = base.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"), lit("N").as("u_status"), col("o_totalprice").as("u_price"))
+    val updates = changed.union(inserted).withColumn("in_upd", lit(1))
+    base.join(updates, Seq("o_orderkey"), "full_outer")
+      .select(
+        col("o_orderkey"),
+        when(col("in_upd").isNotNull && col("in_base").isNotNull, lit("updated"))
+          .when(col("in_upd").isNotNull, lit("inserted"))
+          .otherwise(lit("carried")).as("disposition"),
+        coalesce(col("u_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("u_price"), col("o_totalprice")).as("o_totalprice"))
+      .filter(col("disposition") =!= "carried" || col("o_orderkey") % 50 === 0)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Heavy hitters via the native Misra-Gries aggregate
+    * ([[graft.functions.HeavyHitters]]): top-20 suppliers by lineitem
+    * frequency, with (lo, hi) count bounds from the sketch. One pass over
+    * the fact table, m-bounded partials merged executor-side
+    * (ObjectHashAggregate) — at 100 TB the "hottest keys" question costs
+    * one scan plus O(partitions * m) longs of merge traffic, never a
+    * key-space shuffle. HhCapacity (8192) exceeds the supplier count
+    * through sf1, so the sketch runs in its exact regime and the oracle
+    * is plain GROUP BY counts (the determinism contract documented on the
+    * expression); the lossy regime's error bounds are spec-pinned instead
+    * (SketchSpec).
+    */
+  private val HhCapacity = 8192
+  private def x33(s: SparkSession, dir: String): DataFrame = {
+    val hh = t(s, dir, "lineitem")
+      .agg(graft.functions.SketchExprs.heavyHitters(col("l_suppkey").cast("long"), HhCapacity).as("hh"))
+    hh.select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("l_suppkey"), col("e.lo").as("cnt_lo"), col("e.hi").as("cnt_hi"))
+      .orderBy(col("cnt_lo").desc, col("l_suppkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -795,7 +921,11 @@ object ExtensionQueries {
     "x26_dedup_pipeline" -> (x26 _),
     "x27_salted_agg" -> (x27 _),
     "x28_pq_topk" -> (x28 _),
-    "x29_source_mix" -> (x29 _))
+    "x29_source_mix" -> (x29 _),
+    "x30_doc_chunk" -> (x30 _),
+    "x31_bm25_topk" -> (x31 _),
+    "x32_cdc_merge" -> (x32 _),
+    "x33_heavy_hitters" -> (x33 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1239,5 +1369,50 @@ object ExtensionQueries {
          |SELECT r.source, r.n_docs, r.w, r.rate_pm,
          | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          | CAST(coalesce(k.kept_chars, 0) AS BIGINT) AS kept_chars
-         |FROM rates r LEFT JOIN kept k USING (source) ORDER BY r.source""".stripMargin)
+         |FROM rates r LEFT JOIN kept k USING (source) ORDER BY r.source""".stripMargin,
+    "x30_doc_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM documents),
+         |st AS (SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride)) AS start FROM tk WHERE len(t) > 0),
+         |ck AS (SELECT doc_id, start // $ChunkStride AS chunk_idx,
+         |  list_slice(t, start + 1, start + $ChunkTokens) AS ck FROM st)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         | CAST(len(ck) AS BIGINT) AS n_tokens,
+         | ${polySql("array_to_string(ck, ' ')")} AS chunk_fp
+         |FROM ck ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x31_bm25_topk" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         | FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+         | WHERE tok IN (${Bm25Terms.map(w => s"'$w'").mkString(", ")}) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |c AS (SELECT tf.doc_id,
+         |  (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |   * ((CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         |      / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib
+         | FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         | round(CAST(SUM(CAST(contrib AS DECIMAL(18,8))) AS DOUBLE), 6) AS score
+         |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x32_cdc_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        | SELECT o_orderkey, 'R' AS u_status, o_totalprice * 1.1 AS u_price FROM base WHERE o_orderkey % 7 = 0
+        | UNION ALL
+        | SELECT o_orderkey + 100000000, 'N', o_totalprice FROM base WHERE o_orderkey % 97 = 0),
+        |m AS (SELECT
+        |  coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'updated'
+        |       WHEN u.o_orderkey IS NOT NULL THEN 'inserted' ELSE 'carried' END AS disposition,
+        |  coalesce(u.u_status, b.o_orderstatus) AS o_orderstatus,
+        |  coalesce(u.u_price, b.o_totalprice) AS o_totalprice
+        | FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey)
+        |SELECT o_orderkey, disposition, o_orderstatus, o_totalprice FROM m
+        |WHERE disposition <> 'carried' OR o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin,
+    // exact-regime MG (capacity >= distinct suppliers): lo = hi = true count
+    "x33_heavy_hitters" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+        | CAST(count(*) AS BIGINT) AS cnt_lo, CAST(count(*) AS BIGINT) AS cnt_hi
+        |FROM lineitem GROUP BY l_suppkey ORDER BY cnt_lo DESC, l_suppkey LIMIT 20""".stripMargin)
 }

@@ -54,6 +54,12 @@ object Graft {
       "kmin_values",
       exprs => KMinValues(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue()),
       "built-in")
+    // heavy_hitters(key_col, m) — Misra-Gries frequent-items aggregate.
+    reg.createOrReplaceTempFunction(
+      "heavy_hitters",
+      exprs => graft.functions.HeavyHitters(
+        exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
     // st_point_in_poly(x, y, 'POLYGON((...))') — exact polygon containment.
     // The WKT must be a literal (it parametrizes the plan): the ring is
     // parsed at resolution time into the native PointInPolygon expression

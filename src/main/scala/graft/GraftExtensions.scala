@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KMinValues].getName, "kmin_values"),
       exprs => KMinValues(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())))
     e.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
+      exprs => graft.functions.HeavyHitters(
+        exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
       FunctionIdentifier("st_point_in_poly"),
       new ExpressionInfo(classOf[PointInPolygon].getName, "st_point_in_poly"),
       exprs => PointInPolygon(

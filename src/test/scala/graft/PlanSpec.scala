@@ -213,6 +213,31 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("WindowGroupLimit")
   }
 
+  test("x30: chunking is map-only — the presentation sort is the only exchange") {
+    val p = plan("x30_doc_chunk")
+    p should include("Generate")  // posexplode of the chunk starts
+    // tokenize -> sequence -> posexplode -> slice -> hash all fuse into the
+    // scan; at 100 TB the chunker adds zero shuffles.
+    "Exchange".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("x31: BM25 df/totals broadcast; term filter precedes the tf shuffle") {
+    val p = finalPlan("x31_bm25_topk")
+    p should include("BroadcastHashJoin") // df-per-term joins broadcast
+    // the explode's term filter must run before the (doc, term) aggregate:
+    // the IN filter appears under Generate, not after the exchange
+    p.indexOf("tok#") should be > 0
+    p should not include "CartesianProduct"
+  }
+
+  test("x32: CDC merge is a single key-shuffle full-outer join") {
+    val p = finalPlan("x32_cdc_merge")
+    p should include("FullOuter")
+    p should include("SortMergeJoin")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }

@@ -54,4 +54,56 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkTest {
       .collect().head.getSeq[Long](0)
     out shouldBe Seq(1L, 5L)
   }
+
+  // --- Misra-Gries heavy hitters -------------------------------------------
+
+  /** (key, lo, hi) rows out of the sketch. */
+  private def hh(df: org.apache.spark.sql.DataFrame, m: Int, parts: Int): Seq[(Long, Long, Long)] =
+    df.repartition(parts)
+      .agg(SketchExprs.heavyHitters(col("v"), m).as("h"))
+      .select(explode(col("h")).as("e"))
+      .select(col("e.key"), col("e.lo"), col("e.hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("heavyHitters in the exact regime (m >= distinct) equals GROUP BY counts, any partitioning") {
+    val vals = (0L until 2000L).map(i => i % 37L)
+    val expected = vals.groupBy(identity).map { case (k, v) => (k, v.size.toLong, v.size.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1))
+    Seq(1, 4, 32).foreach { parts =>
+      hh(vals.toDF("v"), m = 64, parts) shouldBe expected
+    }
+  }
+
+  test("heavyHitters lossy regime: bounds bracket true counts and frequent keys survive") {
+    // one heavy key (40% of the stream) among 50 uniform light keys
+    val heavy = Seq.fill(2000)(999L)
+    val light = (0 until 3000).map(i => (i % 50).toLong)
+    val vals = new scala.util.Random(42).shuffle(heavy ++ light) // MG bounds hold for ANY order
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = vals.size.toLong
+    val m = 8
+    Seq(1, 8).foreach { parts =>
+      val out = hh(vals.toDF("v"), m, parts)
+      out.size should be <= m
+      out.foreach { case (k, lo, hi) =>
+        lo should be <= truth(k)
+        hi should be >= truth(k)
+      }
+      // guarantee: any key with frequency > n/(m+1) is emitted
+      out.map(_._1) should contain(999L)
+      withClue("heavy key bound width: ") {
+        val (_, lo, hi) = out.find(_._1 == 999L).get
+        (hi - lo) should be <= n / (m + 1) + 1
+      }
+    }
+  }
+
+  test("heavy_hitters is reachable from SQL after registration") {
+    graft.Graft.registerFunctions(spark)
+    Seq(7L, 7L, 7L, 2L).toDF("v").createOrReplaceTempView("hh_in")
+    val out = spark.sql(
+      "SELECT e.key, e.lo FROM (SELECT explode(heavy_hitters(v, 4)) AS e FROM hh_in)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.toSeq shouldBe Seq((7L, 3L), (2L, 1L))
+  }
 }
