@@ -892,6 +892,31 @@ object ExtensionQueries {
       .limit(20)
   }
 
+  /** Maximal-marginal-relevance (MMR) diversified re-rank: from the exact
+    * cosine top-20 candidates for one query vector, greedily select 5,
+    * each round maximizing lambda * rel(q, d) - (1 - lambda) * max sim(d,
+    * selected) — the standard relevance-vs-redundancy re-rank between
+    * retrieval and a context window.
+    *
+    * Scale shape: the distributed work is candidate generation (the x08
+    * broadcast top-k path); the selection loop then runs over the
+    * CANDIDATE frame only (20 rows, cached — the pairwise-sim join and
+    * per-round argmax never touch the corpus). For batch re-ranking,
+    * partition candidates by query id and run the same rounds per group.
+    * Every similarity is rounded to 6 dp BEFORE comparisons, so the greedy
+    * argmax (ties to the lower vec_id) is engine-independent and the
+    * DuckDB oracle unrolls the 5 rounds as CTEs (the x13 k-means trick).
+    */
+  private val MmrLambda = 0.7
+  private val MmrK = 5
+  private def x34(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val cands = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), 20, dim = EmbDim)
+      .select(col("vec_id"), col("cos").as("rel"))
+      .join(e, "vec_id")
+    Similarity.mmrSelect(cands, MmrK, MmrLambda, EmbDim)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -925,7 +950,8 @@ object ExtensionQueries {
     "x30_doc_chunk" -> (x30 _),
     "x31_bm25_topk" -> (x31 _),
     "x32_cdc_merge" -> (x32 _),
-    "x33_heavy_hitters" -> (x33 _))
+    "x33_heavy_hitters" -> (x33 _),
+    "x34_mmr_rerank" -> (x34 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1414,5 +1440,31 @@ object ExtensionQueries {
     "x33_heavy_hitters" ->
       """SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
         | CAST(count(*) AS BIGINT) AS cnt_lo, CAST(count(*) AS BIGINT) AS cnt_hi
-        |FROM lineitem GROUP BY l_suppkey ORDER BY cnt_lo DESC, l_suppkey LIMIT 20""".stripMargin)
+        |FROM lineitem GROUP BY l_suppkey ORDER BY cnt_lo DESC, l_suppkey LIMIT 20""".stripMargin,
+    // greedy MMR selection unrolled: round r picks argmax over the
+    // not-yet-selected candidates of lambda*rel - (1-lambda)*max-sim-to-s_{r-1}
+    "x34_mmr_rerank" -> {
+      def roundSql(r: Int): String =
+        s"""m$r AS (SELECT c.vec_id, c.rel, max(ps.sim) AS ms
+           | FROM cand c JOIN ps ON ps.id_a = c.vec_id AND ps.id_b IN (SELECT vec_id FROM s${r - 1})
+           | WHERE c.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
+           | GROUP BY c.vec_id, c.rel),
+           |p$r AS (SELECT vec_id, rel, CAST($r AS BIGINT) AS rnd,
+           |  round($MmrLambda * rel - ${1 - MmrLambda} * ms, 6) AS mmr
+           | FROM m$r ORDER BY mmr DESC, vec_id LIMIT 1),
+           |s$r AS (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |rel0 AS (SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS rel FROM e, q WHERE vec_id <> 0),
+         |cand AS (SELECT vec_id, rel FROM rel0 ORDER BY rel DESC, vec_id LIMIT 20),
+         |cv AS (SELECT c.vec_id, c.rel, e.v FROM cand c JOIN e USING (vec_id)),
+         |ps AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         | FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+         |s1 AS (SELECT vec_id, rel, CAST(1 AS BIGINT) AS rnd,
+         |  round($MmrLambda * rel, 6) AS mmr
+         | FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+         |${(2 to MmrK).map(roundSql).mkString(",\n")}
+         |SELECT vec_id, rel, rnd, mmr FROM s$MmrK ORDER BY rnd""".stripMargin
+    })
 }

@@ -127,4 +127,18 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
       .select(Similarity.cosine(col("v"), col("rv")).as("c"))
       .agg(min(col("c"))).head().getDouble(0) should be > 0.98
   }
+
+  test("mmrSelect diversifies: near-duplicate of the top pick loses to a distinct cluster") {
+    // two near-identical high-relevance vectors (cluster A) and one
+    // orthogonal lower-relevance vector (B). Pure top-2 = both A's; MMR
+    // with lambda 0.5 must pick A then B (the second A's redundancy
+    // penalty ~1 sinks it), and take the second A only in round 3.
+    val cands = Seq(
+      (1L, 0.95, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, 0.94, Seq(0.999, 0.001, 0.0, 0.0)),
+      (3L, 0.50, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "rel", "v")
+    val out = Similarity.mmrSelect(cands, k = 3, lambda = 0.5, dim = 4)
+      .select(col("rnd"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.toSeq shouldBe Seq((1L, 1L), (2L, 3L), (3L, 2L))
+  }
 }
