@@ -917,6 +917,77 @@ object ExtensionQueries {
     Similarity.mmrSelect(cands, MmrK, MmrLambda, EmbDim)
   }
 
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * until a token budget is exhausted (a doc is kept iff the tokens
+    * BEFORE it in (quality desc, doc_id) order stay under the budget) —
+    * the curriculum/budget cut every training-data build ends with.
+    *
+    * The naive form is a corpus-wide cumulative-sum window — a single
+    * partition sorting 100 TB. This runs the q20 histogram-refine shape
+    * instead: a per-quality-bucket token histogram (hash agg), a
+    * cumulative over the <= 1001-row bucket frame (bounded, broadcast
+    * back), bucket-level pruning of everything past the budget, and a
+    * per-bucket window (partitions are ~n/1000) only for survivors. Same
+    * keep-set and same global cumulative values as the naive form — the
+    * DuckDB oracle IS the naive global window.
+    */
+  private val SelBudget = 15000L
+  private val SelBuckets = 1000
+  private def x35(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.quality(col("text")).as("quality"),
+      TextOps.bpeTokenCount(col("text")).as("n_tok"))
+    val bucketed = docs.withColumn("bucket", floor(col("quality") * SelBuckets).cast("long"))
+    val bstats = bucketed.groupBy(col("bucket")).agg(sum(col("n_tok")).as("bs"))
+    // bounded frame (<= SelBuckets+1 rows): the unpartitioned window is safe
+    val wb = Window.orderBy(col("bucket").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val prev = bstats
+      .withColumn("prev_cum", coalesce(sum(col("bs")).over(wb), lit(0L)))
+      .select(col("bucket"), col("prev_cum"))
+    val ww = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(prev), "bucket")
+      .filter(col("prev_cum") < SelBudget) // prune hopeless buckets before any sort
+      .withColumn("cum", (col("prev_cum") + sum(col("n_tok")).over(ww)).cast("long"))
+      .filter(col("cum") - col("n_tok") < SelBudget)
+      .select(col("doc_id"), col("quality"), col("n_tok"), col("cum"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
+  /** Per-user z-score anomaly detection over the event stream: each
+    * user's mean/stddev from decimal-exact sum and sum-of-squares (one
+    * shuffle on user_id, partition-order independent), broadcast-joined
+    * back onto events to flag |z| > 3, then per-user anomaly counts.
+    * Two passes over events, both shuffling only (user_id, aggregates) —
+    * the standard fleet-telemetry / data-quality outlier sweep at scale.
+    * All z values round to 6 dp before comparison so the flag threshold
+    * is engine-independent.
+    */
+  private def x36(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("value"))
+    val stats = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      graft.util.Exact.dsum(col("value"), 6).as("sv"),
+      graft.util.Exact.dsum(col("value") * col("value"), 6).as("svv"))
+    val meanC = col("sv") / col("n").cast("double")
+    val varC = (col("svv") - (col("sv") * col("sv")) / col("n").cast("double")) /
+      (col("n").cast("double") - 1.0)
+    val st = stats
+      .select(col("user_id"), col("n"), meanC.as("mean"), sqrt(varC).as("sd"))
+      .filter(col("sd") > 0)
+    ev.join(st, "user_id")
+      .select(col("user_id"), col("n"),
+        round(abs((col("value") - col("mean")) / col("sd")), 6).as("az"))
+      .groupBy(col("user_id"), col("n"))
+      .agg(
+        sum(when(col("az") > 3.0, lit(1L)).otherwise(lit(0L))).cast("long").as("n_anom"),
+        max(col("az")).as("max_abs_z"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -951,7 +1022,9 @@ object ExtensionQueries {
     "x31_bm25_topk" -> (x31 _),
     "x32_cdc_merge" -> (x32 _),
     "x33_heavy_hitters" -> (x33 _),
-    "x34_mmr_rerank" -> (x34 _))
+    "x34_mmr_rerank" -> (x34 _),
+    "x35_budget_select" -> (x35 _),
+    "x36_user_anomaly" -> (x36 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1466,5 +1539,31 @@ object ExtensionQueries {
          | FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
          |${(2 to MmrK).map(roundSql).mkString(",\n")}
          |SELECT vec_id, rel, rnd, mmr FROM s$MmrK ORDER BY rnd""".stripMargin
-    })
+    },
+    // the oracle is the naive global cumulative window the Spark path avoids
+    "x35_budget_select" ->
+      s"""WITH h AS (SELECT doc_id, text,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM documents),
+         |s AS (SELECT doc_id, $QualitySql AS quality,
+         |  CAST(length(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT) AS n_tok FROM h),
+         |o AS (SELECT doc_id, quality, n_tok,
+         |  CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s)
+         |SELECT doc_id, quality, n_tok, cum FROM o
+         |WHERE cum - n_tok < $SelBudget ORDER BY quality DESC, doc_id""".stripMargin,
+    "x36_user_anomaly" ->
+      """WITH st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS svv
+        | FROM events GROUP BY user_id),
+        |sd AS (SELECT user_id, n, sv / CAST(n AS DOUBLE) AS mean,
+        |  sqrt((svv - (sv * sv) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd
+        | FROM st),
+        |z AS (SELECT e.user_id, s.n, round(abs((e.value - s.mean) / s.sd), 6) AS az
+        | FROM events e JOIN sd s USING (user_id) WHERE s.sd > 0)
+        |SELECT user_id, n, CAST(SUM(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+        | max(az) AS max_abs_z
+        |FROM z GROUP BY user_id, n ORDER BY user_id""".stripMargin)
 }

@@ -238,6 +238,22 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("x35: the data-sized cumulative window is bucket-partitioned, never a global sort") {
+    val p = plan("x35_budget_select")
+    // the corpus shuffles on the quality bucket (bounded partitions);
+    // only the <= 1001-row bucket histogram may pass through a single
+    // partition. A corpus-wide ORDER BY window would show the doc frame
+    // exchanging into SinglePartition instead.
+    p should include("hashpartitioning(bucket")
+    p should include("Window")
+  }
+
+  test("x36: per-user stats re-join events via broadcast under AQE") {
+    val p = finalPlan("x36_user_anomaly")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
