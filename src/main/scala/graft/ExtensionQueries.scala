@@ -988,6 +988,22 @@ object ExtensionQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Prequential (streaming-order) anomaly scoring: each event's z-score
+    * is computed against the moments of the events BEFORE it (per user,
+    * (ts, event_id) order) — the batch twin of
+    * [[graft.streaming.EventStreams.anomalyIngest]], which holds the same
+    * three integers (n, sum, sum-of-squares in exact centi-units) as
+    * per-user streaming state. Integer prefix sums make the prequential
+    * stats bit-identical across engines AND across the stream/batch pair;
+    * only the final mean/variance/z arithmetic is double, in the same
+    * operation order everywhere. Per-user windows partition by user_id —
+    * no global sort.
+    */
+  private val AnomMinPrior = 10
+  private def x37(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.anomalyBatch(
+      t(s, dir, "events"), AnomMinPrior, 3.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1024,7 +1040,8 @@ object ExtensionQueries {
     "x33_heavy_hitters" -> (x33 _),
     "x34_mmr_rerank" -> (x34 _),
     "x35_budget_select" -> (x35 _),
-    "x36_user_anomaly" -> (x36 _))
+    "x36_user_anomaly" -> (x36 _),
+    "x37_prequential_anomaly" -> (x37 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1565,5 +1582,18 @@ object ExtensionQueries {
         | FROM events e JOIN sd s USING (user_id) WHERE s.sd > 0)
         |SELECT user_id, n, CAST(SUM(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
         | max(az) AS max_abs_z
-        |FROM z GROUP BY user_id, n ORDER BY user_id""".stripMargin)
+        |FROM z GROUP BY user_id, n ORDER BY user_id""".stripMargin,
+    "x37_prequential_anomaly" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cv FROM events),
+         |w AS (SELECT user_id, event_id, cv,
+         |  CAST(count(*) OVER win AS BIGINT) AS np,
+         |  CAST(SUM(cv) OVER win AS BIGINT) AS sp,
+         |  CAST(SUM(cv * cv) OVER win AS BIGINT) AS spp
+         | FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |z AS (SELECT user_id, event_id,
+         |  round(abs((CAST(cv AS DOUBLE) - CAST(sp AS DOUBLE) / np)
+         |    / sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / np) / (np - 1))), 6) AS az
+         | FROM w WHERE np >= $AnomMinPrior AND spp * np - sp * sp > 0)
+         |SELECT user_id, event_id, az FROM z WHERE az > 3.0 ORDER BY user_id, event_id""".stripMargin)
 }

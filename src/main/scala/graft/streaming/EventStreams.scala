@@ -96,6 +96,79 @@ object EventStreams {
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class MomentState(n: Long, sp: Long, spp: Long)
+  case class Anomaly(user_id: Long, event_id: Long, az: Double)
+
+  /** Batch twin of [[anomalyIngest]] (oracle-checked as query x37): the
+    * same prequential scoring as per-user prefix-sum windows — integer
+    * centi-unit moments over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING, then
+    * the identical double mean/variance/z expression. Partitioned by
+    * user_id, so the window parallelizes by user; no global sort.
+    */
+  def anomalyBatch(
+      events: DataFrame,
+      minPrior: Int = 10,
+      threshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(
+      col("user_id"), col("event_id"), col("ts"),
+      round(col("value") * 100).cast("long").as("cv"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(
+      col("user_id"), col("event_id"), col("cv"),
+      count(lit(1)).over(w).as("np"),
+      sum(col("cv")).over(w).as("sp"),
+      sum(col("cv") * col("cv")).over(w).as("spp"))
+      .filter(col("np") >= minPrior && col("spp") * col("np") - col("sp") * col("sp") > 0)
+      .select(col("user_id"), col("event_id"),
+        round(abs(
+          (col("cv").cast("double") - col("sp").cast("double") / col("np")) /
+            sqrt((col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("np")) /
+              (col("np") - 1))), 6).as("az"))
+      .filter(col("az") > threshold)
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Prequential anomaly scoring (batch twin: query x37): each event is
+    * z-scored against the running moments of the user's PRIOR events, then
+    * folded into them. State per user is three longs — count, sum, and
+    * sum-of-squares in exact centi-units (values are cents-precision), so
+    * the streaming fold and the batch prefix-sum window produce
+    * bit-identical integers regardless of micro-batch boundaries; only the
+    * final mean/variance/z arithmetic is double, in the same operation
+    * order as the batch expression. O(1) state per user, no watermark
+    * needed (moments never expire).
+    */
+  def anomalyIngest(
+      events: Dataset[Event],
+      minPrior: Int = 10,
+      threshold: Double = 3.0): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomentState, Anomaly](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[Anomaly]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val cv = math.round(e.value * 100) // exact for cents-precision positives
+            // integer-exact variance positivity test (spp*n > sp^2), then
+            // the same double expression the batch window evaluates
+            if (st.n >= minPrior && st.spp * st.n - st.sp * st.sp > 0) {
+              val mean = st.sp.toDouble / st.n
+              val varr = (st.spp.toDouble - st.sp.toDouble * st.sp.toDouble / st.n) / (st.n - 1)
+              val z = (cv.toDouble - mean) / math.sqrt(varr)
+              // same rounding path as Spark's round(): BigDecimal.valueOf HALF_UP
+              val az = BigDecimal(math.abs(z)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (az > threshold) out += Anomaly(userId, e.event_id, az)
+            }
+            st = MomentState(st.n + 1, st.sp + cv, st.spp + cv * cv)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
   case class SessionState(start: Long, lastTs: Long, nEvents: Long, totalValue: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long, total_value: Double)
 

@@ -189,6 +189,39 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     replayed.map(_.getString(0)).toSeq shouldBe Seq("AK_One_2010", "IA_Two_2011")
   }
 
+  test("anomalyIngest: streaming prequential z-scores agree with the batch window twin across micro-batches") {
+    implicit val sq = spark.sqlContext
+    // user 1: six calm events, then a spike, then calm again; user 2 stays
+    // calm throughout (no anomaly). minPrior=5 keeps the fixture small.
+    def e(id: Long, u: Long, min: Int, v: Double) =
+      Event(id, ts(f"2024-01-01 10:$min%02d:00"), u, "m", v)
+    val calm1 = (1 to 6).map(i => e(i, 1, i, 10.0 + 0.01 * i))
+    val spike = Seq(e(7, 1, 7, 95.5))
+    val after = Seq(e(8, 1, 8, 10.04), e(9, 1, 9, 10.02))
+    val calm2 = (11 to 18).map(i => e(100 + i, 2, i, 5.0 + 0.01 * (i % 3)))
+    val all = calm1 ++ spike ++ after ++ calm2
+
+    val in = MemoryStream[Event]
+    val q = EventStreams.anomalyIngest(in.toDS(), minPrior = 5)
+      .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append()).start()
+    val streamed =
+      try {
+        // split mid-history so state crosses a micro-batch boundary
+        in.addData(calm1 ++ calm2.take(4): _*)
+        q.processAllAvailable()
+        in.addData(spike ++ after ++ calm2.drop(4): _*)
+        q.processAllAvailable()
+        spark.table("anom").as[(Long, Long, Double)].collect().toSet
+      } finally q.stop()
+
+    val batch = EventStreams.anomalyBatch(all.toDF(), minPrior = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    streamed shouldBe batch
+    // the spike is flagged, with the identical rounded z on both paths
+    streamed.map(_._2) should contain(7L)
+    streamed.map(_._1) should not contain 2L
+  }
+
   test("windowedCounts is the streaming form of batch q10 (same results on a bounded frame)") {
     val batch = Seq(
       Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
