@@ -85,6 +85,114 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Greedy maximal-marginal-relevance selection over a PACKED candidate
+  * array: input is `array<struct<id: long, rel: double, v: array<double>>>`
+  * (one row per query group via `collect_list`), output is the k selected
+  * candidates as `array<struct<vec_id, rel, rnd, mmr>>` in selection order.
+  *
+  * Why an expression and not an iterative DataFrame loop: MMR's greedy
+  * rounds are sequential math over a BOUNDED top-N candidate set (tens of
+  * rows per query by construction), but as k DataFrame rounds they cost
+  * k stages of scheduling per query — measured 4.8 s for one 20-candidate
+  * query. As an expression the whole selection is one imperative pass
+  * inside a single aggregate stage, and batch re-ranking parallelizes the
+  * natural way: `groupBy(qid).agg(collect_list(...))` then one MmrSelect
+  * per group. Interpreted eval only (CodegenFallback) — it runs once per
+  * QUERY, not per corpus row, so codegen buys nothing.
+  *
+  * Determinism contract (identical to the unrolled DuckDB oracle and the
+  * former DataFrame loop): candidates are processed in id order, every
+  * relevance/similarity is rounded to 6 dp before comparison, score ties
+  * take the lower id, and cosines are the same left-to-right
+  * widen-multiply-add as [[VectorDot]] divided by the norm product.
+  */
+case class MmrSelect(child: Expression, k: Int, lambda: Double)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rel", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("rnd", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: org.apache.spark.sql.types.StructType, _) if s.length == 3 &&
+        s(0).dataType == org.apache.spark.sql.types.LongType &&
+        s(1).dataType == DoubleType &&
+        (s(2).dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mmr_select requires array<struct<id bigint, rel double, v array<double>>>, got $other")
+    }
+
+  /** Spark round(x, 6) semantics: BigDecimal.valueOf, HALF_UP. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // materialize and order by id: collect_list order is nondeterministic,
+    // the selection must not depend on it
+    val items = Array.tabulate(n) { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getLong(0), r.getDouble(1), r.getArray(2).toDoubleArray())
+    }.sortBy(_._1)
+    val norms = items.map(it => math.sqrt(dot(it._3, it._3)))
+    val taken = new Array[Boolean](n)
+    // cosines can be negative: a zero floor would silently clip the true
+    // max-sim of anti-correlated candidates (caught by the oracle)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val rounds = math.min(k, n)
+    val out = new Array[Any](rounds)
+    var r = 1
+    while (r <= rounds) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val score =
+            if (r == 1) round6(lambda * items(i)._2)
+            else round6(lambda * items(i)._2 - (1 - lambda) * maxSim(i))
+          if (score > bestScore) { best = i; bestScore = score } // strict >: ties keep the lower id
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(r - 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](items(best)._1, items(best)._2, r.toLong, bestScore))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val sim = round6(dot(items(j)._3, items(best)._3) / (norms(j) * norms(best)))
+          if (sim > maxSim(j)) maxSim(j) = sim
+        }
+        j += 1
+      }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MmrSelect =
+    copy(child = newChild)
+  override def prettyName: String = "mmr_select"
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -93,4 +201,8 @@ object VectorExprs {
     */
   def vectorDot(a: Column, b: Column): Column =
     ColumnBridge.column(VectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the packed greedy MMR selection. */
+  def mmrSelect(packed: Column, k: Int, lambda: Double): Column =
+    ColumnBridge.column(MmrSelect(ColumnBridge.expression(packed), k, lambda))
 }

