@@ -218,19 +218,54 @@ object Similarity {
     * behind billion-vector ANN indexes (IVF-PQ). Init per subspace = the
     * slices of the first k corpus ids, so the oracle can retrain the
     * identical codebooks in SQL (the x13 unrolled-k-means trick, once per
-    * subspace). Returns (subspace, cell_id, cv); each per-subspace model
-    * is k rows and lineage-cut by the trainer.
+    * subspace). Returns (subspace, cell_id, cv).
+    *
+    * The m subspace models are mathematically independent, so training is
+    * FUSED: one exploded (id, subspace, slice) frame advances every
+    * codebook per iteration — one broadcast-join assignment, one
+    * (subspace, cell, dim) decimal-mean update, one model checkpoint,
+    * instead of m separate k-means DAGs (m-fold fewer jobs; x28 measured
+    * 4.7 s -> ~1.5 s). Assignment math per subspace is identical to the
+    * sequential form, so trained codebooks — and the oracle — are
+    * unchanged. The (m * k)-row model is lineage-cut each iteration.
     */
   def pqCodebooks(
       corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1, "m, subDim, k must be >= 1")
-    (0 until m).map { sub =>
-      val sliced = corpus.select(
-        col(idCol), slice(col(vecCol), sub * subDim + 1, subDim).as("sv"))
-      kmeansCentroids(sliced, sliced.filter(col(idCol) < k), iters, subDim, idCol, "sv")
-        .select(lit(sub).as("subspace"), col("cell_id"), col("cv"))
-    }.reduce(_ union _)
+    val sliced = corpus
+      .select(col(idCol), explode(array((0 until m).map(sub =>
+        struct(
+          lit(sub).as("subspace"),
+          slice(col(vecCol), sub * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+      .select(col(idCol), col("s.subspace").as("subspace"), col("s.sv").as("sv"))
+    var cents = sliced.filter(col(idCol) < k)
+      .select(col("subspace"), col(idCol).as("cell_id"), toDouble(col("sv")).as("cv"))
+    for (_ <- 0 until iters) {
+      val scored = sliced.join(broadcast(cents), "subspace")
+        .select(
+          col(idCol), col("subspace"), col("cell_id"), col("sv"),
+          round(
+            cosineStatic(col("sv"), col("cv"), norm(col("sv"), subDim), norm(col("cv"), subDim), subDim),
+            6).as("cscore"))
+      val w = Window.partitionBy(col(idCol), col("subspace"))
+        .orderBy(col("cscore").desc, col("cell_id"))
+      val assigned = scored
+        .withColumn("arnk", row_number().over(w))
+        .filter(col("arnk") === 1)
+        .select(col("subspace"), col("cell_id"), col("sv"))
+      cents = assigned
+        .select(col("subspace"), col("cell_id"), posexplode(col("sv")).as(Seq("pos", "xf")))
+        .select(col("subspace"), col("cell_id"), col("pos"), col("xf").cast("double").as("xv"))
+        .groupBy(col("subspace"), col("cell_id"), col("pos"))
+        .agg((sum(col("xv").cast("decimal(18,8)")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("subspace"), col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents.select(col("subspace"), col("cell_id"), col("cv"))
   }
 
   /** PQ encoding: each vector's nearest codeword per subspace (highest
