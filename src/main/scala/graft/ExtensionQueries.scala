@@ -892,29 +892,30 @@ object ExtensionQueries {
       .limit(20)
   }
 
-  /** Maximal-marginal-relevance (MMR) diversified re-rank: from the exact
-    * cosine top-20 candidates for one query vector, greedily select 5,
-    * each round maximizing lambda * rel(q, d) - (1 - lambda) * max sim(d,
-    * selected) — the standard relevance-vs-redundancy re-rank between
-    * retrieval and a context window.
+  /** Maximal-marginal-relevance (MMR) diversified re-rank, batch shape:
+    * for EACH of three query vectors, greedily select 5 of its exact
+    * cosine top-20 candidates, each round maximizing lambda * rel(q, d) -
+    * (1 - lambda) * max sim(d, selected) — the relevance-vs-redundancy
+    * re-rank between retrieval and a context window.
     *
-    * Scale shape: the distributed work is candidate generation (the x08
-    * broadcast top-k path); the selection loop then runs over the
-    * CANDIDATE frame only (20 rows, cached — the pairwise-sim join and
-    * per-round argmax never touch the corpus). For batch re-ranking,
-    * partition candidates by query id and run the same rounds per group.
-    * Every similarity is rounded to 6 dp BEFORE comparisons, so the greedy
-    * argmax (ties to the lower vec_id) is engine-independent and the
-    * DuckDB oracle unrolls the 5 rounds as CTEs (the x13 k-means trick).
+    * Scale shape: candidate generation is the x08 broadcast top-k path;
+    * re-ranking is [[Similarity.mmrSelectGrouped]] — one shuffle on qid,
+    * one native [[graft.functions.MmrSelect]] pass per query group, no
+    * per-query driver coordination (a million queries re-rank the same
+    * way). Every similarity is rounded to 6 dp BEFORE comparisons, so the
+    * greedy argmax (ties to the lower vec_id) is engine-independent and
+    * the DuckDB oracle unrolls the 5 rounds as qid-partitioned CTEs.
     */
   private val MmrLambda = 0.7
   private val MmrK = 5
+  private val MmrQueries = 3
   private def x34(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
-    val cands = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), 20, dim = EmbDim)
-      .select(col("vec_id"), col("cos").as("rel"))
+    val cands = Similarity
+      .bruteForceTopK(e, e.filter(col("vec_id") < MmrQueries), 20, dim = EmbDim)
+      .select(col("qid"), col("vec_id"), col("cos").as("rel"))
       .join(e, "vec_id")
-    Similarity.mmrSelect(cands, MmrK, MmrLambda, EmbDim)
+    Similarity.mmrSelectGrouped(cands, MmrK, MmrLambda)
   }
 
   /** Token-budget corpus selection: keep the highest-quality documents
@@ -1004,6 +1005,51 @@ object ExtensionQueries {
     graft.streaming.EventStreams.anomalyBatch(
       t(s, dir, "events"), AnomMinPrior, 3.0)
 
+  /** Blocked fuzzy matching (entity resolution): customer-name pairs
+    * within edit distance 1, found WITHOUT an all-pairs comparison — pairs
+    * are generated only within a blocking key (the name minus its last two
+    * characters), then verified with exact `levenshtein`. The blocking
+    * equi-join is the scale shape: candidate volume is bounded by block
+    * size, not corpus squared (a hot block would get the x04-style df cap;
+    * fixture blocks are <= 100 by construction). Both engines block and
+    * verify identically, so the pair set hash-matches.
+    */
+  private def x38(s: SparkSession, dir: String): DataFrame = {
+    // Levenshtein strips common prefixes, so within a block (equal on all
+    // but the last 2 chars) the full-name distance equals the 2-char
+    // suffix distance — both engines verify on the suffix, turning the
+    // per-pair cost from O(|name|^2) into O(1) (measured 10.9 s -> ~1 s
+    // on the 740k-pair sf0.1 block space).
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        expr("substring(c_name, 1, length(c_name) - 2)").as("blk"),
+        expr("substring(c_name, length(c_name) - 1, 2)").as("suf"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
+      .select(
+        col("a.c_custkey").as("id1"), col("b.c_custkey").as("id2"),
+        levenshtein(col("a.suf"), col("b.suf")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Retention cohort analysis: users grouped by first-seen day (their
+    * cohort), counted on each subsequent active day offset — the DAU
+    * retention triangle. Two user-keyed shuffles (first-seen min, then the
+    * distinct (cohort, offset, user) dedup) and a tiny final aggregate;
+    * nothing is ordered globally and nothing collects per-user history.
+    */
+  private def x39(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort"), datediff(col("d"), col("cohort")).as("day_k"))
+      .distinct()
+      .groupBy(col("cohort"), col("day_k"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("day_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1041,7 +1087,9 @@ object ExtensionQueries {
     "x34_mmr_rerank" -> (x34 _),
     "x35_budget_select" -> (x35 _),
     "x36_user_anomaly" -> (x36 _),
-    "x37_prequential_anomaly" -> (x37 _))
+    "x37_prequential_anomaly" -> (x37 _),
+    "x38_fuzzy_match" -> (x38 _),
+    "x39_retention_cohorts" -> (x39 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1531,31 +1579,43 @@ object ExtensionQueries {
       """SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
         | CAST(count(*) AS BIGINT) AS cnt_lo, CAST(count(*) AS BIGINT) AS cnt_hi
         |FROM lineitem GROUP BY l_suppkey ORDER BY cnt_lo DESC, l_suppkey LIMIT 20""".stripMargin,
-    // greedy MMR selection unrolled: round r picks argmax over the
-    // not-yet-selected candidates of lambda*rel - (1-lambda)*max-sim-to-s_{r-1}
+    // greedy MMR selection unrolled PER QUERY: round r picks, within each
+    // qid partition, the argmax over not-yet-selected candidates of
+    // lambda*rel - (1-lambda)*max-sim-to-s_{r-1}
     "x34_mmr_rerank" -> {
       def roundSql(r: Int): String =
-        s"""m$r AS (SELECT c.vec_id, c.rel, max(ps.sim) AS ms
-           | FROM cand c JOIN ps ON ps.id_a = c.vec_id AND ps.id_b IN (SELECT vec_id FROM s${r - 1})
-           | WHERE c.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
-           | GROUP BY c.vec_id, c.rel),
-           |p$r AS (SELECT vec_id, rel, CAST($r AS BIGINT) AS rnd,
-           |  round($MmrLambda * rel - ${1 - MmrLambda} * ms, 6) AS mmr
-           | FROM m$r ORDER BY mmr DESC, vec_id LIMIT 1),
+        s"""m$r AS (SELECT c.qid, c.vec_id, c.rel, max(ps.sim) AS ms
+           | FROM cand c
+           | JOIN ps ON ps.qid = c.qid AND ps.id_a = c.vec_id
+           | JOIN s${r - 1} sel ON sel.qid = ps.qid AND sel.vec_id = ps.id_b
+           | WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} s WHERE s.qid = c.qid AND s.vec_id = c.vec_id)
+           | GROUP BY c.qid, c.vec_id, c.rel),
+           |p$r AS (SELECT qid, vec_id, rel, CAST($r AS BIGINT) AS rnd, mmr FROM (
+           |  SELECT qid, vec_id, rel,
+           |   $MmrLambda * rel - ${1 - MmrLambda} * ms AS mmr,
+           |   row_number() OVER (PARTITION BY qid
+           |     ORDER BY $MmrLambda * rel - ${1 - MmrLambda} * ms DESC, vec_id) AS rn
+           |  FROM m$r) WHERE rn = 1),
            |s$r AS (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |rel0 AS (SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS rel FROM e, q WHERE vec_id <> 0),
-         |cand AS (SELECT vec_id, rel FROM rel0 ORDER BY rel DESC, vec_id LIMIT 20),
-         |cv AS (SELECT c.vec_id, c.rel, e.v FROM cand c JOIN e USING (vec_id)),
-         |ps AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $MmrQueries),
+         |rel0 AS (SELECT qid, vec_id, round(list_cosine_similarity(v, qv), 6) AS rel
+         | FROM e CROSS JOIN q WHERE vec_id <> qid),
+         |cand AS (SELECT qid, vec_id, rel FROM (
+         |  SELECT qid, vec_id, rel,
+         |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn FROM rel0)
+         | WHERE rn <= 20),
+         |cv AS (SELECT c.qid, c.vec_id, c.rel, e.v FROM cand c JOIN e USING (vec_id)),
+         |ps AS (SELECT a.qid, a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
-         | FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
-         |s1 AS (SELECT vec_id, rel, CAST(1 AS BIGINT) AS rnd,
-         |  round($MmrLambda * rel, 6) AS mmr
-         | FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+         | FROM cv a JOIN cv b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |s1 AS (SELECT qid, vec_id, rel, CAST(1 AS BIGINT) AS rnd, mmr FROM (
+         |  SELECT qid, vec_id, rel, $MmrLambda * rel AS mmr,
+         |   row_number() OVER (PARTITION BY qid
+         |     ORDER BY $MmrLambda * rel DESC, vec_id) AS rn
+         |  FROM cand) WHERE rn = 1),
          |${(2 to MmrK).map(roundSql).mkString(",\n")}
-         |SELECT vec_id, rel, rnd, mmr FROM s$MmrK ORDER BY rnd""".stripMargin
+         |SELECT qid, vec_id, rel, rnd, mmr FROM s$MmrK ORDER BY qid, rnd""".stripMargin
     },
     // the oracle is the naive global cumulative window the Spark path avoids
     "x35_budget_select" ->
@@ -1595,5 +1655,22 @@ object ExtensionQueries {
          |  round(abs((CAST(cv AS DOUBLE) - CAST(sp AS DOUBLE) / np)
          |    / sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / np) / (np - 1))), 6) AS az
          | FROM w WHERE np >= $AnomMinPrior AND spp * np - sp * sp > 0)
-         |SELECT user_id, event_id, az FROM z WHERE az > 3.0 ORDER BY user_id, event_id""".stripMargin)
+         |SELECT user_id, event_id, az FROM z WHERE az > 3.0 ORDER BY user_id, event_id""".stripMargin,
+    "x38_fuzzy_match" ->
+      """WITH c AS (SELECT c_custkey,
+        |  substring(c_name, 1, length(c_name) - 2) AS blk,
+        |  substring(c_name, length(c_name) - 1, 2) AS suf FROM customer)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        | CAST(levenshtein(a.suf, b.suf) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.suf, b.suf) <= 1
+        |ORDER BY id1, id2""".stripMargin,
+    "x39_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |first AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT ev.user_id, cohort,
+        |  CAST(date_diff('day', cohort, d) AS INTEGER) AS day_k
+        | FROM ev JOIN first USING (user_id))
+        |SELECT cohort, day_k, CAST(count(*) AS BIGINT) AS n_users
+        |FROM act GROUP BY cohort, day_k ORDER BY cohort, day_k""".stripMargin)
 }

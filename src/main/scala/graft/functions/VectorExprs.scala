@@ -100,10 +100,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   * per group. Interpreted eval only (CodegenFallback) — it runs once per
   * QUERY, not per corpus row, so codegen buys nothing.
   *
-  * Determinism contract (identical to the unrolled DuckDB oracle and the
-  * former DataFrame loop): candidates are processed in id order, every
-  * relevance/similarity is rounded to 6 dp before comparison, score ties
-  * take the lower id, and cosines are the same left-to-right
+  * Determinism contract (identical to the unrolled DuckDB oracle):
+  * candidates are processed in id order, relevance and pairwise cosines
+  * are 6-dp quantized INPUTS (scores stay raw doubles — identical across
+  * engines because the inputs and operation order are), score ties take
+  * the lower id, and cosines are the same left-to-right
   * widen-multiply-add as [[VectorDot]] divided by the norm product.
   */
 case class MmrSelect(child: Expression, k: Int, lambda: Double)
@@ -165,9 +166,15 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
       var i = 0
       while (i < n) {
         if (!taken(i)) {
+          // deliberately NOT rounded: rel and maxSim are already 6-dp
+          // quantized, so the score doubles are bit-identical across
+          // engines — while rounding them is the Exact.davg hazard
+          // (lambda * a 6-dp decimal lands on exact .5 ties at digit 6,
+          // where HALF_UP and scaled-double rounding disagree; caught by
+          // the oracle on the fixture)
           val score =
-            if (r == 1) round6(lambda * items(i)._2)
-            else round6(lambda * items(i)._2 - (1 - lambda) * maxSim(i))
+            if (r == 1) lambda * items(i)._2
+            else lambda * items(i)._2 - (1 - lambda) * maxSim(i)
           if (score > bestScore) { best = i; bestScore = score } // strict >: ties keep the lower id
         }
         i += 1

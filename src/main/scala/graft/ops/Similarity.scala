@@ -105,6 +105,30 @@ object Similarity {
       .orderBy(col("rnd"))
   }
 
+  /** Batch MMR: [[mmrSelect]] per query group. Candidates carry a query id
+    * (`qidCol`); each group packs via `collect_list` and re-ranks
+    * independently inside one aggregate stage — a million queries re-rank
+    * with one shuffle on qid, no per-query driver coordination. Output:
+    * (qid, vec_id, rel, rnd, mmr).
+    */
+  def mmrSelectGrouped(
+      candidates: DataFrame,
+      k: Int,
+      lambda: Double,
+      qidCol: String = "qid",
+      idCol: String = "vec_id",
+      vecCol: String = "v"): DataFrame =
+    candidates
+      .select(col(qidCol).as("qid"), struct(
+        col(idCol).cast("long").as("id"),
+        col("rel").cast("double").as("rel"),
+        col(vecCol).cast("array<double>").as("v")).as("c"))
+      .groupBy(col("qid"))
+      .agg(collect_list(col("c")).as("cand"))
+      .select(col("qid"), explode(graft.functions.VectorExprs.mmrSelect(col("cand"), k, lambda)).as("e"))
+      .select(col("qid"), col("e.vec_id"), col("e.rel"), col("e.rnd"), col("e.mmr"))
+      .orderBy(col("qid"), col("rnd"))
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed integer mix mapped into [-1, 1]. Reproducible anywhere —
     * public so the oracle SQL can embed the identical plane literals.

@@ -155,4 +155,27 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     out.toSeq shouldBe Seq((1L, 1L, 0.45), (2L, 2L, 0.05 + 0.5))
   }
+
+  test("mmrSelectGrouped: each query group re-ranks independently, equal to per-query mmrSelect") {
+    val g1 = Seq(
+      (1L, 0.95, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, 0.94, Seq(0.999, 0.001, 0.0, 0.0)),
+      (3L, 0.50, Seq(0.0, 1.0, 0.0, 0.0)))
+    val g2 = Seq(
+      (4L, 0.90, Seq(0.0, 0.0, 1.0, 0.0)),
+      (5L, 0.80, Seq(0.0, 0.0, 0.999, 0.001)),
+      (6L, 0.40, Seq(0.0, 0.0, 0.0, 1.0)))
+    val cands = (g1.map(t => (10L, t._1, t._2, t._3)) ++ g2.map(t => (20L, t._1, t._2, t._3)))
+      .toDF("qid", "vec_id", "rel", "v")
+    val grouped = Similarity.mmrSelectGrouped(cands, k = 2, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet // (qid, rnd, vec_id)
+    val singles = Seq(10L -> g1, 20L -> g2).flatMap { case (qid, g) =>
+      Similarity.mmrSelect(g.toDF("vec_id", "rel", "v"), k = 2, lambda = 0.5, dim = 4)
+        .collect().map(r => (qid, r.getLong(2), r.getLong(0)))
+    }.toSet
+    grouped shouldBe singles
+    // both groups diversified: round 2 jumps to the distinct cluster
+    grouped should contain((10L, 2L, 3L))
+    grouped should contain((20L, 2L, 6L))
+  }
 }
