@@ -855,8 +855,13 @@ object ExtensionQueries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), lit(1).as("in_base"))
     val changed = base.filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey"), lit("R").as("u_status"), (col("o_totalprice") * 1.1).as("u_price"))
+    // inserted keys are OUT-OF-BAND (negative mirror of the source key):
+    // any positive offset eventually collides with real keys as the table
+    // grows — the 10x probe caught +1e8 landing exactly on the next
+    // replica's key range, which made the merge input carry two update
+    // rows for one key and the output order non-total
     val inserted = base.filter(col("o_orderkey") % 97 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"), lit("N").as("u_status"), col("o_totalprice").as("u_price"))
+      .select((-col("o_orderkey") - 1).as("o_orderkey"), lit("N").as("u_status"), col("o_totalprice").as("u_price"))
     val updates = changed.union(inserted).withColumn("in_upd", lit(1))
     base.join(updates, Seq("o_orderkey"), "full_outer")
       .select(
@@ -1564,7 +1569,7 @@ object ExtensionQueries {
         |upd AS (
         | SELECT o_orderkey, 'R' AS u_status, o_totalprice * 1.1 AS u_price FROM base WHERE o_orderkey % 7 = 0
         | UNION ALL
-        | SELECT o_orderkey + 100000000, 'N', o_totalprice FROM base WHERE o_orderkey % 97 = 0),
+        | SELECT -o_orderkey - 1, 'N', o_totalprice FROM base WHERE o_orderkey % 97 = 0),
         |m AS (SELECT
         |  coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
         |  CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'updated'

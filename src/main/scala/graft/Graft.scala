@@ -60,6 +60,15 @@ object Graft {
       exprs => graft.functions.HeavyHitters(
         exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue()),
       "built-in")
+    // mmr_select(packed_candidates, k, lambda) — greedy MMR re-rank over a
+    // collect_list-packed array<struct<id, rel, v>> (k and lambda literal).
+    reg.createOrReplaceTempFunction(
+      "mmr_select",
+      exprs => graft.functions.MmrSelect(
+        exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        graft.functions.VectorExprs.litDouble(exprs(2))),
+      "built-in")
     // st_point_in_poly(x, y, 'POLYGON((...))') — exact polygon containment.
     // The WKT must be a literal (it parametrizes the plan): the ring is
     // parsed at resolution time into the native PointInPolygon expression

@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.HeavyHitters(
         exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())))
     e.injectFunction((
+      FunctionIdentifier("mmr_select"),
+      new ExpressionInfo(classOf[graft.functions.MmrSelect].getName, "mmr_select"),
+      exprs => graft.functions.MmrSelect(
+        exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        graft.functions.VectorExprs.litDouble(exprs(2)))))
+    e.injectFunction((
       FunctionIdentifier("st_point_in_poly"),
       new ExpressionInfo(classOf[PointInPolygon].getName, "st_point_in_poly"),
       exprs => PointInPolygon(

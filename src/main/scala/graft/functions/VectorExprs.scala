@@ -212,4 +212,13 @@ object VectorExprs {
   /** Column API for the packed greedy MMR selection. */
   def mmrSelect(packed: Column, k: Int, lambda: Double): Column =
     ColumnBridge.column(MmrSelect(ColumnBridge.expression(packed), k, lambda))
+
+  /** Foldable literal -> Double for SQL registration: SQL decimal literals
+    * (e.g. `0.5`) eval to Spark Decimal, which is not a java.lang.Number.
+    */
+  def litDouble(e: Expression): Double = e.eval(null) match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(s"expected a numeric literal, got $other")
+  }
 }

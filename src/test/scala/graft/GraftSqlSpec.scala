@@ -26,6 +26,22 @@ class GraftSqlSpec extends AnyFunSuite with Matchers with SparkTest {
     r.getInt(5) shouldBe 2
   }
 
+  test("mmr_select runs from SQL over a collect_list-packed candidate frame") {
+    Graft.init(spark, dir)
+    import spark.implicits._
+    Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),
+      (2L, 0.8, Seq(0.999, 0.001)),
+      (3L, 0.4, Seq(0.0, 1.0))).toDF("id", "rel", "v")
+      .createOrReplaceTempView("mmr_cand")
+    val picked = spark.sql(
+      """SELECT e.vec_id, e.rnd FROM (
+        | SELECT explode(mmr_select(collect_list(struct(id, rel, v)), 2, 0.5)) AS e
+        | FROM mmr_cand)""".stripMargin)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+    picked shouldBe Seq((1L, 1L), (2L, 3L)) // diversified: round 2 jumps clusters
+  }
+
   test("st_point_in_poly: SQL and DataFrame paths agree on a non-convex ring") {
     Graft.init(spark, dir)
     val wkt = "POLYGON((0.0 0.0, 10.0 0.0, 10.0 5.0, 5.0 5.0, 5.0 10.0, 0.0 10.0, 0.0 0.0))"
