@@ -1055,6 +1055,16 @@ object ExtensionQueries {
       .orderBy(col("cohort"), col("day_k"))
   }
 
+  /** Batch twin of [[graft.streaming.EventStreams.windowedTopUsers]] (the
+    * watermark is a no-op on a bounded frame — the repo's stream/batch
+    * pattern): hourly top-3 users by event count out of the Misra-Gries
+    * sketch, running in its exact regime (m = 1024 >> users/window), so
+    * the oracle is plain per-window GROUP BY counts ranked.
+    */
+  private def x40(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.windowedTopUsers(Tables.events(s, dir))
+      .orderBy(col("window_start"), col("rnk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1094,7 +1104,8 @@ object ExtensionQueries {
     "x36_user_anomaly" -> (x36 _),
     "x37_prequential_anomaly" -> (x37 _),
     "x38_fuzzy_match" -> (x38 _),
-    "x39_retention_cohorts" -> (x39 _))
+    "x39_retention_cohorts" -> (x39 _),
+    "x40_windowed_top_users" -> (x40 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1677,5 +1688,14 @@ object ExtensionQueries {
         |  CAST(date_diff('day', cohort, d) AS INTEGER) AS day_k
         | FROM ev JOIN first USING (user_id))
         |SELECT cohort, day_k, CAST(count(*) AS BIGINT) AS n_users
-        |FROM act GROUP BY cohort, day_k ORDER BY cohort, day_k""".stripMargin)
+        |FROM act GROUP BY cohort, day_k ORDER BY cohort, day_k""".stripMargin,
+    // exact-regime MG per window: lo = hi = the true per-user count
+    "x40_windowed_top_users" ->
+      """WITH c AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start, user_id, cnt,
+        |  CAST(row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk
+        | FROM c)
+        |SELECT window_start, rnk, user_id, cnt AS cnt_lo, cnt AS cnt_hi
+        |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin)
 }

@@ -67,6 +67,32 @@ object EventStreams {
         col("n_events"))
   }
 
+  /** Windowed top-K users via the Misra-Gries sketch
+    * ([[graft.functions.HeavyHitters]]) in streaming state — the
+    * heavy-hitters analog of [[windowedDistinctUsers]]: per window the
+    * state store holds at most m (key, count) pairs, never the full user
+    * set, so "who dominates each hour" costs O(m) state on an unbounded
+    * feed. In the exact regime (m >= distinct users per window) the
+    * output is deterministic — the batch twin is oracle-checked as x40;
+    * on real feeds size m for the n/(m+1) error bound instead.
+    */
+  def windowedTopUsers(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours",
+      m: Int = 1024,
+      topK: Int = 3): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), windowDur))
+      .agg(graft.functions.SketchExprs.heavyHitters(col("user_id").cast("long"), m).as("hh"))
+      .select(
+        col("window.start").as("window_start"),
+        posexplode(slice(col("hh"), 1, topK)).as(Seq("p", "e")))
+      .select(
+        col("window_start"), (col("p") + 1).cast("long").as("rnk"),
+        col("e.key").as("user_id"), col("e.lo").as("cnt_lo"), col("e.hi").as("cnt_hi"))
+
   /** Stream-stream attribution join: each purchase joins the view(s) by the
     * same user within the preceding `windowSpec` — the watermarked
     * stream-stream interval join (state on BOTH sides, evicted once the

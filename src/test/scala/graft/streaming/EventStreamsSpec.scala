@@ -189,6 +189,44 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     replayed.map(_.getString(0)).toSeq shouldBe Seq("AK_One_2010", "IA_Two_2011")
   }
 
+  test("windowedTopUsers: MG sketch rides streaming state; final ranks agree with the batch twin") {
+    implicit val sq = spark.sqlContext
+    // window A (10:00): user 1 x3, user 2 x1 — one micro-batch, one emission.
+    // window B (11:00): user 7 arrives in batch 1, then 2 more 7s and an 8
+    // in batch 2, so B's sketch round-trips the state store and its final
+    // counts strictly exceed the interim ones.
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "view", 1.0),
+      Event(3, ts("2024-01-01 10:20:00"), 1, "view", 1.0),
+      Event(4, ts("2024-01-01 10:30:00"), 2, "view", 1.0),
+      Event(5, ts("2024-01-01 11:05:00"), 7, "view", 1.0))
+    val batch2 = Seq(
+      Event(6, ts("2024-01-01 11:10:00"), 7, "view", 1.0),
+      Event(7, ts("2024-01-01 11:15:00"), 7, "view", 1.0),
+      Event(8, ts("2024-01-01 11:20:00"), 8, "view", 1.0))
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedTopUsers(in.toDF(), m = 16, topK = 3)
+      .writeStream.format("memory").queryName("wtu").outputMode(OutputMode.Update()).start()
+    val streamed =
+      try {
+        in.addData(batch1: _*); q.processAllAvailable()
+        in.addData(batch2: _*); q.processAllAvailable()
+        // Update mode re-emits a window on each batch; counts per rank only
+        // grow, so max(cnt_lo) per (window, rnk) selects the final emission
+        spark.table("wtu")
+          .groupBy($"window_start", $"rnk")
+          .agg(org.apache.spark.sql.functions.max($"cnt_lo").as("cnt"))
+          .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    val batch = EventStreams.windowedTopUsers((batch1 ++ batch2).toDF(), m = 16, topK = 3)
+      .select($"window_start", $"rnk", $"cnt_lo")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+    streamed shouldBe batch
+    batch should contain(("2024-01-01 10:00:00.0", 1L, 3L)) // user 1 dominates A
+    batch should contain(("2024-01-01 11:00:00.0", 1L, 3L)) // user 7 dominates B
+  }
+
   test("anomalyIngest: streaming prequential z-scores agree with the batch window twin across micro-batches") {
     implicit val sq = spark.sqlContext
     // user 1: six calm events, then a spike, then calm again; user 2 stays
