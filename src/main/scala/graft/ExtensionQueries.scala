@@ -1065,6 +1065,28 @@ object ExtensionQueries {
     graft.streaming.EventStreams.windowedTopUsers(Tables.events(s, dir))
       .orderBy(col("window_start"), col("rnk"))
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row gets
+    * key u^(1/w) with u uniform and w its weight; the global top-k by key
+    * IS a weighted sample without replacement. Here u derives
+    * deterministically from the content hash (integer mod arithmetic), so
+    * the "random" sample is reproducible on any engine and partitioning —
+    * the same trick as the x12/x17 hash-threshold samplers, upgraded to
+    * weights. Ranking uses ln(u)/w (monotone in the key, numerically
+    * tame), rounded to 6 dp with doc_id tie-break. Map-only scoring +
+    * TakeOrdered top-k: no shuffle of the corpus at any scale.
+    */
+  private val WsK = 100
+  private val WsM = 1000003L
+  private def x41(s: SparkSession, dir: String): DataFrame = {
+    val u = (TextOps.polyHash(col("text")) % WsM + 1L).cast("double") / lit((WsM + 1).toDouble)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+        round(log(u) / col("n_chars").cast("double"), 6).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(WsK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1105,7 +1127,8 @@ object ExtensionQueries {
     "x37_prequential_anomaly" -> (x37 _),
     "x38_fuzzy_match" -> (x38 _),
     "x39_retention_cohorts" -> (x39 _),
-    "x40_windowed_top_users" -> (x40 _))
+    "x40_windowed_top_users" -> (x40 _),
+    "x41_weighted_sample" -> (x41 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1697,5 +1720,9 @@ object ExtensionQueries {
         |  CAST(row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk
         | FROM c)
         |SELECT window_start, rnk, user_id, cnt AS cnt_lo, cnt AS cnt_hi
-        |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin)
+        |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
+    "x41_weighted_sample" ->
+      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         | round(ln(CAST((${polySql("text")}) % $WsM + 1 AS DOUBLE) / CAST(${WsM + 1} AS DOUBLE)) / CAST(n_chars AS DOUBLE), 6) AS skey
+         |FROM documents ORDER BY skey DESC, doc_id LIMIT $WsK""".stripMargin)
 }

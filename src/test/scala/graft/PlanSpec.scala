@@ -254,6 +254,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("x41: weighted sampling is map-side scoring + TakeOrdered — no corpus shuffle") {
+    val p = plan("x41_weighted_sample")
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange hashpartitioning"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
