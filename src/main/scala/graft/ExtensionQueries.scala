@@ -1087,6 +1087,26 @@ object ExtensionQueries {
       .limit(WsK)
   }
 
+  /** Telemetry burst-dedup: within each (user, event_type) stream, keep
+    * an event only if it is the first or arrives more than DedupGapSec
+    * after its predecessor — the batch complement of the streaming
+    * horizon dedup (`DocStreams`). Per-key windows (partitioned, ordered
+    * by event time with id tie-break) — gap arithmetic on exact epoch
+    * micros, so both engines agree integer-for-integer. At scale this is
+    * one shuffle on the (user, type) key; no global order.
+    */
+  private val DedupGapSec = 300L
+  private def x42(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNull || col("us") - col("prev_us") > DedupGapSec * 1000000L)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1128,7 +1148,8 @@ object ExtensionQueries {
     "x38_fuzzy_match" -> (x38 _),
     "x39_retention_cohorts" -> (x39 _),
     "x40_windowed_top_users" -> (x40 _),
-    "x41_weighted_sample" -> (x41 _))
+    "x41_weighted_sample" -> (x41 _),
+    "x42_burst_dedup" -> (x42 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1724,5 +1745,13 @@ object ExtensionQueries {
     "x41_weighted_sample" ->
       s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
          | round(ln(CAST((${polySql("text")}) % $WsM + 1 AS DOUBLE) / CAST(${WsM + 1} AS DOUBLE)) / CAST(n_chars AS DOUBLE), 6) AS skey
-         |FROM documents ORDER BY skey DESC, doc_id LIMIT $WsK""".stripMargin)
+         |FROM documents ORDER BY skey DESC, doc_id LIMIT $WsK""".stripMargin,
+    "x42_burst_dedup" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+         |l AS (SELECT user_id, event_type, event_id, us,
+         |  lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS prev_us
+         | FROM e)
+         |SELECT user_id, event_type, event_id FROM l
+         |WHERE prev_us IS NULL OR us - prev_us > ${DedupGapSec * 1000000L}
+         |ORDER BY user_id, event_type, event_id""".stripMargin)
 }
