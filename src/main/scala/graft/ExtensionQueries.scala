@@ -1107,6 +1107,32 @@ object ExtensionQueries {
       .orderBy(col("user_id"), col("event_type"), col("event_id"))
   }
 
+  /** Incremental aggregate maintenance: a stored per-group aggregate
+    * (count + decimal-exact sum — the mergeable partial form) absorbs a
+    * delta batch by aggregating ONLY the delta and sum-merging, never
+    * rescanning the base — the materialized-view maintenance pattern that
+    * turns a 100 TB nightly recompute into a delta-sized update. The
+    * oracle IS the full recompute over base + delta: equality of the two
+    * is the correctness proof of the merge algebra (counts add; decimal
+    * sums add order-independently; avg re-derives from the merged pair).
+    */
+  private def x43(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+    val delta = t(s, dir, "lineitem").filter(col("l_orderkey") % 13 === 0)
+      .select(col("l_returnflag"), (col("l_quantity") * 2.0).as("l_quantity"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+    partial(base).union(partial(delta))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).cast("long").as("n"), sum(col("sq")).as("sq"))
+      .select(col("l_returnflag"), col("n"),
+        col("sq").cast("double").as("sum_qty"),
+        (col("sq").cast("double") / col("n").cast("double")).as("avg_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1149,7 +1175,8 @@ object ExtensionQueries {
     "x39_retention_cohorts" -> (x39 _),
     "x40_windowed_top_users" -> (x40 _),
     "x41_weighted_sample" -> (x41 _),
-    "x42_burst_dedup" -> (x42 _))
+    "x42_burst_dedup" -> (x42 _),
+    "x43_incremental_agg" -> (x43 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1753,5 +1780,15 @@ object ExtensionQueries {
          | FROM e)
          |SELECT user_id, event_type, event_id FROM l
          |WHERE prev_us IS NULL OR us - prev_us > ${DedupGapSec * 1000000L}
-         |ORDER BY user_id, event_type, event_id""".stripMargin)
+         |ORDER BY user_id, event_type, event_id""".stripMargin,
+    // the oracle is the FULL recompute the incremental merge must equal
+    "x43_incremental_agg" ->
+      """WITH allrows AS (
+        | SELECT l_returnflag, l_quantity FROM lineitem
+        | UNION ALL
+        | SELECT l_returnflag, l_quantity * 2.0 FROM lineitem WHERE l_orderkey % 13 = 0)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
+        |FROM allrows GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

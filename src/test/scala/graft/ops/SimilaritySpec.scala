@@ -178,4 +178,24 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
     grouped should contain((10L, 2L, 3L))
     grouped should contain((20L, 2L, 6L))
   }
+
+  test("mmrSelect is invariant to candidate row order and partitioning (collect_list hazard)") {
+    // the expression sorts by id internally; a result that depended on
+    // collect_list's arrival order would flake across partitionings
+    val base = Seq(
+      (5L, 0.91, Seq(1.0, 0.0, 0.0)),
+      (1L, 0.90, Seq(0.99, 0.14, 0.0)),
+      (9L, 0.60, Seq(0.0, 1.0, 0.0)),
+      (3L, 0.59, Seq(0.0, 0.99, 0.14)),
+      (7L, 0.30, Seq(0.0, 0.0, 1.0)))
+    val expected = Similarity.mmrSelect(base.toDF("vec_id", "rel", "v"), k = 3, lambda = 0.6, dim = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getDouble(3))).toSeq
+    Seq(base.reverse, base.sortBy(_._2)).foreach { perm =>
+      Seq(1, 5).foreach { parts =>
+        val out = Similarity.mmrSelect(perm.toDF("vec_id", "rel", "v").repartition(parts), k = 3, lambda = 0.6, dim = 3)
+          .collect().map(r => (r.getLong(2), r.getLong(0), r.getDouble(3))).toSeq
+        out shouldBe expected
+      }
+    }
+  }
 }
