@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.ops.{Dedup, Similarity, Skew, TextOps}
+import graft.ops.{AnnModels, Dedup, Similarity, Skew, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -272,15 +272,24 @@ object ExtensionQueries {
     */
   private val KmIters = 2
 
+  /** IVF cell count (seed = vec_id < 16). */
+  private val IvfCells = 16
+
   /** IVF-ANN with TRAINED centroids: deterministic k-means (seeded from
     * vec_id < 16, [[KmIters]] iterations, decimal-quantized means) then
     * cell assignment + per-query top-3 within the probed cell. The oracle
     * unrolls the identical training loop in SQL, so even the trained
     * index is hash-checked end to end.
+    *
+    * Train/serve split: centroids come from the [[AnnModels]] store —
+    * trained ONCE per dataset fingerprint and persisted; this query (and
+    * x25, which shares the index) serves from the 16-row model table.
+    * Determinism makes the persisted model bit-identical to an in-query
+    * retrain, so the oracle is unchanged.
     */
   private def x13(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
-    val trained = Similarity.kmeansCentroids(e, e.filter(col("vec_id") < 16), KmIters, EmbDim)
+    val trained = AnnModels.ivfCentroids(s, dir, e, IvfCells, KmIters, EmbDim)
     val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
     val assigned = Similarity.ivfAssign(e, cents, EmbDim)
     // Assign the (tiny) query set in its own pass rather than filtering the
@@ -528,7 +537,7 @@ object ExtensionQueries {
     */
   private def x25(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
-    val trained = Similarity.kmeansCentroids(e, e.filter(col("vec_id") < 16), KmIters, EmbDim)
+    val trained = AnnModels.ivfCentroids(s, dir, e, IvfCells, KmIters, EmbDim)
     val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
     val assigned = Similarity.ivfAssign(e, cents, EmbDim)
     val queriesDf = Similarity.ivfProbe(e.filter(col("vec_id") < 5), cents, EmbDim, nprobe = 2)
@@ -712,7 +721,7 @@ object ExtensionQueries {
   private def x28(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cb = Similarity.pqCodebooks(e, PqM, PqSubDim, PqK, KmIters)
+    val cb = AnnModels.pqCodebooks(s, dir, e, PqM, PqSubDim, PqK, KmIters)
     val codes = Similarity.pqEncode(e, cb, PqSubDim)
     val recon = Similarity.pqReconstruct(codes, cb)
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -881,13 +890,14 @@ object ExtensionQueries {
     * the fact table, m-bounded partials merged executor-side
     * (ObjectHashAggregate) — at 100 TB the "hottest keys" question costs
     * one scan plus O(partitions * m) longs of merge traffic, never a
-    * key-space shuffle. HhCapacity (8192) exceeds the supplier count
-    * through sf1, so the sketch runs in its exact regime and the oracle
+    * key-space shuffle. HhCapacity (16384) exceeds the supplier count
+    * through genuine TPC-H sf1 (10,000 suppliers) as well as the GenScale
+    * probe fixtures, so the sketch runs in its exact regime and the oracle
     * is plain GROUP BY counts (the determinism contract documented on the
     * expression); the lossy regime's error bounds are spec-pinned instead
     * (SketchSpec).
     */
-  private val HhCapacity = 8192
+  private val HhCapacity = 16384
   private def x33(s: SparkSession, dir: String): DataFrame = {
     val hh = t(s, dir, "lineitem")
       .agg(graft.functions.SketchExprs.heavyHitters(col("l_suppkey").cast("long"), HhCapacity).as("hh"))
@@ -982,6 +992,10 @@ object ExtensionQueries {
     val varC = (col("svv") - (col("sv") * col("sv")) / col("n").cast("double")) /
       (col("n").cast("double") - 1.0)
     val st = stats
+      // n > 1 explicitly: at n = 1 varC divides by zero, and whether the
+      // user survives "sd > 0" would then hinge on engine div-by-zero
+      // semantics (Spark non-ANSI yields NULL, IEEE engines inf/NaN)
+      .filter(col("n") > 1)
       .select(col("user_id"), col("n"), meanC.as("mean"), sqrt(varC).as("sd"))
       .filter(col("sd") > 0)
     ev.join(st, "user_id")
@@ -1724,7 +1738,7 @@ object ExtensionQueries {
         | FROM events GROUP BY user_id),
         |sd AS (SELECT user_id, n, sv / CAST(n AS DOUBLE) AS mean,
         |  sqrt((svv - (sv * sv) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd
-        | FROM st),
+        | FROM st WHERE n > 1),
         |z AS (SELECT e.user_id, s.n, round(abs((e.value - s.mean) / s.sd), 6) AS az
         | FROM events e JOIN sd s USING (user_id) WHERE s.sd > 0)
         |SELECT user_id, n, CAST(SUM(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,

@@ -179,13 +179,22 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
         }
         i += 1
       }
+      // every remaining score NaN (degenerate inputs) -> nothing comparable
+      // left to select; return the rounds completed so far
+      if (best < 0) {
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out.take(r - 1))
+      }
       taken(best) = true
       out(r - 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](items(best)._1, items(best)._2, r.toLong, bestScore))
       var j = 0
       while (j < n) {
         if (!taken(j)) {
-          val sim = round6(dot(items(j)._3, items(best)._3) / (norms(j) * norms(best)))
+          // zero-norm candidates make the quotient 0/0 = NaN; treat their
+          // similarity as 0 so they stay selectable instead of poisoning
+          // round6 (BigDecimal(NaN) throws)
+          val den = norms(j) * norms(best)
+          val sim = if (den == 0.0) 0.0 else round6(dot(items(j)._3, items(best)._3) / den)
           if (sim > maxSim(j)) maxSim(j) = sim
         }
         j += 1

@@ -365,10 +365,21 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "v",
       maxBucket: Int = Dedup.ShingleDfCap): DataFrame =
     bucketMemberPairs(
-      corpus.select(col(idCol), col(vecCol), lshSignature(col(vecCol), bits, dim).as("bucket")),
-      "bucket", struct(col(idCol).as("id"), col(vecCol).as("vec")), maxBucket)
+      // norms ride along in the bucket struct (computed once per vector,
+      // map-side) so the verify stage is ONE native dot per candidate pair
+      // instead of three interpreted HOF folds — cosineStatic's op order
+      // (dot / (nA * nB), n = sqrt(self-dot)) is IEEE-identical to the HOF
+      // cosine, so candidate scores and oracle hashes are unchanged
+      corpus.select(
+        col(idCol), col(vecCol),
+        lshSignature(col(vecCol), bits, dim).as("bucket"),
+        norm(col(vecCol), dim).as("nrm")),
+      "bucket",
+      struct(col(idCol).as("id"), col(vecCol).as("vec"), col("nrm").as("nrm")), maxBucket)
       .filter(col("m1.id") < col("m2.id"))
       .select(
         col("m1.id").as("id1"), col("m2.id").as("id2"),
-        round(cosine(col("m1.vec"), col("m2.vec")), 6).as("cos"))
+        round(
+          cosineStatic(col("m1.vec"), col("m2.vec"), col("m1.nrm"), col("m2.nrm"), dim),
+          6).as("cos"))
 }

@@ -160,11 +160,16 @@ object EventStreams {
     * z-scored against the running moments of the user's PRIOR events, then
     * folded into them. State per user is three longs — count, sum, and
     * sum-of-squares in exact centi-units (values are cents-precision), so
-    * the streaming fold and the batch prefix-sum window produce
-    * bit-identical integers regardless of micro-batch boundaries; only the
-    * final mean/variance/z arithmetic is double, in the same operation
-    * order as the batch expression. O(1) state per user, no watermark
-    * needed (moments never expire).
+    * for feeds arriving in (ts, event_id) event-time order the streaming
+    * fold and the batch prefix-sum window produce bit-identical integers
+    * regardless of where the micro-batch boundaries fall; only the final
+    * mean/variance/z arithmetic is double, in the same operation order as
+    * the batch expression. Events are sorted within each micro-batch, but
+    * a LATE event (older ts arriving in a later batch) is folded after
+    * newer ones — out-of-order feeds break the stream/batch twin property
+    * and need upstream buffering/watermarking before this fold. O(1) state
+    * per user, no watermark needed for the moments themselves (they never
+    * expire).
     */
   def anomalyIngest(
       events: Dataset[Event],

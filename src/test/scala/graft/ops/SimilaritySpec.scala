@@ -156,6 +156,38 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
     out.toSeq shouldBe Seq((1L, 1L, 0.45), (2L, 2L, 0.05 + 0.5))
   }
 
+  test("mmrSelect survives zero-norm candidates (no NaN poisoning, no crash)") {
+    // candidate 3 is the all-zero vector: its cosine against any pick is
+    // 0/0. The guard treats that similarity as 0, so the zero vector stays
+    // selectable on its relevance and the selection completes all k rounds
+    // (previously: BigDecimal(NaN) threw inside the expression).
+    val cands = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),
+      (2L, 0.6, Seq(0.0, 1.0)),
+      (3L, 0.7, Seq(0.0, 0.0))).toDF("vec_id", "rel", "v")
+    val out = Similarity.mmrSelect(cands, k = 3, lambda = 0.5, dim = 2)
+      .select(col("rnd"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // round 1: id 1 (0.45). round 2: id 3 scores 0.35 - 0.5*0 = 0.35,
+    // id 2 scores 0.30 - 0 = 0.30 -> id 3. round 3: id 2.
+    out.toSeq shouldBe Seq((1L, 1L), (2L, 3L), (3L, 2L))
+  }
+
+  test("mmrSelect with NaN relevance returns the comparable prefix instead of crashing") {
+    // Every score NaN from round 1 -> argmax finds nothing -> empty result
+    // (prefix of completed rounds), not an ArrayIndexOutOfBoundsException.
+    val allNan = Seq((1L, Double.NaN, Seq(1.0, 0.0)), (2L, Double.NaN, Seq(0.0, 1.0)))
+      .toDF("vec_id", "rel", "v")
+    Similarity.mmrSelect(allNan, k = 2, lambda = 0.5, dim = 2).count() shouldBe 0L
+    // A NaN-relevance candidate among sound ones is simply never selected.
+    val mixed = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),
+      (2L, Double.NaN, Seq(0.0, 1.0)),
+      (3L, 0.2, Seq(0.5, 0.5))).toDF("vec_id", "rel", "v")
+    val picked = Similarity.mmrSelect(mixed, k = 3, lambda = 0.5, dim = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    picked.toSeq shouldBe Seq(1L, 3L)
+  }
+
   test("mmrSelectGrouped: each query group re-ranks independently, equal to per-query mmrSelect") {
     val g1 = Seq(
       (1L, 0.95, Seq(1.0, 0.0, 0.0, 0.0)),
