@@ -1147,6 +1147,37 @@ object ExtensionQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Sliding-window width for exact-substring dedup: the corpus analogue
+    * of the 50-token rule (fixture docs run 10-99 tokens, so 20 keeps
+    * plants detectable while staying far above chance collision for
+    * word-salad text).
+    */
+  private val SubstrW = 20
+
+  /** Exact substring (shared-passage) dedup ([[Dedup.exactSubstringSpans]]):
+    * maximal runs of >= [[SubstrW]] consecutive tokens shared verbatim
+    * across documents — the passage-level complement to the doc-level
+    * MinHash family (x05/x06/x26). Shared passages are PLANTED by
+    * concatenating adjacent docs into synthetic docs at +300000 (each
+    * synthetic doc shares its halves verbatim with two different base
+    * docs); the word-salad corpus has no natural 20-token repeats, so the
+    * planted spans are exactly what both engines must find — including
+    * their maximal extents, which the gaps-and-islands merge must chain
+    * from overlapping window hits. One window-hash shuffle + a per-
+    * (pair, diagonal) window — no all-pairs comparison anywhere.
+    */
+  private def x44(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val synth = base.filter(col("doc_id") % 7 === 0).alias("a")
+      .join(base.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        (col("a.doc_id") + 300000).as("doc_id"),
+        concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+    val corpus = base.union(synth)
+    Dedup.exactSubstringSpans(corpus, "doc_id", "text", SubstrW)
+      .orderBy(col("id1"), col("id2"), col("start1"), col("start2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1190,7 +1221,8 @@ object ExtensionQueries {
     "x40_windowed_top_users" -> (x40 _),
     "x41_weighted_sample" -> (x41 _),
     "x42_burst_dedup" -> (x42 _),
-    "x43_incremental_agg" -> (x43 _))
+    "x43_incremental_agg" -> (x43 _),
+    "x44_substring_dedup" -> (x44 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1804,5 +1836,28 @@ object ExtensionQueries {
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
-        |FROM allrows GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM allrows GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x44_substring_dedup" ->
+      // Mirrors the Spark path structurally: sliding window hashes, the
+      // ShingleDfCap hot-window cap on the hash key, then the
+      // gaps-and-islands diagonal merge (p1 - row_number() per
+      // (pair, diagonal) group).
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |syn AS (SELECT a.doc_id + 300000 AS doc_id, a.text || ' ' || b.text AS text
+         |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 7 = 0),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM syn),
+         |tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM corpus),
+         |w AS (SELECT doc_id, unnest(range(0, len(t) - $SubstrW + 1)) AS p, t FROM tk WHERE len(t) >= $SubstrW),
+         |wh AS (SELECT doc_id, p, ${polySql(s"array_to_string(list_slice(t, p + 1, p + $SubstrW), ' ')")} AS h FROM w),
+         |cool AS (SELECT h FROM wh GROUP BY h HAVING count(*) <= ${Dedup.ShingleDfCap}),
+         |whc AS (SELECT wh.doc_id, wh.p, wh.h FROM wh JOIN cool USING (h)),
+         |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.p AS p1, b.p AS p2
+         |  FROM whc a JOIN whc b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |isl AS (SELECT id1, id2, p1 - p2 AS diag, p1, p2,
+         |  p1 - row_number() OVER (PARTITION BY id1, id2, p1 - p2 ORDER BY p1) AS grp FROM m)
+         |SELECT id1, id2, CAST(min(p1) AS BIGINT) AS start1, CAST(min(p2) AS BIGINT) AS start2,
+         |  CAST(max(p1) - min(p1) + $SubstrW AS BIGINT) AS span_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY id1, id2, diag, grp
+         |ORDER BY id1, id2, start1, start2""".stripMargin)
 }

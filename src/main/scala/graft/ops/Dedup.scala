@@ -296,4 +296,67 @@ object Dedup {
     }
     labels
   }
+
+  /** Exact substring (shared-passage) dedup: find maximal runs of >=
+    * `windowTokens` consecutive tokens shared verbatim between two
+    * documents — the passage-level complement to document-level MinHash
+    * (the standard "suffix-array" exact-substring pass of training-data
+    * pipelines, e.g. the 50-token rule of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"; window width is a
+    * parameter here because corpus documents can be shorter than 50
+    * tokens).
+    *
+    * Shape, all shuffles key-bounded:
+    *  1. tokenize (map-side), emit every `windowTokens`-wide sliding
+    *     window as a polynomial hash with its token position — O(tokens)
+    *     windows per doc, carried as (hash, doc, pos), never the text;
+    *  2. windows sharing a hash are matches: ONE shuffle on the window
+    *     hash via [[graft.ops.Similarity.bucketMemberPairs]], with the
+    *     [[ShingleDfCap]] hot-key cap (a window shared by thousands of
+    *     docs is boilerplate — a pair explosion with no dedup signal,
+    *     same rationale as the LSH band cap);
+    *  3. chain overlapping window matches into maximal spans: matches of
+    *     a pair lying on the same alignment diagonal (p1 - p2) with
+    *     consecutive positions are one shared passage — the classic
+    *     gaps-and-islands merge, partitioned by (pair, diagonal), so the
+    *     window state is per-pair-diagonal, never global.
+    *
+    * Output: (id1, id2, start1, start2, span_tokens, n_windows) — one row
+    * per maximal shared passage, span_tokens >= windowTokens.
+    */
+  def exactSubstringSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, maxDf: Int = ShingleDfCap): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    val tk = df.select(col(idCol).cast("long").as("doc_id"), TextOps.tokens(col(textCol)).as("t"))
+    val wins = tk
+      .filter(size(col("t")) >= windowTokens)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - windowTokens)).as("p"),
+        col("t"))
+      .select(
+        col("doc_id"), col("p"),
+        TextOps.polyHash(concat_ws(" ", slice(col("t"), col("p") + 1, lit(windowTokens)))).as("wh"))
+    val matches = graft.ops.Similarity.bucketMemberPairs(
+      wins, "wh", struct(col("doc_id"), col("p")), maxDf)
+      .filter(col("m1.doc_id") < col("m2.doc_id"))
+      .select(
+        col("m1.doc_id").as("id1"), col("m2.doc_id").as("id2"),
+        col("m1.p").as("p1"), col("m2.p").as("p2"))
+    matches
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id1"), col("id2"), col("diag")).orderBy(col("p1"))))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("grp"))
+      .agg(
+        min(col("p1")).cast("long").as("start1"),
+        min(col("p2")).cast("long").as("start2"),
+        (max(col("p1")) - min(col("p1")) + windowTokens).cast("long").as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select(
+        col("id1"), col("id2"), col("start1"), col("start2"),
+        col("span_tokens"), col("n_windows"))
+  }
 }

@@ -166,4 +166,47 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
     ds(0) should be <= 2L
     ds(1) should be >= 3L
   }
+
+  test("exactSubstringSpans finds a planted cross-doc passage at its maximal extent") {
+    val W = 8
+    // passage: 12 unique tokens embedded at different offsets in two
+    // otherwise-unrelated docs -> ONE maximal span of exactly 12 tokens,
+    // chained from 12 - 8 + 1 = 5 overlapping window hits.
+    // surroundings use per-doc-unique tokens so the shared run is EXACTLY
+    // the passage (a chance token match flanking it would legitimately
+    // extend the maximal span — the operator found that in a randText
+    // draw)
+    val passage = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val doc1 = (0 until 20).map(i => s"d1a$i").mkString(" ") + " " + passage + " " +
+      (0 until 15).map(i => s"d1b$i").mkString(" ")
+    val doc2 = (0 until 5).map(i => s"d2a$i").mkString(" ") + " " + passage + " " +
+      (0 until 30).map(i => s"d2b$i").mkString(" ")
+    val clean = randText(5, 40)
+    val df = Seq((1L, doc1), (2L, doc2), (3L, clean)).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text", W)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    spans.length shouldBe 1
+    val (id1, id2, start1, start2, spanTokens, nWindows) = spans.head
+    (id1, id2) shouldBe (1L, 2L)
+    start1 shouldBe 20L // tokens before the passage in doc1
+    start2 shouldBe 5L
+    spanTokens shouldBe 12L
+    nWindows shouldBe 5L
+  }
+
+  test("exactSubstringSpans: two disjoint shared passages yield two spans; short docs none") {
+    val W = 6
+    val pa = (0 until 7).map(i => s"pa$i").mkString(" ")
+    val pb = (0 until 6).map(i => s"pb$i").mkString(" ")
+    val doc1 = pa + " " + randText(11, 10) + " " + pb
+    val doc2 = pb + " " + randText(12, 12) + " " + pa
+    val tiny = "too short for any window"
+    val df = Seq((1L, doc1), (2L, doc2), (9L, tiny)).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text", W)
+      .orderBy(col("start1"))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    spans.toSeq shouldBe Seq(
+      (0L, 18L, 7L),  // pa: doc1 offset 0, doc2 offset 6 + 12 = 18, maximal 7 tokens
+      (17L, 0L, 6L))  // pb: doc1 offset 7 + 10 = 17, doc2 offset 0
+  }
 }
