@@ -96,11 +96,15 @@ final class LidarEngine(
   def subsample(df: DataFrame, res: Double, x: String = "x", y: String = "y", z: String = "z"): DataFrame =
     PointCloudOps.voxelSubsample(df, res, x, y, z)
 
-  /** `convert_epsg` (`scripts/usgs_lidar.py:441-463`). */
-  def convertEpsg(df: DataFrame, xCol: String, yCol: String, fromSrid: Int, toSrid: Int): DataFrame =
-    df.withColumn(xCol, WebMercator.transform(col(xCol), "x", fromSrid, toSrid))
-      .withColumn(yCol, WebMercator.transform(col(yCol), "y", fromSrid, toSrid))
-      .withColumn("srid", lit(toSrid))
+  /** `convert_epsg` (`scripts/usgs_lidar.py:441-463`). Both output axes are
+    * computed against the ORIGINAL columns in one `withColumns` (for UTM
+    * pairs each output depends on both inputs, so sequential withColumn
+    * would feed a transformed x into the y formula).
+    */
+  def convertEpsg(df: DataFrame, xCol: String, yCol: String, fromSrid: Int, toSrid: Int): DataFrame = {
+    val (nx, ny) = WebMercator.transformXY(col(xCol), col(yCol), fromSrid, toSrid)
+    df.withColumns(Map(xCol -> nx, yCol -> ny, "srid" -> lit(toSrid)))
+  }
 
   /** `fetch_metadata` (`scripts/usgs_lidar.py:245-276`) — catalog build from
     * an ept-meta table (prefix, body-JSON).

@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.geo.{Polygon, WebMercator}
+import graft.geo.{Polygon, TransverseMercator, WebMercator}
 import graft.util.Exact.{davg, dsum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -714,6 +714,40 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** F3 extended — ellipsoidal UTM reproject (zone 18N), forward AND
+    * round-trip inverse, oracle-checked: both the Spark Column tree and
+    * the DuckDB SQL are generated from [[TransverseMercator]]'s ONE
+    * structural builder, so the Krüger-series arithmetic is identical
+    * expression-for-expression. Synthetic in-zone coordinates (lat in
+    * [-80, 79], lon within 3 deg of the -75 central meridian); outputs
+    * rounded like r03 (4 dp meters / 6 dp degrees, signed-zero
+    * canonicalized).
+    */
+  private def refUtmReproject(s: SparkSession, dir: String): DataFrame = {
+    // STAGED through named columns, mirroring the oracle's CTEs: a Column
+    // tree duplicates every referenced subterm structurally, so composing
+    // inverse(forward(...)) inline multiplies the Krüger series into a
+    // ~10^5-node expression (measured: analysis OOM). Projecting e0/n0
+    // first makes the inverse reference AttributeReferences instead.
+    val src = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      .select(
+        col("c_custkey"),
+        ((col("c_custkey") % 160).cast("double") - lit(80.0)).as("lat0"),
+        (lit(-78.0) + (col("c_custkey") % 600).cast("double") / lit(100.0)).as("lon0"))
+    val (e0, n0) = TransverseMercator.utmForward(col("lat0"), col("lon0"), 32618)
+    val fwd = src.select(
+      col("c_custkey"), col("lat0"), col("lon0"), e0.as("e0"), n0.as("n0"))
+    val (lat1, lon1) = TransverseMercator.utmInverse(col("e0"), col("n0"), 32618)
+    fwd.select(
+      col("c_custkey"),
+      round(col("lat0"), 6).as("lat"), round(col("lon0"), 6).as("lon"),
+      (round(col("e0"), 4) + lit(0.0)).as("utm_e"),
+      (round(col("n0"), 4) + lit(0.0)).as("utm_n"),
+      (round(lat1, 6) + lit(0.0)).as("lat_rt"),
+      (round(lon1, 6) + lit(0.0)).as("lon_rt"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** A1 — the flagship voxel-grid barycenter downsample
     * (`subsample`, `scripts/usgs_lidar.py:400-439`) over a lineitem-derived
     * point cloud (x=extendedprice, y=quantity, z=discount*100).
@@ -859,7 +893,8 @@ object SparkEntry {
     "r05_grid_heatmap" -> (refGridHeatmap _),
     "r06_ept_scan" -> (refEptScan _),
     "r07_polygon_crop" -> (refPolygonCrop _),
-    "r08_spatial_join" -> (refSpatialJoin _)) ++ ExtensionQueries.queries
+    "r08_spatial_join" -> (refSpatialJoin _),
+    "r09_utm_reproject" -> (refUtmReproject _)) ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1217,5 +1252,22 @@ object SparkEntry {
         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
         |FROM q JOIN catalog ON xmin <= qminx AND xmax >= qminx + 1000.0
         |  AND ymin <= qminy AND ymax >= qminy + 5.0
-        |GROUP BY qid ORDER BY qid""".stripMargin) ++ ExtensionQueries.oracleSql
+        |GROUP BY qid ORDER BY qid""".stripMargin,
+    "r09_utm_reproject" -> {
+      // SQL text generated by the SAME structural builder as the Spark
+      // Column tree (TransverseMercator.SqlAlg) — identical op order.
+      val (eSql, nSql) = TransverseMercator.utmForwardSql("lat0", "lon0", 32618)
+      val (latSql, lonSql) = TransverseMercator.utmInverseSql("e0", "n0", 32618)
+      s"""WITH src AS (
+         | SELECT c_custkey,
+         |  (CAST(c_custkey % 160 AS DOUBLE) - 80.0) AS lat0,
+         |  (-78.0 + (CAST(c_custkey % 600 AS DOUBLE) / 100.0)) AS lon0
+         | FROM customer WHERE c_custkey <= 2000),
+         |fwd AS (SELECT c_custkey, lat0, lon0, $eSql AS e0, $nSql AS n0 FROM src),
+         |inv AS (SELECT c_custkey, lat0, lon0, e0, n0, $latSql AS lat1, $lonSql AS lon1 FROM fwd)
+         |SELECT c_custkey, round(lat0, 6) AS lat, round(lon0, 6) AS lon,
+         | round(e0, 4) + 0.0 AS utm_e, round(n0, 4) + 0.0 AS utm_n,
+         | round(lat1, 6) + 0.0 AS lat_rt, round(lon1, 6) + 0.0 AS lon_rt
+         |FROM inv ORDER BY c_custkey""".stripMargin
+    }) ++ ExtensionQueries.oracleSql
 }

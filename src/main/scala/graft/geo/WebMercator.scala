@@ -41,9 +41,11 @@ object WebMercator {
   def yToLat(y: Column): Column =
     (atan(exp(y / lit(R))) * lit(2.0) - lit(math.Pi / 2.0)) / lit(D2R)
 
-  /** Generic column transform between the two supported SRIDs — the engine
+  /** Generic column transform between the per-axis SRIDs — the engine
     * analog of `convert_epsg` (`scripts/usgs_lidar.py:441-463`). Axis is "x"
-    * (longitude-like) or "y" (latitude-like).
+    * (longitude-like) or "y" (latitude-like). Only 4326<->3857 is
+    * expressible per-axis; UTM (both outputs depend on both inputs) goes
+    * through [[transformXY]].
     */
   def transform(c: Column, axis: String, fromSrid: Int, toSrid: Int): Column =
     (fromSrid, toSrid, axis) match {
@@ -53,8 +55,37 @@ object WebMercator {
       case (3857, 4326, "y") => yToLat(c)
       case (f, t, _) if f == t => c
       case (f, t, _) =>
-        throw new IllegalArgumentException(s"unsupported CRS pair $f->$t (only 4326<->3857)")
+        throw new IllegalArgumentException(
+          s"unsupported per-axis CRS pair $f->$t (use transformXY for UTM pairs)")
     }
+
+  /** Full 2-D CRS transform: (x, y) in `fromSrid` -> (x, y) in `toSrid`.
+    * Supports 4326 (x = lon deg, y = lat deg), 3857 (Web-Mercator
+    * meters), and every UTM zone (EPSG:32601-60 north / 32701-60 south,
+    * x = easting, y = northing — [[TransverseMercator]], order-n^6 Krüger
+    * series). UTM<->3857 and UTM<->UTM compose through 4326 — closed-form
+    * all the way, still one codegen'd expression tree per output column.
+    */
+  def transformXY(x: Column, y: Column, fromSrid: Int, toSrid: Int): (Column, Column) = {
+    def isUtm(s: Int) = TransverseMercator.zoneOf(s).isDefined
+    (fromSrid, toSrid) match {
+      case (f, t) if f == t => (x, y)
+      case (4326, 3857) => (lonToX(x), latToY(y))
+      case (3857, 4326) => (xToLon(x), yToLat(y))
+      case (4326, t) if isUtm(t) =>
+        val (e, n) = TransverseMercator.utmForward(lat = y, lon = x, epsg = t)
+        (e, n)
+      case (f, 4326) if isUtm(f) =>
+        val (lat, lon) = TransverseMercator.utmInverse(x, y, epsg = f)
+        (lon, lat)
+      case (f, t) if isUtm(f) || isUtm(t) =>
+        val (lon, lat) = transformXY(x, y, f, 4326)
+        transformXY(lon, lat, 4326, t)
+      case (f, t) =>
+        throw new IllegalArgumentException(
+          s"unsupported CRS pair $f->$t (4326, 3857, and UTM 326xx/327xx zones)")
+    }
+  }
 
   /** Driver-side scalar versions (query-prep path: polygon corners, bbox). */
   def lonToX(lon: Double): Double = lon * D2R * R
