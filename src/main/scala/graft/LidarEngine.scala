@@ -110,6 +110,27 @@ final class LidarEngine(
     * an ept-meta table (prefix, body-JSON).
     */
   def fetchMetadata(eptMeta: DataFrame): DataFrame = CatalogOps.buildCatalog(eptMeta)
+
+  /** `save_heatmap` (`scripts/usgs_lidar.py:361-381`): grid the points
+    * (distributed, A4) and render the bounded grid frame to a PNG
+    * ([[graft.io.Raster]] — JDK PNG encoder, terrain colormap). Returns
+    * (widthPx, heightPx).
+    */
+  def saveHeatmap(
+      points: DataFrame, pngPath: String, cellX: Double, cellY: Double,
+      x: String = "x", y: String = "y", v: String = "z"): (Int, Int) =
+    graft.io.Raster.saveHeatmapPng(
+      PointCloudOps.grid2d(points, cellX, cellY, x, y, v), pngPath)
+
+  /** `plot_terrain` (`scripts/usgs_lidar.py:342-359`): deterministic
+    * bounded sample (distributed top-n by hash) rendered as a scatter
+    * PNG colored by elevation.
+    */
+  def plotTerrain(
+      points: DataFrame, pngPath: String, sampleN: Int = 100000,
+      width: Int = 800, height: Int = 600): (Int, Int) =
+    graft.io.Raster.saveScatterPng(
+      PointCloudOps.renderSample(points, sampleN), pngPath, width, height)
 }
 
 object LidarEngine {
