@@ -28,7 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object PointsLayout {
 
-  val Tiles = 8
+  /** Floor on tile count (small fixtures) and target rows per tile.
+    * Tile count SCALES WITH DATA: a fixed count made each tile 100x
+    * bigger at the 100x probe, so a pruned scan decoded millions of rows
+    * in ONE single-threaded partition reader (measured: r06 was the
+    * worst 100x scaler at 21x before this). O(100 MB) tiles keep
+    * partition count — and therefore scan parallelism — proportional to
+    * the dataset, which is the EPT octree's own property (more nodes,
+    * not bigger nodes, as data grows).
+    */
+  val MinTiles = 8
+  val TargetRowsPerTile = 1000000L
+
+  def tileCount(rows: Long): Int =
+    math.max(MinTiles.toLong, (rows + TargetRowsPerTile - 1) / TargetRowsPerTile)
+      .min(4096L).toInt
 
   /** Build the tile directory for `sfDir` if absent; returns its path.
     * Idempotent and session-safe: keyed by the sf directory, guarded by the
@@ -44,14 +58,15 @@ object PointsLayout {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = marker.getFileSystem(conf)
     if (!fs.exists(marker)) {
-      Tables(spark, sfDir, "lineitem")
+      val src = Tables(spark, sfDir, "lineitem")
         .select(
           (col("l_orderkey") * 8 + col("l_linenumber")).as("pid"),
           col("l_extendedprice").as("x"),
           col("l_quantity").as("y"),
           (col("l_discount") * 100.0).as("z"),
           col("l_linenumber").as("classification"))
-        .repartitionByRange(Tiles, col("x"))
+      src
+        .repartitionByRange(tileCount(src.count()), col("x"))
         .sortWithinPartitions(col("x"))
         .write.mode("overwrite").parquet(dir)
       // Layout owns the manifest: write it with the tiles so planning is
