@@ -1147,6 +1147,71 @@ object ExtensionQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** BPE merge-training rounds for x45 (unrolled so the oracle can
+    * mirror each round as a CTE).
+    */
+  private val BpeRounds = 3
+
+  /** BPE merge training (the tokenizer-training core, Sennrich et al.
+    * 2016): count adjacent symbol pairs across the word-frequency table,
+    * merge the most frequent pair, repeat. Three rounds unrolled.
+    *
+    * Scale posture — the real BPE-training shape: the corpus collapses
+    * ONCE to a (word, count) vocabulary (one shuffle on the word; every
+    * later round works on the vocabulary-sized frame, never re-reading
+    * the corpus). Per round: pair extraction is a map-side array
+    * transform, pair counting shuffles pair-vocabulary-sized keys, and
+    * the argmax pair (count desc, pair asc — deterministic) broadcasts
+    * back for the merge. Merge semantics: left-to-right non-overlapping
+    * replacement over the space-joined symbol string, boundary-padded —
+    * identical in Spark and DuckDB by construction (both scan from the
+    * end of the previous match), and exactly reproducible, which is what
+    * the oracle checks. (On a run like "a b a b" this leaves the second
+    * pair unmerged where pairwise BPE would merge both — a documented,
+    * deterministic divergence.)
+    *
+    * Output: (rnd, pair, cnt) — the merge chosen each round with its
+    * count at selection time.
+    */
+  private def x45(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // symbol string: space-joined characters, space-padded so a merge
+      // pattern " a b " can only match on symbol boundaries
+      .select(
+        concat(lit(" "), concat_ws(" ", filter(split(col("w"), ""), c => c =!= "")), lit(" ")).as("sym"),
+        col("n"))
+    def pairsOf(df: DataFrame): DataFrame = {
+      val arr = filter(split(trim(col("sym")), " "), c => c =!= "")
+      df.select(col("n"), arr.as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("a")) - 1),
+          i => concat(element_at(col("a"), i), lit(" "), element_at(col("a"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).cast("long").as("cnt"))
+    }
+    var cur = words
+    val picks = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val top = pairsOf(cur)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .select(lit(r.toLong).as("rnd"), col("pair"), col("cnt"))
+      picks += top
+      // merge: " a b " -> " ab " everywhere (left-to-right, non-overlap);
+      // the broadcast single-row pick parameterizes the replacement
+      cur = cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+        .select(
+          replace(
+            col("sym"),
+            concat(lit(" "), col("mp"), lit(" ")),
+            concat(lit(" "), regexp_replace(col("mp"), lit(" "), lit("")), lit(" "))).as("sym"),
+          col("n"))
+    }
+    picks.reduce(_ union _).orderBy(col("rnd"))
+  }
+
   /** Sliding-window width for exact-substring dedup: the corpus analogue
     * of the 50-token rule (fixture docs run 10-99 tokens, so 20 keeps
     * plants detectable while staying far above chance collision for
@@ -1222,7 +1287,8 @@ object ExtensionQueries {
     "x41_weighted_sample" -> (x41 _),
     "x42_burst_dedup" -> (x42 _),
     "x43_incremental_agg" -> (x43 _),
-    "x44_substring_dedup" -> (x44 _))
+    "x44_substring_dedup" -> (x44 _),
+    "x45_bpe_merges" -> (x45 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1859,5 +1925,25 @@ object ExtensionQueries {
          |  CAST(max(p1) - min(p1) + $SubstrW AS BIGINT) AS span_tokens,
          |  CAST(count(*) AS BIGINT) AS n_windows
          |FROM isl GROUP BY id1, id2, diag, grp
-         |ORDER BY id1, id2, start1, start2""".stripMargin)
+         |ORDER BY id1, id2, start1, start2""".stripMargin,
+    "x45_bpe_merges" -> {
+      // Rounds generated programmatically so the CTE chain mirrors the
+      // Spark loop structurally round for round.
+      def pairsCte(r: Int): String =
+        s"""p$r AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+           |  SELECT n, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+           |  FROM (SELECT n, list_filter(string_split(trim(sym), ' '), c -> c <> '') AS a FROM s${r - 1})
+           |  WHERE len(a) >= 2) GROUP BY pair),
+           |t$r AS (SELECT CAST($r AS BIGINT) AS rnd, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+           |s$r AS (SELECT replace(sym, ' ' || t$r.pair || ' ', ' ' || replace(t$r.pair, ' ', '') || ' ') AS sym, n
+           |  FROM s${r - 1}, t$r)""".stripMargin
+      s"""WITH words AS (
+         | SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         | FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w),
+         |s0 AS (SELECT ' ' || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), ' ') || ' ' AS sym, n FROM wc),
+         |${(1 to BpeRounds).map(pairsCte).mkString(",\n")}
+         |SELECT rnd, pair, cnt FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")})
+         |ORDER BY rnd""".stripMargin
+    })
 }
