@@ -68,6 +68,23 @@ object Demo {
 
     Writers.csv(sub, s"$outDir/subsample_csv")
     println(s"== wrote $outDir/subsample_csv ==")
+
+    // save_heatmap / plot_terrain parity: PNG rasters from the engine's
+    // own sinks (JDK encoder, terrain colormap).
+    val pts3857 = engine.convertEpsg(
+      fetched.select(col("lon").as("x"), col("lat").as("y"), col("elevation").as("z")),
+      "x", "y", 4326, 3857)
+    val (hw, hh) = engine.saveHeatmap(pts3857, s"$outDir/heatmap.png", cellX = 50.0, cellY = 50.0)
+    println(s"== wrote $outDir/heatmap.png (${hw}x$hh) ==")
+    val (sw, sh) = engine.plotTerrain(pts3857, s"$outDir/terrain.png", sampleN = 4000)
+    println(s"== wrote $outDir/terrain.png (${sw}x$sh) ==")
+
+    // convert_epsg beyond the reference: the same points in UTM zone 15N
+    // (Iowa), closed-form Krüger series.
+    val utm = engine.convertEpsg(
+      fetched.select(col("lon").as("x"), col("lat").as("y")), "x", "y", 4326, 32615)
+    println("== convert_epsg 4326 -> UTM 15N (first 3) ==")
+    utm.show(3, false)
     sub.explain("formatted")
     spark.stop()
   }
