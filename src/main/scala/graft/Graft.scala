@@ -37,10 +37,49 @@ object Graft {
       Divide(Subtract(Multiply(Atan(Exp(Divide(e, r))), Literal(2.0)), Literal(math.Pi / 2.0)), d2r)
   }
 
+  /** UTM scalar-function builders over [[geo.TransverseMercator.ExprAlg]]
+    * — the Catalyst instantiation of the same structural builder the
+    * Column and oracle-SQL paths use (EPSG must be a literal: it
+    * parameterizes the series constants at resolution time). Shared by
+    * the session-local registration and [[GraftExtensions]].
+    */
+  private[graft] object UtmExprs {
+    import org.apache.spark.sql.catalyst.expressions._
+    import graft.geo.TransverseMercator
+    private def dbl(e: Expression): Expression = Cast(e, org.apache.spark.sql.types.DoubleType)
+    private def zone(e: Expression): (Double, Boolean) = {
+      val epsg = e.eval(null).asInstanceOf[Number].intValue()
+      val (z, south) = TransverseMercator.zoneOf(epsg).getOrElse(
+        throw new IllegalArgumentException(s"not a UTM EPSG code: $epsg"))
+      (TransverseMercator.centralMeridianDeg(z), south)
+    }
+    def easting(lat: Expression, lon: Expression, epsg: Expression): Expression = {
+      val (lon0, south) = zone(epsg)
+      TransverseMercator.forward(TransverseMercator.ExprAlg, dbl(lat), dbl(lon), lon0, south)._1
+    }
+    def northing(lat: Expression, lon: Expression, epsg: Expression): Expression = {
+      val (lon0, south) = zone(epsg)
+      TransverseMercator.forward(TransverseMercator.ExprAlg, dbl(lat), dbl(lon), lon0, south)._2
+    }
+    def lat(e: Expression, n: Expression, epsg: Expression): Expression = {
+      val (lon0, south) = zone(epsg)
+      TransverseMercator.inverse(TransverseMercator.ExprAlg, dbl(e), dbl(n), lon0, south)._1
+    }
+    def lon(e: Expression, n: Expression, epsg: Expression): Expression = {
+      val (lon0, south) = zone(epsg)
+      TransverseMercator.inverse(TransverseMercator.ExprAlg, dbl(e), dbl(n), lon0, south)._2
+    }
+  }
+
   def registerFunctions(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions._
     val reg = spark.sessionState.functionRegistry
 
+    // st_utm_*(…, epsg): ellipsoidal UTM forward/inverse (literal EPSG).
+    reg.createOrReplaceTempFunction("st_utm_easting", exprs => UtmExprs.easting(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("st_utm_northing", exprs => UtmExprs.northing(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("st_utm_lat", exprs => UtmExprs.lat(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("st_utm_lon", exprs => UtmExprs.lon(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("st_lon_to_x", exprs => MercatorExprs.lonToX(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("st_lat_to_y", exprs => MercatorExprs.latToY(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("st_x_to_lon", exprs => MercatorExprs.xToLon(exprs.head), "built-in")

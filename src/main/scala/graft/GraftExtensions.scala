@@ -21,7 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("st_lon_to_x", exprs => Graft.MercatorExprs.lonToX(exprs.head)),
       ("st_lat_to_y", exprs => Graft.MercatorExprs.latToY(exprs.head)),
       ("st_x_to_lon", exprs => Graft.MercatorExprs.xToLon(exprs.head)),
-      ("st_y_to_lat", exprs => Graft.MercatorExprs.yToLat(exprs.head))).foreach {
+      ("st_y_to_lat", exprs => Graft.MercatorExprs.yToLat(exprs.head)),
+      ("st_utm_easting", exprs => Graft.UtmExprs.easting(exprs(0), exprs(1), exprs(2))),
+      ("st_utm_northing", exprs => Graft.UtmExprs.northing(exprs(0), exprs(1), exprs(2))),
+      ("st_utm_lat", exprs => Graft.UtmExprs.lat(exprs(0), exprs(1), exprs(2))),
+      ("st_utm_lon", exprs => Graft.UtmExprs.lon(exprs(0), exprs(1), exprs(2)))).foreach {
       case (name, builder) =>
         e.injectFunction((
           FunctionIdentifier(name),

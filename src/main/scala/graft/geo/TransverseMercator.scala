@@ -150,6 +150,30 @@ object TransverseMercator {
     def sqrt(a: Column): Column = functions.sqrt(a)
   }
 
+  /** Catalyst Expression algebra — for SQL function registration, where
+    * composed Columns can't round-trip through the FunctionRegistry
+    * (they wrap into unresolvable ColumnNode exprs; see
+    * [[graft.Graft.MercatorExprs]]'s note). Same builder, so the SQL
+    * functions agree bit-for-bit with the Column path.
+    */
+  object ExprAlg extends Alg[org.apache.spark.sql.catalyst.expressions.Expression] {
+    import org.apache.spark.sql.catalyst.expressions._
+    type E = Expression
+    def lit(d: Double): E = Literal(d)
+    def add(a: E, b: E): E = Add(a, b)
+    def sub(a: E, b: E): E = Subtract(a, b)
+    def mul(a: E, b: E): E = Multiply(a, b)
+    def div(a: E, b: E): E = Divide(a, b)
+    def neg(a: E): E = UnaryMinus(a)
+    def sin(a: E): E = Sin(a)
+    def cos(a: E): E = Cos(a)
+    def atan(a: E): E = Atan(a)
+    def asin(a: E): E = Asin(a)
+    def exp(a: E): E = Exp(a)
+    def ln(a: E): E = Log(a)
+    def sqrt(a: E): E = Sqrt(a)
+  }
+
   /** SQL-text algebra. Literals print via Double.toString (round-trips
     * exactly); every composite is parenthesized so precedence cannot
     * reassociate anything.

@@ -26,6 +26,23 @@ class GraftSqlSpec extends AnyFunSuite with Matchers with SparkTest {
     r.getInt(5) shouldBe 2
   }
 
+  test("st_utm_* SQL functions agree bit-for-bit with the scalar Krüger series") {
+    Graft.init(spark, dir)
+    val r = spark.sql(
+      """SELECT st_utm_easting(40.7D, -74.2D, 32618) AS e,
+        | st_utm_northing(40.7D, -74.2D, 32618) AS n,
+        | st_utm_lat(st_utm_easting(40.7D, -74.2D, 32618), st_utm_northing(40.7D, -74.2D, 32618), 32618) AS lat_rt,
+        | st_utm_lon(st_utm_easting(40.7D, -74.2D, 32618), st_utm_northing(40.7D, -74.2D, 32618), 32618) AS lon_rt""".stripMargin).head()
+    val (es, ns) = graft.geo.TransverseMercator.utmForward(40.7, -74.2, 32618)
+    r.getDouble(0) shouldBe es
+    r.getDouble(1) shouldBe ns
+    r.getDouble(2) shouldBe 40.7 +- 1e-9
+    r.getDouble(3) shouldBe -74.2 +- 1e-9
+    // a non-UTM EPSG is rejected at resolution time
+    val err = intercept[Exception](spark.sql("SELECT st_utm_easting(1.0D, 2.0D, 4326)").head())
+    err.getMessage should include("UTM")
+  }
+
   test("mmr_select runs from SQL over a collect_list-packed candidate frame") {
     Graft.init(spark, dir)
     import spark.implicits._
