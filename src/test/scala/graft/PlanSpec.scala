@@ -260,6 +260,30 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "Exchange hashpartitioning"
   }
 
+  test("x44: substring dedup pairs via the window-hash equi-join, span merge per (pair, diagonal)") {
+    val p = finalPlan("x44_substring_dedup")
+    // pair generation is the capped bucket aggregate on the window hash —
+    // never an all-pairs nested loop over documents
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("hashpartitioning(wh")
+    // the islands merge partitions by (pair, diagonal) — no global Window
+    p should include("hashpartitioning(id1")
+  }
+
+  test("x45: BPE rounds keep the corpus off the driver — pair-count shuffle + broadcast argmax") {
+    val p = finalPlan("x45_bpe_merges")
+    // per-round pair counting is a partial/final hash aggregate on the pair
+    p should include("partial_")
+    p should include("hashpartitioning(pair")
+    // the chosen pair reaches the merge as a broadcast of a 1-ROW frame
+    // (a keyless cross join by design — the broadcast side is the argmax
+    // pick, so the "nested loop" is 1 x vocabulary); never an unbroadcast
+    // cartesian shuffle
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
