@@ -77,9 +77,12 @@ object PipelineConfig {
         case (Some(df), FilterRange(cls)) =>
           Some(df.filter(coalesce(col("classification"), lit(0)) =!= cls))
         case (Some(df), FilterReprojection(in, out)) =>
-          Some(df
-            .withColumn("x", WebMercator.transform(col("x"), "x", in, out))
-            .withColumn("y", WebMercator.transform(col("y"), "y", in, out)))
+          // transformXY against the ORIGINAL columns in one withColumns:
+          // reaches every supported pair incl. UTM (where each output
+          // depends on both inputs — sequential withColumn would feed a
+          // transformed x into the y formula)
+          val (nx, ny) = WebMercator.transformXY(col("x"), col("y"), in, out)
+          Some(df.withColumns(Map("x" -> nx, "y" -> ny)))
         case (Some(df), WriterCsv(path)) => Writers.csv(df, path); Some(df)
         case (Some(df), WriterParquet(path)) => df.write.mode("overwrite").parquet(path); Some(df)
         case (st, s0) => throw new IllegalArgumentException(s"invalid pipeline: $s0 at state $st")

@@ -27,44 +27,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AnnModels {
 
   /** Root for persisted models — outside the repo (models are build
-    * artifacts, not source) and per-user-writable. Override with
+    * artifacts, not source), namespaced per user so two accounts on one
+    * machine cannot collide on a world-shared directory. Override with
     * GRAFT_MODEL_DIR (e.g. to a shared filesystem on a cluster).
     */
-  private def modelRoot: String =
-    sys.env.getOrElse("GRAFT_MODEL_DIR", "/tmp/graft_models")
+  private[ops] def modelRoot: String =
+    sys.env.getOrElse(
+      "GRAFT_MODEL_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft_models_${System.getProperty("user.name", "anon")}")
+
+  private def hadoopConf(s: SparkSession): org.apache.hadoop.conf.Configuration =
+    s.sparkContext.hadoopConfiguration
 
   /** Cheap dataset fingerprint: hash of every part-file's (path, length,
-    * mtime) under `dir`/`table`.parquet. Driver-side file stats only — no
-    * Spark job; on object stores the same listing is one LIST call.
+    * mtime) under `dir`/`table`.parquet, listed through the Hadoop
+    * FileSystem API so hdfs:// and object-store paths fingerprint their
+    * REAL file statuses (a java.io.File probe would see nothing there and
+    * collapse every remote dataset to one constant fingerprint — i.e.
+    * serve stale models). Driver-side metadata only — no Spark job; on
+    * object stores this is one recursive LIST.
     */
-  private[ops] def fingerprint(dir: String, table: String): String = {
-    val root = new java.io.File(dir, s"$table.parquet")
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val desc = walk(root).map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+  private[ops] def fingerprint(s: SparkSession, dir: String, table: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+    val fs = root.getFileSystem(hadoopConf(s))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        parts += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+    }
+    val desc = parts.sorted.mkString("|")
     val md = java.security.MessageDigest.getInstance("MD5").digest(desc.getBytes("UTF-8"))
     md.take(8).map(b => f"$b%02x").mkString
   }
 
-  private def modelPath(dir: String, table: String, name: String): java.io.File =
-    new java.io.File(s"$modelRoot/${fingerprint(dir, table)}/$name")
-
   /** Serve `name` for the dataset at (`dir`, `table`): read the persisted
-    * model if present (parquet `_SUCCESS` marker), else run `train`, write
-    * it, and read it back. The read-back (rather than returning the
+    * model if present (parquet `_SUCCESS` marker, checked through the
+    * Hadoop FS), else run `train`, COMMIT it atomically, and read it
+    * back. Commit = write to a process-unique temp dir then rename into
+    * place: two JVMs racing the same missing model each write their own
+    * temp (training is deterministic, so the contents are identical) and
+    * the rename loser simply discards its copy — no reader ever observes
+    * a half-written directory. The read-back (rather than returning the
     * training frame) pins the serving plan to a plain parquet scan of a
-    * model-sized table in BOTH branches — identical plans whether or not
-    * this call trained.
+    * model-sized table in BOTH branches.
     */
   def trainOrLoad(s: SparkSession, dir: String, table: String, name: String)(
       train: => DataFrame): DataFrame = {
-    val path = modelPath(dir, table, name)
-    val marker = new java.io.File(path, "_SUCCESS")
-    if (!marker.isFile) {
-      train.write.mode("overwrite").parquet(path.getPath)
+    val conf = hadoopConf(s)
+    val path = new org.apache.hadoop.fs.Path(
+      s"$modelRoot/${fingerprint(s, dir, table)}/$name")
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path.getParent, s".${path.getName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      train.write.mode("overwrite").parquet(tmp.toString)
+      fs.mkdirs(path.getParent)
+      if (!fs.rename(tmp, path)) {
+        // another process committed first (or a stale dir exists): if the
+        // committed model is complete, use it; else fail loudly
+        fs.delete(tmp, true)
+        require(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")),
+          s"model commit race left $path incomplete — remove it and retry")
+      }
     }
-    s.read.parquet(path.getPath)
+    s.read.parquet(path.toString)
   }
 
   /** Trained IVF centroids for the embeddings table at `dir` (seeded from

@@ -367,9 +367,13 @@ object Similarity {
     bucketMemberPairs(
       // norms ride along in the bucket struct (computed once per vector,
       // map-side) so the verify stage is ONE native dot per candidate pair
-      // instead of three interpreted HOF folds — cosineStatic's op order
-      // (dot / (nA * nB), n = sqrt(self-dot)) is IEEE-identical to the HOF
-      // cosine, so candidate scores and oracle hashes are unchanged
+      // instead of three interpreted HOF folds — for array<double> input
+      // cosineStatic's op order (dot / (nA * nB), n = sqrt(self-dot)) is
+      // IEEE-identical to the HOF cosine, so scores/hashes are unchanged.
+      // For array<float> input the native dot widens each element BEFORE
+      // multiplying (the HOF multiplied in float first), so float callers
+      // (Multimodal.nearDupMedia) get the slightly MORE precise cosine —
+      // last-ULP deltas, inside every caller's threshold tolerance
       corpus.select(
         col(idCol), col(vecCol),
         lshSignature(col(vecCol), bits, dim).as("bucket"),

@@ -8,16 +8,16 @@ import org.apache.spark.sql.functions._
   * on the engine's join shapes — the evidence behind SURVEY's "AQE
   * skew-join handles the join side" claim.
   *
-  * Plant: every lineitem row's join key is folded so ~25% of the fact
-  * table lands on ONE key (the viral-entity shape). Joined against a
-  * second fact projection on the same key. Without intervention one
-  * shuffle partition carries a quarter of the data; with AQE skew
-  * handling the oversized partition is split into advisory-sized chunks
-  * joined against a replicated build side.
+  * Plant: every even lineitem orderkey folds to key 0, so ~50% of the
+  * fact table lands on ONE key (the viral-entity shape). Joined against
+  * a plain shuffled orders projection carrying exactly one row for the
+  * hot key. Without intervention one shuffle partition carries half the
+  * data; with AQE skew handling the oversized partition is split into
+  * advisory-sized chunks joined against a replicated build side.
   *
-  * Thresholds are set probe-scale (8 MB skew threshold / 2 MB advisory)
-  * because the DEFAULTS (256 MB) are cluster-scale — the mechanism, not
-  * the constant, is what transfers to 100 TB.
+  * Thresholds are probe-scale (4 MB skew threshold, factor 2, 1 MB
+  * advisory) because the DEFAULTS (256 MB, factor 5) are cluster-scale —
+  * the mechanism, not the constant, is what transfers to 100 TB.
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {

@@ -100,7 +100,9 @@ object StreamStateProbe {
         spark.readStream.schema(schema).json(srcDir),
         s"$tmp/sink", s"$tmp/store", s"$tmp/ck",
         horizonBatches = Some(10L))
-      q.awaitTermination(120000)
+      // awaitTermination(timeout) returns false on timeout — starting the
+      // next run against a still-active checkpoint would throw/skew times
+      require(q.awaitTermination(120000), s"batch $b exceeded 120 s — machine too loaded to probe")
       times(b) = (System.nanoTime() - t) / 1e9
       if (b == 25) {
         val before = storeFiles()

@@ -46,9 +46,8 @@ class AnnModelsSpec extends AnyFunSuite with Matchers with SparkTest {
     s1 shouldBe d1
 
     // Second call must serve, not retrain: the persisted files are untouched.
-    val fp = AnnModels.fingerprint(dataDir.getPath, "embeddings")
-    val store = new java.io.File(
-      sys.env.getOrElse("GRAFT_MODEL_DIR", "/tmp/graft_models"), fp)
+    val fp = AnnModels.fingerprint(spark, dataDir.getPath, "embeddings")
+    val store = new java.io.File(AnnModels.modelRoot, fp)
     store.isDirectory shouldBe true
     val before = modelFiles(store)
     before should not be empty
@@ -62,11 +61,11 @@ class AnnModelsSpec extends AnyFunSuite with Matchers with SparkTest {
   test("a regenerated dataset changes the fingerprint and forces a fresh train") {
     val dataDir = java.nio.file.Files.createTempDirectory("annmodels-data2").toFile
     writeCorpus(dataDir, seed = 1, n = 30)
-    val fp1 = AnnModels.fingerprint(dataDir.getPath, "embeddings")
+    val fp1 = AnnModels.fingerprint(spark, dataDir.getPath, "embeddings")
     // Different content -> different part-file length and/or mtime.
     Thread.sleep(5)
     writeCorpus(dataDir, seed = 2, n = 31)
-    val fp2 = AnnModels.fingerprint(dataDir.getPath, "embeddings")
+    val fp2 = AnnModels.fingerprint(spark, dataDir.getPath, "embeddings")
     fp2 should not be fp1
 
     val corpus2 = spark.read.parquet(new java.io.File(dataDir, "embeddings.parquet").getPath)
