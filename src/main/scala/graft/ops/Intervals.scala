@@ -85,7 +85,21 @@ object Intervals {
     val levels = iv.groupBy(col("__lvl")).count().select(col("__lvl"))
     val probes = points.crossJoin(broadcast(levels))
       .withColumn("__cell", cellId(pt.cast("double"), col("__lvl")))
-    iv.join(probes, Seq("__lvl", "__cell"))
+    // Dimension-sized interval sides broadcast EAGERLY: AQE would convert
+    // this equi-join to broadcast at runtime, but only after BOTH input
+    // stages materialize — i.e. after the (possibly multi-billion-row)
+    // probe side has already paid its full shuffle write. That shuffle
+    // was q24's 1000x-probe bottleneck: 600M probe rows spilled ~26x
+    // super-linearly; with the hint the probe side never shuffles at all
+    // (map-side BHJ straight into the partial aggregate). The static
+    // stats check costs no job; the <= 3-cell explode fan-out is covered
+    // by the conservative 8 MB pre-explode threshold. Big interval sides
+    // keep the symmetric (level, cell) shuffle — the fact-fact posture.
+    val ivBytes =
+      try intervals.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    val ivSide = if (ivBytes <= 8L * 1024 * 1024) broadcast(iv) else iv
+    ivSide.join(probes, Seq("__lvl", "__cell"))
       .filter(residual)
       .drop("__lvl", "__cell")
   }

@@ -13,6 +13,12 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    // Offset multiplier for chained scale-ups: replicating an ALREADY
+    // replicated dir reuses the id ranges the first pass minted, so the
+    // per-copy offsets must exceed the source's max key (e.g. sf10 ->
+    // sf100 needs offsetScale=100; the x32 key-collision bug at sf1 was
+    // exactly this class).
+    val offsetScale = args.lift(3).map(_.toLong).getOrElse(1L)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,10 +37,10 @@ object GenScale {
       println(s"$name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
     // Facts replicated; dimension tables copied as-is.
-    replicate("lineitem", Seq("l_orderkey"), 100000000L)
-    replicate("orders", Seq("o_orderkey"), 100000000L)
-    replicate("documents", Seq("doc_id"), 10000000L)
-    replicate("embeddings", Seq("vec_id"), 10000000L)
+    replicate("lineitem", Seq("l_orderkey"), 100000000L * offsetScale)
+    replicate("orders", Seq("o_orderkey"), 100000000L * offsetScale)
+    replicate("documents", Seq("doc_id"), 10000000L * offsetScale)
+    replicate("embeddings", Seq("vec_id"), 10000000L * offsetScale)
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
