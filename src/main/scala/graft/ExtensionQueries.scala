@@ -3,7 +3,7 @@ package graft
 import scala.collection.immutable.ListMap
 
 import graft.ops.{AnnModels, Dedup, Similarity, Skew, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1152,6 +1152,56 @@ object ExtensionQueries {
     */
   private val BpeRounds = 3
 
+  /** Space-padded symbol string for a word column: space-joined
+    * characters, padded so a merge pattern " a b " can only match on
+    * symbol boundaries.
+    */
+  private def bpeSymbolize(w: Column): Column =
+    concat(lit(" "), concat_ws(" ", filter(split(w, ""), c => c =!= "")), lit(" "))
+
+  /** Shared BPE training loop for x45/x46: `vocab` carries (sym, n) plus
+    * any extra columns (e.g. the word itself), which ride through the
+    * merges untouched. Returns (per-round picks, post-merge vocabulary).
+    *
+    * Merge semantics: left-to-right non-overlapping replacement over the
+    * space-joined symbol string, boundary-padded — identical in Spark and
+    * DuckDB by construction (both scan from the end of the previous
+    * match), and exactly reproducible, which is what the oracles check.
+    * (On a run like "a b a b" this leaves the second pair unmerged where
+    * pairwise BPE would merge both — a documented, deterministic
+    * divergence.)
+    */
+  private def bpeTrainRounds(vocab: DataFrame, rounds: Int): (Seq[DataFrame], DataFrame) = {
+    def pairsOf(df: DataFrame): DataFrame = {
+      val arr = filter(split(trim(col("sym")), " "), c => c =!= "")
+      df.select(col("n"), arr.as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("a")) - 1),
+          i => concat(element_at(col("a"), i), lit(" "), element_at(col("a"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).cast("long").as("cnt"))
+    }
+    var cur = vocab
+    val picks = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val top = pairsOf(cur)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .select(lit(r.toLong).as("rnd"), col("pair"), col("cnt"))
+      picks += top
+      // merge: " a b " -> " ab " everywhere (left-to-right, non-overlap);
+      // the broadcast single-row pick parameterizes the replacement
+      cur = cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+        .withColumn("sym",
+          replace(
+            col("sym"),
+            concat(lit(" "), col("mp"), lit(" ")),
+            concat(lit(" "), regexp_replace(col("mp"), lit(" "), lit("")), lit(" "))))
+        .drop("mp")
+    }
+    (picks.toSeq, cur)
+  }
+
   /** BPE merge training (the tokenizer-training core, Sennrich et al.
     * 2016): count adjacent symbol pairs across the word-frequency table,
     * merge the most frequent pair, repeat. Three rounds unrolled.
@@ -1162,13 +1212,7 @@ object ExtensionQueries {
     * the corpus). Per round: pair extraction is a map-side array
     * transform, pair counting shuffles pair-vocabulary-sized keys, and
     * the argmax pair (count desc, pair asc — deterministic) broadcasts
-    * back for the merge. Merge semantics: left-to-right non-overlapping
-    * replacement over the space-joined symbol string, boundary-padded —
-    * identical in Spark and DuckDB by construction (both scan from the
-    * end of the previous match), and exactly reproducible, which is what
-    * the oracle checks. (On a run like "a b a b" this leaves the second
-    * pair unmerged where pairwise BPE would merge both — a documented,
-    * deterministic divergence.)
+    * back for the merge ([[bpeTrainRounds]]).
     *
     * Output: (rnd, pair, cnt) — the merge chosen each round with its
     * count at selection time.
@@ -1177,39 +1221,45 @@ object ExtensionQueries {
     val words = t(s, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      // symbol string: space-joined characters, space-padded so a merge
-      // pattern " a b " can only match on symbol boundaries
-      .select(
-        concat(lit(" "), concat_ws(" ", filter(split(col("w"), ""), c => c =!= "")), lit(" ")).as("sym"),
-        col("n"))
-    def pairsOf(df: DataFrame): DataFrame = {
-      val arr = filter(split(trim(col("sym")), " "), c => c =!= "")
-      df.select(col("n"), arr.as("a"))
-        .filter(size(col("a")) >= 2)
-        .select(col("n"), explode(transform(
-          sequence(lit(1), size(col("a")) - 1),
-          i => concat(element_at(col("a"), i), lit(" "), element_at(col("a"), i + 1)))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("n")).cast("long").as("cnt"))
-    }
-    var cur = words
-    val picks = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    for (r <- 1 to BpeRounds) {
-      val top = pairsOf(cur)
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(1)
-        .select(lit(r.toLong).as("rnd"), col("pair"), col("cnt"))
-      picks += top
-      // merge: " a b " -> " ab " everywhere (left-to-right, non-overlap);
-      // the broadcast single-row pick parameterizes the replacement
-      cur = cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-        .select(
-          replace(
-            col("sym"),
-            concat(lit(" "), col("mp"), lit(" ")),
-            concat(lit(" "), regexp_replace(col("mp"), lit(" "), lit("")), lit(" "))).as("sym"),
-          col("n"))
-    }
+      .select(bpeSymbolize(col("w")).as("sym"), col("n"))
+    val (picks, _) = bpeTrainRounds(words, BpeRounds)
     picks.reduce(_ union _).orderBy(col("rnd"))
+  }
+
+  /** BPE segmentation (x46) — the SERVE side of the tokenizer split:
+    * apply the merges x45 trains to tokenize every document, reporting
+    * per-doc word and post-merge BPE token counts.
+    *
+    * Train/serve split: the merged symbol vocabulary is a build artifact
+    * — trained once per dataset fingerprint through the [[AnnModels]]
+    * store (training is a deterministic argmax chain, so the persisted
+    * vocabulary is bit-identical to an in-query retrain) and served as a
+    * vocabulary-sized parquet read, exactly like the IVF/PQ models. The
+    * apply itself never touches per-document text beyond the initial
+    * tokenize: token counts attach at the WORD level (one equi-join on
+    * the word — vocabulary-sized build side), then aggregate per doc.
+    * At 100 TB that is the only sane shape: the corpus shuffles once on
+    * the word for the join, the merge chain runs over the vocabulary
+    * (millions of rows), never the corpus (trillions).
+    *
+    * Output: (doc_id, n_words, bpe_tokens); blank docs have no tokens
+    * and (like the oracle's unnest) drop out.
+    */
+  private def x46(s: SparkSession, dir: String): DataFrame = {
+    val docWords = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val merged = AnnModels.trainOrLoad(s, dir, "documents", s"bpe_vocab_r$BpeRounds") {
+      val vocab = docWords.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(col("w"), bpeSymbolize(col("w")).as("sym"), col("n"))
+      bpeTrainRounds(vocab, BpeRounds)._2
+    }
+    val tokCounts = merged.select(
+      col("w"),
+      size(filter(split(trim(col("sym")), " "), c => c =!= "")).cast("long").as("ntok"))
+    docWords.join(tokCounts, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** Sliding-window width for exact-substring dedup: the corpus analogue
@@ -1288,7 +1338,8 @@ object ExtensionQueries {
     "x42_burst_dedup" -> (x42 _),
     "x43_incremental_agg" -> (x43 _),
     "x44_substring_dedup" -> (x44 _),
-    "x45_bpe_merges" -> (x45 _))
+    "x45_bpe_merges" -> (x45 _),
+    "x46_bpe_segment" -> (x46 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -1315,6 +1366,23 @@ object ExtensionQueries {
        |  row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY round(list_cosine_similarity(e.v, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
        | FROM e CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
+
+  /** x45/x46 shared oracle CTE chain: the per-round pair count + argmax +
+    * merge over s0..sN, mirroring [[bpeTrainRounds]] structurally round
+    * for round. `carry` prefixes extra s0 columns (e.g. "w, ") that ride
+    * through the merges.
+    */
+  private def bpeRoundsCtes(carry: String): String = {
+    def pairsCte(r: Int): String =
+      s"""p$r AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+         |  SELECT n, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+         |  FROM (SELECT n, list_filter(string_split(trim(sym), ' '), c -> c <> '') AS a FROM s${r - 1})
+         |  WHERE len(a) >= 2) GROUP BY pair),
+         |t$r AS (SELECT CAST($r AS BIGINT) AS rnd, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |s$r AS (SELECT ${carry}replace(sym, ' ' || t$r.pair || ' ', ' ' || replace(t$r.pair, ' ', '') || ' ') AS sym, n
+         |  FROM s${r - 1}, t$r)""".stripMargin
+    (1 to BpeRounds).map(pairsCte).mkString(",\n")
+  }
 
   private def ivfUpdateSql(assigned: String, out: String): String =
     s"""${out}_m AS (
@@ -1926,24 +1994,27 @@ object ExtensionQueries {
          |  CAST(count(*) AS BIGINT) AS n_windows
          |FROM isl GROUP BY id1, id2, diag, grp
          |ORDER BY id1, id2, start1, start2""".stripMargin,
-    "x45_bpe_merges" -> {
-      // Rounds generated programmatically so the CTE chain mirrors the
-      // Spark loop structurally round for round.
-      def pairsCte(r: Int): String =
-        s"""p$r AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-           |  SELECT n, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
-           |  FROM (SELECT n, list_filter(string_split(trim(sym), ' '), c -> c <> '') AS a FROM s${r - 1})
-           |  WHERE len(a) >= 2) GROUP BY pair),
-           |t$r AS (SELECT CAST($r AS BIGINT) AS rnd, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-           |s$r AS (SELECT replace(sym, ' ' || t$r.pair || ' ', ' ' || replace(t$r.pair, ' ', '') || ' ') AS sym, n
-           |  FROM s${r - 1}, t$r)""".stripMargin
+    "x45_bpe_merges" ->
       s"""WITH words AS (
          | SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
          | FROM documents),
          |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w),
          |s0 AS (SELECT ' ' || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), ' ') || ' ' AS sym, n FROM wc),
-         |${(1 to BpeRounds).map(pairsCte).mkString(",\n")}
+         |${bpeRoundsCtes("")}
          |SELECT rnd, pair, cnt FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")})
-         |ORDER BY rnd""".stripMargin
-    })
+         |ORDER BY rnd""".stripMargin,
+    // same training chain carrying the word, then token counts join back
+    // to the per-doc word list — the SQL mirror of the x46 vocab-level
+    // apply (the persisted model is bit-identical to this retrain)
+    "x46_bpe_segment" ->
+      s"""WITH words AS (
+         | SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         | FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w),
+         |s0 AS (SELECT w, ' ' || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), ' ') || ' ' AS sym, n FROM wc),
+         |${bpeRoundsCtes("w, ")},
+         |tc AS (SELECT w, len(list_filter(string_split(trim(sym), ' '), c -> c <> '')) AS ntok FROM s$BpeRounds)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(ntok) AS BIGINT) AS bpe_tokens
+         |FROM words JOIN tc USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -23,4 +23,20 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkTest {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     out.toSeq shouldBe Seq((1L, "a a", 6L), (2L, "a b", 3L), (3L, "aa ab", 3L))
   }
+
+  test("x46 applies the trained merges: aaab collapses to one token, cc stays two") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-apply-fixture").toString
+    // same corpus as the training test, so the merges are
+    //   "a a" -> "aa", "a b" -> "ab", "aa ab" -> "aaab":
+    // "aaab" segments to ONE token; "cc" (no c-merge trained) stays "c c"
+    Seq((1L, "aaab aaab cc"), (2L, "aaab"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = SparkEntry.queries("x46_bpe_segment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Seq((1L, 3L, 4L), (2L, 1L, 1L))
+    run() shouldBe expected
+    // second run serves the persisted vocabulary (train-once/read-many)
+    run() shouldBe expected
+  }
 }
