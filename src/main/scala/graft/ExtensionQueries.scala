@@ -1293,6 +1293,57 @@ object ExtensionQueries {
       .orderBy(col("id1"), col("id2"), col("start1"), col("start2"))
   }
 
+  /** Semantic-dedup cosine threshold (exact clones score 1.0). */
+  private val SemDedupTau = 0.99
+
+  /** Semantic dedup (x47) — the SemDeDup shape (Abbas et al. 2023):
+    * cluster the corpus semantically with the TRAINED IVF k-means model
+    * (the same persisted 16-cell index x13/x25 serve from), generate
+    * candidate pairs only within a cluster, and remove every member that
+    * duplicates (cosine >= [[SemDedupTau]]) a lower-id member, reporting
+    * its keeper, best-duplicate cosine, and duplicate count.
+    *
+    * Scale posture: cluster count is the published SemDeDup knob (k grows
+    * with the corpus so clusters stay small); on top of that each cell is
+    * sub-bucketed by the 8-bit hyperplane signature before pair
+    * generation, so the pair space stays bounded even when a cell
+    * outgrows the hot-bucket cap. Identical vectors always share
+    * (cell, signature), so exact clones are caught at ANY scale;
+    * borderline near-dups trade recall exactly like the x09/x11 LSH
+    * family. Clones are planted (+100000, every 5th vector) and both
+    * cell assignment and signatures are deterministic, so the engines
+    * see the identical candidate set — the removal DECISION, not just a
+    * score, is hash-checked.
+    */
+  private def x47(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val corpus = e.union(
+      e.filter(col("vec_id") % 5 === 0).select((col("vec_id") + 100000).as("vec_id"), col("v")))
+    val trained = AnnModels.ivfCentroids(s, dir, e, IvfCells, KmIters, EmbDim)
+    val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val bucketed = Similarity.ivfAssign(corpus, cents, EmbDim).select(
+      col("vec_id"), col("v"),
+      concat(
+        col("cell_id").cast("string"), lit(":"),
+        Similarity.lshSignature(col("v"), LshBits, EmbDim).cast("string")).as("sb"),
+      Similarity.norm(col("v"), EmbDim).as("nrm"))
+    Similarity.bucketMemberPairs(
+      bucketed, "sb",
+      struct(col("vec_id").as("id"), col("v").as("vec"), col("nrm").as("nrm")),
+      Dedup.ShingleDfCap)
+      .filter(col("m1.id") < col("m2.id"))
+      .select(
+        col("m1.id").as("id1"), col("m2.id").as("id2"),
+        round(
+          Similarity.cosineStatic(col("m1.vec"), col("m2.vec"), col("m1.nrm"), col("m2.nrm"), EmbDim),
+          6).as("cos"))
+      .filter(col("cos") >= SemDedupTau)
+      .groupBy(col("id2"))
+      .agg(min(col("id1")).as("kept_id"), max(col("cos")).as("max_cos"), count(lit(1)).as("n_dups"))
+      .select(col("id2").as("removed_id"), col("kept_id"), col("max_cos"), col("n_dups"))
+      .orderBy(col("removed_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1339,7 +1390,8 @@ object ExtensionQueries {
     "x43_incremental_agg" -> (x43 _),
     "x44_substring_dedup" -> (x44 _),
     "x45_bpe_merges" -> (x45 _),
-    "x46_bpe_segment" -> (x46 _))
+    "x46_bpe_segment" -> (x46 _),
+    "x47_semantic_dedup" -> (x47 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2016,5 +2068,39 @@ object ExtensionQueries {
          |tc AS (SELECT w, len(list_filter(string_split(trim(sym), ' '), c -> c <> '')) AS ntok FROM s$BpeRounds)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(ntok) AS BIGINT) AS bpe_tokens
          |FROM words JOIN tc USING (w)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x47_semantic_dedup" -> {
+      // x13's unrolled k-means training (over the BASE table), then the
+      // planted-clone corpus assigns to the trained cells, sub-buckets by
+      // the x11 hyperplane signature, and pairs only within (cell, sig) —
+      // the removal rule (drop the higher id of any pair >= tau) in SQL.
+      val bucketSql = (0 until LshBits).map { p =>
+        val plane = (0 until EmbDim).map(d => Similarity.planeComponent(p, d)).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM e
+         | UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 5 = 0),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfUpdateSql("a2", "c2")},
+         |ac AS (SELECT vec_id, v, cell_id FROM (
+         | SELECT t.vec_id, t.v, c2.cell_id,
+         |  row_number() OVER (PARTITION BY t.vec_id
+         |    ORDER BY round(list_cosine_similarity(t.v, c2.cv), 6) DESC, c2.cell_id) AS arnk
+         | FROM corpus t CROSS JOIN c2) WHERE arnk = 1),
+         |sig AS (SELECT vec_id, v,
+         |  CAST(cell_id AS VARCHAR) || ':' || CAST($bucketSql AS VARCHAR) AS sb FROM ac),
+         |cool AS (SELECT sb FROM sig GROUP BY sb HAVING count(*) <= ${Dedup.ShingleDfCap}),
+         |capped AS (SELECT sig.* FROM sig JOIN cool USING (sb)),
+         |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         | FROM capped a JOIN capped b ON a.sb = b.sb AND a.vec_id < b.vec_id)
+         |SELECT id2 AS removed_id, CAST(min(id1) AS BIGINT) AS kept_id,
+         | max(cos) AS max_cos, CAST(count(*) AS BIGINT) AS n_dups
+         |FROM pr WHERE cos >= $SemDedupTau
+         |GROUP BY id2 ORDER BY removed_id""".stripMargin
+    })
 }
