@@ -1344,6 +1344,57 @@ object ExtensionQueries {
       .orderBy(col("removed_id"))
   }
 
+  /** DSIR feature-hash bucket count (hashed unigram features). */
+  private val DsirB = 256L
+
+  /** DSIR selection size. */
+  private val DsirK = 100
+
+  /** Importance-weighted data selection (x48) — the DSIR shape (Xie et
+    * al. 2023): score every document by how target-like its hashed
+    * n-gram features are, then keep the top-K. Features are unigrams
+    * hashed into [[DsirB]] buckets; the target distribution is the
+    * English slice (`lang = 'en'`), the reference is the whole corpus;
+    * each bucket's add-1-smoothed log-likelihood-ratio
+    * ln(p_target/p_corpus) is computed as ONE ln of an exact integer
+    * ratio (products stay in BIGINT; a single transcendental, rounded
+    * once at 6 dp — the engine-agnostic discipline every score here
+    * follows), and a document's weight is the decimal-exact
+    * (order-independent) sum of its tokens' bucket ratios.
+    *
+    * Scale posture: two corpus-wide passes (bucket histogram: 256
+    * map-side-combined keys; per-doc weight: one shuffle on doc_id),
+    * with the 256-row ratio table broadcast — no all-to-one state, no
+    * driver loop. Selection is a TakeOrdered top-K, never a global sort.
+    */
+  private def x48(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), (TextOps.polyHash(col("w")) % DsirB).as("b"))
+    val tgt = toks.filter(col("lang") === "en").groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val all = toks.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tots = tgt.agg(sum(col("ct")).as("tt")).crossJoin(all.agg(sum(col("cs")).as("ts")))
+    // lr = ln( ((ct+1)/(tt+B)) / ((cs+1)/(ts+B)) ) with the ratio formed
+    // from exact BIGINT products before the one double division
+    val lr = all.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(
+        col("b"),
+        round(
+          log(
+            ((coalesce(col("ct"), lit(0L)) + 1L) * (col("ts") + lit(DsirB))).cast("double") /
+              ((col("cs") + 1L) * (col("tt") + lit(DsirB))).cast("double")),
+          6).as("lr"))
+    toks.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("lr").cast("decimal(18,6)")).as("lw"))
+      .select(col("doc_id"), col("n_toks"), col("lw").cast("double").as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(DsirK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1391,7 +1442,8 @@ object ExtensionQueries {
     "x44_substring_dedup" -> (x44 _),
     "x45_bpe_merges" -> (x45 _),
     "x46_bpe_segment" -> (x46 _),
-    "x47_semantic_dedup" -> (x47 _))
+    "x47_semantic_dedup" -> (x47 _),
+    "x48_dsir_select" -> (x48 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2102,5 +2154,23 @@ object ExtensionQueries {
          | max(cos) AS max_cos, CAST(count(*) AS BIGINT) AS n_dups
          |FROM pr WHERE cos >= $SemDedupTau
          |GROUP BY id2 ORDER BY removed_id""".stripMargin
-    })
+    },
+    "x48_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang, ${polySql("w")} % $DsirB AS b FROM (
+         | SELECT doc_id, lang,
+         |  unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         | FROM documents)),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+         |alls AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM toks GROUP BY b),
+         |tots AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
+         |  (SELECT CAST(SUM(cs) AS BIGINT) FROM alls) AS ts),
+         |lr AS (SELECT alls.b,
+         |  round(ln(CAST((coalesce(ct, 0) + 1) * (ts + $DsirB) AS DOUBLE)
+         |         / CAST((cs + 1) * (tt + $DsirB) AS DOUBLE)), 6) AS lr
+         | FROM alls LEFT JOIN tgt ON alls.b = tgt.b CROSS JOIN tots),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS logw
+         | FROM toks JOIN lr USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_toks, logw FROM d
+         |ORDER BY logw DESC, doc_id LIMIT $DsirK""".stripMargin)
 }
