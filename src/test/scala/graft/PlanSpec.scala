@@ -284,6 +284,42 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("x46: segmentation serves the persisted vocab — word join + per-doc agg, no retrain") {
+    val p = finalPlan("x46_bpe_segment")
+    // the merged vocabulary comes from the model store (a parquet scan of
+    // the persisted table), so the serving plan has no per-round argmax
+    // broadcasts — that is the training plan (x45)
+    p should include("graft_models")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // per-doc token totals aggregate with map-side combine on doc_id
+    p should include("partial_")
+    p should include("hashpartitioning(doc_id")
+  }
+
+  test("x47: semantic dedup — broadcast model assign, bucket-key shuffle, no all-pairs") {
+    val p = finalPlan("x47_semantic_dedup")
+    // cell assignment is the 16-row persisted model broadcast against the
+    // corpus (the keyless cross join is 16 x corpus by design)
+    p should include("graft_models")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+    // pair generation shuffles on the (cell, signature) sub-bucket key
+    p should include("hashpartitioning(sb")
+  }
+
+  test("x48: DSIR — 256-bucket histogram, broadcast ratio table, TakeOrdered selection") {
+    val p = finalPlan("x48_dsir_select")
+    // bucket histogram and per-doc weights both combine map-side
+    p should include("partial_")
+    p should include("hashpartitioning(b#")
+    p should include("hashpartitioning(doc_id")
+    // the 256-row log-ratio table reaches the corpus as a broadcast join,
+    // and selection is top-K, never a global sort
+    p should include("BroadcastHashJoin")
+    p should include("TakeOrderedAndProject")
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
