@@ -1395,6 +1395,61 @@ object ExtensionQueries {
       .limit(DsirK)
   }
 
+  /** Interpolation weight for the bigram LM (x49): P = lambda * bigram
+    * MLE + (1 - lambda) * add-1 unigram.
+    */
+  private val BigramLambda = 0.9
+
+  /** Interpolated bigram LM scoring (x49) — the CCNet/Gopher-style
+    * perplexity filter, one order up from x22's unigram model: each
+    * document's mean log P(cur | prev) under an interpolated bigram LM
+    * trained on the corpus itself. Bigram extraction is a map-side array
+    * transform (never a per-doc window shuffle); the model is a
+    * bigram-vocabulary-sized score table (bigram counts joined to the
+    * two unigram counts, totals broadcast) built once and equi-joined by
+    * the corpus — the same two-level train/score split every LM filter
+    * runs at 100 TB. Per-bigram log-probs follow the x22 discipline:
+    * the interpolation is deterministic double arithmetic on exact
+    * counts, ln applied once, decimal-quantized mean.
+    *
+    * Output: (doc_id, n_bigrams, avg_logprob); docs under 2 tokens have
+    * no bigrams and drop out in both engines.
+    */
+  private def x49(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = docs.select(col("doc_id"), explode(transform(
+      sequence(lit(1), size(col("t")) - 1),
+      i => struct(
+        element_at(col("t"), i).as("prev"),
+        element_at(col("t"), i + 1).as("cur")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val uni = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+    val tot = uni.agg(sum(col("uc")).as("tt"), count(lit(1)).as("vv"))
+    val scores = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bc"))
+      .join(uni.select(col("tok").as("prev"), col("uc").as("pc")), "prev")
+      .join(uni.select(col("tok").as("cur"), col("uc").as("cc")), "cur")
+      .crossJoin(broadcast(tot))
+      .select(col("prev"), col("cur"),
+        log(
+          lit(BigramLambda) * (col("bc").cast("double") / col("pc").cast("double")) +
+            lit(1.0 - BigramLambda) *
+            ((col("cc") + 1L).cast("double") / (col("tt") + col("vv")).cast("double"))).as("lp"))
+    bi.join(scores, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        // deliberately un-rounded: the decimal-exact mean is already
+        // bit-identical across engines, and rounding it lands on exact
+        // .5 ties where their rounding modes disagree (the Exact.davg
+        // hazard — hit for real at sf0.1 before this was removed)
+        graft.util.Exact.davg(col("lp"), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1443,7 +1498,8 @@ object ExtensionQueries {
     "x45_bpe_merges" -> (x45 _),
     "x46_bpe_segment" -> (x46 _),
     "x47_semantic_dedup" -> (x47 _),
-    "x48_dsir_select" -> (x48 _))
+    "x48_dsir_select" -> (x48 _),
+    "x49_bigram_lm" -> (x49 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2172,5 +2228,24 @@ object ExtensionQueries {
          |  CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS logw
          | FROM toks JOIN lr USING (b) GROUP BY doc_id)
          |SELECT doc_id, n_toks, logw FROM d
-         |ORDER BY logw DESC, doc_id LIMIT $DsirK""".stripMargin)
+         |ORDER BY logw DESC, doc_id LIMIT $DsirK""".stripMargin,
+    // interpolation constants printed from the SAME doubles Spark uses
+    // (shortest round-trip repr), so both engines mix identically
+    "x49_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM documents),
+         |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS uc FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+         |tot AS (SELECT (SELECT CAST(SUM(uc) AS BIGINT) FROM uc) AS tt,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM uc) AS vv),
+         |bp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> {'prev': t[i], 'cur': t[i+1]})) AS p
+         |  FROM tk WHERE len(t) >= 2)),
+         |bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bc FROM bp GROUP BY prev, cur),
+         |sc AS (SELECT bc.prev, bc.cur,
+         |  ln($BigramLambda * (CAST(bc AS DOUBLE) / CAST(pu.uc AS DOUBLE))
+         |   + ${1.0 - BigramLambda} * (CAST(cu.uc + 1 AS DOUBLE) / CAST(tt + vv AS DOUBLE))) AS lp
+         | FROM bc JOIN uc pu ON pu.tok = bc.prev JOIN uc cu ON cu.tok = bc.cur CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         | CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
+         |FROM bp JOIN sc USING (prev, cur)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

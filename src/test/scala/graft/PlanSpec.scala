@@ -320,6 +320,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("TakeOrderedAndProject")
   }
 
+  test("x49: bigram LM — map-side bigram extract, vocab-sized score joins, 1-row totals broadcast") {
+    val p = finalPlan("x49_bigram_lm")
+    // bigrams come from an array transform in the scan projection — the
+    // only per-doc shuffle is the final doc_id aggregate
+    p should include("hashpartitioning(prev")
+    p should include("hashpartitioning(doc_id")
+    p should include("partial_")
+    // the (tt, vv) totals reach the score table as a 1-row broadcast
+    // (keyless by design); nothing data-sized cartesians
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
