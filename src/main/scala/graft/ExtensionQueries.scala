@@ -510,7 +510,10 @@ object ExtensionQueries {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(graft.util.Exact.davg(col("lp"), 6), 6).as("avg_logprob"))
+        // un-rounded like x49: the decimal-exact mean is bit-identical
+        // across engines; rounding it lands on exact .5 ties where their
+        // rounding modes disagree (hit for real by x49 at sf0.1)
+        graft.util.Exact.davg(col("lp"), 6).as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
 
@@ -1829,7 +1832,7 @@ object ExtensionQueries {
         |tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt FROM vc),
         |lp AS (SELECT doc_id, ln(CAST(tc AS DOUBLE) / CAST(tt AS DOUBLE)) AS lp FROM tk JOIN vc USING (tok) CROSS JOIN tt)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        | round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        | CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x23_vocab" ->
       """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok FROM documents),
