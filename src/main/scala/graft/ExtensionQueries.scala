@@ -1453,6 +1453,84 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** GD rounds / learning rate for the x50 classifier (unrolled so the
+    * oracle mirrors round for round).
+    */
+  private val LrRounds = 3
+  private val LrRate = 0.5
+
+  /** In-engine quality-classifier training (x50): logistic regression by
+    * unrolled full-batch gradient descent over per-document text
+    * features (bias, capped length, stopword density, punctuation
+    * density), labeled by the English slice — the fastText-style
+    * quality-filter trainer as a first-class, oracle-checked operator.
+    *
+    * Determinism discipline (the k-means playbook applied to GD):
+    * features and residuals live in integer micro-units — the per-row
+    * sigmoid is the only transcendental and is rounded ONCE to an
+    * integer micro value; every (residual * feature) product and its
+    * gradient sum is then EXACT integer arithmetic (order-independent,
+    * decimal(38,0) against overflow), so the weight vector after each
+    * round is the identical double in both engines and the DuckDB
+    * oracle replays training round for round. Scale
+    * shape: each round is one map-side scoring pass + a 4-component
+    * decimal aggregate (map-side combined) with the 1-row weight frame
+    * broadcast back — the corpus never shuffles; rounds cost O(scan).
+    *
+    * Output: (rnd, w0..w3) — the weight trajectory.
+    */
+  private def x50(s: SparkSession, dir: String): DataFrame = {
+    // Features in integer MICRO-UNITS (exact BIGINT arithmetic: capped
+    // length, floor-divided density ratios). A first cut kept features
+    // as raw doubles and cast (residual * feature) to decimal for the
+    // sum — the cast ROUNDS an arbitrary double, and at sf0.1 the two
+    // engines' double->decimal tie behavior diverged by a few 1e-8 units
+    // (w2 off at 1e-11). Integer micro-units make every product and sum
+    // exact; the rounded sigmoid is the only quantization left.
+    val base = t(s, dir, "documents").select(
+      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"),
+      TextOps.wsTokenCount(col("text")).as("ntok"),
+      TextOps.stopHits(col("text"), TextOps.StopwordPatterns.head._2).as("stops"),
+      TextOps.punctCount(col("text")).as("punct"))
+    val feats = base.select(
+      col("y"),
+      lit(1000000L).as("f0m"),
+      least(col("ntok") * 10000L, lit(1000000L)).as("f1m"),
+      expr("(stops * 1000000) div (ntok + 1)").as("f2m"),
+      expr("(punct * 1000000) div (ntok + 1)").as("f3m"))
+    var w = feats.sparkSession.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"), lit(0.0).as("w3"))
+    val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 1 to LrRounds) {
+      def fd(j: Int) = col(s"f${j}m").cast("double") / 1000000.0
+      val z = col("w0") * fd(0) + col("w1") * fd(1) + col("w2") * fd(2) + col("w3") * fd(3)
+      // micro-unit residual: the sigmoid is rounded ONCE to an integer
+      // micro value (the only transcendental quantization in the loop)
+      val residM = col("y") * 1000000L -
+        round(lit(1.0) / (lit(1.0) + exp(-z)) * 1000000.0).cast("long")
+      val scored = feats.crossJoin(broadcast(w)).select(
+        (0 to 3).map(j => (residM * col(s"f${j}m")).cast("decimal(38,0)").as(s"g$j")) :+
+          lit(1L).as("one"): _*)
+      val grads = scored.agg(
+        sum(col("g0")).cast("double").as("g0"), sum(col("g1")).cast("double").as("g1"),
+        sum(col("g2")).cast("double").as("g2"), sum(col("g3")).cast("double").as("g3"),
+        sum(col("one")).cast("double").as("n"))
+      // step = lr * mean residual-weighted feature (de-scaled from the
+      // 1e-12 product units), added to the broadcast previous weights;
+      // the 1-row model is lineage-cut per round (the kmeansCentroids
+      // pattern)
+      w = grads.select(
+        (0 to 3).map(j =>
+          (col(s"g$j") / 1000000000000.0 / col("n") * LrRate).as(s"d$j")): _*)
+        .crossJoin(broadcast(w))
+        .select(
+          (0 to 3).map(j => (col(s"w$j") + col(s"d$j")).as(s"w$j")): _*)
+        .localCheckpoint(true)
+      rounds += w.select(lit(r.toLong).as("rnd"), col("w0"), col("w1"), col("w2"), col("w3"))
+    }
+    rounds.reduce(_ union _).orderBy(col("rnd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1502,7 +1580,8 @@ object ExtensionQueries {
     "x46_bpe_segment" -> (x46 _),
     "x47_semantic_dedup" -> (x47 _),
     "x48_dsir_select" -> (x48 _),
-    "x49_bigram_lm" -> (x49 _))
+    "x49_bigram_lm" -> (x49 _),
+    "x50_quality_classifier" -> (x50 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2250,5 +2329,39 @@ object ExtensionQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          | CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
          |FROM bp JOIN sc USING (prev, cur)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x50_quality_classifier" -> {
+      // GD replayed round for round in integer micro-units: the sigmoid
+      // rounds once to an integer micro value; (residual * feature)
+      // products and their sums are exact integer arithmetic; the
+      // weight update mirrors the Spark op order exactly.
+      val wsTok = "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
+      def roundCtes(r: Int): String = {
+        val z = (0 to 3).map(j => s"w$j*(CAST(f${j}m AS DOUBLE)/1000000.0)").mkString("+")
+        val residM = s"(y*1000000 - CAST(round(1.0/(1.0+exp(-($z)))*1000000.0) AS BIGINT))"
+        val gs = (0 to 3).map(j =>
+          s"CAST(SUM(CAST($residM * f${j}m AS DECIMAL(38,0))) AS DOUBLE) AS g$j").mkString(",\n  ")
+        s"""g$r AS (SELECT $gs,
+           |  CAST(count(*) AS DOUBLE) AS n FROM feats CROSS JOIN wr${r - 1}),
+           |wr$r AS (SELECT ${(0 to 3).map(j => s"w$j + g$j/1000000000000.0/n*$LrRate AS w$j").mkString(", ")}
+           |  FROM g$r CROSS JOIN wr${r - 1})""".stripMargin
+      }
+      s"""WITH base AS (SELECT
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+         |  $wsTok AS ntok,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS stops,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct
+         | FROM documents),
+         |feats AS (SELECT y,
+         |  1000000::BIGINT AS f0m,
+         |  least(ntok * 10000, 1000000) AS f1m,
+         |  (stops * 1000000) // (ntok + 1) AS f2m,
+         |  (punct * 1000000) // (ntok + 1) AS f3m
+         | FROM base),
+         |wr0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |${(1 to LrRounds).map(roundCtes).mkString(",\n")}
+         |SELECT rnd, w0, w1, w2, w3 FROM (
+         | ${(1 to LrRounds).map(r => s"SELECT CAST($r AS BIGINT) AS rnd, * FROM wr$r").mkString(" UNION ALL ")})
+         |ORDER BY rnd""".stripMargin
+    })
 }

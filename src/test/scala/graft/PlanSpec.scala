@@ -333,6 +333,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("x50: the served result is the checkpointed weight trajectory, corpus-free") {
+    // training rounds materialize behind per-round localCheckpoints
+    // (the kmeansCentroids lineage-cut), so the RESULT plan must be just
+    // the union of 1-row model frames — no corpus scan, no data-sized
+    // join or shuffle downstream of training
+    val p = finalPlan("x50_quality_classifier")
+    p should include("Union")
+    p should not include "CartesianProduct"
+    p should not include "parquet"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
