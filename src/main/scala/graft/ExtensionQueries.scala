@@ -1531,6 +1531,61 @@ object ExtensionQueries {
     rounds.reduce(_ union _).orderBy(col("rnd"))
   }
 
+  /** PageRank iterations for x51 (unrolled so the oracle can replay). */
+  private val PrRounds = 3
+
+  /** PageRank (x51) over the supplier<->customer co-purchase graph
+    * (distinct lineitem x orders pairs, both directions, ids
+    * disambiguated by parity): three unrolled power iterations with
+    * damping 0.85, in ALL-INTEGER pico-rank units — contributions are
+    * floor-divided by out-degree and the damping factor applies as
+    * (85 * c) div 100, so every rank is a BIGINT and the result is
+    * hash-exact with no floating point anywhere (a documented
+    * deterministic variant: floor division leaks up to outdeg-1 pico
+    * units of mass per node per round).
+    *
+    * Scale shape — textbook distributed PageRank: the edge list with
+    * out-degrees builds once (one shuffle) and is cached for reuse
+    * across rounds; each iteration is one join of the node-sized rank
+    * vector with the edge list on the source key plus a contribution
+    * aggregate on the destination key, with the rank vector
+    * materialized per round (the Pregel superstep pattern;
+    * localCheckpoint cuts the iteration lineage exactly like the
+    * k-means family). Top-20 presentation is a TakeOrdered, never a
+    * global sort.
+    */
+  private def x51(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("a"), (col("o_custkey") * 2L + 1L).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val withDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src")
+      .cache()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nFrame = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var ranks = nodes.crossJoin(nFrame)
+      .select(col("node"), expr("1000000000000 div n").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrRounds) {
+      val contrib = ranks.join(withDeg, col("node") === col("src"))
+        .select(col("dst"), expr("r div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(nFrame)
+        .select(col("node"),
+          expr("(15 * (1000000000000 div n)) div 100 + (85 * coalesce(cs, 0)) div 100").as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node").as("node_id"), col("r").as("rank_pico"))
+      .orderBy(col("rank_pico").desc, col("node_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1581,7 +1636,8 @@ object ExtensionQueries {
     "x47_semantic_dedup" -> (x47 _),
     "x48_dsir_select" -> (x48 _),
     "x49_bigram_lm" -> (x49 _),
-    "x50_quality_classifier" -> (x50 _))
+    "x50_quality_classifier" -> (x50 _),
+    "x51_pagerank" -> (x51 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2363,5 +2419,28 @@ object ExtensionQueries {
          |SELECT rnd, w0, w1, w2, w3 FROM (
          | ${(1 to LrRounds).map(r => s"SELECT CAST($r AS BIGINT) AS rnd, * FROM wr$r").mkString(" UNION ALL ")})
          |ORDER BY rnd""".stripMargin
+    },
+    "x51_pagerank" -> {
+      // power iterations replayed as CTEs in the same all-integer
+      // pico-rank arithmetic (floor divisions mirror Spark's `div`)
+      def iterCte(r: Int): String =
+        s"""c$r AS (SELECT dst, CAST(SUM(rk.r // wd.odeg) AS BIGINT) AS cs
+           |  FROM r${r - 1} rk JOIN wd ON rk.node = wd.src GROUP BY dst),
+           |r$r AS (SELECT node,
+           |  (15 * (1000000000000 // n)) // 100 + (85 * coalesce(cs, 0)) // 100 AS r
+           | FROM nodes LEFT JOIN c$r ON node = dst CROSS JOIN nf)""".stripMargin
+      s"""WITH pairs AS (SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |wd AS (SELECT e.src, e.dst, d.odeg FROM edges e
+         |  JOIN (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM edges GROUP BY src) d
+         |  ON d.src = e.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |nf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nf),
+         |${(1 to PrRounds).map(iterCte).mkString(",\n")}
+         |SELECT CAST(node AS BIGINT) AS node_id, CAST(r AS BIGINT) AS rank_pico
+         |FROM r$PrRounds ORDER BY rank_pico DESC, node_id LIMIT 20""".stripMargin
     })
 }

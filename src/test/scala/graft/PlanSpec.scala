@@ -344,6 +344,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "parquet"
   }
 
+  test("x51: the served ranks are the checkpointed vector + TakeOrdered, corpus-free") {
+    // iterations materialize behind per-round localCheckpoints (the
+    // Pregel superstep pattern), so the RESULT plan is a top-K over the
+    // final node-sized rank vector — no re-derivation of the edge build
+    val p = finalPlan("x51_pagerank")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+    p should not include "parquet"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
