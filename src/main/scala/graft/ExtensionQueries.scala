@@ -1586,6 +1586,54 @@ object ExtensionQueries {
       .limit(20)
   }
 
+  /** x52 Bloom sizing: 2^16 words = 4 Mi bits (512 KB collected once to
+    * the driver), 6 probe hashes — ~1% false positives at the sf10 corpus
+    * (~450k keys). Sizing only affects PRUNING, never the answer (the
+    * confirm join removes false positives; Bloom has no false negatives),
+    * so in production m scales with a corpus count estimate while the
+    * result stays exact.
+    */
+  private val BloomWords = 1 << 16
+  private val BloomHashes = 6
+
+  /** Incremental-ingest membership via a broadcast Bloom prefilter (x52):
+    * which docs of an incoming batch (doc_id % 10 = 0) are genuinely NEW
+    * versus already represented in the historical corpus (the rest), keyed
+    * by an 8-token prefix fingerprint (prefix fingerprints catch the
+    * template/boilerplate reuse that exact-text equality misses).
+    *
+    * The 100 TB shape — the corpus is never shuffled for this join: corpus
+    * keys fold map-side into fixed 512 KB bitset partials merged by OR
+    * ([[graft.functions.BloomAgg]]), ONE bitset comes back to the driver,
+    * and the batch probes it map-only ([[graft.functions.BloomMightContain]],
+    * codegen'd, bitset attached as a reference object). Only the
+    * bloom-positive candidates — true members plus a ~1% false-positive
+    * tail — reach the exact confirm path, and both confirm joins broadcast
+    * the candidate-sized side, so the corpus full scan stays map-only end
+    * to end. The answer is exact for ANY filter sizing.
+    *
+    * Oracle: a plain NOT EXISTS anti-join on the same fingerprint — the
+    * Bloom filter is invisible in the semantics, which is the point.
+    */
+  private def x52(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents").select(
+      col("doc_id"), col("n_chars"),
+      graft.functions.TextExprs.polyHash(
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ")).as("k"))
+    val corpus = keyed.filter(col("doc_id") % 10 =!= 0)
+    val batch = keyed.filter(col("doc_id") % 10 === 0)
+    val words = corpus
+      .agg(graft.functions.BloomExprs.bloomAgg(col("k"), BloomWords, BloomHashes).as("bf"))
+      .head.getSeq[Long](0).toArray
+    val candidates = batch.filter(graft.functions.BloomExprs.mightContain(col("k"), words, BloomHashes))
+    val confirmed = corpus
+      .join(broadcast(candidates.select(col("k")).distinct()), Seq("k"), "left_semi")
+      .select(col("k")).distinct()
+    batch.join(broadcast(confirmed), Seq("k"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1637,7 +1685,8 @@ object ExtensionQueries {
     "x48_dsir_select" -> (x48 _),
     "x49_bigram_lm" -> (x49 _),
     "x50_quality_classifier" -> (x50 _),
-    "x51_pagerank" -> (x51 _))
+    "x51_pagerank" -> (x51 _),
+    "x52_bloom_membership" -> (x52 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2442,5 +2491,15 @@ object ExtensionQueries {
          |${(1 to PrRounds).map(iterCte).mkString(",\n")}
          |SELECT CAST(node AS BIGINT) AS node_id, CAST(r AS BIGINT) AS rank_pico
          |FROM r$PrRounds ORDER BY rank_pico DESC, node_id LIMIT 20""".stripMargin
-    })
+    },
+    "x52_bloom_membership" ->
+      // the Bloom prefilter is pure pruning — the semantics are a plain
+      // NOT EXISTS on the 8-token prefix fingerprint
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |  ${polySql("array_to_string((string_split_regex(trim(text), '\\s+'))[1:8], ' ')")} AS k
+         | FROM documents)
+         |SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars FROM k b
+         |WHERE b.doc_id % 10 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM k c WHERE c.doc_id % 10 <> 0 AND c.k = b.k)
+         |ORDER BY doc_id""".stripMargin)
 }

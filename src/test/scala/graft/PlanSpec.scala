@@ -354,6 +354,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "parquet"
   }
 
+  test("x52: corpus never shuffles — bloom probe feeds broadcast-only confirm joins") {
+    // the bloom prefilter must sit in the plan (map-only candidate cut),
+    // and both confirm joins must broadcast the candidate-sized side so
+    // the corpus scan stays exchange-free
+    val p = finalPlan("x52_bloom_membership")
+    p should include("bloom_might_contain")
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    p should not include "SortMergeJoin"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
