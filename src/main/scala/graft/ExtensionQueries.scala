@@ -1634,6 +1634,50 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shard fan-out for x53 — 16 at fixture scale; production sizes this to
+    * (corpus bytes / target shard bytes), and every property below is
+    * shard-count independent.
+    */
+  private val NShards = 16
+
+  /** Deterministic training-shard export (x53): the step after selection
+    * and dedup where the corpus is laid out for the trainer. Every train
+    * doc gets a content-derived shard (salted second hash, independent of
+    * the x12 split hash) and a reproducible position within its shard
+    * (ordered by shard hash then doc_id — a deterministic global shuffle
+    * of the corpus, NOT a random one, so reruns and backfills produce
+    * byte-identical shards). Emits the shard MANIFEST: doc/char counts,
+    * an order fingerprint (sum of position * keyed hash — any reorder or
+    * substitution shifts it), and the first/last docs by position.
+    *
+    * Scale shape: ONE shuffle total. The window partitions by shard (never
+    * a global sort: per-shard sorts run in parallel), and the manifest
+    * aggregate reuses the window's hashpartitioning(shard) so no second
+    * exchange appears — pinned in PlanSpec. At 100 TB the same plan holds
+    * with NShards in the thousands; per-shard position assignment is the
+    * only serial-within-shard step, exactly as in any shard writer.
+    */
+  private def x53(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents").select(
+      col("doc_id"), col("n_chars"),
+      TextOps.polyHash(col("text")).as("h"),
+      graft.functions.TextExprs.polyHash(concat(lit("shard#"), col("text"))).as("h2"))
+    val train = keyed.filter(col("h") % 100 < 80)
+      .select(col("doc_id"), col("n_chars"), (col("h2") % NShards).as("shard"), col("h2"))
+    val pos = row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("h2"), col("doc_id")))
+    train.select(col("shard"), col("doc_id"), col("n_chars"), col("h2"),
+        pos.cast("long").as("position"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("position") * (col("h2") % 1000003L)).as("order_fp"),
+        expr("min_by(doc_id, position)").as("first_doc"),
+        expr("max_by(doc_id, position)").as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1686,7 +1730,8 @@ object ExtensionQueries {
     "x49_bigram_lm" -> (x49 _),
     "x50_quality_classifier" -> (x50 _),
     "x51_pagerank" -> (x51 _),
-    "x52_bloom_membership" -> (x52 _))
+    "x52_bloom_membership" -> (x52 _),
+    "x53_shard_export" -> (x53 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2501,5 +2546,17 @@ object ExtensionQueries {
          |SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars FROM k b
          |WHERE b.doc_id % 10 = 0
          |  AND NOT EXISTS (SELECT 1 FROM k c WHERE c.doc_id % 10 <> 0 AND c.k = b.k)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "x53_shard_export" ->
+      s"""WITH k AS (SELECT doc_id, n_chars, ${polySql("text")} AS h,
+         |  ${polySql("'shard#' || text")} AS h2 FROM documents),
+         |tr AS (SELECT doc_id, n_chars, h2 % $NShards AS shard, h2 FROM k WHERE h % 100 < 80),
+         |p AS (SELECT shard, doc_id, n_chars, h2,
+         |  row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS position FROM tr)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(position * (h2 % 1000003)) AS BIGINT) AS order_fp,
+         |  arg_min(doc_id, position) AS first_doc,
+         |  arg_max(doc_id, position) AS last_doc
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin)
 }
