@@ -48,7 +48,19 @@ object Graft {
     import graft.geo.TransverseMercator
     private def dbl(e: Expression): Expression = Cast(e, org.apache.spark.sql.types.DoubleType)
     private def zone(e: Expression): (Double, Boolean) = {
-      val epsg = e.eval(null).asInstanceOf[Number].intValue()
+      // Guard BEFORE eval: a non-foldable (column) or null EPSG argument
+      // must fail with the contract message, not an opaque
+      // ClassCastException/NPE out of eval(null) at analysis time.
+      if (!e.foldable) throw new IllegalArgumentException(
+        "st_utm_* EPSG argument must be an integer literal — it selects the " +
+          s"projection constants at resolution time (got non-literal: ${e.sql})")
+      val epsg = e.eval(null) match {
+        case n: Number => n.intValue()
+        case null => throw new IllegalArgumentException(
+          "st_utm_* EPSG argument must be a non-null integer literal")
+        case other => throw new IllegalArgumentException(
+          s"st_utm_* EPSG argument must be an integer literal, got: $other")
+      }
       val (z, south) = TransverseMercator.zoneOf(epsg).getOrElse(
         throw new IllegalArgumentException(s"not a UTM EPSG code: $epsg"))
       (TransverseMercator.centralMeridianDeg(z), south)

@@ -73,6 +73,18 @@ object AnnModels {
     * a half-written directory. The read-back (rather than returning the
     * training frame) pins the serving plan to a plain parquet scan of a
     * model-sized table in BOTH branches.
+    *
+    * Commit is verified by POST-CONDITION, never by `rename`'s return
+    * value: Hadoop `FileSystem.rename(tmp, path)` with an EXISTING
+    * destination directory moves tmp INSIDE path and still returns true
+    * (HDFS and RawLocalFileSystem alike), so the return value cannot
+    * distinguish "committed" from "nested into a racing winner's dir" or
+    * "nested into a crashed half-commit". After each rename attempt:
+    * if `path/_SUCCESS` exists a winner committed — drop our copy
+    * (standalone or nested) and serve the winner; otherwise `path` is a
+    * crashed half-commit — recover our payload if it was nested, delete
+    * the stale husk, and RETRY the rename, so the store self-repairs
+    * instead of failing on an opaque parquet schema error forever.
     */
   def trainOrLoad(s: SparkSession, dir: String, table: String, name: String)(
       train: => DataFrame): DataFrame = {
@@ -80,20 +92,53 @@ object AnnModels {
     val path = new org.apache.hadoop.fs.Path(
       s"$modelRoot/${fingerprint(s, dir, table)}/$name")
     val fs = path.getFileSystem(conf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+    def committed(): Boolean = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+    if (!committed()) {
       val tmp = new org.apache.hadoop.fs.Path(
         path.getParent, s".${path.getName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       train.write.mode("overwrite").parquet(tmp.toString)
       fs.mkdirs(path.getParent)
-      if (!fs.rename(tmp, path)) {
-        // another process committed first (or a stale dir exists): if the
-        // committed model is complete, use it; else fail loudly
-        fs.delete(tmp, true)
-        require(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")),
-          s"model commit race left $path incomplete — remove it and retry")
+      val nested = new org.apache.hadoop.fs.Path(path, tmp.getName)
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 3) {
+        attempts += 1
+        fs.rename(tmp, path)
+        if (committed()) {
+          // A complete model is in place (ours, or a racing winner's with
+          // our copy nested inside it). Remove whichever copy of ours did
+          // not become the served model.
+          if (fs.exists(nested)) fs.delete(nested, true)
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          done = true
+        } else {
+          // `path` exists without _SUCCESS: a crashed half-commit. Pull our
+          // payload back out if the rename nested it, remove the husk, and
+          // retry — next rename finds no destination and commits cleanly.
+          if (fs.exists(nested) && !fs.exists(tmp)) fs.rename(nested, tmp)
+          fs.delete(path, true)
+        }
       }
+      require(done || committed(),
+        s"model commit did not converge after $attempts attempts at $path — remove it and retry")
     }
     s.read.parquet(path.toString)
+  }
+
+  /** Descriptor of the corpus FRAME, not just its underlying table: MD5 of
+    * the schema plus the canonicalized analyzed plan (expression ids
+    * normalized, so the same logical derivation names the same model across
+    * sessions). Folded into the model name so a caller passing a filtered
+    * or derived corpus with the same hyperparameters trains and serves its
+    * OWN model instead of silently sharing one trained on different rows —
+    * while the common case (several queries serving the identical
+    * full-table plan) still shares a single artifact.
+    */
+  private[ops] def corpusDescriptor(corpus: DataFrame): String = {
+    val desc = corpus.schema.catalogString + "|" +
+      corpus.queryExecution.analyzed.canonicalized.toString
+    val md = java.security.MessageDigest.getInstance("MD5").digest(desc.getBytes("UTF-8"))
+    md.take(4).map(b => f"$b%02x").mkString
   }
 
   /** Trained IVF centroids for the embeddings table at `dir` (seeded from
@@ -102,7 +147,7 @@ object AnnModels {
     */
   def ivfCentroids(
       s: SparkSession, dir: String, corpus: DataFrame, k: Int, iters: Int, dim: Int): DataFrame =
-    trainOrLoad(s, dir, "embeddings", s"ivf_k${k}_i$iters") {
+    trainOrLoad(s, dir, "embeddings", s"ivf_k${k}_i${iters}_c${corpusDescriptor(corpus)}") {
       import org.apache.spark.sql.functions.col
       Similarity.kmeansCentroids(corpus, corpus.filter(col("vec_id") < k), iters, dim)
     }
@@ -113,7 +158,7 @@ object AnnModels {
   def pqCodebooks(
       s: SparkSession, dir: String, corpus: DataFrame,
       m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
-    trainOrLoad(s, dir, "embeddings", s"pq_m${m}_k${k}_i$iters") {
+    trainOrLoad(s, dir, "embeddings", s"pq_m${m}_k${k}_i${iters}_c${corpusDescriptor(corpus)}") {
       Similarity.pqCodebooks(corpus, m, subDim, k, iters)
     }
 }

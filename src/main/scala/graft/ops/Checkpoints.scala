@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage cutting for iterative operators (label propagation, k-means,
+  * PageRank): materialize the current generation and truncate its plan so
+  * later rounds and consumers do not replay the whole training history.
+  *
+  * Two modes, selected by `spark.graft.checkpoint.reliable`:
+  *
+  *  - `false` (default) — `localCheckpoint`: blocks live on executors.
+  *    Cheapest, right for local mode and for short loops on healthy
+  *    clusters, but an executor loss mid-query loses blocks and kills the
+  *    job (local checkpoints are exempt from lineage recovery by design).
+  *  - `true` — reliable `checkpoint` under `spark.graft.checkpoint.dir`
+  *    (or a previously set SparkContext checkpoint dir): blocks are
+  *    written to the shared filesystem, so a 1000-executor deploy
+  *    survives executor churn mid-iteration at the cost of one
+  *    write+read per cut.
+  *
+  * Both modes return a frame whose plan is a scan of materialized blocks,
+  * so the unpersist-parent / re-cache hazard documented at
+  * [[Dedup.duplicateClusters]] is avoided identically.
+  */
+object Checkpoints {
+  final val ReliableKey = "spark.graft.checkpoint.reliable"
+  final val DirKey = "spark.graft.checkpoint.dir"
+
+  /** Materialize `df` and cut its lineage under the conf-selected mode. */
+  def cut(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable = s.conf.getOption(ReliableKey).exists(_.trim.equalsIgnoreCase("true"))
+    if (reliable) {
+      if (s.sparkContext.getCheckpointDir.isEmpty) {
+        val dir = s.conf.getOption(DirKey).getOrElse(throw new IllegalArgumentException(
+          s"$ReliableKey=true requires $DirKey (a shared filesystem path) " +
+            "or an already-set SparkContext checkpoint dir"))
+        s.sparkContext.setCheckpointDir(dir)
+      }
+      df.checkpoint(eager = true)
+    } else {
+      df.localCheckpoint(eager = true)
+    }
+  }
+}

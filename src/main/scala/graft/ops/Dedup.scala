@@ -238,9 +238,9 @@ object Dedup {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .cache()
-    var labels = adj.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(eager = true)
+    var labels = Checkpoints.cut(
+      adj.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")))
     // Convergence via the LABEL-SUM fixpoint: every round each node's label
     // is least(own, neighbour labels), so labels are monotonically
     // non-increasing and the total sum strictly decreases until the
@@ -268,7 +268,7 @@ object Dedup {
         .select(
           col("l.id").as("id"),
           least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"))
-      // localCheckpoint EVERY round: materializes the generation AND
+      // Checkpoints.cut EVERY round: materializes the generation AND
       // truncates lineage to a LogicalRDD, which makes it immune to the
       // next line's unpersist of its parent. A cache()d generation is
       // PLAN-dependent on the superseded generation's cache — Spark
@@ -279,7 +279,7 @@ object Dedup {
       // 3 iterations and the downstream aggregate re-paid ~8 s). The
       // checkpointed blocks of dropped generations are reclaimed by the
       // ContextCleaner once unreferenced.
-      val updated = next.localCheckpoint(eager = true)
+      val updated = Checkpoints.cut(next)
       val newSum = labelSum(updated)
       labels.unpersist(blocking = false)
       labels = updated

@@ -95,9 +95,16 @@ object Intervals {
     // stats check costs no job; the <= 3-cell explode fan-out is covered
     // by the conservative 8 MB pre-explode threshold. Big interval sides
     // keep the symmetric (level, cell) shuffle — the fact-fact posture.
+    // Size from the ANALYZED plan's stats visitor, not optimizedPlan:
+    // this method is reachable from inside RewriteRangeJoin, and touching
+    // queryExecution.optimizedPlan there re-runs a nested optimization
+    // pass per rewrite (the analyzed plan is already cached by the time
+    // any rule can see the frame, so this is a pure estimate lookup).
+    // NonFatal only — an OOM mid-estimate must propagate, not silently
+    // disable the broadcast.
     val ivBytes =
-      try intervals.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case _: Throwable => BigInt(Long.MaxValue) }
+      try intervals.queryExecution.analyzed.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
     val ivSide = if (ivBytes <= 8L * 1024 * 1024) broadcast(iv) else iv
     ivSide.join(probes, Seq("__lvl", "__cell"))
       .filter(residual)

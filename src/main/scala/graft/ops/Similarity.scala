@@ -228,7 +228,7 @@ object Similarity {
         // one growing DAG, and every downstream use of the centroids
         // replays the entire training history. The frame is k*dim values —
         // at any corpus scale this is a fixed-size model, not data.
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
     }
     cents
   }
@@ -287,7 +287,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("cv"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
     }
     cents.select(col("subspace"), col("cell_id"), col("cv"))
   }

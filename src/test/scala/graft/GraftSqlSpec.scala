@@ -41,6 +41,15 @@ class GraftSqlSpec extends AnyFunSuite with Matchers with SparkTest {
     // a non-UTM EPSG is rejected at resolution time
     val err = intercept[Exception](spark.sql("SELECT st_utm_easting(1.0D, 2.0D, 4326)").head())
     err.getMessage should include("UTM")
+    // a non-literal EPSG argument fails with the contract message, not an
+    // opaque ClassCastException out of eval(null) (round-5 advice)
+    val errCol = intercept[Exception](
+      spark.sql("SELECT st_utm_easting(1.0D, 2.0D, CAST(x AS INT)) FROM VALUES (32618) t(x)").head())
+    errCol.getMessage should include("literal")
+    // a null EPSG literal likewise
+    val errNull = intercept[Exception](
+      spark.sql("SELECT st_utm_easting(1.0D, 2.0D, CAST(NULL AS INT))").head())
+    errNull.getMessage should (include("null") or include("literal"))
   }
 
   test("mmr_select runs from SQL over a collect_list-packed candidate frame") {

@@ -78,6 +78,58 @@ class AnnModelsSpec extends AnyFunSuite with Matchers with SparkTest {
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
   }
 
+  test("a crashed half-commit (model dir without _SUCCESS) self-repairs on the next call") {
+    val dataDir = java.nio.file.Files.createTempDirectory("annmodels-data4").toFile
+    writeCorpus(dataDir, seed = 11, n = 20)
+    val corpus = spark.read.parquet(new java.io.File(dataDir, "embeddings.parquet").getPath)
+      .select(col("vec_id"), col("embedding").as("v"))
+
+    // Plant the crash state: the served path exists, holds junk, has no
+    // _SUCCESS. Hadoop rename(tmp, path) against this EXISTING dir nests
+    // tmp inside it and returns true — the post-condition loop must detect
+    // the husk, delete it, and retry into a clean commit (round-5 advice).
+    val fp = AnnModels.fingerprint(spark, dataDir.getPath, "embeddings")
+    val name = s"ivf_k3_i1_c${AnnModels.corpusDescriptor(corpus)}"
+    val husk = new java.io.File(new java.io.File(AnnModels.modelRoot, fp), name)
+    husk.mkdirs()
+    val junk = new java.io.File(husk, "part-00000-stale.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    new java.io.File(husk, "_SUCCESS").exists() shouldBe false
+
+    val served = AnnModels.ivfCentroids(spark, dataDir.getPath, corpus, k = 3, iters = 1, dim = dim)
+    val direct = Similarity.kmeansCentroids(corpus, corpus.filter(col("vec_id") < 3), 1, dim)
+    served.select(col("cell_id"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1) shouldBe
+      direct.select(col("cell_id"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    // the husk was replaced by a complete commit: _SUCCESS present, no
+    // junk file, no nested .tmp dir planted inside the served model
+    new java.io.File(husk, "_SUCCESS").exists() shouldBe true
+    junk.exists() shouldBe false
+    Option(husk.listFiles()).toSeq.flatten.count(_.getName.contains("_tmp_")) shouldBe 0
+  }
+
+  test("a filtered corpus with the same hyperparameters gets its own model entry") {
+    val dataDir = java.nio.file.Files.createTempDirectory("annmodels-data5").toFile
+    writeCorpus(dataDir, seed = 13, n = 30)
+    val corpus = spark.read.parquet(new java.io.File(dataDir, "embeddings.parquet").getPath)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val filtered = corpus.filter(col("vec_id") % 2 === 0)
+    AnnModels.corpusDescriptor(filtered) should not be AnnModels.corpusDescriptor(corpus)
+    // identical plans share a descriptor (x13/x25/x47 share one artifact)
+    val corpusAgain = spark.read.parquet(new java.io.File(dataDir, "embeddings.parquet").getPath)
+      .select(col("vec_id"), col("embedding").as("v"))
+    AnnModels.corpusDescriptor(corpusAgain) shouldBe AnnModels.corpusDescriptor(corpus)
+
+    // the filtered model trains on the filtered rows, not the full table's
+    val servedF = AnnModels.ivfCentroids(spark, dataDir.getPath, filtered, k = 3, iters = 1, dim = dim)
+    val directF = Similarity.kmeansCentroids(filtered, filtered.filter(col("vec_id") < 3), 1, dim)
+    servedF.select(col("cell_id"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1) shouldBe
+      directF.select(col("cell_id"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+  }
+
   test("pqCodebooks round-trips through the store unchanged") {
     val dataDir = java.nio.file.Files.createTempDirectory("annmodels-data3").toFile
     writeCorpus(dataDir, seed = 3, n = 24)
