@@ -1602,11 +1602,13 @@ object ExtensionQueries {
         .crossJoin(nFrame)
         .select(col("dst").as("node"),
           expr("(15 * (1000000000000 div n)) div 100 + (85 * cs) div 100").as("r"))
-      // Cut lineage every SECOND round: a 2-round plan over cached inputs
-      // is cheap to carry, and halving the eager materializations was the
-      // bulk of x51's wall-clock (VERDICT r5: 4 node-sized checkpoints for
-      // 3 rounds of math).
-      if (i % 2 == 0) ranks = graft.ops.Checkpoints.cut(ranks)
+      // Cut lineage every SECOND round plus the FINAL one: a 2-round plan
+      // over cached inputs is cheap to carry, halving the eager
+      // materializations that were the bulk of x51's wall-clock (VERDICT
+      // r5: 4 node-sized checkpoints for 3 rounds of math), while the
+      // served result stays a scan of the materialized vector (the
+      // PlanSpec serve-discipline pin).
+      if (i % 2 == 0 || i == PrRounds) ranks = graft.ops.Checkpoints.cut(ranks)
     }
     ranks.select(col("node").as("node_id"), col("r").as("rank_pico"))
       .orderBy(col("rank_pico").desc, col("node_id"))

@@ -22,11 +22,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * node counts, `ept-data/<D-X-Y-Z>` point payloads).
   *
   * Scope: `dataType: "binary"` payloads (raw little-endian structs per
-  * the `schema` dimension list) and `hierarchyType: "json"`. LAZ
-  * (`laszip`) payloads need a decompressor the JDK does not ship and the
-  * sandbox cannot fetch; the node-walk, pruning, scale/offset decode and
-  * schema mapping below are payload-independent, so a laszip codec would
-  * slot into [[EptPartitionReader]] without touching planning.
+  * the `schema` dimension list) AND `dataType: "laszip"` payloads —
+  * each `ept-data/<key>.laz` node is a complete little LAZ file decoded
+  * by the pure-JVM [[graft.sources.laz.LazFile]] codec (LAS 1.2 point
+  * formats 0-3 + extra bytes, the formats `usgs-lidar-public`-style
+  * Entwine trees serve). Decoded LAS records are re-projected onto the
+  * `ept.json` schema by dimension NAME ([[EptSource.LasField]]), so the
+  * row-building path is shared with the binary payloads. Planning
+  * (node walk, pruning, scale/offset) is payload-independent.
   *
   * Spark-first posture (mirrors [[PointsSource]]):
   *  - one octree NODE per [[InputPartition]];
@@ -115,8 +118,8 @@ object EptSource {
         offset = if (d.has("offset")) d.get("offset").asDouble() else 0.0)
     }.toSeq
     val dataType = root.get("dataType").asText()
-    require(dataType == "binary",
-      s"EptSource reads dataType 'binary'; '$dataType' (laszip/zstandard) needs a codec the JDK does not ship")
+    require(dataType == "binary" || dataType == "laszip",
+      s"EptSource reads dataType 'binary' and 'laszip'; '$dataType' (zstandard) needs a codec the JDK does not ship")
     val hierarchyType = if (root.has("hierarchyType")) root.get("hierarchyType").asText() else "json"
     require(hierarchyType == "json", s"unsupported hierarchyType $hierarchyType")
     EptMeta(
@@ -170,6 +173,94 @@ object EptSource {
     acc.toMap
   }
 
+  /** Where a named EPT dimension lives inside a decoded LAS 1.2 point
+    * record: a plain little-endian byte range, or a packed bit field of
+    * the flags byte (byte 14). Extra-bytes dimensions (anything beyond
+    * the standard LAS attributes, e.g. Entwine's OriginId) consume the
+    * record tail in schema order.
+    */
+  private[sources] sealed trait LasField
+  private[sources] final case class LasPlain(off: Int, size: Int) extends LasField
+  private[sources] final case class LasFlag(shift: Int, width: Int) extends LasField
+
+  private[sources] def lasStandardSize(fmt: Int): Int =
+    20 + (if (fmt == 1 || fmt == 3) 8 else 0) + (if (fmt == 2 || fmt == 3) 6 else 0)
+
+  private[sources] def lasFieldFor(name: String, fmt: Int): Option[LasField] = {
+    val gpsOff = if (fmt == 1 || fmt == 3) 20 else -1
+    val rgbOff = if (fmt == 2) 20 else if (fmt == 3) 28 else -1
+    name.toLowerCase match {
+      case "x" => Some(LasPlain(0, 4))
+      case "y" => Some(LasPlain(4, 4))
+      case "z" => Some(LasPlain(8, 4))
+      case "intensity" => Some(LasPlain(12, 2))
+      case "returnnumber" => Some(LasFlag(0, 3))
+      case "numberofreturns" => Some(LasFlag(3, 3))
+      case "scandirectionflag" => Some(LasFlag(6, 1))
+      case "edgeofflightline" => Some(LasFlag(7, 1))
+      case "classification" => Some(LasPlain(15, 1))
+      case "scananglerank" | "scanangle" => Some(LasPlain(16, 1))
+      case "userdata" => Some(LasPlain(17, 1))
+      case "pointsourceid" => Some(LasPlain(18, 2))
+      case "gpstime" if gpsOff >= 0 => Some(LasPlain(gpsOff, 8))
+      case "red" if rgbOff >= 0 => Some(LasPlain(rgbOff, 2))
+      case "green" if rgbOff >= 0 => Some(LasPlain(rgbOff + 2, 2))
+      case "blue" if rgbOff >= 0 => Some(LasPlain(rgbOff + 4, 2))
+      case _ => None
+    }
+  }
+
+  /** Re-project decoded LAS records onto the EPT schema layout (dims in
+    * `ept.json` order, little-endian, dim-sized) so the row-building
+    * path is identical for binary and laszip payloads. Fails loudly on
+    * a schema dim whose declared size disagrees with its LAS source
+    * width — silent truncation would corrupt values.
+    */
+  private[sources] def lasToEptRecord(
+      las: Array[Byte], plan: Array[(LasField, Int)], out: Array[Byte]): Unit = {
+    var o = 0
+    var j = 0
+    while (j < plan.length) {
+      val (field, size) = plan(j)
+      field match {
+        case LasPlain(off, _) =>
+          var i = 0
+          while (i < size) { out(o + i) = las(off + i); i += 1 }
+        case LasFlag(shift, width) =>
+          val v = ((las(14) & 0xFF) >>> shift) & ((1 << width) - 1)
+          out(o) = v.toByte
+          var i = 1
+          while (i < size) { out(o + i) = 0; i += 1 }
+      }
+      o += size
+      j += 1
+    }
+  }
+
+  /** Per-dim extraction plan for a laszip node: standard LAS attributes
+    * by name, remaining dims from the extra-bytes tail in order.
+    */
+  private[sources] def lasPlan(
+      dims: Array[(String, String, Int, Double, Double)], fmt: Int, recordLength: Int)
+    : Array[(LasField, Int)] = {
+    var extraOff = lasStandardSize(fmt)
+    dims.map { case (name, _, size, _, _) =>
+      lasFieldFor(name, fmt) match {
+        case Some(p: LasPlain) =>
+          require(p.size == size,
+            s"EPT dim $name declares size $size but its LAS field is ${p.size} bytes")
+          (p: LasField, size)
+        case Some(f: LasFlag) => (f: LasField, size)
+        case None =>
+          val p = LasPlain(extraOff, size)
+          extraOff += size
+          require(extraOff <= recordLength,
+            s"EPT dim $name overruns the LAS record (extra bytes end at $extraOff > $recordLength)")
+          (p: LasField, size)
+      }
+    }
+  }
+
   /** Does the node cube intersect the pushed x/y/z bounds? Column names
     * follow the lower-cased Spark schema ("x"/"y"/"z").
     */
@@ -221,12 +312,13 @@ class EptScan(path: String, required: StructType, pushed: Array[Filter]) extends
   override def planInputPartitions(): Array[InputPartition] = {
     val m = EptSource.meta(path, driverConf)
     val bounds = PointsSource.rangeBounds(pushed)
+    val ext = if (m.dataType == "laszip") "laz" else "bin"
     EptSource.hierarchy(path, driverConf).toSeq
       .filter { case (key, _) => bounds.isEmpty || EptSource.cubeSurvives(key.cube(m.bounds), bounds) }
       .sortBy(_._1.toString)
       .map { case (key, n) =>
         EptInputPartition(
-          new Path(path, s"ept-data/$key.bin").toString, n,
+          new Path(path, s"ept-data/$key.$ext").toString, n,
           m.dims.map(d => (d.name, d.kind, d.size, d.scale, d.offset)).toArray): InputPartition
       }
       .toArray
@@ -266,15 +358,43 @@ class EptPartitionReader(
       (i, offsets(i))
     }
   }
-  private val in = {
-    val p = new Path(partition.file)
-    p.getFileSystem(conf).open(p)
-  }
+  private val isLaz = partition.file.endsWith(".laz")
+  private var lazPlanCache: Array[(EptSource.LasField, Int)] = _
+
+  // laszip nodes: whole-file decode up front (nodes are node-sized), then
+  // each LAS record is re-projected onto the EPT dim layout by name, so
+  // everything below the `buf` line is payload-format-independent.
+  private val lazRecords: Array[Array[Byte]] =
+    if (!isLaz) null
+    else {
+      val p = new Path(partition.file)
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val fileBuf = new Array[Byte](len)
+      val s = fs.open(p)
+      try s.readFully(0, fileBuf) finally s.close()
+      val (h, recs) = graft.sources.laz.LazFile.decompress(fileBuf)
+      lazPlanCache = EptSource.lasPlan(dims, h.pointFormat, h.recordLength)
+      recs
+    }
+
+  private val in =
+    if (isLaz) null
+    else {
+      val p = new Path(partition.file)
+      p.getFileSystem(conf).open(p)
+    }
   private val buf = new Array[Byte](stride)
   private var rows = 0L
 
   override def next(): Boolean = {
     if (rows >= partition.points) return false
+    if (isLaz) {
+      if (rows >= lazRecords.length) return false // short payload wins, as below
+      EptSource.lasToEptRecord(lazRecords(rows.toInt), lazPlanCache, buf)
+      rows += 1
+      return true
+    }
     var got = 0
     while (got < stride) {
       val n = in.read(buf, got, stride - got)
@@ -323,5 +443,5 @@ class EptPartitionReader(
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }

@@ -1,0 +1,223 @@
+package graft.sources.laz
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** LASzip codec contract: compress -> decompress is byte-identical to
+  * the uncompressed record stream, across point formats 0-3, extra
+  * bytes, chunk boundaries, and adversarial value patterns (huge
+  * coordinate jumps, gps-time sequence interleaving, constant runs,
+  * gray RGB, u16 wraps). Also pins the entropy-layer primitives the
+  * item codecs build on.
+  */
+class LazSpec extends AnyFunSuite with Matchers {
+
+  // -------------------------------------------------------- entropy layer
+
+  test("arithmetic coder round-trips adaptive symbols, bits, raw bits across models") {
+    val rnd = new scala.util.Random(42)
+    val symCounts = Seq(2, 6, 16, 33, 64, 256, 516)
+    val syms = symCounts.map(n => Array.fill(2000)(rnd.nextInt(n)))
+    val bits = Array.fill(3000)(rnd.nextInt(2))
+    val raws = Array.fill(500)((rnd.nextInt(31) + 1, rnd.nextLong()))
+
+    val enc = new ArithmeticEncoder
+    val encModels = symCounts.map(n => new SymbolModel(n, withTable = false))
+    val encBit = new BitModel
+    for (i <- 0 until 2000; j <- symCounts.indices) enc.encodeSymbol(encModels(j), syms(j)(i))
+    bits.foreach(b => enc.encodeBit(encBit, b))
+    raws.foreach { case (w, v) => enc.writeBits(w, v & ((1L << w) - 1)) }
+    enc.writeInt(0xDEADBEEFL)
+    enc.writeShort(0xCAFEL)
+    val coded = enc.done()
+
+    val dec = new ArithmeticDecoder(coded, 0, coded.length)
+    val decModels = symCounts.map(n => new SymbolModel(n, withTable = true))
+    val decBit = new BitModel
+    for (i <- 0 until 2000; j <- symCounts.indices)
+      dec.decodeSymbol(decModels(j)) shouldBe syms(j)(i)
+    bits.foreach(b => dec.decodeBit(decBit) shouldBe b)
+    raws.foreach { case (w, v) => dec.readBits(w) shouldBe (v & ((1L << w) - 1)) }
+    dec.readInt() shouldBe 0xDEADBEEFL
+    dec.readShort() shouldBe 0xCAFEL
+  }
+
+  test("integer compressor round-trips corrections of every bit width and both wrap modes") {
+    val rnd = new scala.util.Random(7)
+    // 32-bit: values spanning the full int range incl. extremes
+    val vals32 = Array.fill(3000)(rnd.nextInt()) ++
+      Array(Int.MaxValue, Int.MinValue, 0, 1, -1, Int.MinValue + 1)
+    val preds32 = vals32.map(_ => rnd.nextInt())
+    // 16-bit wrap mode (intensity-style): values in [0, 65535]
+    val vals16 = Array.fill(3000)(rnd.nextInt(65536)) ++ Array(0, 65535, 1, 65534)
+    val preds16 = vals16.map(_ => rnd.nextInt(65536))
+
+    val enc = new ArithmeticEncoder
+    val c32 = new IntCompressor(enc, 32, 4)
+    val c16 = new IntCompressor(enc, 16, 2)
+    vals32.indices.foreach(i => c32.compress(preds32(i), vals32(i), i % 4))
+    vals16.indices.foreach(i => c16.compress(preds16(i), vals16(i), i % 2))
+    val coded = enc.done()
+
+    val dec = new ArithmeticDecoder(coded, 0, coded.length)
+    val d32 = new IntDecompressor(dec, 32, 4)
+    val d16 = new IntDecompressor(dec, 16, 2)
+    vals32.indices.foreach(i => d32.decompress(preds32(i), i % 4) shouldBe vals32(i))
+    vals16.indices.foreach(i => d16.decompress(preds16(i), i % 2) shouldBe vals16(i))
+  }
+
+  test("streaming median5 returns the median of alternating-inserted values") {
+    val m = new Items.StreamingMedian5
+    m.get shouldBe 0
+    Seq(5, 1, 9, 3, 7).foreach(m.add)
+    m.get shouldBe 5
+    Seq(100, 100, 100, 100, 100).foreach(m.add)
+    m.get shouldBe 100
+  }
+
+  // ----------------------------------------------------------- point data
+
+  /** Deterministic synthetic flight line: mostly-smooth deltas with
+    * planted discontinuities, return-config changes, classification
+    * flips, gps-time jumps and sequence interleaves, gray and colored
+    * RGB, and extra bytes.
+    */
+  private def syntheticRecords(n: Int, pointFormat: Int, extraBytes: Int, seed: Int): Array[Array[Byte]] = {
+    val rnd = new scala.util.Random(seed)
+    val stride = LazFile.itemsFor(pointFormat, extraBytes).map(_.size).sum
+    var x = 431000; var y = 4580000; var z = 120
+    var gpsBits = java.lang.Double.doubleToLongBits(211000.25)
+    (0 until n).map { i =>
+      val rec = new Array[Byte](stride)
+      // coordinates: smooth scan with occasional line jumps
+      x += (if (i % 97 == 0) rnd.nextInt(2000000) - 1000000 else rnd.nextInt(30) - 5)
+      y += (if (i % 131 == 0) rnd.nextInt(400000) - 200000 else rnd.nextInt(7) - 3)
+      z += (if (i % 53 == 0) rnd.nextInt(3000) - 1500 else rnd.nextInt(5) - 2)
+      Items.putI32(rec, 0, x)
+      Items.putI32(rec, 4, y)
+      Items.putI32(rec, 8, z)
+      // intensity: runs of equal values with bursts
+      Items.putU16(rec, 12, if (i % 7 < 5) 180 else rnd.nextInt(65536))
+      // return config: mostly (1,1), sometimes multi-return; flags bits
+      val r = if (i % 11 == 0) 1 + rnd.nextInt(5) else 1
+      val nr = math.max(r, if (i % 11 == 0) 1 + rnd.nextInt(5) else 1)
+      val flags = (r & 7) | ((nr & 7) << 3) | ((i % 3) & 1) << 6 | (if (i % 19 == 0) 0x80 else 0)
+      rec(14) = flags.toByte
+      rec(15) = (if (i % 5 == 0) 2 else if (i % 23 == 0) rnd.nextInt(256) else 1).toByte
+      rec(16) = ((i % 60) - 30).toByte // scan angle sweeps
+      rec(17) = (i % 4).toByte // user data
+      Items.putU16(rec, 18, 4096 + (i % 2)) // point source id
+      var off = 20
+      if (pointFormat == 1 || pointFormat == 3) {
+        // gps time: regular pulse spacing, occasional huge jump, a few
+        // exact repeats (the 0diff/multi/full paths)
+        if (i % 41 == 0) gpsBits = java.lang.Double.doubleToLongBits(rnd.nextDouble() * 1e6)
+        else if (i % 13 != 0) {
+          val t = java.lang.Double.longBitsToDouble(gpsBits)
+          gpsBits = java.lang.Double.doubleToLongBits(t + 1e-5 * (1 + (i % 3)))
+        } // else: repeat the exact previous time
+        Items.putI64(rec, off, gpsBits)
+        off += 8
+      }
+      if (pointFormat == 2 || pointFormat == 3) {
+        if (i % 6 == 0) {
+          val gray = rnd.nextInt(65536)
+          Items.putU16(rec, off, gray); Items.putU16(rec, off + 2, gray); Items.putU16(rec, off + 4, gray)
+        } else {
+          Items.putU16(rec, off, (i * 37) % 65536)
+          Items.putU16(rec, off + 2, (i * 53) % 65536)
+          Items.putU16(rec, off + 4, (i * 71) % 65536)
+        }
+        off += 6
+      }
+      (0 until extraBytes).foreach { e => rec(off + e) = ((i * (e + 3)) % 256).toByte }
+      rec
+    }.toArray
+  }
+
+  private def roundTrip(pointFormat: Int, n: Int, chunkSize: Int, extraBytes: Int = 0, seed: Int = 1): Unit = {
+    val recs = syntheticRecords(n, pointFormat, extraBytes, seed)
+    val scale = Array(0.01, 0.01, 0.01)
+    val offset = Array(0.0, 0.0, 0.0)
+    val laz = LazFile.compress(pointFormat, recs, scale, offset, chunkSize, extraBytes)
+    val (h, decoded) = LazFile.decompress(laz)
+    h.pointFormat shouldBe pointFormat
+    h.npoints shouldBe n
+    h.compressed shouldBe true
+    decoded.length shouldBe n
+    var i = 0
+    while (i < n) {
+      assert(java.util.Arrays.equals(decoded(i), recs(i)),
+        s"record $i differs (format $pointFormat, chunkSize $chunkSize)")
+      i += 1
+    }
+    // the uncompressed twin carries the identical record stream
+    val las = LazFile.writeUncompressed(pointFormat, recs, scale, offset)
+    val (hu, raw) = LazFile.readUncompressed(las)
+    hu.recordLength shouldBe h.recordLength
+    raw.indices.foreach(i => assert(java.util.Arrays.equals(raw(i), decoded(i))))
+    // and the LAZ stream is actually compressed for the smooth fixture
+    // (tiny files are all container overhead — only meaningful at size)
+    if (n >= 500) assert(laz.length < las.length, s"laz ${laz.length} >= las ${las.length}")
+  }
+
+  test("format 0 (POINT10) round-trips bit-identically") { roundTrip(0, 4000, 1000) }
+  test("format 1 (POINT10+GPSTIME11) round-trips bit-identically") { roundTrip(1, 4000, 1000) }
+  test("format 2 (POINT10+RGB12) round-trips bit-identically") { roundTrip(2, 4000, 1000) }
+  test("format 3 (all items) round-trips bit-identically") { roundTrip(3, 4000, 1000) }
+  test("extra bytes item round-trips bit-identically") { roundTrip(3, 2000, 700, extraBytes = 5) }
+
+  test("chunk boundaries: counts not divisible by the chunk size, chunk of one, single chunk") {
+    roundTrip(3, 2501, 500)
+    roundTrip(1, 1001, 1000) // final chunk holds exactly one (raw) point
+    roundTrip(0, 999, 50000) // everything in one chunk
+    roundTrip(2, 1, 50000) // a single point: raw only, no coded stream
+    roundTrip(0, 2, 50000)
+  }
+
+  test("adversarial streams: full-range random records survive (no smoothness assumed)") {
+    val rnd = new scala.util.Random(99)
+    val recs = Array.fill(3000) {
+      val rec = new Array[Byte](34)
+      rnd.nextBytes(rec)
+      // keep return bits parseable (r, n in 0..7 is always true of 3 bits)
+      rec
+    }
+    val laz = LazFile.compress(3, recs, Array(0.01, 0.01, 0.01), Array(0.0, 0.0, 0.0), 1000, 0)
+    val (_, decoded) = LazFile.decompress(laz)
+    decoded.indices.foreach(i => assert(java.util.Arrays.equals(decoded(i), recs(i)), s"record $i"))
+  }
+
+  test("committed fixture: the pinned .laz decodes bit-identically to its uncompressed twin") {
+    def resource(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/laz/$name")
+      require(in != null, s"missing committed fixture /laz/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    val (hLaz, decoded) = LazFile.decompress(resource("fixture.laz"))
+    val (hLas, raw) = LazFile.readUncompressed(resource("fixture.las"))
+    hLaz.pointFormat shouldBe 3
+    hLaz.npoints shouldBe hLas.npoints
+    decoded.length shouldBe raw.length
+    decoded.indices.foreach { i =>
+      assert(java.util.Arrays.equals(decoded(i), raw(i)), s"fixture record $i differs")
+    }
+    // and today's encoder still produces the committed byte stream
+    // (codec drift detection: models, coder, chunk table, container)
+    val reEncoded = LazFile.compress(
+      3, MakeLazFixture.records(), Array(0.01, 0.01, 0.01), Array(0.0, 0.0, 0.0),
+      chunkSize = 1000, extraBytes = 4)
+    assert(java.util.Arrays.equals(reEncoded, resource("fixture.laz")),
+      "encoder output drifted from the committed fixture")
+  }
+
+  test("unsupported inputs are refused with actionable messages") {
+    val recs = syntheticRecords(10, 0, 0, 3)
+    intercept[IllegalArgumentException](
+      LazFile.itemsFor(6, 0)).getMessage should include("format")
+    // a corrupted signature
+    val laz = LazFile.compress(0, recs, Array(0.01, 0.01, 0.01), Array(0.0, 0.0, 0.0))
+    laz(0) = 'X'
+    intercept[IllegalArgumentException](LazFile.parseHeader(laz)).getMessage should include("LASF")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sources.laz
+
+/** One-shot generator for the committed LAZ drift fixture
+  * (src/test/resources/laz/fixture.{laz,las}): a deterministic format-3
+  * + extra-bytes record stream compressed once and pinned. LazSpec's
+  * fixture test decodes the committed .laz and requires bit-identity
+  * with the committed .las — so any future change to the codec's coded
+  * byte stream or decode behavior fails loudly instead of silently
+  * producing different files.
+  *
+  * Run from sbt: `Test/runMain graft.sources.laz.MakeLazFixture <dir>`.
+  */
+object MakeLazFixture {
+
+  def records(): Array[Array[Byte]] = {
+    val rnd = new scala.util.Random(20260813)
+    var x = 431000; var y = 4580000; var z = 120
+    var gps = 211000.25
+    (0 until 2500).map { i =>
+      val rec = new Array[Byte](38)
+      x += (if (i % 89 == 0) rnd.nextInt(400000) - 200000 else rnd.nextInt(25) - 5)
+      y += (if (i % 127 == 0) rnd.nextInt(200000) - 100000 else rnd.nextInt(9) - 4)
+      z += rnd.nextInt(7) - 3
+      Items.putI32(rec, 0, x)
+      Items.putI32(rec, 4, y)
+      Items.putI32(rec, 8, z)
+      Items.putU16(rec, 12, if (i % 5 < 3) 210 else rnd.nextInt(65536))
+      val r = if (i % 13 == 0) 1 + rnd.nextInt(4) else 1
+      val n = math.max(r, if (i % 13 == 0) 1 + rnd.nextInt(4) else 1)
+      rec(14) = ((r & 7) | ((n & 7) << 3) | (((i / 40) % 2) << 6)).toByte
+      rec(15) = (if (i % 4 == 0) 2 else 1).toByte
+      rec(16) = ((i % 50) - 25).toByte
+      rec(17) = 0
+      Items.putU16(rec, 18, 4096)
+      if (i % 37 != 0) gps += 1e-5
+      Items.putI64(rec, 20, java.lang.Double.doubleToLongBits(gps))
+      Items.putU16(rec, 28, (i * 31) % 65536)
+      Items.putU16(rec, 30, (i * 47) % 65536)
+      Items.putU16(rec, 32, (i * 59) % 65536)
+      Items.putI32(rec, 34, 7 + (i % 3))
+      rec
+    }.toArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(args(0))
+    dir.mkdirs()
+    val recs = records()
+    val scale = Array(0.01, 0.01, 0.01)
+    val off = Array(0.0, 0.0, 0.0)
+    // chunk size 1000 -> three chunks, exercising chunk-table seeks
+    val laz = LazFile.compress(3, recs, scale, off, chunkSize = 1000, extraBytes = 4)
+    val las = LazFile.writeUncompressed(3, recs, scale, off)
+    java.nio.file.Files.write(new java.io.File(dir, "fixture.laz").toPath, laz)
+    java.nio.file.Files.write(new java.io.File(dir, "fixture.las").toPath, las)
+    println(s"wrote ${laz.length} byte laz + ${las.length} byte las to $dir")
+  }
+}
