@@ -1615,15 +1615,32 @@ object ExtensionQueries {
       .limit(20)
   }
 
-  /** x52 Bloom sizing: 2^16 words = 4 Mi bits (512 KB collected once to
-    * the driver), 6 probe hashes — ~1% false positives at the sf10 corpus
-    * (~450k keys). Sizing only affects PRUNING, never the answer (the
-    * confirm join removes false positives; Bloom has no false negatives),
-    * so in production m scales with a corpus count estimate while the
-    * result stays exact.
+  /** x52 Bloom sizing: CORPUS-DRIVEN. 6 probe hashes, target ~1% false
+    * positives; the word count comes from [[bloomWordsFor]] applied to
+    * the corpus key count, so a growing corpus grows its filter instead
+    * of silently saturating a fixed one into a pass-everything no-op.
+    * Sizing only affects PRUNING, never the answer (the confirm join
+    * removes false positives; Bloom has no false negatives) — BloomSpec
+    * pins both the FP-rate tracking and the saturation degradation.
     */
-  private val BloomWords = 1 << 16
   private val BloomHashes = 6
+  private val BloomTargetFpp = 0.01
+
+  /** Bits from the standard Bloom occupancy model
+    * `p = (1 - e^(-k n / m))^k` solved for m at the target FP rate,
+    * rounded up to a power-of-two 64-bit word count and clamped to
+    * [2^10, 2^24] words (8 KiB .. 128 MiB of driver-collected bitset —
+    * the upper clamp keeps the broadcast bounded; beyond it the FP rate
+    * degrades gracefully and the confirm join still makes the answer
+    * exact).
+    */
+  private[graft] def bloomWordsFor(nKeys: Long, hashes: Int, targetFpp: Double): Int = {
+    val n = math.max(1L, nKeys).toDouble
+    val bits = -hashes * n / math.log1p(-math.pow(targetFpp, 1.0 / hashes))
+    val words = math.max(1L, math.ceil(bits / 64.0).toLong)
+    val pow2 = if (words <= 1L) 1L else java.lang.Long.highestOneBit(words - 1) * 2
+    math.min(1L << 24, math.max(1L << 10, pow2)).toInt
+  }
 
   /** Incremental-ingest membership via a broadcast Bloom prefilter (x52):
     * which docs of an incoming batch (doc_id % 10 = 0) are genuinely NEW
@@ -1632,12 +1649,13 @@ object ExtensionQueries {
     * template/boilerplate reuse that exact-text equality misses).
     *
     * The 100 TB shape — the corpus is never shuffled for this join: corpus
-    * keys fold map-side into fixed 512 KB bitset partials merged by OR
-    * ([[graft.functions.BloomAgg]]), ONE bitset comes back to the driver,
-    * and the batch probes it map-only ([[graft.functions.BloomMightContain]],
+    * keys fold map-side into corpus-count-sized bitset partials merged by
+    * OR ([[graft.functions.BloomAgg]]; [[bloomWordsFor]] picks the size
+    * for the ~1% FP target), ONE bitset comes back to the driver, and the
+    * batch probes it map-only ([[graft.functions.BloomMightContain]],
     * codegen'd, bitset attached as a reference object). Only the
-    * bloom-positive candidates — true members plus a ~1% false-positive
-    * tail — reach the exact confirm path, and both confirm joins broadcast
+    * bloom-positive candidates — true members plus the FP-target tail —
+    * reach the exact confirm path, and both confirm joins broadcast
     * the candidate-sized side, so the corpus full scan stays map-only end
     * to end. The answer is exact for ANY filter sizing.
     *
@@ -1651,8 +1669,14 @@ object ExtensionQueries {
         array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ")).as("k"))
     val corpus = keyed.filter(col("doc_id") % 10 =!= 0)
     val batch = keyed.filter(col("doc_id") % 10 === 0)
+    // Corpus-count-driven sizing: here an exact count (column-pruned to a
+    // metadata-cheap scan); on a production catalog the same number comes
+    // from table statistics without a job. Either way the result is exact
+    // for ANY estimate — sizing is purely a pruning-quality knob.
+    val nCorpus = corpus.count()
+    val bloomWords = bloomWordsFor(nCorpus, BloomHashes, BloomTargetFpp)
     val words = corpus
-      .agg(graft.functions.BloomExprs.bloomAgg(col("k"), BloomWords, BloomHashes).as("bf"))
+      .agg(graft.functions.BloomExprs.bloomAgg(col("k"), bloomWords, BloomHashes).as("bf"))
       .head.getSeq[Long](0).toArray
     val candidates = batch.filter(graft.functions.BloomExprs.mightContain(col("k"), words, BloomHashes))
     val confirmed = corpus

@@ -1,0 +1,94 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr}
+
+/** Sampled oracle verification at probe scales the FULL DuckDB oracle
+  * cannot afford (sf100 = 1000x the driver fixture): run each
+  * scale-sensitive query in Spark, keep a deterministic key-slice of its
+  * OUTPUT, re-sort by every column (the slice breaks the query's own
+  * ORDER BY guarantee), and dump the same artifacts `graft.Verify` does —
+  * result parquet + oracle_sql.json with the oracle wrapped in the
+  * identical slice + `ORDER BY ALL NULLS FIRST` — so `tools/check.py`
+  * performs its usual row-exact compare, now against outputs both
+  * engines computed at 1000x.
+  *
+  * This closes the round-5 "correct at 1000x, not just fast" gap: the
+  * DuckDB side still executes the full query (correctness is end to
+  * end), but compare/sort/dump cost is slice-sized. Queries with LIMIT-
+  * bounded outputs keep their full output and their own ordering.
+  */
+object ScaleVerify {
+
+  /** (query, output slice predicate — identical SQL text in both
+    * engines; None = output is small/LIMIT-bounded, compare all rows).
+    */
+  val Family: Seq[(String, Option[String])] = Seq(
+    "q01_pricing_summary" -> None,
+    "q20_percentiles" -> None,
+    "q22_star_join" -> None,
+    "q24_range_join" -> Some("iid % 97 = 0"),
+    "r04_voxel_subsample" -> Some("(vx * 31 + vy * 7 + vz) % 97 = 0"),
+    "x09_embedding_neardup" -> Some("id1 % 7 = 0"),
+    "x13_ann_ivf" -> None,
+    "x26_dedup_pipeline" -> Some("keep_id % 97 = 0"),
+    "x35_budget_select" -> Some("doc_id % 97 = 0"),
+    "x47_semantic_dedup" -> Some("removed_id % 97 = 0"))
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val names = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    val family = Family.filter { case (n, _) => names.forall(_.contains(n)) }
+    family.foreach { case (name, slice) =>
+      val t0 = System.nanoTime()
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val sliced = slice.map(s => df.filter(expr(s))).getOrElse(df)
+        // re-sort by ALL columns, asc nulls first (Spark default), the
+        // mirror of DuckDB's ORDER BY ALL NULLS FIRST
+        sliced.orderBy(df.columns.map(col).toIndexedSeq: _*)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        println(f"[scale-verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $rows%8d sliced rows")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scale-verify] $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = family.map { case (name, slice) =>
+      val base = SparkEntry.oracleSql(name)
+      val where = slice.map(s => s"WHERE $s ").getOrElse("")
+      val wrapped = s"SELECT * FROM (\n$base\n) __g ${where}ORDER BY ALL NULLS FIRST"
+      s"${q(name)}: ${q(wrapped)}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,169 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import graft.streaming.{DocStreams, EventStreams}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Failure-injection soak for the streaming surface: kill a query
+  * MID-RUN, delete the newest commit marker (the crash window where the
+  * offset WAL is written but the commit is not — so the engine must
+  * REPLAY that batch on restart), restart from the checkpoint, finish
+  * the feed, and require the output to agree exactly with an
+  * uninterrupted twin run.
+  *
+  * Two sink disciplines are probed, because they achieve exactly-once
+  * differently:
+  *
+  *  1. [[EventStreams.windowedTopUsers]] -> parquet FILE sink: the sink's
+  *     `_spark_metadata` log keys by batchId, so the replayed batch's
+  *     files are skipped ("already committed") while the state store
+  *     rolls back to the pre-batch version and re-applies — sketch state
+  *     and emitted windows stay consistent.
+  *  2. [[DocStreams.nearDupIngest]] -> foreachBatch with
+  *     `batch_id=N` overwrite partitions (the CatalogStream pattern,
+  *     generalized to a STATEFUL pipeline whose admit decisions read the
+  *     store): a replayed batch overwrites its own partial output, and
+  *     the store read's `batch_id < N` guard keeps the replay's
+  *     dedup decisions identical to the first execution.
+  *
+  * `run` returns (phase, rows, agree) lines; `main` prints the SURVEY
+  * table at soak scale.
+  */
+object StreamRestartProbe {
+
+  final case class Result(probe: String, batches: Int, killAt: Int, rows: Long, agree: Boolean)
+
+  private def mkEvents(b: Int, perBatch: Int): Seq[EventStreams.Event] = {
+    val base = b.toLong * 600000L // event time advances 10 min per batch
+    (0 until perBatch).map { i =>
+      EventStreams.Event(
+        event_id = b.toLong * perBatch + i,
+        ts = new Timestamp(1700000000000L + base + (i % 600) * 1000L),
+        user_id = (i * 2654435761L) % 5000L,
+        event_type = "view", value = 1.0)
+    }
+  }
+
+  /** Delete batch `id`'s commit marker (plus its .crc sidecar) so the
+    * restart replays it.
+    */
+  private def dropCommit(checkpoint: String, id: Long): Unit = {
+    val dir = new java.io.File(s"$checkpoint/commits")
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.getName == id.toString || f.getName.startsWith(s".$id."))
+      .foreach(f => require(f.delete(), s"could not delete ${f.getPath}"))
+  }
+
+  private def sortedRows(df: DataFrame): Array[String] =
+    df.collect().map(_.toString).sorted
+
+  /** windowedTopUsers through a parquet file sink, killed + replayed at
+    * `killAt`, vs an uninterrupted twin.
+    */
+  def runTopUsers(spark: SparkSession, batches: Int, perBatch: Int, killAt: Int): Result = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("restart-topusers").toString
+
+    def sink(name: String) = s"$root/$name/out"
+    def chk(name: String) = s"$root/$name/chk"
+    def start(src: MemoryStream[EventStreams.Event], name: String) =
+      EventStreams.windowedTopUsers(src.toDF())
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink(name))
+        .option("checkpointLocation", chk(name))
+        .start()
+
+    // uninterrupted twin
+    val srcA = MemoryStream[EventStreams.Event]
+    val qA = start(srcA, "twin")
+    (0 until batches).foreach { b => srcA.addData(mkEvents(b, perBatch)); qA.processAllAvailable() }
+    qA.stop()
+
+    // killed + replayed run
+    val srcB = MemoryStream[EventStreams.Event]
+    var qB = start(srcB, "killed")
+    (0 until killAt).foreach { b => srcB.addData(mkEvents(b, perBatch)); qB.processAllAvailable() }
+    qB.stop()
+    dropCommit(chk("killed"), killAt - 1) // crash window: offsets written, commit lost
+    qB = start(srcB, "killed")
+    (killAt until batches).foreach { b => srcB.addData(mkEvents(b, perBatch)); qB.processAllAvailable() }
+    qB.stop()
+
+    val twin = sortedRows(spark.read.parquet(sink("twin")))
+    val killed = sortedRows(spark.read.parquet(sink("killed")))
+    Result("windowedTopUsers/file-sink", batches, killAt, killed.length.toLong,
+      java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
+  }
+
+  /** nearDupIngest (stateful foreachBatch store), killed + replayed at
+    * `killAt`, vs an uninterrupted twin. Driven the way its AvailableNow
+    * trigger wants: a file-source feed with one run per arriving batch
+    * file (every run is already a checkpoint restart); the kill deletes
+    * the newest commit so the next run re-executes that batch's admit
+    * decisions against the store before taking the new file.
+    */
+  def runNearDup(spark: SparkSession, batches: Int, perBatch: Int, killAt: Int): Result = {
+    val root = java.nio.file.Files.createTempDirectory("restart-neardup").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+    def writeFeed(srcDir: String, b: Int): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/b$b.json")
+      (0 until perBatch).foreach { i =>
+        val id = b.toLong * perBatch + i
+        // every third doc repeats a cross-batch template, so admit
+        // decisions genuinely depend on the store contents at replay time
+        val text =
+          if (i % 3 == 0) s"shared template body number ${i % 7} repeated across batches"
+          else s"unique document $id body with words ${id * 31} and ${id * 17}"
+        w.println(s"""{"doc_id": $id, "text": "$text"}""")
+      }
+      w.close()
+    }
+
+    def drive(name: String, injectKill: Boolean): Array[String] = {
+      val srcDir = s"$root/$name/src"
+      new java.io.File(srcDir).mkdirs()
+      (0 until batches).foreach { b =>
+        writeFeed(srcDir, b)
+        val q = DocStreams.nearDupIngest(
+          spark.readStream.schema(schema).json(srcDir),
+          s"$root/$name/sink", s"$root/$name/store", s"$root/$name/chk",
+          horizonBatches = Some(10L))
+        require(q.awaitTermination(120000), s"nearDup batch $b exceeded 120 s")
+        if (injectKill && b == killAt - 1) dropCommit(s"$root/$name/chk", b.toLong)
+      }
+      sortedRows(spark.read.parquet(s"$root/$name/sink").select(col("doc_id")))
+    }
+
+    val twin = drive("twin", injectKill = false)
+    val killed = drive("killed", injectKill = true)
+    Result("nearDupIngest/batch-dir-overwrite", batches, killAt, killed.length.toLong,
+      java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val batches = args.headOption.map(_.toInt).getOrElse(40)
+    val perBatch = args.lift(1).map(_.toInt).getOrElse(20000)
+    val killAt = args.lift(2).map(_.toInt).getOrElse(batches / 2)
+    val results = Seq(
+      runTopUsers(spark, batches, perBatch, killAt),
+      runNearDup(spark, batches, perBatch / 10, killAt))
+    println(f"${"probe"}%-36s ${"batches"}%7s ${"killAt"}%6s ${"rows"}%8s ${"agree"}%6s")
+    results.foreach(r =>
+      println(f"${r.probe}%-36s ${r.batches}%7d ${r.killAt}%6d ${r.rows}%8d ${r.agree}%6s"))
+    require(results.forall(_.agree), "post-restart output diverged from the uninterrupted twin")
+    spark.stop()
+  }
+}

@@ -82,4 +82,66 @@ class BloomSpec extends AnyFunSuite with Matchers with SparkTest {
     val nCand = batch.filter(BloomExprs.mightContain(col("k"), words, 6)).count()
     nCand should be < nBatch
   }
+
+  test("corpus-driven sizing: words scale with the key count, clamped at both ends") {
+    import graft.ExtensionQueries.bloomWordsFor
+    // monotone in n, power-of-two, and ~10 bits/key at the 1% target
+    val w450k = bloomWordsFor(450000L, 6, 0.01)
+    val w45m = bloomWordsFor(45000000L, 6, 0.01)
+    w450k should be < w45m
+    java.lang.Integer.bitCount(w450k) shouldBe 1
+    java.lang.Integer.bitCount(w45m) shouldBe 1
+    val bitsPerKey = w450k.toDouble * 64 / 450000
+    bitsPerKey should (be >= 9.0 and be <= 32.0) // >= theoretical 9.6, <= pow2 rounding
+    // clamps: a tiny corpus still gets a useful filter, a planetary one
+    // stays under the broadcast bound
+    bloomWordsFor(1L, 6, 0.01) shouldBe (1 << 10)
+    bloomWordsFor(0L, 6, 0.01) shouldBe (1 << 10)
+    bloomWordsFor(Long.MaxValue / 4, 6, 0.01) shouldBe (1 << 24)
+  }
+
+  test("sized filters track the FP target at two corpus scales") {
+    import graft.ExtensionQueries.bloomWordsFor
+    def measuredFpp(n: Int): Double = {
+      val keys = (0L until n.toLong).map(i => i * 0x9e3779b97f4a7c15L + 11L)
+      val w = bloomWordsFor(n.toLong, K, 0.01)
+      val bits = {
+        import spark.implicits._
+        keys.toDF("k").repartition(5).agg(BloomExprs.bloomAgg(col("k"), w, K))
+          .head.getSeq[Long](0).toArray
+      }
+      val inserted = keys.toSet
+      val probes = (1L to 30000L).map(i => i * 0x2545f4914f6cdd1dL + 3L).filterNot(inserted)
+      probes.count(k => BloomExprCode.mightContain(bits, k, K)).toDouble / probes.size
+    }
+    // both scales stay within ~3x of the 1% target (pow2 rounding can
+    // only make the filter LARGER, so the rate usually lands well under)
+    measuredFpp(3000) should be < 0.03
+    measuredFpp(30000) should be < 0.03
+  }
+
+  test("saturation degrades to pass-everything pruning with the answer still exact") {
+    import spark.implicits._
+    // force the saturated regime the 100 TB verdict warned about: many
+    // keys into a deliberately tiny fixed filter
+    val corpusKeys = (0L until 20000L).map(i => i * 0x9e3779b97f4a7c15L + 17L)
+    val tiny = 1 << 4 // 1024 bits for 20k keys -> filter is ~all ones
+    val bits = corpusKeys.toDF("k").agg(BloomExprs.bloomAgg(col("k"), tiny, K))
+      .head.getSeq[Long](0).toArray
+    val batchKeys = (1L to 4000L).map(i => i * 0x2545f4914f6cdd1dL + 3L)
+    val candRate = batchKeys.count(k => BloomExprCode.mightContain(bits, k, K)).toDouble / batchKeys.size
+    candRate should be > 0.95 // the prefilter prunes (almost) nothing
+    // ...but no false negatives ever, so the confirm path still computes
+    // the exact anti-join answer
+    corpusKeys.foreach(k => BloomExprCode.mightContain(bits, k, K) shouldBe true)
+    val batch = batchKeys.toDF("k")
+    val corpus = corpusKeys.toDF("k")
+    val viaBloom = batch.filter(BloomExprs.mightContain(col("k"), bits, K))
+      .join(corpus, Seq("k"), "left_anti")
+      .union(batch.filter(!BloomExprs.mightContain(col("k"), bits, K)))
+      .collect().map(_.getLong(0)).sorted
+    val plain = batch.join(corpus, Seq("k"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    viaBloom.toSeq shouldBe plain.toSeq
+  }
 }
