@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * (PNG/JPEG/GIF/BMP — zero external media libraries) into a perceptual
   * mean-luminance thumbnail ([[decodeImage]]); audio payloads FOR REAL via
   * `javax.sound.sampled` (WAV/PCM/AU — also JDK-built-in) into windowed
-  * RMS-energy features ([[decodeAudio]]); video payloads (codecs genuinely
-  * absent from the JDK) fall back to the deterministic byte-histogram
-  * stand-in ([[decodeStub]]). Either way the Spark-side contract is
+  * RMS-energy features ([[decodeAudio]]); MJPEG-in-AVI video payloads FOR
+  * REAL via a RIFF container walk + per-frame `javax.imageio` JPEG decode
+  * ([[decodeVideo]], [[videoFrameFeatures]]) — inter-frame codecs the JDK
+  * genuinely lacks (H.264 etc.) fall back to the deterministic
+  * byte-histogram stand-in ([[decodeStub]]). Either way the Spark-side contract is
   * identical: schema, encoder, batch shape, null-payload handling, and
   * partition-local decoder reuse are what any production codec plugs into.
   *
@@ -73,35 +75,42 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val cols = 4
-        val rows = FeatureDim / cols
-        val sums = new Array[Double](FeatureDim)
-        val counts = new Array[Long](FeatureDim)
-        var y = 0
-        while (y < img.getHeight) {
-          val cy = math.min(rows - 1, y * rows / img.getHeight)
-          var x = 0
-          while (x < img.getWidth) {
-            val cx = math.min(cols - 1, x * cols / img.getWidth)
-            val rgb = img.getRGB(x, y)
-            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-            val c = cy * cols + cx
-            sums(c) += lum
-            counts(c) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val out = new Array[Float](FeatureDim)
-        var i = 0
-        while (i < FeatureDim) {
-          out(i) = if (counts(i) == 0) 0.0f else (sums(i) / (255.0 * counts(i))).toFloat
-          i += 1
-        }
-        Some(out)
-      }
+      else Some(lumaGrid(img))
     } catch { case _: Exception => None }
+  }
+
+  /** The shared thumbnail reduction: a decoded frame to the `FeatureDim`-cell
+    * (4 x 2) mean-luminance grid in [0, 1]. Used by both the still-image and
+    * the per-video-frame decode paths so image and video features live in the
+    * same space (a video of a still image featurizes like the image).
+    */
+  private def lumaGrid(img: java.awt.image.BufferedImage): Array[Float] = {
+    val cols = 4
+    val rows = FeatureDim / cols
+    val sums = new Array[Double](FeatureDim)
+    val counts = new Array[Long](FeatureDim)
+    var y = 0
+    while (y < img.getHeight) {
+      val cy = math.min(rows - 1, y * rows / img.getHeight)
+      var x = 0
+      while (x < img.getWidth) {
+        val cx = math.min(cols - 1, x * cols / img.getWidth)
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val c = cy * cols + cx
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < FeatureDim) {
+      out(i) = if (counts(i) == 0) 0.0f else (sums(i) / (255.0 * counts(i))).toFloat
+      i += 1
+    }
+    out
   }
 
   /** Real audio decode: `javax.sound.sampled.AudioSystem` over the payload
@@ -195,14 +204,16 @@ object Multimodal {
     acc
   }
 
-  /** Full decode: real image decode, then real audio decode, byte-histogram
-    * fallback only for payloads no JDK codec recognizes (video). Codec
-    * sniffing is by content (magic numbers), not metadata, so mislabeled
-    * rows still decode correctly.
+  /** Full decode: real image decode, then real audio decode, then real
+    * MJPEG-AVI video decode; byte-histogram fallback only for payloads no
+    * JDK-reachable codec recognizes (e.g. H.264 video). Codec sniffing is
+    * by content (magic numbers), not metadata, so mislabeled rows still
+    * decode correctly.
     */
   private[ops] def decode(payload: Array[Byte]): Array[Float] =
     decodeImage(payload)
       .orElse(decodeAudio(payload))
+      .orElse(decodeVideo(payload))
       .getOrElse(decodeStub(payload))
 
   private val featureRowSchema: StructType = StructType(Seq(
@@ -311,10 +322,157 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  // --- AVI/MJPEG: REAL video frame decode, pure JDK --------------------------
+  //
+  // The JDK ships no inter-frame video codec (H.264/VP9/MPEG are out of
+  // reach without external libraries), but Motion-JPEG needs none: every
+  // frame of an MJPEG stream is a standalone JPEG, and `javax.imageio`
+  // decodes JPEG. So for MJPEG-in-AVI — a format real capture pipelines
+  // still emit — frame decode is REAL here: a RIFF container walk locates
+  // the `movi` frame chunks, and each sampled frame decodes through the
+  // same `lumaGrid` reduction the still-image path uses. Other codecs
+  // still fall back to the labeled byte-histogram stand-in.
+
+  /** Parsed AVI container facts from `avih` (+ first video `strh`). */
+  private[ops] case class AviMeta(
+      microsPerFrame: Long, totalFrames: Int, width: Int, height: Int,
+      handler: String, frameChunks: IndexedSeq[(Int, Int)]) {
+    def durationMs: Long = microsPerFrame * totalFrames / 1000L
+  }
+
+  /** RIFF/AVI walk: header facts plus the (offset, length) of every stream-0
+    * video frame chunk (`00dc`/`00db`) inside the `movi` list — an in-memory
+    * frame index, so sampled decode seeks straight to the frames it needs
+    * and never JPEG-decodes the rest. RIFF sizes are little-endian (unlike
+    * ISO-BMFF); chunks pad to even offsets. Returns None for non-AVI bytes
+    * or a malformed chunk tree.
+    */
+  private[ops] def probeAviMeta(payload: Array[Byte]): Option[AviMeta] = {
+    if (payload == null || payload.length < 24) return None
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    try {
+      // find a child: plain chunk by id, or LIST by its list-type
+      def find(from: Int, to: Int, name: String): Option[(Int, Int)] = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(o)
+          val size = u32(o + 4)
+          if (o.toLong + 8 + size > to) return None
+          if (id == name) return Some((o + 8, size.toInt))
+          if (id == "LIST" && size >= 4 && fourcc(o + 8) == name)
+            return Some((o + 12, size.toInt - 4))
+          o += 8 + size.toInt + (size.toInt & 1) // RIFF even padding
+        }
+        None
+      }
+      val end = math.min(payload.length.toLong, 8L + u32(4)).toInt
+      val (hdrl, hdrlLen) = find(12, end, "hdrl").getOrElse(return None)
+      val (avih, avihLen) = find(hdrl, hdrl + hdrlLen, "avih").getOrElse(return None)
+      if (avihLen < 40) return None
+      val mpf = u32(avih)
+      val totalFrames = u32(avih + 16).toInt
+      val w = u32(avih + 32).toInt
+      val h = u32(avih + 36).toInt
+      val handler = find(hdrl, hdrl + hdrlLen, "strl")
+        .flatMap { case (strl, strlLen) => find(strl, strl + strlLen, "strh") }
+        .collect { case (strh, len) if len >= 8 && fourcc(strh) == "vids" => fourcc(strh + 4) }
+        .getOrElse("")
+      val (movi, moviLen) = find(12, end, "movi").getOrElse(return None)
+      val frames = IndexedSeq.newBuilder[(Int, Int)]
+      var o = movi
+      while (o + 8 <= movi + moviLen) {
+        val id = fourcc(o)
+        val size = u32(o + 4).toInt
+        if (size < 0 || o + 8 + size > movi + moviLen) return None
+        if (id == "00dc" || id == "00db") frames += ((o + 8, size))
+        o += 8 + size + (size & 1)
+      }
+      Some(AviMeta(mpf, totalFrames, w, h, handler, frames.result()))
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode ONE frame of an MJPEG AVI by index — seeks via the frame chunk
+    * table, JPEG-decodes just that chunk. None when the index is out of
+    * range or the chunk bytes aren't a decodable JPEG.
+    */
+  private[ops] def decodeAviFrame(meta: AviMeta, payload: Array[Byte], idx: Int): Option[Array[Float]] = {
+    if (idx < 0 || idx >= meta.frameChunks.length) return None
+    val (off, len) = meta.frameChunks(idx)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload, off, len))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None else Some(lumaGrid(img))
+    } catch { case _: Exception => None }
+  }
+
+  /** Clip-level features for an MJPEG AVI: the mean luminance grid over up
+    * to 8 evenly-spaced frames (first frame always included). Lives in the
+    * same feature space as [[decodeImage]], so image-vs-video near-dup
+    * (a clip of a still vs the still itself) works through the same LSH
+    * machinery. None for non-AVI payloads or when no frame decodes.
+    */
+  private[ops] def decodeVideo(payload: Array[Byte]): Option[Array[Float]] =
+    probeAviMeta(payload).flatMap { meta =>
+      val n = meta.frameChunks.length
+      if (n == 0) None
+      else {
+        val step = math.max(1, n / 8)
+        val grids = (0 until n by step).flatMap(decodeAviFrame(meta, payload, _))
+        if (grids.isEmpty) None
+        else {
+          val acc = new Array[Float](FeatureDim)
+          grids.foreach { g => var i = 0; while (i < FeatureDim) { acc(i) += g(i); i += 1 } }
+          var i = 0
+          while (i < FeatureDim) { acc(i) /= grids.length; i += 1 }
+          Some(acc)
+        }
+      }
+    }
+
+  private val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_ms", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** REAL frame-sampled video decode: for every MJPEG-AVI payload, decode
+    * one frame per `everyMs` of clip time (the executable counterpart of
+    * [[frameSamplePlan]], which only plans timestamps). Map-side only —
+    * the frame index table means each sampled frame is a single-chunk JPEG
+    * decode, skipped frames cost nothing, and only FeatureDim floats per
+    * frame flow downstream. Non-AVI payloads yield no rows (they have no
+    * decodable frames), keeping this an honest decoder, not a stand-in.
+    */
+  def videoFrameFeatures(media: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    val enc = Encoders.row(frameFeatureSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          probeAviMeta(payload).toSeq.flatMap { meta =>
+            val mpf = math.max(meta.microsPerFrame, 1L)
+            Iterator.iterate(0L)(_ + everyMs)
+              .takeWhile(ms => ms < meta.durationMs || ms == 0L)
+              .map(ms => (ms, math.min((ms * 1000L / mpf).toInt, meta.frameChunks.length - 1)))
+              .distinctBy(_._2)
+              .flatMap { case (ms, idx) =>
+                decodeAviFrame(meta, payload, idx).map(g =>
+                  Row(r.getAs[Long]("media_id"), idx, ms, g))
+              }.toSeq
+          }
+        }
+      }(enc)
+  }
+
   /** Container-metadata extraction over a media table: (media_id,
     * duration_ms, width, height) for every payload with a parseable
-    * ISO-BMFF structure. Map-side only (same mapPartitions shape as
-    * [[extractFeatures]]); payloads never shuffle.
+    * ISO-BMFF or RIFF/AVI structure. Map-side only (same mapPartitions
+    * shape as [[extractFeatures]]); payloads never shuffle.
     */
   def videoMeta(media: DataFrame): DataFrame = {
     val schema = StructType(Seq(
@@ -326,8 +484,10 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          probeVideoMeta(r.getAs[Array[Byte]]("payload")).map(m =>
-            Row(r.getAs[Long]("media_id"), m.duration_ms, m.width, m.height))
+          val payload = r.getAs[Array[Byte]]("payload")
+          probeVideoMeta(payload)
+            .orElse(probeAviMeta(payload).map(a => VideoMeta(a.durationMs, a.width, a.height)))
+            .map(m => Row(r.getAs[Long]("media_id"), m.duration_ms, m.width, m.height))
         }
       }(enc)
   }

@@ -290,4 +290,130 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
       case (id, _, d) => counts(id) shouldBe (d + 999) / 1000
     }
   }
+
+  // --- REAL video frame decode (MJPEG-in-AVI — RIFF walk + JDK JPEG) -------
+
+  /** Minimal valid MJPEG AVI: RIFF(AVI ){ LIST(hdrl){ avih, LIST(strl){
+    * strh(vids/MJPG), strf } }, LIST(movi){ 00dc* } }. Little-endian sizes,
+    * even-padded chunks — built independently of the parser under test.
+    */
+  private def miniAvi(frames: Seq[Array[Byte]], microsPerFrame: Int, w: Int, h: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val bb = le(8 + payload.length + pad)
+      bb.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", (le(4).put(kind.getBytes("US-ASCII")).array() ++ children))
+    val avih = {
+      val b = le(56)
+      b.putInt(microsPerFrame).putInt(0).putInt(0).putInt(0)
+      b.putInt(frames.length) // dwTotalFrames
+      b.putInt(0).putInt(1).putInt(0)
+      b.putInt(w).putInt(h)
+      b.array()
+    }
+    val strh = {
+      val b = le(56)
+      b.put("vids".getBytes).put("MJPG".getBytes)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(microsPerFrame).putInt(1000000) // dwScale/dwRate
+      b.putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+      b.putLong(0) // rcFrame
+      b.array()
+    }
+    val strf = { // BITMAPINFOHEADER
+      val b = le(40)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.put("MJPG".getBytes).putInt(w * h * 3)
+      b.putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    le(8 + body.length).put("RIFF".getBytes).putInt(body.length).put(body).array()
+  }
+
+  private lazy val clipFrames = (0 until 10).map(s => encodeBytes(testImage(32, 16, seed = s), "jpg"))
+  // 10 frames at 100 ms each = 1 s clip
+  private lazy val clip = miniAvi(clipFrames, microsPerFrame = 100000, w = 32, h = 16)
+
+  test("probeAviMeta parses the RIFF header facts and indexes every frame chunk") {
+    val meta = Multimodal.probeAviMeta(clip).get
+    meta.microsPerFrame shouldBe 100000L
+    meta.totalFrames shouldBe 10
+    meta.width shouldBe 32
+    meta.height shouldBe 16
+    meta.handler shouldBe "MJPG"
+    meta.durationMs shouldBe 1000L
+    meta.frameChunks.length shouldBe 10
+    // refusals: non-AVI, truncated mid-chunk, null
+    Multimodal.probeAviMeta("RIFFxxxxWAVE".getBytes("US-ASCII")) shouldBe None
+    Multimodal.probeAviMeta(java.util.Arrays.copyOf(clip, clip.length - 7)) shouldBe None
+    Multimodal.probeAviMeta(null) shouldBe None
+  }
+
+  test("decodeAviFrame decodes the SAME pixels as a standalone decode of that frame's JPEG") {
+    val meta = Multimodal.probeAviMeta(clip).get
+    for (i <- Seq(0, 4, 9))
+      Multimodal.decodeAviFrame(meta, clip, i).get shouldBe Multimodal.decodeImage(clipFrames(i)).get
+    Multimodal.decodeAviFrame(meta, clip, 10) shouldBe None
+  }
+
+  test("videoFrameFeatures samples frames by clip time and decodes only those") {
+    val media = Seq((7L, clip)).toDF("media_id", "payload")
+      .select($"media_id", $"payload",
+        struct(lit("video").as("kind"), lit(32).as("width"), lit(16).as("height"),
+          lit(0).as("sample_rate_hz"), lit(1000L).as("duration_ms")).as("meta"))
+    val out = Multimodal.videoFrameFeatures(media, everyMs = 300).orderBy("frame_idx").collect()
+    // 0, 300, 600, 900 ms -> frames 0, 3, 6, 9
+    out.map(_.getAs[Int]("frame_idx")).toSeq shouldBe Seq(0, 3, 6, 9)
+    out.map(_.getAs[Long]("frame_ms")).toSeq shouldBe Seq(0L, 300L, 600L, 900L)
+    out.foreach { r =>
+      val idx = r.getAs[Int]("frame_idx")
+      r.getAs[scala.collection.Seq[Float]]("features").toArray shouldBe
+        Multimodal.decodeImage(clipFrames(idx)).get
+    }
+    // a non-AVI payload contributes no frame rows (decoder, not stand-in)
+    val mixed = media.union(
+      Seq((8L, "not a clip".getBytes("UTF-8"))).toDF("media_id", "payload")
+        .select($"media_id", $"payload",
+          struct(lit("video").as("kind"), lit(0).as("width"), lit(0).as("height"),
+            lit(0).as("sample_rate_hz"), lit(0L).as("duration_ms")).as("meta")))
+    Multimodal.videoFrameFeatures(mixed, everyMs = 300)
+      .select("media_id").distinct().as[Long].collect().toSeq shouldBe Seq(7L)
+  }
+
+  test("decode() routes MJPEG AVI to real frame decode, not the byte histogram") {
+    val feats = Multimodal.decodeVideo(clip).get
+    // clip-level features = mean of the sampled per-frame luminance grids
+    val meta = Multimodal.probeAviMeta(clip).get
+    val grids = (0 until 10).map(i => Multimodal.decodeAviFrame(meta, clip, i).get)
+    val mean = (0 until Multimodal.FeatureDim).map(c => grids.map(_(c)).sum / grids.length).toArray
+    feats.zip(mean).foreach { case (a, b) => a shouldBe b +- 1e-5f }
+    // the full decode chain picks the video path for AVI bytes
+    val viaChain = Multimodal.extractFeatures(
+      Seq((1L, clip)).toDF("media_id", "payload")
+        .select($"media_id", $"payload",
+          struct(lit("video").as("kind"), lit(32).as("width"), lit(16).as("height"),
+            lit(0).as("sample_rate_hz"), lit(1000L).as("duration_ms")).as("meta")))
+      .select("features").head().getAs[scala.collection.Seq[Float]](0).toArray
+    viaChain shouldBe feats
+    viaChain should not be Multimodal.decodeStub(clip)
+  }
+
+  test("videoMeta recognizes AVI containers alongside MP4") {
+    val media = Seq((1L, miniMp4(600, 54000, 640, 360)), (2L, clip))
+      .toDF("media_id", "payload")
+      .select($"media_id", $"payload",
+        struct(lit("video").as("kind"), lit(0).as("width"), lit(0).as("height"),
+          lit(0).as("sample_rate_hz"), lit(0L).as("duration_ms")).as("meta"))
+    val out = Multimodal.videoMeta(media).orderBy("media_id")
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    out shouldBe Seq((1L, 90000L, 640, 360), (2L, 1000L, 32, 16))
+  }
 }

@@ -35,6 +35,14 @@ def norm(df):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # resource caps (check_each.py sets these so one pathological oracle
+    # can't thrash the whole box); no-ops when unset
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    if os.environ.get("DUCKDB_TEMP_DIR"):
+        con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMP_DIR']}'")
     for f in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(f)[:-len(".parquet")]
         # a Spark-written table is a DIRECTORY of part files (the 10x
