@@ -318,10 +318,17 @@ private[laz] final class GpsTime11Dec(dec: ArithmeticDecoder, first: Array[Byte]
   private val mMulti = new SymbolModel(GpsTime.MultiTotal, withTable = true)
   private val mZeroDiff = new SymbolModel(6, withTable = true)
   private val icGps = new IntDecompressor(dec, 32, 9)
-  private val lastGps = new Array[Long](4)
+  private[laz] val lastGps = new Array[Long](4)
   private val lastDiff = new Array[Int](4)
   private val extreme = new Array[Int](4)
-  private var last = 0
+  private[laz] var last = 0
+  // Independent slot-allocation cursor: advances ONLY when a huge (>32-bit)
+  // difference opens a new sequence slot, and does NOT follow sequence
+  // switches — matching the published LASzip v2 algorithm. Using
+  // (last+1)&3 here instead desynchronizes against real laszip streams
+  // with interleaved flight lines. (private[laz] so LazSpec can pin the
+  // slot-machine trace against a hand-derived trace of the algorithm.)
+  private[laz] var next = 0
 
   lastGps(0) = getI64(first, firstOff)
 
@@ -334,7 +341,7 @@ private[laz] final class GpsTime11Dec(dec: ArithmeticDecoder, first: Array[Byte]
         lastGps(last) += d
         extreme(last) = 0
       } else if (multi == 2) {
-        val next = (last + 1) & 3
+        next = (next + 1) & 3
         val high = icGps.decompress((lastGps(last) >>> 32).toInt, 8)
         lastGps(next) = ((high.toLong & 0xFFFFFFFFL) << 32) | dec.readInt()
         last = next
@@ -377,7 +384,7 @@ private[laz] final class GpsTime11Dec(dec: ArithmeticDecoder, first: Array[Byte]
         }
         lastGps(last) += d
       } else if (multi == GpsTime.MultiCodeFull) {
-        val next = (last + 1) & 3
+        next = (next + 1) & 3
         val high = icGps.decompress((lastGps(last) >>> 32).toInt, 8)
         lastGps(next) = ((high.toLong & 0xFFFFFFFFL) << 32) | dec.readInt()
         last = next
@@ -401,10 +408,13 @@ private[laz] final class GpsTime11Enc(enc: ArithmeticEncoder, first: Array[Byte]
   private val mMulti = new SymbolModel(GpsTime.MultiTotal, withTable = false)
   private val mZeroDiff = new SymbolModel(6, withTable = false)
   private val icGps = new IntCompressor(enc, 32, 9)
-  private val lastGps = new Array[Long](4)
+  private[laz] val lastGps = new Array[Long](4)
   private val lastDiff = new Array[Int](4)
   private val extreme = new Array[Int](4)
-  private var last = 0
+  private[laz] var last = 0
+  // Independent slot-allocation cursor — see GpsTime11Dec. Must mirror the
+  // decoder exactly or files written here are mis-decoded by real laszip.
+  private[laz] var next = 0
 
   lastGps(0) = getI64(first, firstOff)
 
@@ -438,7 +448,7 @@ private[laz] final class GpsTime11Enc(enc: ArithmeticEncoder, first: Array[Byte]
           enc.encodeSymbol(mZeroDiff, 2)
           icGps.compress((lastGps(last) >>> 32).toInt, (curr >>> 32).toInt, 8)
           enc.writeInt(curr & 0xFFFFFFFFL)
-          val next = (last + 1) & 3
+          next = (next + 1) & 3
           lastGps(next) = curr
           last = next
           lastDiff(last) = 0
@@ -500,7 +510,7 @@ private[laz] final class GpsTime11Enc(enc: ArithmeticEncoder, first: Array[Byte]
           enc.encodeSymbol(mMulti, GpsTime.MultiCodeFull)
           icGps.compress((lastGps(last) >>> 32).toInt, (curr >>> 32).toInt, 8)
           enc.writeInt(curr & 0xFFFFFFFFL)
-          val next = (last + 1) & 3
+          next = (next + 1) & 3
           lastGps(next) = curr
           last = next
           lastDiff(last) = 0

@@ -211,6 +211,46 @@ class LazSpec extends AnyFunSuite with Matchers {
       "encoder output drifted from the committed fixture")
   }
 
+  test("GPSTIME11 slot machine follows the published independent-next-cursor algorithm") {
+    // Round-trips cannot distinguish a symmetric deviation from the real
+    // LASzip v2 slot allocation (encoder and decoder would err together),
+    // so this pins the (last, next, slots) state trace against a
+    // hand-derived trace of the published algorithm: `next` advances only
+    // when a huge (>32-bit) jump allocates a fresh sequence slot, and does
+    // NOT follow sequence switches. The vB1 step is the regression probe —
+    // it is only reachable as a 32-bit hop if the vC0 allocation went to
+    // slot 2 (independent cursor) instead of clobbering slot 1 ((last+1)&3).
+    import Items._
+    def rec(v: Long): Array[Byte] = { val a = new Array[Byte](8); putI64(a, 0, v); a }
+    val v0 = 1L << 40
+    val vA1 = v0 + 5 // small diff on slot 0
+    val vB0 = 2L << 40 // huge -> allocates slot 1 (next 0->1)
+    val vA2 = v0 + 10 // 32-bit hop back to slot 0 (sequence switch, next stays 1)
+    val vC0 = 3L << 40 // huge -> allocates slot 2 (next 1->2); slot 1 must survive
+    val vB1 = vB0 + 7 // 32-bit hop back to slot 1
+    val seq = Seq(vA1, vB0, vA2, vC0, vB1)
+    val expected = Seq((0, 0), (1, 1), (0, 1), (2, 2), (1, 2))
+
+    val enc = new ArithmeticEncoder
+    val ge = new GpsTime11Enc(enc, rec(v0), 0)
+    seq.zip(expected).foreach { case (v, (l, n)) =>
+      ge.write(rec(v), 0)
+      (ge.last, ge.next) shouldBe ((l, n))
+    }
+    ge.lastGps.toSeq shouldBe Seq(vA2, vB1, vC0, 0L)
+
+    val coded = enc.done()
+    val dec = new ArithmeticDecoder(coded, 0, coded.length)
+    val gd = new GpsTime11Dec(dec, rec(v0), 0)
+    seq.zip(expected).foreach { case (v, (l, n)) =>
+      val out = new Array[Byte](8)
+      gd.read(out, 0)
+      getI64(out, 0) shouldBe v
+      (gd.last, gd.next) shouldBe ((l, n))
+    }
+    gd.lastGps.toSeq shouldBe Seq(vA2, vB1, vC0, 0L)
+  }
+
   test("unsupported inputs are refused with actionable messages") {
     val recs = syntheticRecords(10, 0, 0, 3)
     intercept[IllegalArgumentException](

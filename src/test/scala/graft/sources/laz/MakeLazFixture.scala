@@ -15,7 +15,13 @@ object MakeLazFixture {
   def records(): Array[Array[Byte]] = {
     val rnd = new scala.util.Random(20260813)
     var x = 431000; var y = 4580000; var z = 120
-    var gps = 211000.25
+    // Two interleaved flight lines: GPS time alternates between two live
+    // sequences every 100 points (plus occasional exact repeats), so the
+    // pinned byte stream exercises the GPSTIME11 multi-sequence slot
+    // machine (huge-jump slot allocation AND sequence switch-back) — the
+    // part of the codec where a deviation from the published algorithm
+    // round-trips cleanly but desynchronizes against real laszip.
+    val gps = Array(211000.25, 503200.75)
     (0 until 2500).map { i =>
       val rec = new Array[Byte](38)
       x += (if (i % 89 == 0) rnd.nextInt(400000) - 200000 else rnd.nextInt(25) - 5)
@@ -32,8 +38,9 @@ object MakeLazFixture {
       rec(16) = ((i % 50) - 25).toByte
       rec(17) = 0
       Items.putU16(rec, 18, 4096)
-      if (i % 37 != 0) gps += 1e-5
-      Items.putI64(rec, 20, java.lang.Double.doubleToLongBits(gps))
+      val line = (i / 100) % 2
+      if (i % 37 != 0) gps(line) += 1e-5
+      Items.putI64(rec, 20, java.lang.Double.doubleToLongBits(gps(line)))
       Items.putU16(rec, 28, (i * 31) % 65536)
       Items.putU16(rec, 30, (i * 47) % 65536)
       Items.putU16(rec, 32, (i * 59) % 65536)
