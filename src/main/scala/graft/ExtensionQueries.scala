@@ -1364,6 +1364,62 @@ object ExtensionQueries {
       .orderBy(col("removed_id"))
   }
 
+  /** The trained IVF centroid frame x47 serves from — the persisted
+    * (cell_id, cv) model — exposed so tools.ScaleVerify can materialize
+    * it next to its output dump for the probe-scale oracle.
+    */
+  private[graft] def x47Centroids(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    AnnModels.ivfCentroids(s, dir, e, IvfCells, KmIters, EmbDim)
+  }
+
+  /** x47 oracle for probe scales where DuckDB cannot afford the in-SQL
+    * k-means retrain (at sf100 the retrain spilled >50 GB of temp and
+    * died): the identical decision pipeline, but the trained cells come
+    * from the engine's PERSISTED centroid parquet. The
+    * persisted-equals-retrained equivalence is itself pinned
+    * (AnnModelsSpec bit-identity; the full-retrain oracle remains the
+    * gate at sf<=10), so this verifies every probe-scale removal
+    * DECISION with bounded oracle resources.
+    *
+    * Assignment avoids the original oracle's vector-carrying window sort:
+    * the (round(cos,6) DESC, cell_id) argmax becomes one arg_min whose
+    * key is an exact BIGINT encoding — round(cos,6) is a multiple of
+    * 1e-6, so (1e6 - cos*1e6)*100 + cell_id orders identically, and the
+    * winning (v, cell) ride along in a struct. Duplicate corpus ids
+    * (planted clone ids collide with real ids once the table outgrows
+    * the +100000 offset) collapse to one row per id in BOTH engines:
+    * Spark's ivfAssign window and this GROUP BY vec_id pick the same
+    * global-argmax row.
+    */
+  private[graft] def x47ScaleOracle(centroidsGlob: String): String = {
+    val bucketSql = (0 until LshBits).map { p =>
+      val plane = (0 until EmbDim).map(d => Similarity.planeComponent(p, d)).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corpus AS (SELECT vec_id, v FROM e
+       | UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 5 = 0),
+       |c2 AS (SELECT cell_id, CAST(cv AS DOUBLE[]) AS cv FROM read_parquet('$centroidsGlob')),
+       |ac AS (SELECT vec_id, a.w.v AS v, a.w.cell_id AS cell_id FROM (
+       | SELECT t.vec_id, arg_min(
+       |   {'v': t.v, 'cell_id': c.cell_id},
+       |   (1000000 - CAST(round(round(list_cosine_similarity(t.v, c.cv), 6) * 1000000, 0) AS BIGINT)) * 100
+       |     + c.cell_id) AS w
+       |  FROM corpus t CROSS JOIN c2 c GROUP BY t.vec_id) a),
+       |sig AS (SELECT vec_id, v,
+       |  CAST(cell_id AS VARCHAR) || ':' || CAST($bucketSql AS VARCHAR) AS sb FROM ac),
+       |cool AS (SELECT sb FROM sig GROUP BY sb HAVING count(*) <= ${Dedup.ShingleDfCap}),
+       |capped AS (SELECT sig.* FROM sig JOIN cool USING (sb)),
+       |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       | FROM capped a JOIN capped b ON a.sb = b.sb AND a.vec_id < b.vec_id)
+       |SELECT id2 AS removed_id, CAST(min(id1) AS BIGINT) AS kept_id,
+       | max(cos) AS max_cos, CAST(count(*) AS BIGINT) AS n_dups
+       |FROM pr WHERE cos >= $SemDedupTau
+       |GROUP BY id2 ORDER BY removed_id""".stripMargin
+  }
+
   /** DSIR feature-hash bucket count (hashed unigram features). */
   private val DsirB = 256L
 

@@ -115,8 +115,13 @@ object AnnModels {
           // `path` exists without _SUCCESS: a crashed half-commit. Pull our
           // payload back out if the rename nested it, remove the husk, and
           // retry — next rename finds no destination and commits cleanly.
+          // Re-check committed() immediately before the delete: a racing
+          // writer may have committed since the branch check, and deleting
+          // then would briefly destroy a live model under a concurrent
+          // reader. If it did commit, skip the delete — the next loop
+          // iteration observes the winner and cleans up our copy.
           if (fs.exists(nested) && !fs.exists(tmp)) fs.rename(nested, tmp)
-          fs.delete(path, true)
+          if (!committed()) fs.delete(path, true)
         }
       }
       require(done || committed(),

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.SparkEntry
+import graft.{ExtensionQueries, SparkEntry}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, expr}
 
@@ -39,7 +39,10 @@ object ScaleVerify {
     "x47_semantic_dedup" -> Some("removed_id % 97 = 0"))
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args.take(2)
+    val Array(sfDir, rawOutDir) = args.take(2)
+    // absolute, so oracle SQL read_parquet() references and check-script
+    // symlinks resolve regardless of the compare process's cwd
+    val outDir = new java.io.File(rawOutDir).getAbsolutePath
     val names = args.drop(2).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -82,8 +85,22 @@ object ScaleVerify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Probe-scale oracle overrides: x47's full oracle re-trains the IVF
+    // model in SQL, which DuckDB cannot afford at sf100 (>50 GB spill).
+    // Materialize the engine's persisted centroid model beside the dump
+    // and verify the removal decisions GIVEN that model — the
+    // persisted-equals-retrained equivalence is pinned separately
+    // (AnnModelsSpec; full-retrain oracle at sf<=10).
+    val overrides: Map[String, String] =
+      if (family.exists(_._1 == "x47_semantic_dedup")) {
+        val cdir = s"$outDir/x47_centroids"
+        ExtensionQueries.x47Centroids(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(cdir)
+        Map("x47_semantic_dedup" -> ExtensionQueries.x47ScaleOracle(s"$cdir/*.parquet"))
+      } else Map.empty
+
     val json = family.map { case (name, slice) =>
-      val base = SparkEntry.oracleSql(name)
+      val base = overrides.getOrElse(name, SparkEntry.oracleSql(name))
       val where = slice.map(s => s"WHERE $s ").getOrElse("")
       val wrapped = s"SELECT * FROM (\n$base\n) __g ${where}ORDER BY ALL NULLS FIRST"
       s"${q(name)}: ${q(wrapped)}"

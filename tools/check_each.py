@@ -9,7 +9,9 @@ Usage: python3 tools/check_each.py <sfDir> <verifyOutDir> [timeoutSec] [memGB]
 import sys, os, json, shutil, subprocess, tempfile, time
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    # abspath: the symlink target below is created inside a /tmp subdir, so
+    # a relative outdir would dangle and every query would FAIL 'no output'
+    sfdir, outdir = os.path.abspath(sys.argv[1]), os.path.abspath(sys.argv[2])
     timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 1800
     memgb = sys.argv[4] if len(sys.argv) > 4 else "48"
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
