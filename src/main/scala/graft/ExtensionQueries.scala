@@ -1640,7 +1640,8 @@ object ExtensionQueries {
       .cache()
     // Same src set as `edges` (every edge row carries a degree), but read
     // from the cached frame so the union+distinct is not rebuilt; cached
-    // because every round's dangling-node left join re-reads it.
+    // because the init vector and each lineage cut's nFrame aggregate
+    // re-read it.
     val nodes = withDeg.select(col("src").as("node")).distinct().cache()
     val nFrame = broadcast(nodes.agg(count(lit(1)).as("n")))
     // The init vector is a constant expression over `nodes` — leave it
@@ -1663,8 +1664,12 @@ object ExtensionQueries {
       // materializations that were the bulk of x51's wall-clock (VERDICT
       // r5: 4 node-sized checkpoints for 3 rounds of math), while the
       // served result stays a scan of the materialized vector (the
-      // PlanSpec serve-discipline pin).
-      if (i % 2 == 0 || i == PrRounds) ranks = graft.ops.Checkpoints.cut(ranks)
+      // PlanSpec serve-discipline pin). The FINAL cut is LAZY: the serve's
+      // TakeOrdered is the single consumer, so its action computes and
+      // persists the last generation in one pass instead of an extra
+      // eager materialization round.
+      if (i == PrRounds) ranks = graft.ops.Checkpoints.cutLazy(ranks)
+      else if (i % 2 == 0) ranks = graft.ops.Checkpoints.cut(ranks)
     }
     ranks.select(col("node").as("node_id"), col("r").as("rank_pico"))
       .orderBy(col("rank_pico").desc, col("node_id"))

@@ -27,7 +27,18 @@ object Checkpoints {
   final val DirKey = "spark.graft.checkpoint.dir"
 
   /** Materialize `df` and cut its lineage under the conf-selected mode. */
-  def cut(df: DataFrame): DataFrame = {
+  def cut(df: DataFrame): DataFrame = cut(df, eager = true)
+
+  /** As [[cut]], but defer materialization to the consumer's first
+    * action: the returned plan is already the truncated
+    * scan-of-checkpoint, and that action computes and persists the
+    * generation in one pass. Right for a FINAL generation consumed
+    * exactly once by a serve step — it saves the separate eager
+    * materialization pass while keeping the served plan identical.
+    */
+  def cutLazy(df: DataFrame): DataFrame = cut(df, eager = false)
+
+  private def cut(df: DataFrame, eager: Boolean): DataFrame = {
     val s = df.sparkSession
     val reliable = s.conf.getOption(ReliableKey).exists(_.trim.equalsIgnoreCase("true"))
     if (reliable) {
@@ -37,9 +48,9 @@ object Checkpoints {
             "or an already-set SparkContext checkpoint dir"))
         s.sparkContext.setCheckpointDir(dir)
       }
-      df.checkpoint(eager = true)
+      df.checkpoint(eager = eager)
     } else {
-      df.localCheckpoint(eager = true)
+      df.localCheckpoint(eager = eager)
     }
   }
 }
