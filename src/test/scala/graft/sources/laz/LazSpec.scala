@@ -211,6 +211,151 @@ class LazSpec extends AnyFunSuite with Matchers {
       "encoder output drifted from the committed fixture")
   }
 
+  // ------------------------------------------------- LAS 1.4 / layered
+
+  /** Deterministic LAS 1.4 stream: up to `nChannels` interleaved
+    * scanner channels (each its own flight line with its own GPS pulse
+    * train and coordinate track), multi-returns, classification-flag /
+    * scan-direction / edge churn, 2-byte scan angles, point-source
+    * changes, RGB (fmt 7/8), NIR (fmt 8), and extra bytes.
+    */
+  private def syntheticRecords14(
+      n: Int, pointFormat: Int, extraBytes: Int, seed: Int, nChannels: Int = 3): Array[Array[Byte]] = {
+    val rnd = new scala.util.Random(seed)
+    val stride = LazFile.itemsFor14(pointFormat, extraBytes).map(_.size).sum
+    val xs = Array.fill(4)(431000); val ys = Array.fill(4)(4580000); val zs = Array.fill(4)(120)
+    val gps = Array.tabulate(4)(c => java.lang.Double.doubleToLongBits(211000.25 + c * 90000))
+    (0 until n).map { i =>
+      val rec = new Array[Byte](stride)
+      // channel switches every few points (interleaved flight lines)
+      val ch = (i / (3 + i % 5)) % nChannels
+      xs(ch) += (if (i % 97 == 0) rnd.nextInt(2000000) - 1000000 else rnd.nextInt(30) - 5)
+      ys(ch) += (if (i % 131 == 0) rnd.nextInt(400000) - 200000 else rnd.nextInt(7) - 3)
+      zs(ch) += (if (i % 53 == 0) rnd.nextInt(3000) - 1500 else rnd.nextInt(5) - 2)
+      Items.putI32(rec, 0, xs(ch))
+      Items.putI32(rec, 4, ys(ch))
+      Items.putI32(rec, 8, zs(ch))
+      Items.putU16(rec, 12, if (i % 7 < 5) 180 else rnd.nextInt(65536))
+      val r = if (i % 11 == 0) 1 + rnd.nextInt(15) else 1
+      val nr = math.max(r, if (i % 11 == 0) 1 + rnd.nextInt(15) else 1)
+      rec(14) = ((r & 0xF) | ((nr & 0xF) << 4)).toByte
+      val cf = if (i % 19 == 0) rnd.nextInt(16) else 0
+      val sd = (i % 3) & 1
+      val eo = if (i % 23 == 0) 1 else 0
+      rec(15) = ((cf & 0xF) | (ch << 4) | (sd << 6) | (eo << 7)).toByte
+      rec(16) = (if (i % 5 == 0) 2 else if (i % 29 == 0) rnd.nextInt(256) else 1).toByte
+      rec(17) = (i % 4).toByte
+      Items.putU16(rec, 18, ((i % 120) - 60) & 0xFFFF) // i16 scan angle sweeps
+      Items.putU16(rec, 20, 4096 + (if (i % 41 == 0) i % 3 else 0))
+      if (i % 37 != 0) {
+        val t = java.lang.Double.longBitsToDouble(gps(ch))
+        gps(ch) = java.lang.Double.doubleToLongBits(t + 1e-5 * (1 + (i % 3)))
+      } // else exact gps repeat within the channel
+      Items.putI64(rec, 22, gps(ch))
+      var off = 30
+      if (pointFormat == 7 || pointFormat == 8) {
+        if (i % 6 == 0) {
+          val gray = rnd.nextInt(65536)
+          Items.putU16(rec, off, gray); Items.putU16(rec, off + 2, gray); Items.putU16(rec, off + 4, gray)
+        } else {
+          Items.putU16(rec, off, (i * 37) % 65536)
+          Items.putU16(rec, off + 2, (i * 53) % 65536)
+          Items.putU16(rec, off + 4, (i * 71) % 65536)
+        }
+        off += 6
+      }
+      if (pointFormat == 8) {
+        Items.putU16(rec, off, (i * 91) % 65536)
+        off += 2
+      }
+      (0 until extraBytes).foreach { e => rec(off + e) = ((i * (e + 3)) % 256).toByte }
+      rec
+    }.toArray
+  }
+
+  private def roundTrip14(
+      pointFormat: Int, n: Int, chunkSize: Int, extraBytes: Int = 0, seed: Int = 1,
+      nChannels: Int = 3): Unit = {
+    val recs = syntheticRecords14(n, pointFormat, extraBytes, seed, nChannels)
+    val scale = Array(0.01, 0.01, 0.01)
+    val offset = Array(0.0, 0.0, 0.0)
+    val laz = LazFile.compress14(pointFormat, recs, scale, offset, chunkSize, extraBytes)
+    val (h, decoded) = LazFile.decompress(laz)
+    h.pointFormat shouldBe pointFormat
+    h.npoints shouldBe n
+    h.compressed shouldBe true
+    h.compressor shouldBe LazFile.CompressorLayeredChunked
+    decoded.length shouldBe n
+    var i = 0
+    while (i < n) {
+      assert(java.util.Arrays.equals(decoded(i), recs(i)),
+        s"record $i differs (format $pointFormat, chunkSize $chunkSize)")
+      i += 1
+    }
+    val las = LazFile.writeUncompressed(pointFormat, recs, scale, offset)
+    val (hu, raw) = LazFile.readUncompressed(las)
+    hu.recordLength shouldBe h.recordLength
+    hu.npoints shouldBe n
+    raw.indices.foreach(i => assert(java.util.Arrays.equals(raw(i), decoded(i))))
+    if (n >= 500) assert(laz.length < las.length, s"laz ${laz.length} >= las ${las.length}")
+  }
+
+  test("format 6 (POINT14, layered) round-trips bit-identically across interleaved channels") {
+    roundTrip14(6, 4000, 1000)
+  }
+  test("format 7 (POINT14+RGB14) round-trips bit-identically") { roundTrip14(7, 4000, 1000) }
+  test("format 8 (POINT14+RGBNIR14) round-trips bit-identically") { roundTrip14(8, 4000, 1000) }
+  test("LAS 1.4 extra bytes (BYTE14 per-byte layers) round-trip bit-identically") {
+    roundTrip14(7, 2000, 700, extraBytes = 5)
+  }
+  test("LAS 1.4 single channel (no context switches) round-trips") {
+    roundTrip14(6, 2000, 800, nChannels = 1)
+  }
+  test("LAS 1.4 all four channels round-trip") { roundTrip14(8, 3000, 900, nChannels = 4) }
+
+  test("LAS 1.4 chunk edges: odd counts, chunk of one, single chunk, one- and two-point files") {
+    roundTrip14(6, 2501, 500)
+    roundTrip14(7, 1001, 1000)
+    roundTrip14(6, 999, 50000)
+    roundTrip14(8, 1, 50000)
+    roundTrip14(6, 2, 50000)
+  }
+
+  test("LAS 1.4 all-constant tail fields produce zero-byte layers and still round-trip") {
+    // constant scan angle / point source / gps -> their layers are empty
+    val stride = 30
+    val recs = (0 until 1500).map { i =>
+      val rec = new Array[Byte](stride)
+      Items.putI32(rec, 0, 431000 + i * 3)
+      Items.putI32(rec, 4, 4580000 + (i % 7))
+      Items.putI32(rec, 8, 120)
+      Items.putU16(rec, 12, 200)
+      rec(14) = 0x11
+      rec(15) = 0
+      rec(16) = 2
+      rec(17) = 0
+      Items.putU16(rec, 18, 100)
+      Items.putU16(rec, 20, 4096)
+      Items.putI64(rec, 22, java.lang.Double.doubleToLongBits(211000.25))
+      rec
+    }.toArray
+    val laz = LazFile.compress14(6, recs, Array(0.01, 0.01, 0.01), Array(0.0, 0.0, 0.0), 1000, 0)
+    val (_, decoded) = LazFile.decompress(laz)
+    decoded.indices.foreach(i => assert(java.util.Arrays.equals(decoded(i), recs(i)), s"record $i"))
+  }
+
+  test("LAS 1.4 adversarial streams: full-range random records survive") {
+    val rnd = new scala.util.Random(177)
+    val recs = Array.fill(3000) {
+      val rec = new Array[Byte](38)
+      rnd.nextBytes(rec)
+      rec
+    }
+    val laz = LazFile.compress14(8, recs, Array(0.01, 0.01, 0.01), Array(0.0, 0.0, 0.0), 1000, 0)
+    val (_, decoded) = LazFile.decompress(laz)
+    decoded.indices.foreach(i => assert(java.util.Arrays.equals(decoded(i), recs(i)), s"record $i"))
+  }
+
   test("GPSTIME11 slot machine follows the published independent-next-cursor algorithm") {
     // Round-trips cannot distinguish a symmetric deviation from the real
     // LASzip v2 slot allocation (encoder and decoder would err together),
@@ -251,10 +396,40 @@ class LazSpec extends AnyFunSuite with Matchers {
     gd.lastGps.toSeq shouldBe Seq(vA2, vB1, vC0, 0L)
   }
 
+  test("committed 1.4 fixture: the pinned layered .laz decodes bit-identically to its twin") {
+    def resource(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/laz/$name")
+      require(in != null, s"missing committed fixture /laz/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    val (hLaz, decoded) = LazFile.decompress(resource("fixture14.laz"))
+    val (hLas, raw) = LazFile.readUncompressed(resource("fixture14.las"))
+    hLaz.pointFormat shouldBe 8
+    hLaz.compressor shouldBe LazFile.CompressorLayeredChunked
+    hLaz.npoints shouldBe hLas.npoints
+    decoded.length shouldBe raw.length
+    decoded.indices.foreach { i =>
+      assert(java.util.Arrays.equals(decoded(i), raw(i)), s"fixture14 record $i differs")
+    }
+    // and today's encoder still produces the committed byte stream
+    val reEncoded = LazFile.compress14(
+      8, MakeLazFixture.records14(), Array(0.01, 0.01, 0.01), Array(0.0, 0.0, 0.0),
+      chunkSize = 1000, extraBytes = 3)
+    assert(java.util.Arrays.equals(reEncoded, resource("fixture14.laz")),
+      "layered encoder output drifted from the committed fixture")
+  }
+
   test("unsupported inputs are refused with actionable messages") {
     val recs = syntheticRecords(10, 0, 0, 3)
+    // waveform-packet formats stay out of scope, loudly
     intercept[IllegalArgumentException](
-      LazFile.itemsFor(6, 0)).getMessage should include("format")
+      LazFile.itemsFor(4, 0)).getMessage should include("format")
+    intercept[IllegalArgumentException](
+      LazFile.itemsFor(5, 0)).getMessage should include("format")
+    intercept[IllegalArgumentException](
+      LazFile.itemsFor14(9, 0)).getMessage should include("format")
+    intercept[IllegalArgumentException](
+      LazFile.itemsFor14(10, 0)).getMessage should include("format")
     // a corrupted signature
     val laz = LazFile.compress(0, recs, Array(0.01, 0.01, 0.01), Array(0.0, 0.0, 0.0))
     laz(0) = 'X'
