@@ -15,6 +15,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Pinned like Verify's session: the NTZ→TimestampType normalization in
+      // Tables.events is only wall-clock-exact under a fixed session zone.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -78,7 +81,15 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => if (!errors.contains(name)) errors += name; false }
+          catch { case e: Throwable =>
+            // Name the failure (class + message, one line, stderr) — a bare
+            // query name in `errors` costs whoever reads BENCH_r{N} a full
+            // rebuild-and-rerun cycle to learn *why* it died.
+            System.err.println(
+              s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            if (!errors.contains(name)) errors += name
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // Cache hygiene between runs (x04/x06 cache shingle frames);
         // clearing is outside the timed window.

@@ -36,7 +36,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Class + message + first in-repo stack frame: enough to locate the
+        // failing operator without a rebuild-and-rerun diagnosis cycle.
+        val frame = e.getStackTrace.find(_.getClassName.startsWith("graft"))
+          .orElse(e.getStackTrace.headOption).map(_.toString).getOrElse("")
+        System.err.println(
+          s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage} at $frame")
       }
       // Cache hygiene: a few queries cache intermediates (x04/x06 shingle
       // frames); drop them before the next query so blocks don't pile up
