@@ -21,8 +21,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * entwine.io — `ept.json` metadata, `ept-hierarchy/<key>.json` octree
   * node counts, `ept-data/<D-X-Y-Z>` point payloads).
   *
-  * Scope: `dataType: "binary"` payloads (raw little-endian structs per
-  * the `schema` dimension list) AND `dataType: "laszip"` payloads —
+  * Scope: all three EPT payload encodings. `dataType: "binary"` (raw
+  * little-endian structs per the `schema` dimension list),
+  * `dataType: "zstandard"` (the same structs, zstd-framed — streamed
+  * through zstd-jni, the codec Spark ships for shuffle compression),
+  * AND `dataType: "laszip"` payloads —
   * each `ept-data/<key>.laz` node is a complete little LAZ file decoded
   * by the pure-JVM [[graft.sources.laz.LazFile]] codec (LAS 1.2 point
   * formats 0-3 + extra bytes, the formats `usgs-lidar-public`-style
@@ -118,8 +121,8 @@ object EptSource {
         offset = if (d.has("offset")) d.get("offset").asDouble() else 0.0)
     }.toSeq
     val dataType = root.get("dataType").asText()
-    require(dataType == "binary" || dataType == "laszip",
-      s"EptSource reads dataType 'binary' and 'laszip'; '$dataType' (zstandard) needs a codec the JDK does not ship")
+    require(dataType == "binary" || dataType == "laszip" || dataType == "zstandard",
+      s"EptSource reads dataType 'binary', 'laszip' and 'zstandard'; got '$dataType'")
     val hierarchyType = if (root.has("hierarchyType")) root.get("hierarchyType").asText() else "json"
     require(hierarchyType == "json", s"unsupported hierarchyType $hierarchyType")
     EptMeta(
@@ -312,7 +315,11 @@ class EptScan(path: String, required: StructType, pushed: Array[Filter]) extends
   override def planInputPartitions(): Array[InputPartition] = {
     val m = EptSource.meta(path, driverConf)
     val bounds = PointsSource.rangeBounds(pushed)
-    val ext = if (m.dataType == "laszip") "laz" else "bin"
+    val ext = m.dataType match {
+      case "laszip" => "laz"
+      case "zstandard" => "zst"
+      case _ => "bin"
+    }
     EptSource.hierarchy(path, driverConf).toSeq
       .filter { case (key, _) => bounds.isEmpty || EptSource.cubeSurvives(key.cube(m.bounds), bounds) }
       .sortBy(_._1.toString)
@@ -378,11 +385,20 @@ class EptPartitionReader(
       recs
     }
 
-  private val in =
+  // Binary payloads stream directly; zstandard payloads stream through a
+  // zstd frame decoder (zstd-jni — the same codec Spark itself uses for
+  // shuffle/event-log compression, so it is always on the classpath).
+  // Streaming decode keeps memory at O(window), not O(node), and the
+  // stride-struct record path below is shared verbatim with binary.
+  private val in: java.io.InputStream =
     if (isLaz) null
     else {
       val p = new Path(partition.file)
-      p.getFileSystem(conf).open(p)
+      val raw = p.getFileSystem(conf).open(p)
+      if (partition.file.endsWith(".zst"))
+        new java.io.BufferedInputStream(
+          new com.github.luben.zstd.ZstdInputStream(raw), 64 * 1024)
+      else raw
     }
   private val buf = new Array[Byte](stride)
   private var rows = 0L

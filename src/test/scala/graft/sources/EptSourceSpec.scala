@@ -288,4 +288,58 @@ class EptSourceSpec extends AnyFunSuite with Matchers with SparkTest {
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getInt(3), r.getInt(4))
     lazDf.collect().map(key).sortBy(_._1).toSeq shouldBe binDf.collect().map(key).sortBy(_._1).toSeq
   }
+
+  // ---------------------------------------------------- zstandard payloads
+
+  test("zstandard payloads decode identically to binary: same tree, same rows, pruning intact") {
+    // The EPT spec's third dataType: each node is the binary struct payload
+    // inside a zstd frame (ept-data/<key>.zst). Encode the binary fixture's
+    // exact node bytes through the real codec (zstd-jni's stream encoder —
+    // decoding then exercises the full frame path: magic, window, blocks,
+    // checksum) and require row-for-row equality with the binary tree.
+    val dir = java.nio.file.Files.createTempDirectory("ept-zst-twin").toFile
+    new java.io.File(dir, "ept-data").mkdirs()
+    new java.io.File(dir, "ept-hierarchy").mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(dir, "ept.json").toPath,
+      """{"bounds": [0, 0, 0, 16, 16, 16],
+        | "dataType": "zstandard", "hierarchyType": "json", "points": 6, "span": 4,
+        | "schema": [
+        |  {"name": "X", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
+        |  {"name": "Y", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
+        |  {"name": "Z", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
+        |  {"name": "Intensity", "type": "unsigned", "size": 2},
+        |  {"name": "Classification", "type": "unsigned", "size": 1}],
+        | "version": "1.0.0"}""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dir, "ept-hierarchy/0-0-0-0.json").toPath,
+      """{"0-0-0-0": 2, "1-0-0-0": 2, "1-1-1-1": 2}""")
+    Seq(("0-0-0-0", rootPts), ("1-0-0-0", lowPts), ("1-1-1-1", highPts)).foreach { case (key, pts) =>
+      val bb = ByteBuffer.allocate(pts.size * 15).order(ByteOrder.LITTLE_ENDIAN)
+      pts.foreach { case (x, y, z, inten, cls) =>
+        bb.putInt(math.round(x * 100).toInt)
+        bb.putInt(math.round(y * 100).toInt)
+        bb.putInt(math.round(z * 100).toInt)
+        bb.putShort((inten & 0xffff).toShort)
+        bb.put((cls & 0xff).toByte)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      val zout = new com.github.luben.zstd.ZstdOutputStream(baos)
+      zout.write(bb.array()); zout.close()
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"ept-data/$key.zst").toPath, baos.toByteArray)
+    }
+    def zload() = spark.read.format("graft.sources.EptSource").option("path", dir.getPath).load()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getInt(3), r.getInt(4))
+    zload().collect().map(key).sortBy(_._1).toSeq shouldBe
+      load().collect().map(key).sortBy(_._1).toSeq
+    // octree pruning plans .zst files and skips the non-intersecting child
+    val scan = new EptScan(dir.getPath, zload().schema,
+      Array(org.apache.spark.sql.sources.LessThanOrEqual("x", 7.9)))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[EptInputPartition].file)
+    parts.length shouldBe 2
+    parts.foreach(f => f should endWith(".zst"))
+    // end-to-end predicate + column pruning over the zstd stream decode
+    zload().filter(col("x") <= 7.9).select(col("x")).collect()
+      .map(_.getDouble(0)).sorted.toSeq shouldBe Seq(0.5, 1.0, 4.5)
+  }
 }
