@@ -524,9 +524,11 @@ object SparkEntry {
     * The oracle measures the gap in MICROSECONDS (Spark compares exact
     * micros-precision event times — a millisecond-truncated diff would
     * split sessions differently for sub-ms gaps straddling the boundary).
-    * Outputs are second-truncated epochs: Spark reads the nanos fixture
-    * truncated to micros while DuckDB reads full nanos, so raw timestamp
-    * bounds could differ in the sub-micro digits.
+    * Outputs are second-truncated epochs: fixture vintages differ in ts
+    * precision (the original TIMESTAMP(NANOS) fixture reaches Spark
+    * micros-truncated while DuckDB reads full nanos; the current NTZ
+    * fixture is micros in both), so raw timestamp bounds could differ in
+    * the sub-micro digits on the nanos vintage — seconds agree on all.
     *
     * Perf profile (tools.Q27Probe, sf0.1): warm steady state ~0.8-1.0 s —
     * partial session-agg before the shuffle, one exchange on user_id, then
@@ -616,8 +618,10 @@ object SparkEntry {
     * applies the time bound as a residual — the scale-correct plan (the
     * shuffle key is user_id; RewriteRangeJoin's grid is for joins with NO
     * equi key and deliberately skips this shape). Timestamps are emitted
-    * as epoch millis: Spark reads the nanos fixture micros-truncated, and
-    * milliseconds is where both engines agree exactly.
+    * as epoch millis: on the original TIMESTAMP(NANOS) fixture vintage
+    * Spark sees micros-truncated values while DuckDB reads full nanos,
+    * and milliseconds is where both engines agree exactly on every
+    * vintage (the current NTZ fixture is micros in both).
     */
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

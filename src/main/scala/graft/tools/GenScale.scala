@@ -44,9 +44,15 @@ object GenScale {
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
-    // events: ts is ns-long under nanosAsLong; keep one copy (streaming
-    // queries are already cheap).
-    spark.read.parquet(s"$src/events.parquet").write.mode("overwrite").parquet(s"$dst/events.parquet")
+    // events: replicated like the other facts so the event-time family
+    // (sessionize, session windows, attribution, burst dedup) scales too.
+    // Each copy shifts BOTH ids — event_id for uniqueness, user_id so the
+    // copies are disjoint user populations with identical streams (the
+    // realistic scale axis for event data: more users, same per-user
+    // activity). ts passes through untouched in whatever encoding the
+    // source fixture carries (ns-long, NTZ, LTZ) — Tables.events
+    // normalizes at read time.
+    replicate("events", Seq("event_id", "user_id"), 100000000L * offsetScale)
     spark.stop()
   }
 }

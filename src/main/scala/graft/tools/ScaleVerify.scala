@@ -36,7 +36,15 @@ object ScaleVerify {
     "x13_ann_ivf" -> None,
     "x26_dedup_pipeline" -> Some("keep_id % 97 = 0"),
     "x35_budget_select" -> Some("doc_id % 97 = 0"),
-    "x47_semantic_dedup" -> Some("removed_id % 97 = 0"))
+    "x47_semantic_dedup" -> Some("removed_id % 97 = 0"),
+    // Event-time family (restored in round 8 after the NTZ fixture drift):
+    // sessions and windows are where 100 TB event data actually lives.
+    "q23_sessionize_batch" -> Some("user_id % 97 = 0"),
+    "q27_session_window" -> Some("user_id % 97 = 0"),
+    "q31_attribution" -> Some("purchase_id % 97 = 0"),
+    "x42_burst_dedup" -> Some("event_id % 97 = 0"),
+    // Text family representative: per-doc token statistics at 50M docs.
+    "x19_repetition" -> Some("doc_id % 997 = 0"))
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, rawOutDir) = args.take(2)
