@@ -92,8 +92,14 @@ object Bench {
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // Cache hygiene between runs (x04/x06 cache shingle frames);
-        // clearing is outside the timed window.
+        // clearing is outside the timed window. localCheckpoint blocks
+        // (the iterative queries' lineage cuts — x26/x45/x50/x51) are NOT
+        // covered by clearCache and otherwise linger until driver GC
+        // collects the RDD handles, building memory pressure across the
+        // 93-query x reps session that inflates later queries' timings —
+        // unpersist every persistent RDD explicitly.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         if (ok) timings(name) = elapsed :: timings.getOrElse(name, Nil)
       }
     }

@@ -45,8 +45,10 @@ object Verify {
       }
       // Cache hygiene: a few queries cache intermediates (x04/x06 shingle
       // frames); drop them before the next query so blocks don't pile up
-      // across the 40+-query session.
+      // across the 90+-query session. localCheckpoint blocks (iterative
+      // lineage cuts) aren't covered by clearCache — unpersist explicitly.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
