@@ -164,6 +164,33 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("q23: sessionization is ONE data shuffle — window and both aggs reuse the user partitioning") {
+    val p = plan("q23_sessionize_batch")
+    // The user_id window shuffles once; groupBy(user_id, session_id) and
+    // groupBy(user_id) are both satisfied by hashpartitioning(user_id)
+    // (partitioning exprs subset of clustering), so no further hash
+    // exchange — only the presentation sort's range exchange remains.
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should include("user_id")
+    p should include("Window")
+  }
+
+  test("q27: session windows aggregate partially before the user shuffle") {
+    val p = plan("q27_session_window")
+    // Spark's native session-window pipeline: partial session agg,
+    // ONE exchange keyed on user_id, then the spillable sort + merge.
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should include("session_window")
+    p should include("partial_")
+  }
+
+  test("x42: burst dedup is one (user, type) shuffle; the gap filter needs no second pass") {
+    val p = plan("x42_burst_dedup")
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should include("event_type")
+    p should include("Window")
+  }
+
   test("q31: attribution join hash-joins on the user key; time bound is a residual") {
     // The equi key (user_id) must be the join key — a BETWEEN-only plan
     // would nested-loop. RewriteRangeJoin deliberately skips equi-keyed
