@@ -91,15 +91,9 @@ object Bench {
             false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        // Cache hygiene between runs (x04/x06 cache shingle frames);
-        // clearing is outside the timed window. localCheckpoint blocks
-        // (the iterative queries' lineage cuts — x26/x45/x50/x51) are NOT
-        // covered by clearCache and otherwise linger until driver GC
-        // collects the RDD handles, building memory pressure across the
-        // 93-query x reps session that inflates later queries' timings —
-        // unpersist every persistent RDD explicitly.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // Cache + checkpoint-block hygiene between runs, outside the
+        // timed window (see CacheHygiene for why clearCache alone leaks).
+        graft.util.CacheHygiene.clear(spark)
         if (ok) timings(name) = elapsed :: timings.getOrElse(name, Nil)
       }
     }

@@ -33,7 +33,18 @@ object Tables {
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The cast interprets NTZ wall-clock in the SESSION zone — under
+        // anything but UTC every event time silently shifts by the zone
+        // offset and session/attribution results change with no error.
+        // Enforce the invariant here at the shared normalization point
+        // instead of trusting each main to copy the config.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.parquet carries TIMESTAMP_NTZ; normalizing it requires " +
+            s"spark.sql.session.timeZone=UTC (session has '$tz') — set it in " +
+            "the SparkSession builder or the cast shifts every event time")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

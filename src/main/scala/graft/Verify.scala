@@ -43,12 +43,9 @@ object Verify {
         System.err.println(
           s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage} at $frame")
       }
-      // Cache hygiene: a few queries cache intermediates (x04/x06 shingle
-      // frames); drop them before the next query so blocks don't pile up
-      // across the 90+-query session. localCheckpoint blocks (iterative
-      // lineage cuts) aren't covered by clearCache — unpersist explicitly.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // Cache + checkpoint-block hygiene between queries (see
+      // CacheHygiene for why clearCache alone leaks).
+      graft.util.CacheHygiene.clear(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -81,7 +81,10 @@ object ScaleVerify {
         case e: Throwable =>
           System.err.println(s"[scale-verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache()
+      // Same hygiene as Bench/Verify — this session runs the iterative
+      // localCheckpoint users (x13/x26/x47) at the LARGEST scale, where
+      // lingering checkpoint blocks hurt most.
+      graft.util.CacheHygiene.clear(spark)
     }
 
     def q(s: String): String = "\"" + s.flatMap {

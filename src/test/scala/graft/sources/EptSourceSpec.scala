@@ -21,7 +21,11 @@ class EptSourceSpec extends AnyFunSuite with Matchers with SparkTest {
   private val lowPts = Seq((1.0, 2.0, 3.0, 100, 2), (4.5, 5.25, 6.75, 200, 7))
   private val highPts = Seq((9.0, 10.0, 11.0, 300, 1), (15.99, 8.0, 12.0, 65535, 255))
 
-  private def writeNode(dir: java.io.File, key: String, pts: Seq[(Double, Double, Double, Int, Int)]): Unit = {
+  /** The 15-byte stride struct of the fixture schema — ONE packing shared
+    * by the binary nodes and the zstandard twins, so the encodings can
+    * never silently drift onto different trees.
+    */
+  private def packPoints(pts: Seq[(Double, Double, Double, Int, Int)]): Array[Byte] = {
     val bb = ByteBuffer.allocate(pts.size * 15).order(ByteOrder.LITTLE_ENDIAN)
     pts.foreach { case (x, y, z, inten, cls) =>
       bb.putInt(math.round(x * 100).toInt)
@@ -30,23 +34,31 @@ class EptSourceSpec extends AnyFunSuite with Matchers with SparkTest {
       bb.putShort((inten & 0xffff).toShort)
       bb.put((cls & 0xff).toByte)
     }
-    java.nio.file.Files.write(new java.io.File(dir, s"ept-data/$key.bin").toPath, bb.array())
+    bb.array()
   }
+
+  /** The fixture dimension list, shared by every ept.json this spec writes. */
+  private val SchemaJson =
+    """ "schema": [
+      |  {"name": "X", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
+      |  {"name": "Y", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
+      |  {"name": "Z", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
+      |  {"name": "Intensity", "type": "unsigned", "size": 2},
+      |  {"name": "Classification", "type": "unsigned", "size": 1}]""".stripMargin
+
+  private def writeNode(dir: java.io.File, key: String, pts: Seq[(Double, Double, Double, Int, Int)]): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(dir, s"ept-data/$key.bin").toPath, packPoints(pts))
 
   private lazy val eptDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("ept-fixture").toFile
     new java.io.File(dir, "ept-data").mkdirs()
     new java.io.File(dir, "ept-hierarchy").mkdirs()
     java.nio.file.Files.writeString(new java.io.File(dir, "ept.json").toPath,
-      """{"bounds": [0, 0, 0, 16, 16, 16], "boundsConforming": [0, 0, 0, 16, 16, 16],
-        | "dataType": "binary", "hierarchyType": "json", "points": 6, "span": 4,
-        | "schema": [
-        |  {"name": "X", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
-        |  {"name": "Y", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
-        |  {"name": "Z", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
-        |  {"name": "Intensity", "type": "unsigned", "size": 2},
-        |  {"name": "Classification", "type": "unsigned", "size": 1}],
-        | "srs": {"authority": "EPSG", "horizontal": "3857"}, "version": "1.0.0"}""".stripMargin)
+      s"""{"bounds": [0, 0, 0, 16, 16, 16], "boundsConforming": [0, 0, 0, 16, 16, 16],
+         | "dataType": "binary", "hierarchyType": "json", "points": 6, "span": 4,
+         |$SchemaJson,
+         | "srs": {"authority": "EPSG", "horizontal": "3857"}, "version": "1.0.0"}""".stripMargin)
     // Sharded hierarchy: the 1-1-1-1 subtree lives in its own page (-1
     // marker), as EPT does for large trees.
     java.nio.file.Files.writeString(new java.io.File(dir, "ept-hierarchy/0-0-0-0.json").toPath,
@@ -253,15 +265,10 @@ class EptSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     new java.io.File(dir, "ept-data").mkdirs()
     new java.io.File(dir, "ept-hierarchy").mkdirs()
     java.nio.file.Files.writeString(new java.io.File(dir, "ept.json").toPath,
-      """{"bounds": [0, 0, 0, 16, 16, 16],
-        | "dataType": "laszip", "hierarchyType": "json", "points": 6, "span": 4,
-        | "schema": [
-        |  {"name": "X", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
-        |  {"name": "Y", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
-        |  {"name": "Z", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
-        |  {"name": "Intensity", "type": "unsigned", "size": 2},
-        |  {"name": "Classification", "type": "unsigned", "size": 1}],
-        | "version": "1.0.0"}""".stripMargin)
+      s"""{"bounds": [0, 0, 0, 16, 16, 16],
+         | "dataType": "laszip", "hierarchyType": "json", "points": 6, "span": 4,
+         |$SchemaJson,
+         | "version": "1.0.0"}""".stripMargin)
     java.nio.file.Files.writeString(new java.io.File(dir, "ept-hierarchy/0-0-0-0.json").toPath,
       """{"0-0-0-0": 2, "1-0-0-0": 2, "1-1-1-1": 2}""")
     def rec20(p: (Double, Double, Double, Int, Int)): Array[Byte] = {
@@ -301,29 +308,16 @@ class EptSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     new java.io.File(dir, "ept-data").mkdirs()
     new java.io.File(dir, "ept-hierarchy").mkdirs()
     java.nio.file.Files.writeString(new java.io.File(dir, "ept.json").toPath,
-      """{"bounds": [0, 0, 0, 16, 16, 16],
-        | "dataType": "zstandard", "hierarchyType": "json", "points": 6, "span": 4,
-        | "schema": [
-        |  {"name": "X", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
-        |  {"name": "Y", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
-        |  {"name": "Z", "type": "signed", "size": 4, "scale": 0.01, "offset": 0.0},
-        |  {"name": "Intensity", "type": "unsigned", "size": 2},
-        |  {"name": "Classification", "type": "unsigned", "size": 1}],
-        | "version": "1.0.0"}""".stripMargin)
+      s"""{"bounds": [0, 0, 0, 16, 16, 16],
+         | "dataType": "zstandard", "hierarchyType": "json", "points": 6, "span": 4,
+         |$SchemaJson,
+         | "version": "1.0.0"}""".stripMargin)
     java.nio.file.Files.writeString(new java.io.File(dir, "ept-hierarchy/0-0-0-0.json").toPath,
       """{"0-0-0-0": 2, "1-0-0-0": 2, "1-1-1-1": 2}""")
     Seq(("0-0-0-0", rootPts), ("1-0-0-0", lowPts), ("1-1-1-1", highPts)).foreach { case (key, pts) =>
-      val bb = ByteBuffer.allocate(pts.size * 15).order(ByteOrder.LITTLE_ENDIAN)
-      pts.foreach { case (x, y, z, inten, cls) =>
-        bb.putInt(math.round(x * 100).toInt)
-        bb.putInt(math.round(y * 100).toInt)
-        bb.putInt(math.round(z * 100).toInt)
-        bb.putShort((inten & 0xffff).toShort)
-        bb.put((cls & 0xff).toByte)
-      }
       val baos = new java.io.ByteArrayOutputStream()
       val zout = new com.github.luben.zstd.ZstdOutputStream(baos)
-      zout.write(bb.array()); zout.close()
+      zout.write(packPoints(pts)); zout.close()
       java.nio.file.Files.write(
         new java.io.File(dir, s"ept-data/$key.zst").toPath, baos.toByteArray)
     }
