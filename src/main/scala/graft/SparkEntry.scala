@@ -775,6 +775,20 @@ object SparkEntry {
       .orderBy(col("gx"), col("gy"))
   }
 
+  /** A5/K6 data side — DEM statistics raster, the band set of the
+    * reference's committed GDAL artifact (`data/dem.tif`: per-cell
+    * min/max/mean/idw/count/stdev of elevation; see
+    * [[graft.ops.PointCloudOps.demRaster]] and the GeoTIFF round-trip in
+    * GeoTiffSpec). Same synthetic point mapping as r04/r05.
+    */
+  private def refDemRaster(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "lineitem").select(
+      col("l_extendedprice").as("x"), col("l_quantity").as("y"),
+      (col("l_discount") * 100.0).as("z"))
+    ops.PointCloudOps.demRaster(pts, 5000.0, 5.0)
+      .orderBy(col("gx"), col("gy"))
+  }
+
   /** S1 full fidelity — the DSv2 tiled point-cloud scan
     * ([[graft.sources.PointsSource]]) with bbox pushdown, reproducing
     * `readers.ept`'s bounds behavior (`/root/reference/pipeline.json:4-6`):
@@ -898,7 +912,8 @@ object SparkEntry {
     "r06_ept_scan" -> (refEptScan _),
     "r07_polygon_crop" -> (refPolygonCrop _),
     "r08_spatial_join" -> (refSpatialJoin _),
-    "r09_utm_reproject" -> (refUtmReproject _)) ++ ExtensionQueries.queries
+    "r09_utm_reproject" -> (refUtmReproject _),
+    "r10_dem_raster" -> (refDemRaster _)) ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1273,5 +1288,25 @@ object SparkEntry {
          | round(e0, 4) + 0.0 AS utm_e, round(n0, 4) + 0.0 AS utm_n,
          | round(lat1, 6) + 0.0 AS lat_rt, round(lon1, 6) + 0.0 AS lon_rt
          |FROM inv ORDER BY c_custkey""".stripMargin
-    }) ++ ExtensionQueries.oracleSql
+    },
+    "r10_dem_raster" ->
+      """WITH pts AS (
+        | SELECT l_extendedprice AS x, l_quantity AS y, l_discount*100.0 AS z FROM lineitem),
+        |g AS (
+        | SELECT CAST(floor(x/5000.0) AS BIGINT) AS gx, CAST(floor(y/5.0) AS BIGINT) AS gy, z,
+        |  greatest(sqrt(
+        |    (x - (CAST(floor(x/5000.0) AS BIGINT) + 0.5)*5000.0) * (x - (CAST(floor(x/5000.0) AS BIGINT) + 0.5)*5000.0)
+        |    + (y - (CAST(floor(y/5.0) AS BIGINT) + 0.5)*5.0) * (y - (CAST(floor(y/5.0) AS BIGINT) + 0.5)*5.0)), 0.001) AS dist
+        | FROM pts)
+        |SELECT gx, gy,
+        | min(z) AS zmin, max(z) AS zmax,
+        | CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS zmean,
+        | CAST(SUM(CAST(z/dist AS DECIMAL(18,9))) AS DOUBLE)
+        |   / CAST(SUM(CAST(1.0/dist AS DECIMAL(18,9))) AS DOUBLE) AS zidw,
+        | CAST(count(*) AS BIGINT) AS n,
+        | sqrt(greatest(
+        |   CAST(SUM(CAST(z*z AS DECIMAL(18,6))) AS DOUBLE)/count(*)
+        |     - (CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE)/count(*))
+        |       * (CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE)/count(*)), 0.0)) AS zstdev
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) ++ ExtensionQueries.oracleSql
 }

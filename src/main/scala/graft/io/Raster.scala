@@ -143,6 +143,53 @@ object Raster {
     (width, height)
   }
 
+  /** K6 — write a [[graft.ops.PointCloudOps.demRaster]] frame as a GeoTIFF
+    * with the reference artifact's exact band set (`data/dem.tif`: six
+    * float64 bands min/max/mean/idw/count/stdev, GDAL band descriptions,
+    * NODATA=-9999): cells become north-up pixels, absent cells NODATA.
+    * Same bounded-collect posture as the PNG sinks — one row per cell.
+    * Returns the written raster (also the read-back expectation).
+    */
+  def saveDemGeoTiff(
+      grid: DataFrame,
+      path: String,
+      cellX: Double,
+      cellY: Double,
+      originX: Double = 0.0,
+      originY: Double = 0.0,
+      epsg: Int = 4326,
+      nodata: Double = -9999.0,
+      maxPx: Int = 8192): GeoTiff.Raster = {
+    val cols = Seq("gx", "gy", "zmin", "zmax", "zmean", "zidw", "n", "zstdev")
+    val rows: Array[Row] = grid.select(cols.head, cols.tail: _*).collect()
+    require(rows.nonEmpty, "cannot write an empty DEM")
+    val (minGx, maxGx) = (rows.map(_.getLong(0)).min, rows.map(_.getLong(0)).max)
+    val (minGy, maxGy) = (rows.map(_.getLong(1)).min, rows.map(_.getLong(1)).max)
+    val w = checkedDim(maxGx - minGx + 1, "DEM width", maxPx)
+    val h = checkedDim(maxGy - minGy + 1, "DEM height", maxPx)
+    val bandNames = Seq("min", "max", "mean", "idw", "count", "stdev")
+    val bands = bandNames.map(n => GeoTiff.Band(n, Array.fill(w * h)(nodata)))
+    rows.foreach { r =>
+      val px = (r.getLong(0) - minGx).toInt
+      val py = (maxGy - r.getLong(1)).toInt // north up: largest gy = top row
+      val at = py * w + px
+      bands(0).values(at) = r.getDouble(2)
+      bands(1).values(at) = r.getDouble(3)
+      bands(2).values(at) = r.getDouble(4)
+      bands(3).values(at) = r.getDouble(5)
+      bands(4).values(at) = r.getLong(6).toDouble
+      bands(5).values(at) = r.getDouble(7)
+    }
+    val raster = GeoTiff.Raster(
+      width = w, height = h,
+      originX = originX + minGx * cellX,
+      originY = originY + (maxGy + 1) * cellY,
+      scaleX = cellX, scaleY = cellY,
+      epsg = epsg, nodata = Some(nodata), bands = bands)
+    GeoTiff.write(raster, path)
+    raster
+  }
+
   private def write(img: BufferedImage, path: String): Unit = {
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())

@@ -95,6 +95,58 @@ object PointCloudOps {
         floor(col(y) / cellY).as("gy"))
       .agg(Exact.davg(col(v)).as("avg_elevation"), count(lit(1)).as("n"))
 
+  /** A5 — DEM statistics raster: the per-cell band set of the reference's
+    * committed GDAL artifact `data/dem.tif` (six float64 bands named
+    * min/max/mean/idw/count/stdev — PDAL `writers.gdal` output; only the
+    * artifact survives in the repo, no producing pipeline). Cells are
+    * `floor((x-ox)/cellX), floor((y-oy)/cellY)`; per cell:
+    *
+    *  - `zmin`/`zmax`/`n` — exact min/max/count;
+    *  - `zmean` — order-independent decimal mean ([[Exact.davg]]);
+    *  - `zidw` — inverse-distance-weighted mean to the CELL CENTER:
+    *    `sum(z/d) / sum(1/d)` with `d = max(dist(point, center), minDist)`
+    *    (the clamp bounds the weight of a point sitting exactly on the
+    *    center; PDAL's radius variant needs a neighborhood search — the
+    *    cell-center form is the aggregation-expressible analog);
+    *  - `zstdev` — population stdev from decimal sums:
+    *    `sqrt(max(0, E[z²] - E[z]²))` (the max guards IEEE cancellation
+    *    for near-constant cells).
+    *
+    * All sums are per-row decimal-quantized ([[Exact.dsum]]) so partial
+    * aggregation order cannot change the result — the same plan shape as
+    * A1: one scan, one partial+final hash aggregate, shuffle ~#cells.
+    */
+  def demRaster(
+      points: DataFrame,
+      cellX: Double,
+      cellY: Double,
+      originX: Double = 0.0,
+      originY: Double = 0.0,
+      minDist: Double = 0.001,
+      x: String = "x",
+      y: String = "y",
+      z: String = "z"): DataFrame = {
+    val gx = floor((col(x) - originX) / cellX)
+    val gy = floor((col(y) - originY) / cellY)
+    val cx = lit(originX) + (gx + 0.5) * cellX
+    val cy = lit(originY) + (gy + 0.5) * cellY
+    val dist = greatest(
+      sqrt((col(x) - cx) * (col(x) - cx) + (col(y) - cy) * (col(y) - cy)),
+      lit(minDist))
+    val zc = col(z)
+    points
+      .groupBy(gx.as("gx"), gy.as("gy"))
+      .agg(
+        min(zc).as("zmin"),
+        max(zc).as("zmax"),
+        Exact.davg(zc, 6).as("zmean"),
+        (Exact.dsum(zc / dist, 9) / Exact.dsum(lit(1.0) / dist, 9)).as("zidw"),
+        count(lit(1)).as("n"),
+        sqrt(greatest(
+          Exact.davg(zc * zc, 6) - Exact.davg(zc, 6) * Exact.davg(zc, 6),
+          lit(0.0))).as("zstdev"))
+  }
+
   /** K4 — deterministic point sample for rendering (`plot_terrain`,
     * `scripts/usgs_lidar.py:342-359` plots raw points; the engine supplies
     * a bounded, reproducible subset instead). Hash-ordered limit plans as

@@ -191,6 +191,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("Window")
   }
 
+  test("r10: DEM raster is one scan + one partial/final hash aggregate") {
+    val p = plan("r10_dem_raster")
+    // All six statistics bands (incl. idw and stdev from decimal sums)
+    // compute in a single partial+final aggregate over the cell key —
+    // shuffle volume ~#cells. The only other exchange is the
+    // presentation sort's range partitioning.
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should include("partial_")
+    p should include("HashAggregate")
+  }
+
   test("q31: attribution join hash-joins on the user key; time bound is a residual") {
     // The equi key (user_id) must be the join key — a BETWEEN-only plan
     // would nested-loop. RewriteRangeJoin deliberately skips equi-keyed
