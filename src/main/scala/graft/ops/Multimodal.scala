@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` (WAV/PCM/AU — also JDK-built-in) into windowed
   * RMS-energy features ([[decodeAudio]]); MJPEG-in-AVI video payloads FOR
   * REAL via a RIFF container walk + per-frame `javax.imageio` JPEG decode
-  * ([[decodeVideo]], [[videoFrameFeatures]]) — inter-frame codecs the JDK
-  * genuinely lacks (H.264 etc.) fall back to the deterministic
+  * ([[decodeVideo]], [[videoFrameFeatures]]); animated-GIF clips FOR REAL
+  * via the pure-Scala INTER-FRAME decoder [[Gif]] (LZW + disposal
+  * compositing — frame N depends on frames 0..N-1, validated against the
+  * JDK's independent GIF encoder in MultimodalSpec) — inter-frame codecs
+  * the JDK genuinely lacks (H.264 etc.) fall back to the deterministic
   * byte-histogram stand-in ([[decodeStub]]). Either way the Spark-side contract is
   * identical: schema, encoder, batch shape, null-payload handling, and
   * partition-local decoder reuse are what any production codec plugs into.
@@ -204,16 +207,18 @@ object Multimodal {
     acc
   }
 
-  /** Full decode: real image decode, then real audio decode, then real
-    * MJPEG-AVI video decode; byte-histogram fallback only for payloads no
-    * JDK-reachable codec recognizes (e.g. H.264 video). Codec sniffing is
-    * by content (magic numbers), not metadata, so mislabeled rows still
-    * decode correctly.
+  /** Full decode: real video decode (MJPEG-AVI; multi-frame GIF) first —
+    * an animated GIF must featurize as a CLIP (mean over frames), not as
+    * its first frame, and `ImageIO.read` would otherwise claim it — then
+    * real image decode, then real audio decode; byte-histogram fallback
+    * only for payloads no reachable codec recognizes (e.g. H.264 video).
+    * Codec sniffing is by content (magic numbers), not metadata, so
+    * mislabeled rows still decode correctly.
     */
   private[ops] def decode(payload: Array[Byte]): Array[Float] =
-    decodeImage(payload)
+    decodeVideo(payload)
+      .orElse(decodeImage(payload))
       .orElse(decodeAudio(payload))
-      .orElse(decodeVideo(payload))
       .getOrElse(decodeStub(payload))
 
   private val featureRowSchema: StructType = StructType(Seq(
@@ -421,16 +426,31 @@ object Multimodal {
       if (n == 0) None
       else {
         val step = math.max(1, n / 8)
-        val grids = (0 until n by step).flatMap(decodeAviFrame(meta, payload, _))
-        if (grids.isEmpty) None
-        else {
-          val acc = new Array[Float](FeatureDim)
-          grids.foreach { g => var i = 0; while (i < FeatureDim) { acc(i) += g(i); i += 1 } }
-          var i = 0
-          while (i < FeatureDim) { acc(i) /= grids.length; i += 1 }
-          Some(acc)
-        }
+        meanGrid((0 until n by step).flatMap(decodeAviFrame(meta, payload, _)))
       }
+    }.orElse(decodeGifVideo(payload))
+
+  /** Clip-level features for a multi-frame GIF: mean luma grid over up to
+    * 8 evenly-spaced composited frames — ONE sequential inter-frame pass
+    * ([[Gif.decodeFrames]]). Single-frame GIFs return None so the still-
+    * image path ([[decodeImage]]) handles them as images.
+    */
+  private def decodeGifVideo(payload: Array[Byte]): Option[Array[Float]] =
+    Gif.probe(payload).filter(_.frames.length > 1).flatMap { meta =>
+      val n = meta.frames.length
+      val step = math.max(1, n / 8)
+      val want = (0 until n by step).toSet
+      meanGrid(Gif.decodeFrames(payload, meta, want).map(f => lumaGrid(f._2)).toSeq)
+    }
+
+  private def meanGrid(grids: Seq[Array[Float]]): Option[Array[Float]] =
+    if (grids.isEmpty) None
+    else {
+      val acc = new Array[Float](FeatureDim)
+      grids.foreach { g => var i = 0; while (i < FeatureDim) { acc(i) += g(i); i += 1 } }
+      var i = 0
+      while (i < FeatureDim) { acc(i) /= grids.length; i += 1 }
+      Some(acc)
     }
 
   private val frameFeatureSchema: StructType = StructType(Seq(
@@ -439,13 +459,17 @@ object Multimodal {
     StructField("frame_ms", LongType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** REAL frame-sampled video decode: for every MJPEG-AVI payload, decode
-    * one frame per `everyMs` of clip time (the executable counterpart of
-    * [[frameSamplePlan]], which only plans timestamps). Map-side only —
-    * the frame index table means each sampled frame is a single-chunk JPEG
-    * decode, skipped frames cost nothing, and only FeatureDim floats per
-    * frame flow downstream. Non-AVI payloads yield no rows (they have no
-    * decodable frames), keeping this an honest decoder, not a stand-in.
+  /** REAL frame-sampled video decode: for every MJPEG-AVI or animated-GIF
+    * payload, decode one frame per `everyMs` of clip time (the executable
+    * counterpart of [[frameSamplePlan]], which only plans timestamps).
+    * Map-side only; only FeatureDim floats per frame flow downstream. The
+    * two formats sample differently because their dependency structure
+    * differs: AVI's frame index makes each sampled frame an independent
+    * single-chunk JPEG decode (skipped frames cost nothing), while GIF's
+    * inter-frame compositing decodes the chain once sequentially and
+    * emits at the sampled indices (skipped frames cost decode but no
+    * copy). Other payloads yield no rows (they have no decodable
+    * frames), keeping this an honest decoder, not a stand-in.
     */
   def videoFrameFeatures(media: DataFrame, everyMs: Long): DataFrame = {
     require(everyMs > 0, s"everyMs must be positive, got $everyMs")
@@ -454,16 +478,30 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          probeAviMeta(payload).toSeq.flatMap { meta =>
-            val mpf = math.max(meta.microsPerFrame, 1L)
-            Iterator.iterate(0L)(_ + everyMs)
-              .takeWhile(ms => ms < meta.durationMs || ms == 0L)
-              .map(ms => (ms, math.min((ms * 1000L / mpf).toInt, meta.frameChunks.length - 1)))
-              .distinctBy(_._2)
-              .flatMap { case (ms, idx) =>
-                decodeAviFrame(meta, payload, idx).map(g =>
-                  Row(r.getAs[Long]("media_id"), idx, ms, g))
-              }.toSeq
+          val mediaId = r.getAs[Long]("media_id")
+          probeAviMeta(payload) match {
+            case Some(meta) =>
+              val mpf = math.max(meta.microsPerFrame, 1L)
+              Iterator.iterate(0L)(_ + everyMs)
+                .takeWhile(ms => ms < meta.durationMs || ms == 0L)
+                .map(ms => (ms, math.min((ms * 1000L / mpf).toInt, meta.frameChunks.length - 1)))
+                .distinctBy(_._2)
+                .flatMap { case (ms, idx) =>
+                  decodeAviFrame(meta, payload, idx).map(g =>
+                    Row(mediaId, idx, ms, g))
+                }.toSeq
+            case None =>
+              Gif.probe(payload).filter(_.frames.length > 1).toSeq.flatMap { g =>
+                val samples = Iterator.iterate(0L)(_ + everyMs)
+                  .takeWhile(ms => ms < g.durationMs || ms == 0L)
+                  .map(ms => (ms, g.frameAt(ms)))
+                  .distinctBy(_._2).toVector
+                val wanted = samples.map(_._2).toSet
+                val imgs = Gif.decodeFrames(payload, g, wanted).toMap
+                samples.flatMap { case (ms, idx) =>
+                  imgs.get(idx).map(img => Row(mediaId, idx, ms, lumaGrid(img)))
+                }
+              }
           }
         }
       }(enc)
@@ -487,6 +525,8 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]]("payload")
           probeVideoMeta(payload)
             .orElse(probeAviMeta(payload).map(a => VideoMeta(a.durationMs, a.width, a.height)))
+            .orElse(Gif.probe(payload).filter(_.frames.length > 1)
+              .map(g => VideoMeta(g.durationMs, g.width, g.height)))
             .map(m => Row(r.getAs[Long]("media_id"), m.duration_ms, m.width, m.height))
         }
       }(enc)
