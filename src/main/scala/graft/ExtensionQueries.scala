@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.ops.{AnnModels, Dedup, Similarity, Skew, TextOps}
+import graft.ops.{AnnModels, Dedup, GraphOps, Similarity, Skew, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1792,6 +1792,150 @@ object ExtensionQueries {
       .orderBy(col("shard"))
   }
 
+  /** SCD type-2 dimension build (x54): compress each user's event stream
+    * into validity intervals of the tracked attribute (`event_type` as the
+    * "status" dimension) — consecutive equal values collapse into one
+    * version row with [valid_from, valid_to) bounds, the last version open
+    * (`valid_to` null, `is_current` 1). This is the history-table half of
+    * the CDC story (x32 is merge-on-read; this is the slowly-changing-
+    * dimension layout every warehouse keeps next to it).
+    *
+    * Scale shape: ONE exchange total, on `user_id`. Every window below —
+    * ordering, change detection (lag), per-user totals, version numbering
+    * and interval close-off (lead) — partitions by `user_id` alone, and the
+    * change filter between the two window passes preserves that
+    * distribution, so the second pass adds sorts but no new shuffle
+    * (PlanSpec pins the single exchange). Per-user state is one partition's
+    * sort run — no global sort, no driver state; at 100 TB this is the
+    * same plan with more partitions.
+    */
+  private def x54(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val perUser = Window.partitionBy(col("user_id"))
+    val marked = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("total", count(lit(1)).over(perUser))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    marked.select(
+        col("user_id"),
+        row_number().over(byRun).cast("long").as("version"),
+        col("event_type").as("status"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(byRun).as("valid_to"),
+        (coalesce(lead(col("rn"), 1).over(byRun), col("total") + 1) - col("rn"))
+          .cast("long").as("n_events"),
+        lead(col("ts"), 1).over(byRun).isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** One profiled column of x55: tbl/col labels plus the shared metric
+    * schema (numeric min/max, string min/max, decimal-exact mean length) —
+    * nulls where a metric doesn't apply to the column's type.
+    */
+  private def profiled(tbl: String, cn: String,
+      nNulls: Column, nDistinct: Column,
+      minNum: Column, maxNum: Column,
+      minStr: Column, maxStr: Column, avgLen: Column): Column =
+    struct(
+      lit(tbl).as("tbl"), lit(cn).as("col_name"),
+      count(lit(1)).as("n_rows"), nNulls.cast("long").as("n_nulls"),
+      nDistinct.cast("long").as("n_distinct"),
+      minNum.cast("double").as("min_num"), maxNum.cast("double").as("max_num"),
+      minStr.cast("string").as("min_str"), maxStr.cast("string").as("max_str"),
+      avgLen.cast("double").as("avg_len"))
+
+  /** Data-quality profiler (x55, the Deequ-style pre-training audit): per
+    * column of `documents` and `events` — row count, null count, exact
+    * distinct count, typed min/max (numeric as double — min/max do no
+    * arithmetic, so the raw doubles are bit-identical cross-engine;
+    * timestamps as epoch micros; strings lexicographic), and decimal-exact
+    * mean length for text columns (null counted as length 0). Free-text
+    * `text` reports distinct + length only — a profiler row should never
+    * embed megabyte extremal documents.
+    *
+    * Scale shape: ONE pass per table — a single aggregate computes every
+    * column's metrics at once; the multiple exact COUNT(DISTINCT)s plan as
+    * one Expand (rows × profiled columns) feeding one partial+final hash
+    * aggregate, the classic exact-profile trade. At 100 TB the same query
+    * swaps the exact distincts for the KMV sketch family (q21/q29) and the
+    * Expand disappears; everything else is map-side. The per-table rows
+    * then explode from ONE aggregated row — no second scan, no union of
+    * per-column scans.
+    */
+  private def x55(s: SparkSession, dir: String): DataFrame = {
+    def nNulls(c: Column): Column = count(lit(1)) - count(c)
+    def numP(tbl: String, cn: String): Column = {
+      val c = col(cn)
+      profiled(tbl, cn, nNulls(c), countDistinct(c), min(c), max(c),
+        lit(null), lit(null), lit(null))
+    }
+    def tsP(tbl: String, cn: String): Column = {
+      val c = col(cn)
+      profiled(tbl, cn, nNulls(c), countDistinct(c),
+        min(unix_micros(c)), max(unix_micros(c)), lit(null), lit(null), lit(null))
+    }
+    def strP(tbl: String, cn: String, extremes: Boolean = true): Column = {
+      val c = col(cn)
+      profiled(tbl, cn, nNulls(c), countDistinct(c), lit(null), lit(null),
+        if (extremes) min(c) else lit(null), if (extremes) max(c) else lit(null),
+        graft.util.Exact.dsum(length(coalesce(c, lit(""))), 0) / count(lit(1)))
+    }
+    def profile(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val named = cols.zipWithIndex.map { case (c, i) => c.as(s"p$i") }
+      df.agg(named.head, named.tail: _*)
+        .select(explode(array(cols.indices.map(i => col(s"p$i")): _*)).as("p"))
+        .select(col("p.*"))
+    }
+    val docs = profile(t(s, dir, "documents"), Seq(
+      numP("documents", "doc_id"), strP("documents", "lang"),
+      numP("documents", "n_chars"), strP("documents", "source"),
+      strP("documents", "text", extremes = false)))
+    val evs = profile(Tables.events(s, dir), Seq(
+      numP("events", "event_id"), strP("events", "event_type"),
+      strP("events", "props", extremes = false), tsP("events", "ts"),
+      numP("events", "user_id"), numP("events", "value")))
+    docs.union(evs).orderBy(col("tbl"), col("col_name"))
+  }
+
+  /** Co-purchase edge threshold for x56: supplier<->customer pairs linked
+    * by >= this many distinct orders form an edge. 3 keeps the sf0.01
+    * graph one giant ~800-node component — the diameter stress case the
+    * star-contraction algorithm exists for.
+    */
+  private val CcMinOrders = 3
+
+  /** Connected components (x56) over the thresholded supplier<->customer
+    * co-purchase graph (same bipartite id scheme as x51's PageRank), via
+    * [[GraphOps.connectedComponents]] — alternating large-star/small-star
+    * contraction, O(log n) rounds independent of component diameter.
+    * Output: every graph node with its component root and component size.
+    *
+    * Scale shape: the graph build is one pair-key aggregate over the
+    * fact join (bounded by distinct co-purchase pairs, like x51's edge
+    * build); each contraction round is two node-key hash aggregates plus a
+    * node-key join with checkpointed generations — no diameter-length
+    * round counts, no driver-side graph. The oracle replays reachability
+    * as a recursive CTE, which is O(sum of component sizes squared) — fine
+    * at fixture scale, and exactly why the ENGINE uses contraction instead.
+    */
+  private def x56(s: SparkSession, dir: String): DataFrame = {
+    val copurchase = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"), col("o_custkey"))
+      .agg(countDistinct(col("l_orderkey")).as("m"))
+      .filter(col("m") >= CcMinOrders)
+      .select((col("l_suppkey") * 2L).as("a"), (col("o_custkey") * 2L + 1L).as("b"))
+    val labels = GraphOps.connectedComponents(copurchase)
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "component")
+      .select(col("node"), col("component"), col("comp_size"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1845,7 +1989,10 @@ object ExtensionQueries {
     "x50_quality_classifier" -> (x50 _),
     "x51_pagerank" -> (x51 _),
     "x52_bloom_membership" -> (x52 _),
-    "x53_shard_export" -> (x53 _))
+    "x53_shard_export" -> (x53 _),
+    "x54_scd2_history" -> (x54 _),
+    "x55_table_profile" -> (x55 _),
+    "x56_connected_components" -> (x56 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2672,5 +2819,74 @@ object ExtensionQueries {
          |  CAST(SUM(position * (h2 % 1000003)) AS BIGINT) AS order_fp,
          |  arg_min(doc_id, position) AS first_doc,
          |  arg_max(doc_id, position) AS last_doc
-         |FROM p GROUP BY shard ORDER BY shard""".stripMargin)
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    "x54_scd2_history" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |  row_number() OVER w AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS total,
+        |  lag(event_type) OVER w AS prev_type
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT * FROM m WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  event_type AS status,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(coalesce(lead(rn) OVER w2, total + 1) - rn AS BIGINT) AS n_events,
+        |  CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+        |ORDER BY user_id, version""".stripMargin,
+    "x55_table_profile" -> {
+      // one UNION ALL arm per profiled column; min/max do no arithmetic so
+      // raw doubles are bit-identical, avg_len is the decimal-exact mean
+      def num(tbl: String, c: String) =
+        s"""SELECT '$tbl' AS tbl, '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           | NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str, NULL::DOUBLE AS avg_len
+           |FROM $tbl""".stripMargin
+      def ts(tbl: String, c: String) =
+        s"""SELECT '$tbl', '$c', CAST(count(*) AS BIGINT),
+           | CAST(count(*) - count($c) AS BIGINT), CAST(count(DISTINCT $c) AS BIGINT),
+           | CAST(epoch_us(min($c)) AS DOUBLE), CAST(epoch_us(max($c)) AS DOUBLE),
+           | NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE
+           |FROM $tbl""".stripMargin
+      def str(tbl: String, c: String, extremes: Boolean = true) = {
+        val mn = if (extremes) s"min($c)" else "NULL::VARCHAR"
+        val mx = if (extremes) s"max($c)" else "NULL::VARCHAR"
+        s"""SELECT '$tbl', '$c', CAST(count(*) AS BIGINT),
+           | CAST(count(*) - count($c) AS BIGINT), CAST(count(DISTINCT $c) AS BIGINT),
+           | NULL::DOUBLE, NULL::DOUBLE, $mn, $mx,
+           | CAST(SUM(CAST(length(coalesce($c, '')) AS DECIMAL(18,0))) AS DOUBLE) / count(*)
+           |FROM $tbl""".stripMargin
+      }
+      Seq(
+        num("documents", "doc_id"), str("documents", "lang"),
+        num("documents", "n_chars"), str("documents", "source"),
+        str("documents", "text", extremes = false),
+        num("events", "event_id"), str("events", "event_type"),
+        str("events", "props", extremes = false), ts("events", "ts"),
+        num("events", "user_id"), num("events", "value"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
+    },
+    // reachability closure replays the contraction's answer: O(sum of
+    // component sizes squared) — oracle-only; the engine contracts instead
+    "x56_connected_components" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY l_suppkey, o_custkey
+         |  HAVING count(DISTINCT l_orderkey) >= $CcMinOrders),
+         |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |n AS (SELECT DISTINCT a AS node FROM e),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node),
+         |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+         |  FROM comp GROUP BY component)
+         |SELECT c.node, c.component, s.comp_size
+         |FROM comp c JOIN sz s USING (component) ORDER BY node""".stripMargin)
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014).
+  *
+  * Why a second components algorithm next to the min-label propagation
+  * inside [[Dedup.duplicateClusters]]: propagation needs one round per unit
+  * of component DIAMETER — a 10,000-node chain takes 10,000 rounds — while
+  * star contraction collapses any component in O(log n) rounds regardless
+  * of diameter, which is the property that matters when a 100 TB edge set
+  * hides a long thin component (user sessions chained by shared devices,
+  * near-dup chains, citation paths). Propagation stays the right tool for
+  * the dedup pipeline where LSH components are provably shallow; this is
+  * the general-graph tool.
+  *
+  * Both operations are one aggregate + one join on the node key:
+  *
+  *  - large-star(u): every neighbor v > u re-attaches to
+  *    m = min(Γ(u) ∪ u) — long chains fold toward small ids;
+  *  - small-star(u): u and every neighbor v < u attach to the minimum of
+  *    that smaller neighborhood — stars flatten onto their root.
+  *
+  * Edges are carried canonically as (hi > lo); both operations preserve
+  * that invariant by construction (each emitted edge attaches a node to
+  * something strictly smaller), preserve the node set, and never grow the
+  * per-round edge count past O(|E|). Convergence uses the same monotone
+  * fixpoint trick as [[Dedup.duplicateClusters]]: each node's tentative
+  * label min(Γ⁺(u)) is non-increasing round over round, so the decimal-
+  * exact label SUM is strictly decreasing until the edge set is a star
+  * forest — one aggregate per round instead of an edge-set equality join.
+  *
+  * Scale shape per round: two hash-shuffles on the node key (the min
+  * aggregate and the distinct), one shuffle join — no global structure,
+  * no driver-side graph state. Each generation is materialized and
+  * lineage-cut through [[Checkpoints]] (reliable-checkpoint mode for real
+  * clusters), and superseded generations are unpersisted, exactly like
+  * the PageRank/k-means loops.
+  */
+object GraphOps {
+
+  /** Per-node component labels for an undirected edge list.
+    *
+    * @param edges0 two numeric columns `a`, `b` (one row per edge;
+    *               duplicates and self-loops tolerated)
+    * @return (node: long, component: long) — component = min node id of
+    *         the node's component; every endpoint of `edges0` appears.
+    */
+  def connectedComponents(
+      edges0: DataFrame, maxIter: Int = 25,
+      failOnNonConvergence: Boolean = false): DataFrame =
+    ccWithRounds(edges0, maxIter, failOnNonConvergence)._1
+
+  /** As [[connectedComponents]], also returning the number of
+    * large-star+small-star rounds executed (spec hook: the O(log n)
+    * convergence claim is asserted on engineered high-diameter graphs).
+    */
+  def ccWithRounds(
+      edges0: DataFrame, maxIter: Int = 25,
+      failOnNonConvergence: Boolean = false): (DataFrame, Int) = {
+    val init = edges0
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .distinct()
+    var edges = Checkpoints.cut(init)
+
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+
+    // Tentative labels min(Γ⁺(u)) summed decimal-exact: non-increasing per
+    // node, constant node set, so sum-unchanged <=> edge set stable.
+    def labelSum(e: DataFrame): java.math.BigDecimal =
+      sym(e).groupBy(col("u")).agg(min(least(col("v"), col("u"))).as("lab"))
+        .agg(coalesce(sum(col("lab").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+
+    var prev = labelSum(edges)
+    var converged = edges.isEmpty // an edgeless graph is already converged
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // Large-star: v > u re-attaches to least(min Γ(u), u).
+      val nb = sym(edges)
+      val mins = nb.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = nb.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("mn"), col("u")).as("lo"))
+        .distinct()
+      // Small-star: canonical (hi, lo) rows ARE u's smaller neighborhood;
+      // u and each v attach to that neighborhood's min.
+      val le = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val mins2 = le.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ss = le.join(mins2, "u")
+        .select(col("v").as("hi"), col("mn").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .union(mins2.select(col("u").as("hi"), col("mn").as("lo")))
+        .distinct()
+      val next = Checkpoints.cut(ss)
+      val cur = labelSum(next)
+      edges.unpersist(blocking = false)
+      edges = next
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      rounds += 1
+    }
+    if (!converged) {
+      val msg = s"connectedComponents did not converge within $maxIter rounds"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    // Converged edge set is a star forest: min(Γ⁺) is the component root.
+    val labels = sym(edges)
+      .groupBy(col("u")).agg(min(least(col("v"), col("u"))).as("component"))
+      .select(col("u").as("node"), col("component"))
+    (labels, rounds)
+  }
+}

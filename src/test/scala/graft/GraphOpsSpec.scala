@@ -1,0 +1,105 @@
+package graft
+
+import scala.collection.mutable
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Large-star/small-star connected components (ops/GraphOps.scala):
+  * exact agreement with a sequential union-find reference on random
+  * graphs, the O(log n) round count on engineered high-diameter chains
+  * (the case diameter-bounded label propagation cannot handle), and the
+  * edge-list hygiene corners (self-loops, duplicates, empty input).
+  */
+class GraphOpsSpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  /** Sequential union-find reference: node -> min id of its component. */
+  private def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], maxIter: Int = 25): (Map[Long, Long], Int) = {
+    val (df, rounds) = GraphOps.ccWithRounds(
+      edges.toDF("a", "b"), maxIter, failOnNonConvergence = true)
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("random sparse graph matches union-find exactly") {
+    val rnd = new scala.util.Random(42)
+    val n = 500
+    val edges = Seq.fill(600)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val (got, _) = run(edges)
+    got shouldBe reference(edges)
+  }
+
+  test("random dense graph (one giant component) matches union-find") {
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val edges = Seq.fill(2000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val (got, _) = run(edges)
+    got shouldBe reference(edges)
+    got.values.toSet.size shouldBe reference(edges).values.toSet.size
+  }
+
+  test("2048-node chain converges in O(log n) rounds, not O(diameter)") {
+    // Node ids permuted by an odd multiplier mod a prime so the chain is
+    // not already sorted (a sorted chain collapses artificially fast).
+    val p = 4099L
+    def relabel(i: Long): Long = (i * 1103L) % p
+    val edges = (0L until 2047L).map(i => (relabel(i), relabel(i + 1)))
+    val (got, rounds) = run(edges)
+    val root = edges.flatMap(e => Seq(e._1, e._2)).min
+    got.values.toSet shouldBe Set(root)
+    // Diameter 2047: per-round min-label propagation would need ~2047
+    // rounds. Star contraction: observed 12 ≈ log2(2048) + 1; assert with
+    // slack but far below any diameter-proportional count.
+    info(s"chain of diameter 2047 converged in $rounds rounds")
+    rounds should be <= 16
+  }
+
+  test("self-loops and duplicate/reversed edges are tolerated") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L))
+    val (got, _) = run(edges)
+    // 3 only ever appears in self-loops — it carries no connectivity and
+    // drops out of the edge set entirely (documented: output covers the
+    // endpoints of real edges).
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L)
+  }
+
+  test("already-star input is detected converged in one round") {
+    val edges = (2L to 20L).map(i => (1L, i))
+    val (got, rounds) = run(edges)
+    got.values.toSet shouldBe Set(1L)
+    rounds shouldBe 1
+  }
+
+  test("empty edge list yields an empty labeling") {
+    val (got, rounds) = run(Seq.empty)
+    got shouldBe Map.empty
+    rounds shouldBe 0
+  }
+
+  test("two components keep disjoint labels equal to each component min") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (21L, 22L), (22L, 20L))
+    val (got, _) = run(edges)
+    got shouldBe Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+}

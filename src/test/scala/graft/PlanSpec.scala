@@ -403,6 +403,35 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "SortMergeJoin"
   }
 
+  test("x54: SCD2 history is ONE data shuffle — every window shares the user partitioning") {
+    val p = plan("x54_scd2_history")
+    // Ordering, lag change-detection, per-user totals, version numbering
+    // and lead() close-off all partition by user_id alone; the change
+    // filter between the two window passes preserves that distribution,
+    // so the only other exchange is the presentation sort's range
+    // partitioning.
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should include("user_id")
+    p should include("Window")
+  }
+
+  test("x55: profiler reads each table ONCE — multi-distinct plans as a single Expand pass") {
+    val p = plan("x55_table_profile")
+    // One FileScan per profiled table (documents, events): every column's
+    // null/distinct/min/max/length metric comes out of one aggregate over
+    // one Expand — not a union of per-column scans.
+    "FileScan parquet".r.findAllIn(p).size shouldBe 2
+    p should include("Expand")
+    p should include("partial_")
+  }
+
+  test("x56: component serving joins sizes on the component key, no nested loops") {
+    val p = finalPlan("x56_connected_components")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("component")
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
