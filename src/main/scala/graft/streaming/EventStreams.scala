@@ -203,6 +203,63 @@ object EventStreams {
   case class SessionState(start: Long, lastTs: Long, nEvents: Long, totalValue: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long, total_value: Double)
 
+  // state carries epoch MICROS, not Timestamp.getTime millis — the fixture
+  // timestamps are microsecond-grained and a millis round-trip would emit
+  // valid_from values that hash-mismatch the batch build
+  private def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  case class Scd2State(status: String, validFrom: Long, nEvents: Long, version: Long)
+  case class Scd2Row(
+      user_id: Long, version: Long, status: String,
+      valid_from: Timestamp, valid_to: Timestamp, n_events: Long)
+
+  /** Streaming SCD type-2 history build — the incremental form of batch
+    * x54: per-user custom state carries the OPEN version (current status,
+    * its start, its event count, the version counter); an arriving event
+    * with a different status closes it, emitting the finished
+    * `[valid_from, valid_to)` row in Append mode. Emitted rows are exactly
+    * batch x54's closed versions (is_current = 0) when the per-user feed
+    * is time-ordered — pinned against the fixture in EventStreamsSpec.
+    *
+    * Scale posture: state is one row per user (status + three longs),
+    * keyed, checkpointed, evicted with the population — the dimension
+    * table maintains itself as events arrive instead of being rebuilt by
+    * nightly batch. Within a micro-batch events sort per user by
+    * (ts, event_id), the batch twin's exact tie order.
+    */
+  def scd2(events: Dataset[Event]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var closed = List.empty[Scd2Row]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if s.status == e.event_type =>
+                cur = Some(s.copy(nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed ::= Scd2Row(userId, s.version, s.status,
+                  microsTs(s.validFrom), e.ts, s.nEvents)
+                cur = Some(Scd2State(e.event_type, tsMicros(e.ts), 1, s.version + 1))
+              case None =>
+                cur = Some(Scd2State(e.event_type, tsMicros(e.ts), 1, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a user's session
     * closes after `gapMs` of inactivity. Custom per-key state — the operator
     * shape the reference's engine cannot express at all.

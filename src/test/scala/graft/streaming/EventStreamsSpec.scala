@@ -260,6 +260,62 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     streamed.map(_._1) should not contain 2L
   }
 
+  test("scd2: status changes close versions across micro-batches; same-status events extend them") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.scd2(in.toDS())
+      .writeStream.format("memory").queryName("scd2_s").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 views twice, then clicks — closes (view, 10:00-10:20, 2)
+      in.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "view", 0.0),
+        Event(3, ts("2024-01-01 10:20:00"), 1, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: the open click version survives the batch boundary, extends
+      // once, then a purchase closes it — (click, 10:20-10:40, 2, version 2)
+      in.addData(
+        Event(4, ts("2024-01-01 10:30:00"), 1, "click", 0.0),
+        Event(5, ts("2024-01-01 10:40:00"), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_s")
+        .as[EventStreams.Scd2Row].collect().sortBy(r => (r.user_id, r.version))
+      rows.map(r => (r.version, r.status, r.valid_from.toString, r.valid_to.toString, r.n_events)).toSeq shouldBe Seq(
+        (1L, "view", "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 2L),
+        (2L, "click", "2024-01-01 10:20:00.0", "2024-01-01 10:40:00.0", 2L))
+    } finally q.stop()
+  }
+
+  test("scd2: streamed closed versions equal batch x54's is_current=0 rows on the fixture") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // Per-user time order is the stream's delivery contract; a global
+    // (ts, event_id) sort satisfies it for every user at once.
+    val feed = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .as[Event].collect()
+    val in = MemoryStream[Event]
+    val q = EventStreams.scd2(in.toDS())
+      .writeStream.format("memory").queryName("scd2_twin").outputMode(OutputMode.Append()).start()
+    val streamed =
+      try {
+        // three arbitrary micro-batch splits — version state must carry over
+        feed.grouped((feed.length / 3).max(1)).foreach { b =>
+          in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+        }
+        spark.table("scd2_twin").as[EventStreams.Scd2Row].collect()
+          .map(r => (r.user_id, r.version, r.status, r.valid_from, r.valid_to, r.n_events)).toSet
+      } finally q.stop()
+    val batch = graft.SparkEntry.queries("x54_scd2_history")(spark, dir)
+      .filter("is_current = 0")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3), r.getTimestamp(4), r.getLong(5)))
+      .toSet
+    streamed shouldBe batch
+    streamed.size should be > 100
+  }
+
   test("windowedCounts is the streaming form of batch q10 (same results on a bounded frame)") {
     val batch = Seq(
       Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
