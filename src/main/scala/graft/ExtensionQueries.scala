@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.ops.{AnnModels, Dedup, GraphOps, Similarity, Skew, TextOps}
+import graft.ops.{AnnModels, Dedup, GraphOps, Similarity, Skew, TextOps, TimeSeries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1936,6 +1936,71 @@ object ExtensionQueries {
       .orderBy(col("node"))
   }
 
+  /** Hourly gap-fill + forward fill (x57) over the events stream via
+    * [[TimeSeries.gapFillForward]]: every user's irregular events become a
+    * dense epoch-hour series — zero counts on silent hours, the per-hour
+    * mean value carried forward across gaps — the regularization step
+    * before any fixed-step window model. The per-hour mean is the
+    * decimal-exact sum divided by the count (deterministic double, see
+    * [[graft.util.Exact]]), so the forward-filled value hash-matches the
+    * sequential oracle.
+    *
+    * Scale shape: see [[TimeSeries.gapFillForward]] — the grid is
+    * output-sized (Σ per-user spans), every stage keys on user_id or
+    * (user_id, hr), and the fill window is bounded by a user's span.
+    */
+  private def x57(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("user_id").as("key"), TimeSeries.epochHour("ts").as("bucket"), col("value"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), graft.util.Exact.dsum(col("value"), 6).as("sv"))
+      .select(col("key"), col("bucket"), col("cnt"),
+        (col("sv") / col("cnt").cast("double")).as("metric"))
+    TimeSeries.gapFillForward(hourly)
+      .select(col("key").as("user_id"), col("bucket").as("hr"),
+        col("cnt"), col("is_observed"), col("filled").as("filled_avg"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  /** Modulus/keep-threshold of x58's deterministic edge sampling: an edge
+    * survives iff polyHash("s1#s2") % 10 < 3, i.e. p = 0.3 — DOULION
+    * (Tsourakakis, Kang, Miller, Faloutsos, KDD 2009): count triangles on a
+    * p-sampled graph, estimate the full count as sampled/p³. The hash coin
+    * (instead of rand()) keeps the sample — and therefore the whole query —
+    * reproducible row-for-row in the oracle.
+    */
+  private val TriBuckets = 10
+  private val TriKeep = 3
+
+  /** Sampled triangle counting (x58) over the supplier co-purchase graph:
+    * suppliers are linked when they serve the same order; edges are
+    * DOULION-sampled at p = 0.3 by a deterministic hash coin, and per-node
+    * triangle counts on the sampled graph come from
+    * [[GraphOps.triangleCounts]] (degree-ordered wedge join). Graph motif
+    * density is the engine's community-structure probe — triangle-rich
+    * neighborhoods are co-purchase cliques (and in the dedup setting,
+    * near-dup clusters), and the DOULION estimator (tri/p³) recovers the
+    * full-graph count without ever materializing the unsampled wedge set.
+    *
+    * Scale shape: the edge build self-joins lineitem on the order key
+    * (per-order fan-out ≤ C(items-per-order, 2), a constant) and dedups on
+    * the pair key; sampling is a map-side filter BEFORE the degree/wedge
+    * machinery, cutting wedge work by p²; the wedge join itself is bounded
+    * by the √|E| out-degree cap of the orientation (see
+    * [[GraphOps.triangleCounts]]).
+    */
+  private def x58(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey"))
+    val pairs = li.as("pa").join(
+        li.as("pb"),
+        col("pa.ok") === col("pb.ok") && col("pa.l_suppkey") < col("pb.l_suppkey"))
+      .select(col("pa.l_suppkey").as("a"), col("pb.l_suppkey").as("b"))
+      .distinct()
+    val sampled = pairs.filter(
+      TextOps.polyHash(concat_ws("#", col("a"), col("b"))) % TriBuckets < TriKeep)
+    GraphOps.triangleCounts(sampled).orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -1992,7 +2057,9 @@ object ExtensionQueries {
     "x53_shard_export" -> (x53 _),
     "x54_scd2_history" -> (x54 _),
     "x55_table_profile" -> (x55 _),
-    "x56_connected_components" -> (x56 _))
+    "x56_connected_components" -> (x56 _),
+    "x57_gap_fill" -> (x57 _),
+    "x58_triangle_sample" -> (x58 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2888,5 +2955,44 @@ object ExtensionQueries {
          |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
          |  FROM comp GROUP BY component)
          |SELECT c.node, c.component, s.comp_size
-         |FROM comp c JOIN sz s USING (component) ORDER BY node""".stripMargin)
+         |FROM comp c JOIN sz s USING (component) ORDER BY node""".stripMargin,
+    "x57_gap_fill" ->
+      // generate_series replays the per-user dense grid; last_value IGNORE
+      // NULLS is the sequential form of the engine's forward-fill window
+      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        | FROM events GROUP BY user_id, hr),
+        |b AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM b),
+        |j AS (SELECT g.user_id, g.hr, h.cnt, h.sv / h.cnt AS av
+        | FROM g LEFT JOIN h ON h.user_id = g.user_id AND h.hr = g.hr)
+        |SELECT user_id, hr, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+        |  CAST(CASE WHEN cnt IS NULL THEN 0 ELSE 1 END AS INT) AS is_observed,
+        |  last_value(av IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr) AS filled_avg
+        |FROM j ORDER BY user_id, hr""".stripMargin,
+    "x58_triangle_sample" ->
+      // same hash coin, same (degree, id) orientation, same once-per-
+      // triangle wedge closure — sequential self-join form
+      s"""WITH pr AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+         |e AS (SELECT s1, s2 FROM pr
+         |  WHERE ${polySql("CAST(s1 AS VARCHAR) || '#' || CAST(s2 AS VARCHAR)")} % $TriBuckets < $TriKeep),
+         |d AS (SELECT n, count(*) AS deg
+         |  FROM (SELECT s1 AS n FROM e UNION ALL SELECT s2 FROM e) GROUP BY n),
+         |o AS (SELECT CASE WHEN d1.deg <= d2.deg THEN s1 ELSE s2 END AS u,
+         |             CASE WHEN d1.deg <= d2.deg THEN s2 ELSE s1 END AS v,
+         |             CASE WHEN d1.deg <= d2.deg THEN d2.deg ELSE d1.deg END AS dv
+         |      FROM e JOIN d d1 ON d1.n = e.s1 JOIN d d2 ON d2.n = e.s2),
+         |w AS (SELECT o1.u, o1.v AS a, o2.v AS b
+         |      FROM o o1 JOIN o o2 ON o1.u = o2.u
+         |       AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))),
+         |tri AS (SELECT w.u, w.a, w.b FROM w JOIN o ON o.u = w.a AND o.v = w.b),
+         |c AS (SELECT n, count(*) AS tri FROM (
+         |  SELECT u AS n FROM tri UNION ALL SELECT a FROM tri
+         |  UNION ALL SELECT b FROM tri) GROUP BY n)
+         |SELECT d.n AS node, CAST(d.deg AS BIGINT) AS deg,
+         |  CAST(coalesce(c.tri, 0) AS BIGINT) AS tri
+         |FROM d LEFT JOIN c ON c.n = d.n ORDER BY node""".stripMargin)
 }

@@ -16,6 +16,67 @@ import org.scalatest.matchers.should.Matchers
 class GraphOpsSpec extends AnyFunSuite with Matchers with SparkTest {
   import spark.implicits._
 
+  /** Sequential brute-force triangle reference: node -> (degree, triangle
+    * count) over the deduplicated self-loop-free edge set.
+    */
+  private def triReference(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val es = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    es.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    val esSet = es.toSet
+    val tri = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- es; c <- adj(b) if c > b && esSet.contains((a, c))) {
+      tri(a) += 1; tri(b) += 1; tri(c) += 1
+    }
+    adj.map { case (n, s) => n -> (s.size.toLong, tri(n)) }.toMap
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    GraphOps.triangleCounts(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("triangles: random graph matches brute-force enumeration exactly") {
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val edges = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    runTri(edges) shouldBe triReference(edges)
+  }
+
+  test("triangles: complete K6 gives every node C(5,2) = 10") {
+    val edges = for (a <- 0L until 6L; b <- (a + 1) until 6L) yield (a, b)
+    val got = runTri(edges)
+    got.values.toSet shouldBe Set((5L, 10L))
+    got.keySet shouldBe (0L until 6L).toSet
+  }
+
+  test("triangles: a chain has none, degrees still correct") {
+    val got = runTri((0L until 9L).map(i => (i, i + 1)))
+    got.values.map(_._2).toSet shouldBe Set(0L)
+    got(0L)._1 shouldBe 1L
+    got(4L)._1 shouldBe 2L
+  }
+
+  test("triangles: the last-reducer star — hub degree n-1, zero triangles") {
+    // Degree orientation points every edge AT the hub, so the hub's wedge
+    // fan-out is zero — the exact case the Suri-Vassilvitskii orientation
+    // exists for. A naive wedge join would emit C(99,2) hub wedges.
+    val got = runTri((1L to 99L).map(i => (0L, i)))
+    got(0L) shouldBe (99L, 0L)
+    got(1L) shouldBe (1L, 0L)
+  }
+
+  test("triangles: duplicates, reversed duplicates and self-loops are hygiene, not data") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L))
+    runTri(noisy) shouldBe triReference(base)
+    runTri(noisy).values.map(_._2).toSet shouldBe Set(1L)
+  }
+
   /** Sequential union-find reference: node -> min id of its component. */
   private def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = mutable.Map.empty[Long, Long]

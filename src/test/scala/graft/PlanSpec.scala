@@ -432,6 +432,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("component")
   }
 
+  test("x57: the gap grid is per-key sequence-explode, fill window on the key partition") {
+    val p = plan("x57_gap_fill")
+    // The dense grid comes from each key's own [min, max] span — never a
+    // calendar-dimension cross join — and the forward fill partitions by
+    // the series key (a global window would serialize the whole corpus).
+    p should include("Generate explode(sequence")
+    p should include("windowspecdefinition(key")
+    p should include("last(")
+    p should not include "CartesianProduct"
+  }
+
+  test("x58: triangle sampling filters before the wedge machinery, pair build runs once") {
+    val p = finalPlan("x58_triangle_sample")
+    // The DOULION hash coin must cut edges BEFORE degrees/wedges (it lives
+    // in the pair-build join condition), and the deduplicated pair exchange
+    // is computed once and reused across the degree/orientation consumers.
+    p should include("polyhash")
+    p should include("ReusedExchange")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }
