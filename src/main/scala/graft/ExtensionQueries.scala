@@ -2001,6 +2001,37 @@ object ExtensionQueries {
     GraphOps.triangleCounts(sampled).orderBy(col("node"))
   }
 
+  /** Jaccard threshold of the x59 prefix-filtered similarity join. */
+  private val PrefixJoinT = 0.6
+
+  /** Exact set-similarity join via prefix filtering (x59) — AllPairs
+    * (Bayardo, Ma, Srikant, "Scaling Up All Pairs Similarity Search",
+    * WWW 2007): order every document's shingle set by global rarity
+    * (document frequency, then shingle — no global rank table, the
+    * (df, shingle) tuple IS the order), keep only each document's PREFIX
+    * (the `sz - ceil(t*sz) + 1` rarest shingles), and generate candidate
+    * pairs by equi-joining prefixes on the shingle. Correctness theorem:
+    * Jaccard >= t forces overlap >= t*|x| for BOTH sets, so two qualifying
+    * sets must collide inside their prefixes — the join is EXACT, unlike
+    * x06/x09's LSH (probabilistic) and without x04's ShingleDfCap
+    * heuristic (hot shingles are simply never in a prefix unless they are
+    * among a document's rarest, and then df-squared work is inherent).
+    * Candidates verify with the true intersection over the full sets.
+    *
+    * Scale shape: df is a shingle-key aggregate; the rarity sort is a
+    * per-document window (doc-key partitioning, row bounded by doc
+    * length); candidate generation joins PREFIX tokens only — a (1-t)
+    * fraction of the x04 join's input, concentrated on rare shingles, so
+    * per-key fan-out stays small without any semantic cap. Verification
+    * joins are candidate-sized.
+    */
+  private def x59(s: SparkSession, dir: String): DataFrame = {
+    val sh = plantedDocs(s, dir)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .cache()
+    Dedup.prefixSimilarityJoin(sh, PrefixJoinT).orderBy(col("id1"), col("id2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -2059,7 +2090,8 @@ object ExtensionQueries {
     "x55_table_profile" -> (x55 _),
     "x56_connected_components" -> (x56 _),
     "x57_gap_fill" -> (x57 _),
-    "x58_triangle_sample" -> (x58 _))
+    "x58_triangle_sample" -> (x58 _),
+    "x59_prefix_join" -> (x59 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2994,5 +3026,18 @@ object ExtensionQueries {
          |  UNION ALL SELECT b FROM tri) GROUP BY n)
          |SELECT d.n AS node, CAST(d.deg AS BIGINT) AS deg,
          |  CAST(coalesce(c.tri, 0) AS BIGINT) AS tri
-         |FROM d LEFT JOIN c ON c.n = d.n ORDER BY node""".stripMargin)
+         |FROM d LEFT JOIN c ON c.n = d.n ORDER BY node""".stripMargin,
+    "x59_prefix_join" ->
+      // DELIBERATELY the naive quadratic form: the oracle computes true
+      // all-pairs Jaccard, so the compare certifies the engine's prefix
+      // filter loses no pair (the Bayardo et al. exactness theorem)
+      s"""WITH $PlantedDocsSql,
+         |$ShinglesSql,
+         |ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS o,
+         |  CAST(len(a.s) AS DOUBLE) AS n1, CAST(len(b.s) AS DOUBLE) AS n2
+         | FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+         |SELECT id1, id2, o/(n1+n2-o) AS jac FROM p
+         |WHERE o/(n1+n2-o) >= $PrefixJoinT ORDER BY id1, id2""".stripMargin)
 }

@@ -359,4 +359,56 @@ object Dedup {
         col("id1"), col("id2"), col("start1"), col("start2"),
         col("span_tokens"), col("n_windows"))
   }
+
+  /** Exact set-similarity join via prefix filtering — AllPairs (Bayardo,
+    * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007).
+    *
+    * Every document's token set is ordered by global rarity (document
+    * frequency, then token — the (df, token) tuple is the total order, so
+    * no global rank table and no global sort); Jaccard >= t forces overlap
+    * >= t*|x| for both sets of a qualifying pair, so the pair must share a
+    * token inside the `|x| - ceil(t*|x|) + 1` rarest of each — the PREFIX.
+    * Candidate pairs come from equi-joining prefixes on the token and
+    * verify against the full sets, which makes the join EXACT: unlike the
+    * MinHash/LSH path it misses nothing, and unlike the capped equi-join
+    * it needs no ShingleDfCap semantics change — a hot token lands in a
+    * prefix only for documents where it is among the rarest.
+    *
+    * Scale shape: df is a token-key aggregate; the rarity sort is a
+    * per-document window (doc-key partitioning, bounded by doc length);
+    * the candidate join touches the (1-t) prefix fraction of the exploded
+    * corpus, concentrated on RARE tokens, so per-key fan-out stays small
+    * by construction; verification is candidate-sized.
+    *
+    * @param sets (doc_id, s) with `s` a token array (deduplicated here —
+    *             set semantics); empty sets are dropped (Jaccard undefined)
+    * @param t    Jaccard threshold in (0, 1]
+    * @return (id1 < id2, jac) for every pair with Jaccard >= t — exactly.
+    */
+  def prefixSimilarityJoin(sets: DataFrame, t: Double): DataFrame = {
+    require(t > 0 && t <= 1, s"threshold must be in (0, 1], got $t")
+    val sh = sets.select(col("doc_id"), array_distinct(col("s")).as("s"))
+      .filter(size(col("s")) > 0)
+    val ex = sh.select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("tok"))
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefixes = ex.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(t)) + 1)
+      .select(col("tok"), col("doc_id"))
+    val cand = prefixes.as("ca").join(
+        prefixes.as("cb"),
+        col("ca.tok") === col("cb.tok") && col("ca.doc_id") < col("cb.doc_id"))
+      .select(col("ca.doc_id").as("id1"), col("cb.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("s1"), col("s2"))).cast("double").as("o"),
+        size(col("s1")).cast("double").as("n1"), size(col("s2")).cast("double").as("n2"))
+      .select(col("id1"), col("id2"), (col("o") / (col("n1") + col("n2") - col("o"))).as("jac"))
+      .filter(col("jac") >= t)
+  }
 }

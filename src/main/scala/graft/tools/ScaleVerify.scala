@@ -49,7 +49,19 @@ object ScaleVerify {
     // replicated fixture multiplies per-cell n 1000x but not the grid,
     // so the full output compares (and the decimal sums must stay exact
     // through 1000x more addends per cell).
-    "r10_dem_raster" -> None)
+    "r10_dem_raster" -> None,
+    // Warehouse + series/motif family (round 8 additions):
+    "x54_scd2_history" -> Some("user_id % 97 = 0"),
+    "x55_table_profile" -> None,
+    // x56's oracle replays reachability as a recursive CTE — O(Σ comp²)
+    // rows. Feasible at sf1 (dimension-bounded node set); at sf100 the
+    // densified giant component makes the CTE the bottleneck, so x56 is
+    // verified at sf1 and its ENGINE side (contraction) is exactly what
+    // removes that quadratic — run it by name only where the oracle fits.
+    "x56_connected_components" -> Some("node % 97 = 0"),
+    "x57_gap_fill" -> Some("user_id % 97 = 0"),
+    // x58's node set is dimension-bounded (suppliers), output compares whole.
+    "x58_triangle_sample" -> None)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, rawOutDir) = args.take(2)

@@ -454,6 +454,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("x59: prefix join's rarity sort is a per-doc window; candidate join is an equi-join") {
+    val p = plan("x59_prefix_join")
+    // The global-rarity order must come from the (df, token) tuple inside a
+    // doc-partitioned window — never a global rank sort — and candidates
+    // from a token equi-join, never a nested-loop pair scan.
+    p should include("windowspecdefinition(doc_id")
+    p should include("row_number")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("entry: flagship query produces rows at sf0.001 (driver smoke)") {
     SparkEntry.entry(spark).limit(5).count() should be > 0L
   }

@@ -209,4 +209,55 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
       (0L, 18L, 7L),  // pa: doc1 offset 0, doc2 offset 6 + 12 = 18, maximal 7 tokens
       (17L, 0L, 6L))  // pb: doc1 offset 7 + 10 = 17, doc2 offset 0
   }
+
+  /** Sequential all-pairs Jaccard reference for the prefix join. */
+  private def jaccardRef(sets: Seq[(Long, Set[String])], t: Double): Set[(Long, Long, Double)] =
+    (for {
+      (i1, s1) <- sets if s1.nonEmpty
+      (i2, s2) <- sets if s2.nonEmpty && i1 < i2
+      o = (s1 intersect s2).size.toDouble
+      jac = o / (s1.size + s2.size - o)
+      if jac >= t
+    } yield (i1, i2, jac)).toSet
+
+  private def runPrefixJoin(sets: Seq[(Long, Seq[String])], t: Double): Set[(Long, Long, Double)] =
+    Dedup.prefixSimilarityJoin(sets.toDF("doc_id", "s"), t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("prefixSimilarityJoin: exact agreement with all-pairs on random token sets") {
+    val rnd = new scala.util.Random(23)
+    val universe = (0 until 50).map(i => s"t$i")
+    val sets = (0L until 80L).map { i =>
+      i -> rnd.shuffle(universe).take(6 + rnd.nextInt(10)).toSeq
+    }
+    for (t <- Seq(0.3, 0.6, 0.9))
+      runPrefixJoin(sets, t) shouldBe jaccardRef(sets.map { case (i, s) => i -> s.toSet }, t)
+  }
+
+  test("prefixSimilarityJoin: exact-boundary pair survives, t=1 keeps only identical sets") {
+    // |x ∩ y| = 3, union 5 -> jac exactly 0.6: must be INCLUDED at t=0.6
+    val sets = Seq(
+      1L -> Seq("a", "b", "c", "d"), 2L -> Seq("a", "b", "c", "e"),
+      3L -> Seq("a", "b", "c", "d"), 4L -> Seq("z"))
+    runPrefixJoin(sets, 0.6).map { case (a, b, _) => (a, b) } shouldBe
+      Set((1L, 2L), (1L, 3L), (2L, 3L))
+    runPrefixJoin(sets, 1.0).map { case (a, b, _) => (a, b) } shouldBe Set((1L, 3L))
+  }
+
+  test("prefixSimilarityJoin: a universal hot token generates no candidates on its own") {
+    // Every doc shares "the" but nothing else; the hot token is never among
+    // a doc's rarest prefix tokens, so the exact result (empty at t=0.6)
+    // arrives WITHOUT the C(n,2) shared-token candidate blowup a plain
+    // token equi-join would produce — the no-cap scale claim, black-box.
+    val sets = (0L until 40L).map(i => i -> Seq("the", s"u${i}a", s"u${i}b", s"u${i}c"))
+    runPrefixJoin(sets, 0.6) shouldBe empty
+  }
+
+  test("prefixSimilarityJoin: empty sets drop, duplicates inside a set do not corrupt sizes") {
+    val sets = Seq(
+      1L -> Seq.empty[String],
+      2L -> Seq("a", "b", "a", "a"),  // set semantics: {a, b}
+      3L -> Seq("a", "b"))
+    runPrefixJoin(sets, 0.5) shouldBe Set((2L, 3L, 1.0))
+  }
 }
