@@ -1982,19 +1982,24 @@ object ExtensionQueries {
     * near-dup clusters), and the DOULION estimator (tri/p³) recovers the
     * full-graph count without ever materializing the unsampled wedge set.
     *
-    * Scale shape: the edge build self-joins lineitem on the order key
-    * (per-order fan-out ≤ C(items-per-order, 2), a constant) and dedups on
-    * the pair key; sampling is a map-side filter BEFORE the degree/wedge
-    * machinery, cutting wedge work by p²; the wedge join itself is bounded
-    * by the √|E| out-degree cap of the orientation (see
+    * Scale shape: the edge build shuffles the fact table ONCE — per-order
+    * supplier sets via collect_set, then map-side pair explosion over the
+    * sorted set (fan-out ≤ C(items-per-order, 2), a constant; a self-join
+    * on the order key would shuffle lineitem twice for the same pairs) —
+    * and dedups on the pair key; sampling is a map-side filter BEFORE the
+    * degree/wedge machinery, cutting wedge work by p²; the wedge join
+    * itself is bounded by the √|E| out-degree cap of the orientation (see
     * [[GraphOps.triangleCounts]]).
     */
   private def x58(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey"))
-    val pairs = li.as("pa").join(
-        li.as("pb"),
-        col("pa.ok") === col("pb.ok") && col("pa.l_suppkey") < col("pb.l_suppkey"))
-      .select(col("pa.l_suppkey").as("a"), col("pb.l_suppkey").as("b"))
+    val sets = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    val pairs = sets
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss")) - i - lit(1)), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     val sampled = pairs.filter(
       TextOps.polyHash(concat_ws("#", col("a"), col("b"))) % TriBuckets < TriKeep)
