@@ -3010,10 +3010,15 @@ object ExtensionQueries {
         |FROM j ORDER BY user_id, hr""".stripMargin,
     "x58_triangle_sample" ->
       // same hash coin, same (degree, id) orientation, same once-per-
-      // triangle wedge closure — sequential self-join form
-      s"""WITH pr AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      // triangle wedge closure. Pair build is the set-based form (per-order
+      // sorted supplier list -> in-list pairs) like the engine: the naive
+      // order-key self-join spills ~5B intermediate rows at the sf100
+      // probe scale — more temp space than the probe host has disk.
+      s"""WITH sets AS (SELECT l_orderkey, list_sort(list_distinct(list(l_suppkey))) AS ss
+         |  FROM lineitem GROUP BY l_orderkey),
+         |pr AS (SELECT DISTINCT p.a AS s1, p.b AS s2 FROM sets,
+         |  UNNEST(flatten(list_transform(ss, (x, i) ->
+         |    list_transform(ss[i+1:], y -> {'a': x, 'b': y})))) AS u(p)),
          |e AS (SELECT s1, s2 FROM pr
          |  WHERE ${polySql("CAST(s1 AS VARCHAR) || '#' || CAST(s2 AS VARCHAR)")} % $TriBuckets < $TriKeep),
          |d AS (SELECT n, count(*) AS deg
