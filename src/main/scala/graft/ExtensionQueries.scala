@@ -3010,17 +3010,16 @@ object ExtensionQueries {
         |FROM j ORDER BY user_id, hr""".stripMargin,
     "x58_triangle_sample" ->
       // same hash coin, same (degree, id) orientation, same once-per-
-      // triangle wedge closure. Pair build is the set-based form (per-order
-      // sorted supplier list -> in-list pairs) like the engine: the naive
-      // order-key self-join spills ~5B intermediate rows at the sf100
-      // probe scale — more temp space than the probe host has disk.
-      s"""WITH sets AS (SELECT l_orderkey, list_sort(list_distinct(list(l_suppkey))) AS ss
-         |  FROM lineitem GROUP BY l_orderkey),
-         |pr AS (SELECT DISTINCT p.a AS s1, p.b AS s2 FROM sets,
-         |  UNNEST(flatten(list_transform(ss, (x, i) ->
-         |    list_transform(ss[i+1:], y -> {'a': x, 'b': y})))) AS u(p)),
-         |e AS (SELECT s1, s2 FROM pr
-         |  WHERE ${polySql("CAST(s1 AS VARCHAR) || '#' || CAST(s2 AS VARCHAR)")} % $TriBuckets < $TriKeep),
+      // triangle wedge closure. Pair-build hygiene for the 1000x probe
+      // scale: dedupe (order, supplier) BEFORE the self-join and evaluate
+      // the sampling coin INSIDE it, so the only large intermediates are
+      // spillable hash operators (DuckDB's list() aggregate form OOMs —
+      // non-spillable — and the unfiltered join form overruns temp disk).
+      s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+         |  FROM os a JOIN os b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+         |  WHERE ${polySql("CAST(a.l_suppkey AS VARCHAR) || '#' || CAST(b.l_suppkey AS VARCHAR)")} % $TriBuckets < $TriKeep),
          |d AS (SELECT n, count(*) AS deg
          |  FROM (SELECT s1 AS n FROM e UNION ALL SELECT s2 FROM e) GROUP BY n),
          |o AS (SELECT CASE WHEN d1.deg <= d2.deg THEN s1 ELSE s2 END AS u,
