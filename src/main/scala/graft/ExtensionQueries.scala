@@ -3011,15 +3011,20 @@ object ExtensionQueries {
     "x58_triangle_sample" ->
       // same hash coin, same (degree, id) orientation, same once-per-
       // triangle wedge closure. Pair-build hygiene for the 1000x probe
-      // scale: dedupe (order, supplier) BEFORE the self-join and evaluate
-      // the sampling coin INSIDE it, so the only large intermediates are
-      // spillable hash operators (DuckDB's list() aggregate form OOMs —
-      // non-spillable — and the unfiltered join form overruns temp disk).
-      s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-         |e AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
-         |  FROM os a JOIN os b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-         |  WHERE ${polySql("CAST(a.l_suppkey AS VARCHAR) || '#' || CAST(b.l_suppkey AS VARCHAR)")} % $TriBuckets < $TriKeep),
+      // scale: the fact self-join is SHARDED by s1's supplier bucket
+      // (pairs partition disjointly on s1, so per-shard DISTINCT + UNION
+      // ALL is the global distinct) — each shard's build side is a ~10%
+      // slice, keeping DuckDB's join in-memory where the unsharded form
+      // radix-partitions both 600M-row sides to temp disk and dies
+      // (list()-aggregate forms OOM instead: that operator cannot spill).
+      s"""WITH e AS (
+         |${(0 until 10).map(k =>
+               s"""  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+                  |  FROM lineitem a JOIN lineitem b
+                  |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                  |  WHERE a.l_suppkey % 10 = $k
+                  |    AND ${polySql("CAST(a.l_suppkey AS VARCHAR) || '#' || CAST(b.l_suppkey AS VARCHAR)")} % $TriBuckets < $TriKeep""".stripMargin)
+             .mkString("\n  UNION ALL\n")}),
          |d AS (SELECT n, count(*) AS deg
          |  FROM (SELECT s1 AS n FROM e UNION ALL SELECT s2 FROM e) GROUP BY n),
          |o AS (SELECT CASE WHEN d1.deg <= d2.deg THEN s1 ELSE s2 END AS u,
