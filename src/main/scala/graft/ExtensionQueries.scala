@@ -3010,24 +3010,21 @@ object ExtensionQueries {
         |FROM j ORDER BY user_id, hr""".stripMargin,
     "x58_triangle_sample" ->
       // same hash coin, same (degree, id) orientation, same once-per-
-      // triangle wedge closure. Pair-build hygiene for the 1000x probe
-      // scale: the fact self-join is SHARDED by s1's supplier bucket
-      // (pairs partition disjointly on s1, so per-shard DISTINCT + UNION
-      // ALL is the global distinct) — each shard's build side is a ~10%
-      // slice, keeping DuckDB's join in-memory where the unsharded form
-      // radix-partitions both 600M-row sides to temp disk and dies
-      // (list()-aggregate forms OOM instead: that operator cannot spill).
-      s"""WITH e AS (
-         |${(0 until 10).map(k =>
-               s"""  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
-                  |  FROM lineitem a JOIN lineitem b
-                  |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-                  |  WHERE a.l_suppkey % 10 = $k
-                  |    AND ${polySql("CAST(a.l_suppkey AS VARCHAR) || '#' || CAST(b.l_suppkey AS VARCHAR)")} % $TriBuckets < $TriKeep""".stripMargin)
-             .mkString("\n  UNION ALL\n")}),
-         |d AS (SELECT n, count(*) AS deg
+      // triangle wedge closure. The sampling coin is evaluated INSIDE the
+      // pair join so only coin-surviving matches reach the pair-DISTINCT.
+      // e/d/o are AS MATERIALIZED: each is referenced 2-3 times, and
+      // DuckDB's default CTE inlining hands the join-order optimizer a
+      // dozen fact-scan relations whose chosen plan spills ~10x the probe
+      // host's temp disk — materialization pins the staged evaluation
+      // (8.6 s at sf10 where the inlined form died; the engine's grouped
+      // pair build has no self-join at all).
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+         |  WHERE ${polySql("CAST(a.l_suppkey AS VARCHAR) || '#' || CAST(b.l_suppkey AS VARCHAR)")} % $TriBuckets < $TriKeep),
+         |d AS MATERIALIZED (SELECT n, count(*) AS deg
          |  FROM (SELECT s1 AS n FROM e UNION ALL SELECT s2 FROM e) GROUP BY n),
-         |o AS (SELECT CASE WHEN d1.deg <= d2.deg THEN s1 ELSE s2 END AS u,
+         |o AS MATERIALIZED (SELECT CASE WHEN d1.deg <= d2.deg THEN s1 ELSE s2 END AS u,
          |             CASE WHEN d1.deg <= d2.deg THEN s2 ELSE s1 END AS v,
          |             CASE WHEN d1.deg <= d2.deg THEN d2.deg ELSE d1.deg END AS dv
          |      FROM e JOIN d d1 ON d1.n = e.s1 JOIN d d2 ON d2.n = e.s2),
