@@ -1921,19 +1921,53 @@ object ExtensionQueries {
     * as a recursive CTE, which is O(sum of component sizes squared) — fine
     * at fixture scale, and exactly why the ENGINE uses contraction instead.
     */
-  private def x56(s: SparkSession, dir: String): DataFrame = {
-    val copurchase = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+  /** The thresholded supplier<->customer co-purchase edge list shared by
+    * x56 (full recompute) and x61 (incremental maintenance).
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_suppkey"), col("o_custkey"))
       .agg(countDistinct(col("l_orderkey")).as("m"))
       .filter(col("m") >= CcMinOrders)
       .select((col("l_suppkey") * 2L).as("a"), (col("o_custkey") * 2L + 1L).as("b"))
-    val labels = GraphOps.connectedComponents(copurchase)
+
+  /** Component labels + sizes in x56/x61's output shape. */
+  private def componentSizes(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, "component")
       .select(col("node"), col("component"), col("comp_size"))
       .orderBy(col("node"))
+  }
+
+  private def x56(s: SparkSession, dir: String): DataFrame =
+    componentSizes(GraphOps.connectedComponents(copurchaseEdges(s, dir)))
+
+  /** Incremental connected components (x61): the daily-delta maintenance
+    * twin of x56. A deterministic 80/20 hash coin splits the SAME
+    * thresholded co-purchase edge set into a "historical" graph and a
+    * planted delta; the engine labels the historical graph, keeps only its
+    * star forest (node-count-sized — the historical EDGE set is never
+    * re-read), and folds the delta in via
+    * [[GraphOps.incrementalComponents]]. The oracle replays reachability
+    * over the FULL edge set — coin-independent — so the row-exact compare
+    * machine-checks the maintenance theorem: components(stars ∪ delta) =
+    * components(full graph). Completes the warehouse family's incremental
+    * story (x43 incremental agg, x32 CDC merge, x54 SCD2) for graphs.
+    *
+    * Scale shape: everything x56 does, plus one node-key left join; the
+    * re-contraction's per-round edge count is |star forest| + |delta|,
+    * and its round count is bounded by the delta's merge depth (≤ full
+    * recompute's O(log n)).
+    */
+  private def x61(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchaseEdges(s, dir)
+    val coin = pmod(col("a") * 31L + col("b"), lit(10L))
+    val prior = pairs.filter(coin < 8)
+    val delta = pairs.filter(coin >= 8)
+    val prev = GraphOps.connectedComponents(prior)
+    componentSizes(GraphOps.incrementalComponents(prev, delta))
   }
 
   /** Hourly gap-fill + forward fill (x57) over the events stream via
@@ -2031,11 +2065,114 @@ object ExtensionQueries {
     * joins are candidate-sized.
     */
   private def x59(s: SparkSession, dir: String): DataFrame = {
+    // No .cache() here: prefixSimilarityJoin materializes the shingle
+    // frame itself (Checkpoints.cut — its three internal consumers), and
+    // the between-query CacheHygiene sweep reclaims those blocks.
     val sh = plantedDocs(s, dir)
       .select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
-      .cache()
     Dedup.prefixSimilarityJoin(sh, PrefixJoinT).orderBy(col("id1"), col("id2"))
   }
+
+  /** Sketch size of the x60 profiler — same k as q21/q29's KMV family. */
+  private val ProfK = 64
+
+  /** Sketch-mode data profiler (x60): x55's documented "at 100 TB the
+    * exact distincts swap for the KMV sketch family" made a real query.
+    * Same per-column profile over `documents` and `events`, with every
+    * exact COUNT(DISTINCT) replaced by the [[graft.functions.KMinValues]]
+    * aggregate over [[TextOps.polyHash]] of the column's canonical string
+    * form (ints/epoch-micros/micro-quantized doubles render identically in
+    * both engines; H = 1e9+7, estimate (k-1)*H/kth_min). The oracle
+    * reproduces the sketch EXACTLY (distinct hashes, sort, kth — the
+    * q21/q29 determinism argument), so the compare is hash-exact, not
+    * epsilon-judged; the ε-closeness to x55's exact answers is pinned
+    * separately in SketchProfilerSpec.
+    *
+    * Scale shape — the whole point: x55's exact multi-distinct plans as an
+    * Expand (rows × profiled columns shuffled, full document TEXTS as
+    * grouping keys for the text column). Here each row contributes k-long
+    * bounded sketch updates instead: ONE ObjectHashAggregate pass per
+    * table, NO Expand (PlanSpec-pinned), partials k longs per column
+    * regardless of input size — the profile of a trillion-row table moves
+    * O(partitions × columns × k) longs.
+    */
+  private def x60(s: SparkSession, dir: String): DataFrame = {
+    // polyHash alone is NOT estimator-grade: short strings ("311") hash to
+    // tiny values, piling the k-min mass near zero and inflating the
+    // estimate 1000x (caught by SketchProfilerSpec on n_chars). Compose
+    // with q21's affine spreader mod P = 2^31-1 — a BIJECTION on [0, P)
+    // (polyHash's range [0, 1e9+7) sits inside it), so distinct counts are
+    // untouched while the k-mins become uniform on [0, P); the estimator's
+    // H is therefore P, exactly as in q21/q29.
+    val P = 2147483647L
+    val A = 506952114L
+    val B = 12345L
+    def spread(h: Column): Column = (lit(A) * h + lit(B)) % lit(P)
+    def est(arr: Column): Column =
+      round(
+        when(size(arr) < ProfK, size(arr).cast("double"))
+          .otherwise(lit((ProfK - 1).toDouble * P.toDouble) / element_at(arr, ProfK).cast("double")),
+        4)
+    def sk(tbl: String, cn: String, hc: Column): Column =
+      struct(
+        lit(tbl).as("tbl"), lit(cn).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(hc)).cast("long").as("n_nulls"),
+        graft.functions.SketchExprs.kMinValues(hc, ProfK).as("kmv"))
+    def intH(cn: String): Column = spread(TextOps.polyHash(col(cn).cast("string")))
+    def strH(cn: String): Column = spread(TextOps.polyHash(col(cn)))
+    // micro-quantized double: round-half-away-from-zero ties never occur
+    // (values carry <= 6 decimals — the x57/Exact.dsum contract), so the
+    // long is injective on the value domain and identical cross-engine
+    val valH: Column =
+      spread(TextOps.polyHash(round(col("value") * 1e6, 0).cast("long").cast("string")))
+    val tsH: Column = spread(TextOps.polyHash(unix_micros(col("ts")).cast("string")))
+    def profile(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val named = cols.zipWithIndex.map { case (c, i) => c.as(s"p$i") }
+      df.agg(named.head, named.tail: _*)
+        .select(explode(array(cols.indices.map(i => col(s"p$i")): _*)).as("p"))
+        .select(col("p.tbl"), col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
+          est(col("p.kmv")).as("kmv_distinct"))
+    }
+    val docs = profile(t(s, dir, "documents"), Seq(
+      sk("documents", "doc_id", intH("doc_id")),
+      sk("documents", "lang", strH("lang")),
+      sk("documents", "n_chars", intH("n_chars")),
+      sk("documents", "source", strH("source")),
+      sk("documents", "text", strH("text"))))
+    val evs = profile(Tables.events(s, dir), Seq(
+      sk("events", "event_id", intH("event_id")),
+      sk("events", "event_type", strH("event_type")),
+      sk("events", "props", strH("props")),
+      sk("events", "ts", tsH),
+      sk("events", "user_id", intH("user_id")),
+      sk("events", "value", valH)))
+    docs.union(evs).orderBy(col("tbl"), col("col_name"))
+  }
+
+  /** Reachability-closure oracle over the FULL co-purchase graph — shared
+    * by x56 (the engine recomputes from scratch) and x61 (the engine takes
+    * the incremental star-forest path; the oracle is deliberately
+    * coin-independent, so the row-exact compare certifies
+    * components(stars ∪ delta) = components(full graph)).
+    */
+  private val CcOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY l_suppkey, o_custkey
+       |  HAVING count(DISTINCT l_orderkey) >= $CcMinOrders),
+       |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |n AS (SELECT DISTINCT a AS node FROM e),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node),
+       |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+       |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+       |  FROM comp GROUP BY component)
+       |SELECT c.node, c.component, s.comp_size
+       |FROM comp c JOIN sz s USING (component) ORDER BY node""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
@@ -2096,7 +2233,9 @@ object ExtensionQueries {
     "x56_connected_components" -> (x56 _),
     "x57_gap_fill" -> (x57 _),
     "x58_triangle_sample" -> (x58 _),
-    "x59_prefix_join" -> (x59 _))
+    "x59_prefix_join" -> (x59 _),
+    "x60_table_profile_sketch" -> (x60 _),
+    "x61_incremental_cc" -> (x61 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2976,23 +3115,7 @@ object ExtensionQueries {
     },
     // reachability closure replays the contraction's answer: O(sum of
     // component sizes squared) — oracle-only; the engine contracts instead
-    "x56_connected_components" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |  GROUP BY l_suppkey, o_custkey
-         |  HAVING count(DISTINCT l_orderkey) >= $CcMinOrders),
-         |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-         |n AS (SELECT DISTINCT a AS node FROM e),
-         |reach(node, lab) AS (
-         |  SELECT node, node FROM n
-         |  UNION
-         |  SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node),
-         |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
-         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
-         |  FROM comp GROUP BY component)
-         |SELECT c.node, c.component, s.comp_size
-         |FROM comp c JOIN sz s USING (component) ORDER BY node""".stripMargin,
+    "x56_connected_components" -> CcOracleSql,
     "x57_gap_fill" ->
       // generate_series replays the per-user dense grid; last_value IGNORE
       // NULLS is the sequential form of the engine's forward-fill window
@@ -3050,5 +3173,39 @@ object ExtensionQueries {
          |  CAST(len(a.s) AS DOUBLE) AS n1, CAST(len(b.s) AS DOUBLE) AS n2
          | FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
          |SELECT id1, id2, o/(n1+n2-o) AS jac FROM p
-         |WHERE o/(n1+n2-o) >= $PrefixJoinT ORDER BY id1, id2""".stripMargin)
+         |WHERE o/(n1+n2-o) >= $PrefixJoinT ORDER BY id1, id2""".stripMargin,
+    "x60_table_profile_sketch" -> {
+      // The oracle REPRODUCES the KMV sketch exactly (the q21/q29
+      // determinism argument): distinct polyHash values, sorted, count-or-
+      // kth-min estimator — no epsilon judging in the compare.
+      val estNum = (ProfK - 1).toLong * 2147483647L // (k-1) * P, as q21
+      def spread(h: String) = s"(506952114::BIGINT * ($h) + 12345) % 2147483647"
+      def arm(tbl: String, cn: String, hashExpr: String) =
+        s"""SELECT '$tbl' AS tbl, '$cn' AS col_name,
+           | CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($cn) AS BIGINT) AS n_nulls,
+           | (SELECT round(CASE WHEN count(h) < $ProfK THEN CAST(count(h) AS DOUBLE)
+           |   ELSE $estNum.0 / CAST(min(CASE WHEN rk = $ProfK THEN h END) AS DOUBLE) END, 4)
+           |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+           |        FROM (SELECT DISTINCT ${hashExpr} AS h FROM $tbl WHERE $cn IS NOT NULL) __d) __r
+           | ) AS kmv_distinct
+           |FROM $tbl""".stripMargin
+      def intH(cn: String) = spread(polySql(s"CAST($cn AS VARCHAR)"))
+      Seq(
+        arm("documents", "doc_id", intH("doc_id")),
+        arm("documents", "lang", spread(polySql("lang"))),
+        arm("documents", "n_chars", intH("n_chars")),
+        arm("documents", "source", spread(polySql("source"))),
+        arm("documents", "text", spread(polySql("text"))),
+        arm("events", "event_id", intH("event_id")),
+        arm("events", "event_type", spread(polySql("event_type"))),
+        arm("events", "props", spread(polySql("props"))),
+        arm("events", "ts", spread(polySql("CAST(epoch_us(ts) AS VARCHAR)"))),
+        arm("events", "user_id", intH("user_id")),
+        arm("events", "value",
+          spread(polySql("CAST(CAST(round(value*1000000.0) AS BIGINT) AS VARCHAR)"))))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
+    },
+    // coin-independent on purpose — see CcOracleSql
+    "x61_incremental_cc" -> CcOracleSql)
 }

@@ -387,8 +387,14 @@ object Dedup {
     */
   def prefixSimilarityJoin(sets: DataFrame, t: Double): DataFrame = {
     require(t > 0 && t <= 1, s"threshold must be in (0, 1], got $t")
-    val sh = sets.select(col("doc_id"), array_distinct(col("s")).as("s"))
-      .filter(size(col("s")) > 0)
+    // Three consumers (the explode below and both verification joins)
+    // would each replay the caller's shingling lineage — materialize once,
+    // same convention as the triangle join's oriented edge list; the
+    // between-query CacheHygiene sweep reclaims the blocks, so callers
+    // need no .cache()/unpersist of their own.
+    val sh = Checkpoints.cut(
+      sets.select(col("doc_id"), array_distinct(col("s")).as("s"))
+        .filter(size(col("s")) > 0))
     val ex = sh.select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window

@@ -120,6 +120,56 @@ object GraphOps {
     (labels, rounds)
   }
 
+  /** Incremental connected components: fold an edge DELTA into a
+    * previously computed labeling without replaying the full edge set —
+    * the daily-delta maintenance path (at 100 TB nobody re-reads a year
+    * of edges because today added 0.1%; the reference's own catalog build
+    * is the same pattern, appending per-resource rows to an existing
+    * catalog — `scripts/usgs_lidar.py:257-273`).
+    *
+    * A converged labeling IS a star forest: (node → component) edges of
+    * depth 1. Union that forest with the delta and re-contract. The prior
+    * graph's structure enters as stars — already fully collapsed — so
+    * contraction only works on what the delta actually connects: rounds
+    * are bounded by the merge depth the NEW edges induce over component
+    * ids (≤ the full recompute's O(log n), typically 1-2 for a daily
+    * delta), and the per-round edge count is |prior components' nodes| +
+    * |delta|, not |historical edges|. Input sizes: the star forest is
+    * node-count-sized (radically smaller than the historical edge set it
+    * summarizes) and the delta is delta-sized.
+    *
+    * Equivalence: components(stars(G) ∪ D) = components(G ∪ D) on labels
+    * restricted to G's nodes — two nodes of G are connected through
+    * G-paths iff connected through their stars, and delta paths compose
+    * identically. Nodes isolated in BOTH inputs (singleton components in
+    * `prevLabels`) carry no edges, so they are re-attached as their own
+    * component after the contraction.
+    *
+    * @param prevLabels (node, component) — a prior [[connectedComponents]]
+    *                   output (or any equivalent labeling)
+    * @param newEdges   two numeric columns `a`, `b`; duplicates,
+    *                   self-loops, and nodes unseen before all tolerated
+    * @return (node, component) over the UNION of prior nodes and delta
+    *         endpoints; component = min node id, consistent with a full
+    *         recompute over prior-edges ∪ delta.
+    */
+  def incrementalComponents(
+      prevLabels: DataFrame, newEdges: DataFrame, maxIter: Int = 25,
+      failOnNonConvergence: Boolean = false): DataFrame = {
+    val stars = prevLabels
+      .select(col("node").cast("long").as("a"), col("component").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val delta = newEdges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val labels = connectedComponents(stars.union(delta), maxIter, failOnNonConvergence)
+    val nodes = prevLabels.select(col("node").cast("long").as("node"))
+      .union(delta.select(col("a").as("node")))
+      .union(delta.select(col("b").as("node")))
+      .filter(col("node").isNotNull)
+      .distinct()
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
   /** Per-node triangle counts via the degree-ordered wedge join
     * (Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
     * Reducer", WWW 2011).
@@ -155,7 +205,9 @@ object GraphOps {
     // Materialized once (Checkpoints.cut): three consumers (both wedge
     // sides and the closure probe) would otherwise each recompute the
     // whole pair-build + degree-join lineage.
-    val fwd = col("d1") < col("d2") || col("d1") === col("d2")
+    // (degree, id) total order: s1 < s2 by construction, so `<=` alone
+    // resolves the degree tie toward s1 — lower id wins.
+    val fwd = col("d1") <= col("d2")
     val oriented = Checkpoints.cut(edges
       .join(deg.select(col("n").as("s1"), col("deg").as("d1")), "s1")
       .join(deg.select(col("n").as("s2"), col("deg").as("d2")), "s2")

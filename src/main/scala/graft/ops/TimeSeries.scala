@@ -33,9 +33,34 @@ object TimeSeries {
     *         observed bucket (never null: the grid starts at an observed
     *         bucket).
     */
-  def gapFillForward(observed: DataFrame): DataFrame = {
-    val grid = observed.groupBy(col("key"))
+  def gapFillForward(observed: DataFrame, maxSpan: Option[Long] = None,
+      clipToMaxSpan: Boolean = false): DataFrame = {
+    val spans = observed.groupBy(col("key"))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+    // Dense-grid inflation guard: Σ per-key spans is the OUTPUT size, and a
+    // single pathological key (one stray 1970 timestamp in a 2026 stream)
+    // silently multiplies it. With `maxSpan` set, a key whose [mn, mx]
+    // bucket span exceeds it either fails the query loudly (default) or —
+    // `clipToMaxSpan = true` — keeps only the key's most recent `maxSpan`
+    // buckets. With `maxSpan` unset, behavior (and output hashes) are
+    // exactly the unguarded original.
+    val bounded = maxSpan match {
+      case None => spans
+      case Some(cap) =>
+        require(cap > 0, s"maxSpan must be positive, got $cap")
+        if (clipToMaxSpan)
+          spans.select(col("key"),
+            greatest(col("mn"), col("mx") - lit(cap - 1)).as("mn"), col("mx"))
+        else {
+          val w = when(col("mx") - col("mn") + 1 > cap,
+            raise_error(concat(
+              lit(s"gapFillForward: key "), col("key").cast("string"),
+              lit(s" spans "), (col("mx") - col("mn") + 1).cast("string"),
+              lit(s" buckets, exceeding maxSpan=$cap — clip upstream or pass clipToMaxSpan=true"))))
+          spans.select(col("key"), coalesce(w.cast("long"), col("mn")).as("mn"), col("mx"))
+        }
+    }
+    val grid = bounded
       .select(col("key"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
     val byBucket = Window.partitionBy(col("key")).orderBy(col("bucket"))
     grid.join(observed, Seq("key", "bucket"), "left")
@@ -49,9 +74,14 @@ object TimeSeries {
   }
 
   /** Epoch-hour bucket of a microsecond-precision timestamp column —
-    * exact long arithmetic (micros `div` 3.6e9), mirrored by the oracle's
-    * `epoch_us(ts) // 3600000000`. Takes the column NAME because Spark's
-    * Column API has no integral-division operator (`/` is always double).
+    * exact long FLOOR division (subtract the nonnegative `pmod` remainder,
+    * then the division is exact), mirrored by the oracle's flooring
+    * `epoch_us(ts) // 3600000000`. A bare `div` truncates toward zero, so
+    * pre-1970 timestamps (negative micros) would bucket one hour later
+    * than the oracle; for nonnegative micros the two agree. Takes the
+    * column NAME because Spark's Column API has no integral-division
+    * operator (`/` is always double).
     */
-  def epochHour(tsCol: String): Column = expr(s"unix_micros($tsCol) div 3600000000")
+  def epochHour(tsCol: String): Column = expr(
+    s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), 3600000000)) div 3600000000")
 }

@@ -53,15 +53,24 @@ object ScaleVerify {
     // Warehouse + series/motif family (round 8 additions):
     "x54_scd2_history" -> Some("user_id % 97 = 0"),
     "x55_table_profile" -> None,
-    // x56's oracle replays reachability as a recursive CTE — O(Σ comp²)
-    // rows. Feasible at sf1 (dimension-bounded node set); at sf100 the
-    // densified giant component makes the CTE the bottleneck, so x56 is
-    // verified at sf1 and its ENGINE side (contraction) is exactly what
-    // removes that quadratic — run it by name only where the oracle fits.
-    "x56_connected_components" -> Some("node % 97 = 0"),
     "x57_gap_fill" -> Some("user_id % 97 = 0"),
     // x58's node set is dimension-bounded (suppliers), output compares whole.
     "x58_triangle_sample" -> None)
+
+  /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
+    * from a no-names sweep and run only when explicitly named (round-8
+    * advice: a default sweep at sf100 otherwise emits an oracle_sql.json
+    * entry whose compare cannot complete, stalling the whole check run).
+    *
+    * x56: the reachability oracle is a recursive CTE — O(Σ comp²) rows.
+    * Feasible at sf1 (dimension-bounded node set, 9,268 s solo); at sf100
+    * the densified giant component makes the CTE the bottleneck, and the
+    * ENGINE side (contraction) is exactly what removes that quadratic.
+    * x61 replays the same closure on the same graph — same bound.
+    */
+  val ByNameOnly: Map[String, Option[String]] = Map(
+    "x56_connected_components" -> Some("node % 97 = 0"),
+    "x61_incremental_cc" -> Some("node % 97 = 0"))
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, rawOutDir) = args.take(2)
@@ -82,7 +91,13 @@ object ScaleVerify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    val family = Family.filter { case (n, _) => names.forall(_.contains(n)) }
+    // No-names run = the default sweep (ByNameOnly excluded); explicit
+    // names select from BOTH pools, so the scale-gated oracles still run
+    // where the caller knows they fit.
+    val pool = Family ++ ByNameOnly.toSeq
+    val family = pool.filter { case (n, _) =>
+      names.map(_.contains(n)).getOrElse(!ByNameOnly.contains(n))
+    }
     family.foreach { case (name, slice) =>
       val t0 = System.nanoTime()
       try {

@@ -163,4 +163,49 @@ class GraphOpsSpec extends AnyFunSuite with Matchers with SparkTest {
     got shouldBe Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L)
   }
+
+  private def runIncremental(
+      prior: Seq[(Long, Long)], delta: Seq[(Long, Long)]): Map[Long, Long] = {
+    val prevLabels = GraphOps.connectedComponents(prior.toDF("a", "b"))
+    GraphOps.incrementalComponents(prevLabels, delta.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental: star forest + delta equals full recompute on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 400
+    def rndEdges(m: Int): Seq[(Long, Long)] =
+      Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+    val prior = rndEdges(500)
+    val delta = rndEdges(60)
+    runIncremental(prior, delta) shouldBe reference(prior ++ delta)
+  }
+
+  test("incremental: a delta bridging two prior components merges their labels") {
+    val prior = Seq((10L, 11L), (20L, 21L))
+    runIncremental(prior, Seq((11L, 21L))) shouldBe
+      Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L)
+  }
+
+  test("incremental: prior singletons survive and unseen delta nodes appear") {
+    // Node 5 is a prior singleton (self-labeled, no edges) — it must not
+    // vanish just because the star forest carries no edge for it; 99/98
+    // are brand-new delta-only nodes.
+    val prevLabels = Seq((5L, 5L), (10L, 10L), (11L, 10L)).toDF("node", "component")
+    val got = GraphOps.incrementalComponents(prevLabels, Seq((98L, 99L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(5L -> 5L, 10L -> 10L, 11L -> 10L, 98L -> 98L, 99L -> 98L)
+  }
+
+  test("incremental: empty delta reproduces the prior labeling (stars re-converge in ~1 round)") {
+    val prior = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val full = reference(prior)
+    runIncremental(prior, Seq.empty) shouldBe full
+    // The star forest is already contracted — re-running costs one
+    // detection round, not a replay of the original convergence.
+    val stars = full.toSeq.filter { case (n, c) => n != c }
+    val (_, rounds) = GraphOps.ccWithRounds(stars.toDF("a", "b"))
+    rounds shouldBe 1
+  }
 }

@@ -425,6 +425,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("partial_")
   }
 
+  test("x60: sketch profiler keeps x55's one-scan-per-table but drops the Expand entirely") {
+    val p = plan("x60_table_profile_sketch")
+    // The KMV swap's whole point: the exact multi-distinct's rows x columns
+    // Expand is gone — each row feeds bounded sketch updates inside ONE
+    // ObjectHashAggregate pass per table (partials are k longs per column,
+    // so a trillion-row profile moves O(partitions x columns x k) longs).
+    "FileScan parquet".r.findAllIn(p).size shouldBe 2
+    p should not include "Expand"
+    p should include("ObjectHashAggregate")
+    p should include("partial_")
+  }
+
+  test("x61: incremental components joins on node/component keys, no nested loops") {
+    val p = finalPlan("x61_incremental_cc")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("component")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
