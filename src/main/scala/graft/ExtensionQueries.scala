@@ -1924,7 +1924,7 @@ object ExtensionQueries {
   /** The thresholded supplier<->customer co-purchase edge list shared by
     * x56 (full recompute) and x61 (incremental maintenance).
     */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))

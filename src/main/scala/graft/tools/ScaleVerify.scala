@@ -53,6 +53,9 @@ object ScaleVerify {
     // Warehouse + series/motif family (round 8 additions):
     "x54_scd2_history" -> Some("user_id % 97 = 0"),
     "x55_table_profile" -> None,
+    // x60's oracle reproduces the KMV sketch via DISTINCT+sort+kth —
+    // linear work for DuckDB at any scale, unlike the closure oracles.
+    "x60_table_profile_sketch" -> None,
     "x57_gap_fill" -> Some("user_id % 97 = 0"),
     // x58's node set is dimension-bounded (suppliers), output compares whole.
     "x58_triangle_sample" -> None)
