@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.ops.{AnnModels, Dedup, GraphOps, Similarity, Skew, TextOps, TimeSeries}
+import graft.ops.{AnnModels, CorpusMix, Dedup, GraphOps, Similarity, Skew, TextOps, TimeSeries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2174,6 +2174,43 @@ object ExtensionQueries {
        |SELECT c.node, c.component, s.comp_size
        |FROM comp c JOIN sz s USING (component) ORDER BY node""".stripMargin
 
+  /** Temperature exponent / document budget of the x63 mix allocation. */
+  private val MixAlpha = 0.3
+  private val MixBudget = 100000L
+
+  /** Pairwise source-distribution divergence (x62): Jensen-Shannon
+    * divergence between every pair of sources' token-hash-bucket
+    * distributions (256 polyHash buckets, add-one smoothing) via
+    * [[CorpusMix.jsDivergenceMatrix]] — the drift diagnostic that tells a
+    * curation pipeline which sources are stylistic near-duplicates and
+    * which are outliers before designing the mix. One corpus-sized
+    * (source, bucket) count shuffle; everything after is
+    * dimension-sized.
+    */
+  private def x62(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        pmod(TextOps.polyHash(col("tok")), lit(CorpusMix.Buckets.toLong)).as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+    CorpusMix.jsDivergenceMatrix(counts).orderBy(col("src1"), col("src2"))
+  }
+
+  /** Alpha-temperature mix allocation (x63): raw per-source document
+    * counts rebalanced into an EXACT integer budget via
+    * [[CorpusMix.temperatureAllocation]] (w ∝ n^0.3 upweights small
+    * sources; largest-remainder apportionment makes Σ alloc == budget
+    * deterministically). The complement of x29's hash-rate sampling: x29
+    * decides WHICH documents survive a target rate, x63 decides HOW MANY
+    * each source contributes to the next training epoch.
+    */
+  private def x63(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    CorpusMix.temperatureAllocation(counts, MixAlpha, MixBudget)
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -2235,7 +2272,9 @@ object ExtensionQueries {
     "x58_triangle_sample" -> (x58 _),
     "x59_prefix_join" -> (x59 _),
     "x60_table_profile_sketch" -> (x60 _),
-    "x61_incremental_cc" -> (x61 _))
+    "x61_incremental_cc" -> (x61 _),
+    "x62_source_divergence" -> (x62 _),
+    "x63_temperature_mix" -> (x63 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3207,5 +3246,40 @@ object ExtensionQueries {
         .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
     },
     // coin-independent on purpose — see CcOracleSql
-    "x61_incremental_cc" -> CcOracleSql)
+    "x61_incremental_cc" -> CcOracleSql,
+    "x62_source_divergence" ->
+      // dense smoothed per-source bucket distributions; JS terms mirror
+      // the engine's expression order exactly and are decimal-quantized
+      // (scale 9) before the exact sum — libm ln noise (~1e-18 per term)
+      // sits far below the quantum
+      s"""WITH tk AS (SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM documents),
+         |bc AS (SELECT source, ${polySql("tok")} % ${CorpusMix.Buckets} AS bucket,
+         |  CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM bc GROUP BY source),
+         |g AS (SELECT n.source, b.bucket,
+         |  CAST(coalesce(bc.c, 0) + 1 AS DOUBLE) / CAST(n.n + ${CorpusMix.Buckets} AS DOUBLE) AS p
+         | FROM n CROSS JOIN (SELECT unnest(range(0, ${CorpusMix.Buckets})) AS bucket) b
+         | LEFT JOIN bc ON bc.source = n.source AND bc.bucket = b.bucket),
+         |pairs AS (SELECT a.source AS src1, b.source AS src2,
+         |  a.p * ln(a.p / ((a.p + b.p) / 2.0)) / 2.0 +
+         |  b.p * ln(b.p / ((a.p + b.p) / 2.0)) / 2.0 AS term
+         | FROM g a JOIN g b ON a.bucket = b.bucket AND a.source < b.source)
+         |SELECT src1, src2,
+         | round(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS js
+         |FROM pairs GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin,
+    "x63_temperature_mix" ->
+      // the one libm quantity (n^alpha) is floored at 1e6 micro-units far
+      // from knife edges; base/remainder/top-up are pure integer
+      // arithmetic, so Σ alloc == budget exactly in both engines
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |  CAST(floor(power(CAST(n_docs AS DOUBLE), $MixAlpha) * 1000000.0) AS BIGINT) AS w FROM c),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+         |q AS (SELECT source, n_docs, w,
+         |  ($MixBudget * w) // tw AS base, ($MixBudget * w) % tw AS rem FROM w CROSS JOIN t),
+         |s AS (SELECT $MixBudget - SUM(base) AS short FROM q),
+         |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+         |SELECT source, n_docs, w,
+         | CAST(base + CASE WHEN rk <= (SELECT short FROM s) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM r ORDER BY source""".stripMargin)
 }

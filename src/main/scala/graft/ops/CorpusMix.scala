@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-mix curation operators: the "what do we train on next epoch"
+  * layer that sits between per-document filtering (x02/x10/x50) and
+  * sampling (x17/x29/x41) in an LLM data pipeline.
+  *
+  *  - [[jsDivergenceMatrix]] diagnoses DRIFT between per-source token
+  *    distributions (which sources are near-duplicates of each other,
+  *    which are outliers — the input to dedup-at-source-granularity and
+  *    to mix design);
+  *  - [[temperatureAllocation]] turns raw source sizes into an exact
+  *    integer document budget per source under alpha-temperature
+  *    rebalancing (Lample & Conneau, "Cross-lingual Language Model
+  *    Pretraining", 2019: w_s ∝ n_s^alpha — alpha < 1 upweights small
+  *    sources), via largest-remainder apportionment so the allocations
+  *    sum EXACTLY to the budget.
+  *
+  * Scale shape: the only corpus-sized stage is the (source, bucket)
+  * count aggregate feeding the divergence matrix — one map-side-combined
+  * shuffle on a bounded key space (sources x 256 buckets). Everything
+  * downstream (dense grids, pair joins, apportionment windows) is
+  * dimension-sized: sources are a catalog, not data. At 100 TB the same
+  * plan moves exactly one corpus scan.
+  */
+object CorpusMix {
+
+  /** Token-hash bucket count for the divergence distributions: coarse
+    * enough that every bucket is populated at fixture scale (smoothing
+    * stays a correction, not the signal), fine enough that distinct
+    * source styles separate.
+    */
+  val Buckets = 256
+
+  /** Pairwise Jensen-Shannon divergence between per-source distributions.
+    *
+    * @param counts (source: string, bucket: long in [0, Buckets),
+    *               c: long) — token counts per source and hash bucket
+    *               (absent buckets implied zero)
+    * @return (src1 < src2, js) one row per unordered source pair;
+    *         js in [0, ln 2] computed over add-one-smoothed dense
+    *         distributions. Per-bucket terms are decimal-quantized
+    *         (scale 9) before the exact sum, so the result is
+    *         summation-order independent and engine-reproducible; the
+    *         served value is rounded to 6 decimals (libm ulp noise).
+    */
+  def jsDivergenceMatrix(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    // dense source x bucket grid (dimension-sized), add-one smoothing
+    val grid = totals.crossJoin(
+        spark.range(Buckets.toLong).select(col("id").as("bucket")))
+      .join(counts, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n") + Buckets).cast("double")).as("p"))
+    val a = grid.select(col("source").as("src1"), col("bucket"), col("p").as("p1"))
+    val b = grid.select(col("source").as("src2"), col("bucket"), col("p").as("p2"))
+    val m = (col("p1") + col("p2")) / 2.0
+    a.join(b, Seq("bucket")).filter(col("src1") < col("src2"))
+      .select(col("src1"), col("src2"),
+        (col("p1") * log(col("p1") / m) / 2.0 +
+          col("p2") * log(col("p2") / m) / 2.0).as("term"))
+      .groupBy(col("src1"), col("src2"))
+      .agg(round(graft.util.Exact.dsum(col("term"), 9), 6).as("js"))
+  }
+
+  /** Exact integer budget apportionment under alpha-temperature weights.
+    *
+    * Weights w_s = floor(n_s^alpha * 1e6) as longs (the one libm-derived
+    * quantity, floored far from knife edges); everything after is pure
+    * integer arithmetic: base quota `budget * w div W`, then
+    * largest-remainder top-up ranked by (`budget * w mod W` desc, source)
+    * — so Σ alloc == budget EXACTLY, deterministically, with no
+    * floating-point ties anywhere near the decision points.
+    *
+    * @param counts (source: string, n_docs: long)
+    * @return (source, n_docs, w, alloc) — alloc longs summing to budget
+    */
+  def temperatureAllocation(
+      counts: DataFrame, alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budget >= 0, s"budget must be nonnegative, got $budget")
+    val weighted = counts.select(col("source"), col("n_docs"),
+      floor(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6).cast("long").as("w"))
+    val tw = weighted.agg(sum(col("w")).as("tw"))
+    val quotas = weighted.crossJoin(broadcast(tw))
+      .select(col("source"), col("n_docs"), col("w"),
+        expr(s"($budget * w) div tw").as("base"),
+        expr(s"($budget * w) % tw").as("rem"))
+    // largest-remainder rank + the shortfall are both dimension-sized
+    val short = lit(budget) - sum(col("base")).over(Window.partitionBy())
+    val rk = row_number().over(Window.orderBy(col("rem").desc, col("source")))
+    quotas
+      .select(col("source"), col("n_docs"), col("w"),
+        (col("base") + when(rk <= short, 1L).otherwise(0L)).as("alloc"))
+  }
+}

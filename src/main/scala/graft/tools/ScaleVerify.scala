@@ -58,7 +58,12 @@ object ScaleVerify {
     "x60_table_profile_sketch" -> None,
     "x57_gap_fill" -> Some("user_id % 97 = 0"),
     // x58's node set is dimension-bounded (suppliers), output compares whole.
-    "x58_triangle_sample" -> None)
+    "x58_triangle_sample" -> None,
+    // x62/x63 outputs are source-pair / source sized (dimension-bounded).
+    // x62's oracle tokenizes + char-folds the whole corpus in SQL — fine
+    // to sf1/sf10; at sf100 prefer the engine-side timing alone.
+    "x62_source_divergence" -> None,
+    "x63_temperature_mix" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

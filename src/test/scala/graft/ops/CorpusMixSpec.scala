@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Corpus-mix semantics (ops/CorpusMix.scala): exact apportionment
+  * invariants (sums, monotonicity, degenerate budgets) and the JS
+  * divergence's defining properties (zero on identical distributions,
+  * bounded by ln 2, larger for more-different sources).
+  */
+class CorpusMixSpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  private def alloc(counts: Seq[(String, Long)], alpha: Double, budget: Long): Map[String, Long] =
+    CorpusMix.temperatureAllocation(counts.toDF("source", "n_docs"), alpha, budget)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+
+  test("allocation sums EXACTLY to the budget, across alphas and ragged sizes") {
+    val counts = Seq("a" -> 7L, "b" -> 123L, "c" -> 5000L, "d" -> 1L, "e" -> 999L)
+    for (alpha <- Seq(0.3, 0.5, 0.7, 1.0); budget <- Seq(0L, 1L, 17L, 100000L)) {
+      val a = alloc(counts, alpha, budget)
+      withClue(s"alpha=$alpha budget=$budget: ") { a.values.sum shouldBe budget }
+    }
+  }
+
+  test("a larger source never receives a smaller allocation") {
+    val counts = Seq("a" -> 10L, "b" -> 100L, "c" -> 1000L, "d" -> 10000L)
+    val a = alloc(counts, 0.3, 9999L)
+    a("a") should be <= a("b")
+    a("b") should be <= a("c")
+    a("c") should be <= a("d")
+  }
+
+  test("alpha < 1 upweights small sources relative to their raw share") {
+    val counts = Seq("small" -> 100L, "big" -> 10000L)
+    val a = alloc(counts, 0.3, 10100L)
+    // raw share would give small exactly 100; temperature must give more
+    a("small").toDouble should be > 100.0
+    a("small") + a("big") shouldBe 10100L
+  }
+
+  test("alpha = 1 reproduces proportional apportionment within 1 doc") {
+    val counts = Seq("a" -> 250L, "b" -> 750L)
+    val a = alloc(counts, 1.0, 1000L)
+    a("a").toDouble shouldBe 250.0 +- 1.0
+    a("b").toDouble shouldBe 750.0 +- 1.0
+  }
+
+  private def js(counts: Seq[(String, Long, Long)]): Map[(String, String), Double] =
+    CorpusMix.jsDivergenceMatrix(counts.toDF("source", "bucket", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+  test("identical distributions have zero divergence; different ones do not") {
+    val d1 = (0L until 8L).map(b => ("a", b, 10L + b))
+    val d2 = (0L until 8L).map(b => ("b", b, 10L + b))     // same shape as a
+    val d3 = (0L until 8L).map(b => ("c", b, 100L - 10 * b)) // reversed slope
+    val m = js(d1 ++ d2 ++ d3)
+    m(("a", "b")) shouldBe 0.0
+    m(("a", "c")) should be > 0.0
+    m(("a", "c")) shouldBe m(("b", "c")) // a and b are the same distribution
+  }
+
+  test("divergence is bounded by ln 2 and near it for disjoint mass") {
+    val d1 = Seq(("a", 0L, 1000000L))
+    val d2 = Seq(("b", 255L, 1000000L))
+    val m = js(d1 ++ d2)
+    m(("a", "b")) should be <= math.log(2.0)
+    // smoothing keeps it strictly inside, but disjoint heavy mass should
+    // land within a few percent of the bound
+    m(("a", "b")) should be > 0.9 * math.log(2.0)
+  }
+}
