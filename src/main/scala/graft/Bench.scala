@@ -24,6 +24,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Fixture-drift preflight — same warn-not-abort contract as Verify's.
+    try SchemaContract.validate(spark, sfDir)
+    catch {
+      case e: IllegalStateException =>
+        System.err.println(s"[bench] SCHEMA CONTRACT VIOLATED — timings below may be of failing queries\n${e.getMessage}")
+      case e: Throwable =>
+        System.err.println(s"[bench] schema preflight unreadable: ${e.getMessage}")
+    }
+
     // Warmup: touch each table's footer + run one codegen'd scan/agg/join.
     try {
       Seq("lineitem", "orders", "customer", "supplier", "part", "nation",

@@ -17,6 +17,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-drift preflight (the round-7 NTZ regen failed SILENTLY —
+    // wrong-but-plausible results, no error anywhere): one footer read
+    // per table, and any contract violation is named LOUDLY up front.
+    // Warn rather than abort: a drifted fixture should fail the affected
+    // queries' compares, not zero the whole round's correctness.
+    try SchemaContract.validate(spark, sfDir)
+    catch {
+      case e: IllegalStateException =>
+        System.err.println(s"[verify] SCHEMA CONTRACT VIOLATED — expect query failures below\n${e.getMessage}")
+      case e: Throwable =>
+        System.err.println(s"[verify] schema preflight unreadable: ${e.getMessage}")
+    }
     // Optional comma-separated query filter for local single-query
     // iteration (same contract as Bench's SPARK_GRAFT_BENCH_ONLY; the
     // driver never sets it). oracle_sql.json is filtered to match so

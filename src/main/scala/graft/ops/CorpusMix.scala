@@ -47,7 +47,13 @@ object CorpusMix {
     *         summation-order independent and engine-reproducible; the
     *         served value is rounded to 6 decimals (libm ulp noise).
     */
-  def jsDivergenceMatrix(counts: DataFrame): DataFrame = {
+  def jsDivergenceMatrix(counts0: DataFrame): DataFrame = {
+    // Materialize the (source, bucket) counts ONCE: four downstream
+    // consumers (totals, the grid's left join, and the pair join's two
+    // sides) would otherwise each replay the caller's corpus-sized
+    // tokenize+count lineage — PlanSpec pins the served plan corpus-free.
+    // The cut frame is dimension-sized (sources x Buckets rows).
+    val counts = Checkpoints.cut(counts0)
     val spark = counts.sparkSession
     val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
     // dense source x bucket grid (dimension-sized), add-one smoothing
@@ -84,8 +90,11 @@ object CorpusMix {
       counts: DataFrame, alpha: Double, budget: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(budget >= 0, s"budget must be nonnegative, got $budget")
-    val weighted = counts.select(col("source"), col("n_docs"),
-      floor(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6).cast("long").as("w"))
+    // Materialized once (dimension-sized): the total-weight aggregate and
+    // the quota build would otherwise each replay the caller's corpus
+    // count — one corpus scan, not two.
+    val weighted = Checkpoints.cut(counts.select(col("source"), col("n_docs"),
+      floor(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6).cast("long").as("w")))
     val tw = weighted.agg(sum(col("w")).as("tw"))
     val quotas = weighted.crossJoin(broadcast(tw))
       .select(col("source"), col("n_docs"), col("w"),

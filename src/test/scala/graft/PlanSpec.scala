@@ -444,6 +444,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("component")
   }
 
+  test("x62: served plan is corpus-free — counts are cut once, grid/pairs are dimension-sized") {
+    val p = plan("x62_source_divergence")
+    // The corpus-sized tokenize+count runs EXACTLY once, inside the
+    // Checkpoints.cut in jsDivergenceMatrix; the served plan's four
+    // consumers all read the materialized dimension-sized generation.
+    // (This pin originally read `shouldBe 1` against an uncut build and
+    // caught the corpus lineage replaying FOUR times.)
+    "FileScan parquet".r.findAllIn(p).size shouldBe 0
+    p should include("ExistingRDD") // the cut counts generation
+    p should include("Window").or(include("HashAggregate"))
+  }
+
+  test("x63: served apportionment is corpus-free — weights cut once, windows dimension-sized") {
+    val p = finalPlan("x63_temperature_mix")
+    // Same shape: the per-source corpus count runs once inside the cut;
+    // total-weight aggregate and quota windows read the 20-row generation.
+    "FileScan parquet".r.findAllIn(p).size shouldBe 0
+    p should include("ExistingRDD")
+    p should include("Window")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
