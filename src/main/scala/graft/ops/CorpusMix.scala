@@ -74,6 +74,61 @@ object CorpusMix {
       .agg(round(graft.util.Exact.dsum(col("term"), 9), 6).as("js"))
   }
 
+  /** Scalar twin of x62's bucket assignment for the STREAMING drift
+    * monitor ([[graft.streaming.DocStreams.sourceDriftMonitor]]): same
+    * tokenization as [[TextOps.tokens]] (trim → lower → split \s+ →
+    * drop empties) and the same polyHash, so per-source bucket counts
+    * accumulated in streaming state agree EXACTLY with the batch SQL
+    * path — the twin-agreement property the spec pins.
+    */
+  def bucketCounts(text: String): Array[Long] = {
+    val out = new Array[Long](Buckets)
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val h = graft.functions.TextExprCode.polyHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)))
+        out((h % Buckets).toInt) += 1L
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Add-one-smoothed probability vector of a bucket-count array — the
+    * scalar form of the grid stage in [[jsDivergenceMatrix]].
+    */
+  def smoothed(counts: Array[Long]): Array[Double] = {
+    var n = 0L
+    var i = 0
+    while (i < counts.length) { n += counts(i); i += 1 }
+    val denom = (n + counts.length).toDouble
+    counts.map(c => (c + 1).toDouble / denom)
+  }
+
+  /** Jensen-Shannon divergence of a smoothed count distribution against
+    * a fixed reference distribution — sequential fixed-order summation,
+    * so the value is a pure function of (counts, reference) and the
+    * streaming monitor's output is replay-deterministic.
+    */
+  def jsVsReference(counts: Array[Long], reference: Array[Double]): Double = {
+    require(reference.length == Buckets,
+      s"reference must have $Buckets buckets, got ${reference.length}")
+    val p = smoothed(counts)
+    var js = 0.0
+    var i = 0
+    while (i < Buckets) {
+      val m = (p(i) + reference(i)) / 2.0
+      js += p(i) * math.log(p(i) / m) / 2.0
+      // x ln x -> 0 as x -> 0: a zero reference bucket contributes nothing
+      // (smoothed references are strictly positive; raw ones may not be)
+      if (reference(i) > 0.0) js += reference(i) * math.log(reference(i) / m) / 2.0
+      i += 1
+    }
+    js
+  }
+
   /** Exact integer budget apportionment under alpha-temperature weights.
     *
     * Weights w_s = floor(n_s^alpha * 1e6) as longs (the one libm-derived

@@ -163,6 +163,50 @@ object DocStreams {
       }
   }
 
+  case class DriftState(counts: Array[Long])
+  case class SourceDrift(source: String, n_tokens: Long, js: Double)
+
+  /** Streaming source-drift monitor — the unbounded twin of batch x62:
+    * per source, the token-hash-bucket distribution of everything seen so
+    * far, scored each trigger as Jensen-Shannon divergence against a
+    * fixed REFERENCE distribution (yesterday's corpus, the accepted mix
+    * design — [[graft.ops.CorpusMix.smoothed]] of any bucket-count
+    * vector). The ingest-time alarm for "this feed's style shifted":
+    * upstream crawl changes, a source going spammy, an encoding break —
+    * all show up as a drifting js long before a batch audit runs.
+    *
+    * Scale posture: the per-doc bucket vector is computed MAP-SIDE
+    * ([[graft.ops.CorpusMix.bucketCounts]] — same tokenization and hash
+    * as the batch SQL path, so stream and batch counts agree exactly);
+    * the shuffle carries one 256-long vector per document, never tokens.
+    * State is exactly 256 longs + a count per SOURCE (a dimension key) —
+    * bounded forever on an unbounded feed, no watermark needed. Output
+    * (Update mode): one (source, n_tokens, js) row per source per
+    * trigger, replay-deterministic because the js is a pure sequential
+    * function of the accumulated counts.
+    */
+  def sourceDriftMonitor(
+      docs: DataFrame, reference: Array[Double]): Dataset[SourceDrift] = {
+    import docs.sparkSession.implicits._
+    val perDoc = docs.select(col("source"), col("text")).as[(String, String)]
+      .map { case (src, text) => (src, graft.ops.CorpusMix.bucketCounts(text)) }
+    perDoc.groupByKey(_._1)
+      .mapGroupsWithState[DriftState, SourceDrift](GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Array[Long])], state: GroupState[DriftState]) =>
+          val cur = state.getOption.map(_.counts)
+            .getOrElse(new Array[Long](graft.ops.CorpusMix.Buckets))
+          rows.foreach { case (_, v) =>
+            var i = 0
+            while (i < cur.length) { cur(i) += v(i); i += 1 }
+          }
+          state.update(DriftState(cur))
+          var n = 0L
+          var i = 0
+          while (i < cur.length) { n += cur(i); i += 1 }
+          SourceDrift(src, n, graft.ops.CorpusMix.jsVsReference(cur, reference))
+      }
+  }
+
   /** Compact the band-key store: merge every `batch_id=K` segment with
     * `evictBeforeBatchId <= K <= upToBatchId` into ONE band-sorted segment
     * at `batch_id=upToBatchId`, and DELETE segments older than

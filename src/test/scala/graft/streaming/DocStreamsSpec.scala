@@ -40,6 +40,77 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("sourceDriftMonitor: streamed counts agree exactly with the batch SQL path") {
+    import graft.ops.{CorpusMix, TextOps}
+    import org.apache.spark.sql.functions.{col, count, explode, lit, pmod}
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source"), col("text")).as[(String, String)].collect().toSeq
+    // reference = the whole corpus's own distribution (batch SQL path)
+    val corpusCounts = new Array[Long](CorpusMix.Buckets)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(pmod(TextOps.polyHash(col("tok")), lit(CorpusMix.Buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().foreach(r => corpusCounts(r.getLong(0).toInt) = r.getLong(1))
+    val reference = CorpusMix.smoothed(corpusCounts)
+
+    val in = MemoryStream[(String, String)]
+    val q = DocStreams.sourceDriftMonitor(in.toDF().toDF("source", "text"), reference)
+      .writeStream.format("memory").queryName("drift").outputMode(OutputMode.Update()).start()
+    try {
+      // three triggers, ragged split — state must accumulate across them
+      val (a, rest) = docs.splitAt(docs.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      Seq(a, b, c).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // last emission per source = the full-corpus state
+      val last = spark.table("drift").as[(String, Long, Double)].collect()
+        .zipWithIndex.groupBy(_._1._1).map { case (_, rows) => rows.maxBy(_._2)._1 }
+      // batch twin: per-source counts via the SQL expression path, scored
+      // with the same scalar jsVsReference
+      val batchCounts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          pmod(TextOps.polyHash(col("tok")), lit(CorpusMix.Buckets.toLong)).as("bucket"))
+        .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+        .collect().groupBy(_.getString(0)).map { case (src, rows) =>
+          val arr = new Array[Long](CorpusMix.Buckets)
+          rows.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+          src -> arr
+        }
+      last.map(_._1).toSet shouldBe batchCounts.keySet
+      last.foreach { case (src, n, js) =>
+        val exp = batchCounts(src)
+        n shouldBe exp.sum
+        js shouldBe CorpusMix.jsVsReference(exp, reference) // exact double equality
+      }
+      // a source distributed exactly like the reference would score 0; real
+      // sources differ from the pooled corpus, so drift is strictly positive
+      last.foreach { case (_, _, js) => js should be > 0.0 }
+    } finally q.stop()
+  }
+
+  test("sourceDriftMonitor: js is zero iff the source matches the reference exactly") {
+    import graft.ops.CorpusMix
+    implicit val sq = spark.sqlContext
+    // long texts: with add-one smoothing over 256 buckets, a handful of
+    // tokens is 97% smoothing mass and every distribution looks uniform —
+    // the drift signal needs token counts well above the bucket count
+    val text = "alpha beta gamma delta epsilon zeta " * 500
+    val reference = CorpusMix.smoothed(CorpusMix.bucketCounts(text))
+    val in = MemoryStream[(String, String)]
+    val q = DocStreams.sourceDriftMonitor(in.toDF().toDF("source", "text"), reference)
+      .writeStream.format("memory").queryName("drift0").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("same", text), ("other", "omega psi chi phi upsilon tau " * 500))
+      q.processAllAvailable()
+      val js = spark.table("drift0").as[(String, Long, Double)].collect()
+        .map(r => r._1 -> r._3).toMap
+      js("same") shouldBe 0.0     // own-distribution reference: zero drift
+      js("other") should be > 0.1 // disjoint vocabulary: real drift
+    } finally q.stop()
+  }
+
   test("withCuration matches the batch scoring exactly (same expressions, stream or batch)") {
     val batch = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
     val out = DocStreams.withCuration(batch).orderBy("doc_id").collect()
