@@ -60,6 +60,73 @@ object StreamRestartProbe {
   private def sortedRows(df: DataFrame): Array[String] =
     df.collect().map(_.toString).sorted
 
+  /** sourceDriftMonitor (mapGroupsWithState, Update mode) through a
+    * foreachBatch parquet append, killed + replayed at `killAt`, vs an
+    * uninterrupted twin. foreachBatch is at-least-once, so the replayed
+    * batch appends its rows twice — the contract probed is therefore on
+    * the FINAL STATE: for every source, the row with the highest batch id
+    * (its latest emission, a pure function of accumulated counts) must be
+    * identical across the killed and uninterrupted runs, which is exactly
+    * the state-store-restores-to-pre-batch-version guarantee the monitor
+    * leans on.
+    */
+  def runDrift(spark: SparkSession, batches: Int, perBatch: Int, killAt: Int): Result = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("restart-drift").toString
+    val reference = graft.ops.CorpusMix.smoothed(
+      graft.ops.CorpusMix.bucketCounts("the quick brown fox jumps over the lazy dog " * 40))
+
+    def mkDocs(b: Int): Seq[(String, String)] =
+      (0 until perBatch).map { i =>
+        val src = s"s${i % 3}"
+        // per-source style drifts with the batch index, so each batch
+        // genuinely moves the accumulated distribution
+        (src, s"source $src batch $b token${(b * perBatch + i) % 97} " +
+          s"word${i % 13} filler${(i * 31) % 41} " * 3)
+      }
+
+    def sink(name: String) = s"$root/$name/out"
+    def chk(name: String) = s"$root/$name/chk"
+    def start(src: MemoryStream[(String, String)], name: String) =
+      DocStreams.sourceDriftMonitor(src.toDF().toDF("source", "text"), reference)
+        .writeStream.outputMode("update")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[DocStreams.SourceDrift], bid: Long) =>
+          ds.withColumn("bid", lit(bid))
+            .write.mode("append").parquet(sink(name))
+        }
+        .option("checkpointLocation", chk(name))
+        .start()
+
+    def finalRows(name: String): Array[String] = {
+      val df = spark.read.parquet(sink(name))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("bid").desc)
+      sortedRows(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "bid"))
+    }
+
+    val srcA = MemoryStream[(String, String)]
+    val qA = start(srcA, "twin")
+    (0 until batches).foreach { b => srcA.addData(mkDocs(b)); qA.processAllAvailable() }
+    qA.stop()
+
+    val srcB = MemoryStream[(String, String)]
+    var qB = start(srcB, "killed")
+    (0 until killAt).foreach { b => srcB.addData(mkDocs(b)); qB.processAllAvailable() }
+    qB.stop()
+    dropCommit(chk("killed"), killAt - 1)
+    qB = start(srcB, "killed")
+    (killAt until batches).foreach { b => srcB.addData(mkDocs(b)); qB.processAllAvailable() }
+    qB.stop()
+
+    val twin = finalRows("twin")
+    val killed = finalRows("killed")
+    Result("sourceDriftMonitor/final-state", batches, killAt, killed.length.toLong,
+      twin.nonEmpty &&
+        java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
+  }
+
   /** windowedTopUsers through a parquet file sink, killed + replayed at
     * `killAt`, vs an uninterrupted twin.
     */

@@ -30,4 +30,10 @@ class StreamRestartSpec extends AnyFunSuite with Matchers with SparkTest {
     r.rows should be > 0L
     r.agree shouldBe true
   }
+
+  test("sourceDriftMonitor: final per-source state after kill+replay equals the twin") {
+    val r = StreamRestartProbe.runDrift(spark, batches = 8, perBatch = 90, killAt = 4)
+    r.rows should be > 0L
+    r.agree shouldBe true
+  }
 }
