@@ -31,7 +31,14 @@ object TimeSeries {
     *         `key, bucket, cnt` (0 on gaps), `is_observed` (int 0/1) and
     *         `filled` — the metric carried forward from the most recent
     *         observed bucket (never null: the grid starts at an observed
-    *         bucket).
+    *         bucket — EXCEPT under `clipToMaxSpan`, where a clipped key's
+    *         grid may start unobserved and its leading `filled` rows are
+    *         null, making the clip visible in the output shape).
+    * @param maxSpan       optional per-key bucket-span cap; a key whose
+    *                      [min, max] span exceeds it fails the query
+    *                      loudly, naming the key
+    * @param clipToMaxSpan with `maxSpan`, clip oversized keys to their
+    *                      most recent `maxSpan` buckets instead of failing
     */
   def gapFillForward(observed: DataFrame, maxSpan: Option[Long] = None,
       clipToMaxSpan: Boolean = false): DataFrame = {
