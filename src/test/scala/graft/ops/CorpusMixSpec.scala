@@ -47,6 +47,27 @@ class CorpusMixSpec extends AnyFunSuite with Matchers with SparkTest {
     a("b").toDouble shouldBe 750.0 +- 1.0
   }
 
+  test("randomized sweep: sum and monotonicity invariants hold on arbitrary inputs") {
+    val rnd = new scala.util.Random(97)
+    (1 to 10).foreach { _ =>
+      val nSrc = 1 + rnd.nextInt(30)
+      val counts = (0 until nSrc).map(i => f"s$i%02d" -> (1L + rnd.nextInt(1000000)))
+      val alpha = 0.05 + rnd.nextDouble() * 0.95
+      val budget = rnd.nextInt(1000000).toLong
+      val a = alloc(counts, alpha, budget)
+      withClue(s"nSrc=$nSrc alpha=$alpha budget=$budget: ") {
+        a.values.sum shouldBe budget
+        // monotone in n_docs for strict inequalities; equal counts may
+        // differ by the single largest-remainder top-up unit
+        val sorted = counts.sortBy(_._2)
+        sorted.zip(sorted.tail).foreach { case ((s1, c1), (s2, c2)) =>
+          if (c1 < c2) a(s1) should be <= a(s2)
+          else math.abs(a(s1) - a(s2)) should be <= 1L
+        }
+      }
+    }
+  }
+
   private def js(counts: Seq[(String, Long, Long)]): Map[(String, String), Double] =
     CorpusMix.jsDivergenceMatrix(counts.toDF("source", "bucket", "c"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
