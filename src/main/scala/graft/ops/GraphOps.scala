@@ -72,21 +72,30 @@ object GraphOps {
       e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
 
-    // Tentative labels min(Γ⁺(u)) summed decimal-exact: non-increasing per
-    // node, constant node set, so sum-unchanged <=> edge set stable.
-    def labelSum(e: DataFrame): java.math.BigDecimal =
-      sym(e).groupBy(col("u")).agg(min(least(col("v"), col("u"))).as("lab"))
-        .agg(coalesce(sum(col("lab").cast("decimal(38,0)")),
+    // Per-node neighborhood minimum — the ONE aggregate each round needs:
+    // large-star joins against it, and the convergence check derives from
+    // it (tentative label min(Γ⁺(u)) = least(mn, u), summed decimal-exact:
+    // non-increasing per node, constant node set, so sum-unchanged <=>
+    // edge set stable). Materialized (node-count-sized) because both
+    // consumers would otherwise replay the symmetrize+aggregate shuffle —
+    // fusing the old separate labelSum aggregate into this one cut saves
+    // a full edge-sized shuffle per round.
+    def neighborhoodMins(e: DataFrame): DataFrame =
+      Checkpoints.cut(sym(e).groupBy(col("u")).agg(min(col("v")).as("mn")))
+
+    def labelSumOf(mins: DataFrame): java.math.BigDecimal =
+      mins.agg(coalesce(
+          sum(least(col("mn"), col("u")).cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")))
         .head().getDecimal(0)
 
-    var prev = labelSum(edges)
+    var mins = neighborhoodMins(edges)
+    var prev = labelSumOf(mins)
     var converged = edges.isEmpty // an edgeless graph is already converged
     var rounds = 0
     while (!converged && rounds < maxIter) {
       // Large-star: v > u re-attaches to least(min Γ(u), u).
       val nb = sym(edges)
-      val mins = nb.groupBy(col("u")).agg(min(col("v")).as("mn"))
       val ls = nb.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), least(col("mn"), col("u")).as("lo"))
@@ -101,9 +110,12 @@ object GraphOps {
         .union(mins2.select(col("u").as("hi"), col("mn").as("lo")))
         .distinct()
       val next = Checkpoints.cut(ss)
-      val cur = labelSum(next)
+      val minsNext = neighborhoodMins(next)
+      val cur = labelSumOf(minsNext)
       edges.unpersist(blocking = false)
+      mins.unpersist(blocking = false)
       edges = next
+      mins = minsNext
       converged = cur.compareTo(prev) == 0
       prev = cur
       rounds += 1
@@ -113,10 +125,10 @@ object GraphOps {
       if (failOnNonConvergence) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    // Converged edge set is a star forest: min(Γ⁺) is the component root.
-    val labels = sym(edges)
-      .groupBy(col("u")).agg(min(least(col("v"), col("u"))).as("component"))
-      .select(col("u").as("node"), col("component"))
+    // Converged edge set is a star forest: min(Γ⁺) of the LAST generation's
+    // materialized neighborhood mins is the component root.
+    val labels = mins
+      .select(col("u").as("node"), least(col("mn"), col("u")).as("component"))
     (labels, rounds)
   }
 
