@@ -2113,12 +2113,6 @@ object ExtensionQueries {
         when(size(arr) < ProfK, size(arr).cast("double"))
           .otherwise(lit((ProfK - 1).toDouble * P.toDouble) / element_at(arr, ProfK).cast("double")),
         4)
-    def sk(tbl: String, cn: String, hc: Column): Column =
-      struct(
-        lit(tbl).as("tbl"), lit(cn).as("col_name"),
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(hc)).cast("long").as("n_nulls"),
-        graft.functions.SketchExprs.kMinValues(hc, ProfK).as("kmv"))
     def intH(cn: String): Column = spread(TextOps.polyHash(col(cn).cast("string")))
     def strH(cn: String): Column = spread(TextOps.polyHash(col(cn)))
     // micro-quantized double: round-half-away-from-zero ties never occur
@@ -2127,26 +2121,40 @@ object ExtensionQueries {
     val valH: Column =
       spread(TextOps.polyHash(round(col("value") * 1e6, 0).cast("long").cast("string")))
     val tsH: Column = spread(TextOps.polyHash(unix_micros(col("ts")).cast("string")))
-    def profile(df: DataFrame, cols: Seq[Column]): DataFrame = {
-      val named = cols.zipWithIndex.map { case (c, i) => c.as(s"p$i") }
-      df.agg(named.head, named.tail: _*)
+    // Hashes are PROJECTED before the aggregate: count() and kmin_values()
+    // both consume each hash, and ObjectHashAggregate evaluates per-
+    // function inputs independently — without the projection the
+    // dominant per-row cost (polyhash over full document text) runs
+    // twice per row.
+    def profile(df: DataFrame, cols: Seq[(String, String, Column)]): DataFrame = {
+      val hashed = df.select(cols.zipWithIndex.map {
+        case ((_, _, hc), i) => hc.as(s"h$i")
+      }: _*)
+      val named = cols.zipWithIndex.map { case ((tbl, cn, _), i) =>
+        struct(
+          lit(tbl).as("tbl"), lit(cn).as("col_name"),
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(s"h$i"))).cast("long").as("n_nulls"),
+          graft.functions.SketchExprs.kMinValues(col(s"h$i"), ProfK).as("kmv")).as(s"p$i")
+      }
+      hashed.agg(named.head, named.tail: _*)
         .select(explode(array(cols.indices.map(i => col(s"p$i")): _*)).as("p"))
         .select(col("p.tbl"), col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
           est(col("p.kmv")).as("kmv_distinct"))
     }
     val docs = profile(t(s, dir, "documents"), Seq(
-      sk("documents", "doc_id", intH("doc_id")),
-      sk("documents", "lang", strH("lang")),
-      sk("documents", "n_chars", intH("n_chars")),
-      sk("documents", "source", strH("source")),
-      sk("documents", "text", strH("text"))))
+      ("documents", "doc_id", intH("doc_id")),
+      ("documents", "lang", strH("lang")),
+      ("documents", "n_chars", intH("n_chars")),
+      ("documents", "source", strH("source")),
+      ("documents", "text", strH("text"))))
     val evs = profile(Tables.events(s, dir), Seq(
-      sk("events", "event_id", intH("event_id")),
-      sk("events", "event_type", strH("event_type")),
-      sk("events", "props", strH("props")),
-      sk("events", "ts", tsH),
-      sk("events", "user_id", intH("user_id")),
-      sk("events", "value", valH)))
+      ("events", "event_id", intH("event_id")),
+      ("events", "event_type", strH("event_type")),
+      ("events", "props", strH("props")),
+      ("events", "ts", tsH),
+      ("events", "user_id", intH("user_id")),
+      ("events", "value", valH)))
     docs.union(evs).orderBy(col("tbl"), col("col_name"))
   }
 
