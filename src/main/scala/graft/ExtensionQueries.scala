@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.ops.{AnnModels, CorpusMix, Dedup, GraphOps, Similarity, Skew, TextOps, TimeSeries}
+import graft.ops.{AnnModels, Checkpoints, CorpusMix, Dedup, GraphOps, Similarity, Skew, TextOps, TimeSeries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -85,9 +85,11 @@ object ExtensionQueries {
     // jac = 0 and can never pass the threshold, so results are identical
     // to the all-pairs form.)
     // The shingle table is tiny (pair queries cap the corpus) but its HOF
-    // expression is interpreted and feeds three DAG branches — cache it so
-    // shingling runs once, not per branch.
-    val sh = plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s")).cache()
+    // expression is interpreted and feeds three DAG branches — cut it so
+    // shingling runs once, not per branch (a materialized cut, unlike a
+    // .cache(), leaves no block leak behind for direct library callers).
+    val sh = Checkpoints.cut(
+      plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s")))
     val sizes = sh.select(col("doc_id"), size(col("s")).as("sz"))
     val ex0 = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
     // Hot-key guard for the pair join: drop shingles whose document
@@ -125,9 +127,10 @@ object ExtensionQueries {
   }
 
   private def x06(s: SparkSession, dir: String): DataFrame = {
-    // Cached for the same multi-branch reason as x04 (sig computation,
+    // Cut for the same multi-branch reason as x04 (sig computation,
     // banding, and the two verify joins all read the shingle sets).
-    val sh = plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s")).cache()
+    val sh = Checkpoints.cut(
+      plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s")))
     val sigs = sh.select(
       (col("doc_id") +: col("s") +:
         (0 until Dedup.MinHashK).map(i =>
@@ -646,9 +649,10 @@ object ExtensionQueries {
         concat(col("text"), chainTail("chainalpha")).as("text")))
       .union(third.select((col("doc_id") + 300000).as("doc_id"),
         concat(col("text"), chainTail("chainalpha"), chainTail("chainbeta")).as("text")))
-    // Shingle sets feed signature computation AND pair verification — cache
+    // Shingle sets feed signature computation AND pair verification — cut
     // (interpreted HOF expression, multiple DAG branches; see x04/x06).
-    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text")).as("s")).cache()
+    val sh = Checkpoints.cut(
+      corpus.select(col("doc_id"), Dedup.shingles(col("text")).as("s")))
     // Stage 1 — exact dedup: edges (group-min id) ~ member, shuffling the
     // 128-bit content hash, never the text.
     val exactEdges = corpus
@@ -959,8 +963,14 @@ object ExtensionQueries {
       TextOps.bpeTokenCount(col("text")).as("n_tok"))
     val bucketed = docs.withColumn("bucket", floor(col("quality") * SelBuckets).cast("long"))
     val bstats = bucketed.groupBy(col("bucket")).agg(sum(col("n_tok")).as("bs"))
-    // bounded frame (<= SelBuckets+1 rows): the unpartitioned window is safe
-    val wb = Window.orderBy(col("bucket").desc).rowsBetween(Window.unboundedPreceding, -1)
+    // bounded frame (<= SelBuckets+1 rows): a single-partition window is
+    // safe here. Partition on `bucket pmod 1` (constant 0, but
+    // non-foldable — a literal partition key gets optimizer-stripped and
+    // the warning returns) so WindowExec's no-partition warning stays a
+    // real signal for genuinely unbounded windows.
+    val wb = Window.partitionBy(pmod(col("bucket"), lit(1L)))
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val prev = bstats
       .withColumn("prev_cum", coalesce(sum(col("bs")).over(wb), lit(0L)))
       .select(col("bucket"), col("prev_cum"))
@@ -1618,8 +1628,8 @@ object ExtensionQueries {
     * units of mass per node per round).
     *
     * Scale shape — textbook distributed PageRank: the edge list with
-    * out-degrees builds once (one shuffle) and is cached for reuse
-    * across rounds; each iteration is one join of the node-sized rank
+    * out-degrees builds once (one shuffle) and is materialized (lineage
+    * cut) for reuse across rounds; each iteration is one join of the node-sized rank
     * vector with the edge list on the source key plus a contribution
     * aggregate on the destination key, with the rank vector
     * materialized per round (the Pregel superstep pattern;
@@ -1635,14 +1645,19 @@ object ExtensionQueries {
       .distinct()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val withDeg = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src")
-      .cache()
+    // Materialized cuts, not .cache(): every PageRank round re-reads the
+    // degree-annotated edge list, and a cache would leak blocks into a
+    // direct caller's session after the query returns (the x59
+    // precedent). The cut frame is a scan of materialized blocks, so
+    // loop reuse costs no lineage replay and nothing stays registered.
+    val withDeg = graft.ops.Checkpoints.cut(edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src"))
     // Same src set as `edges` (every edge row carries a degree), but read
-    // from the cached frame so the union+distinct is not rebuilt; cached
+    // from the cut frame so the union+distinct is not rebuilt; cut
     // because the init vector and each lineage cut's nFrame aggregate
     // re-read it.
-    val nodes = withDeg.select(col("src").as("node")).distinct().cache()
+    val nodes = graft.ops.Checkpoints.cut(
+      withDeg.select(col("src").as("node")).distinct())
     val nFrame = broadcast(nodes.agg(count(lit(1)).as("n")))
     // The init vector is a constant expression over `nodes` — leave it
     // LAZY (no materialization): round 1 folds it into its own join.
@@ -1962,7 +1977,13 @@ object ExtensionQueries {
     * recompute's O(log n)).
     */
   private def x61(s: SparkSession, dir: String): DataFrame = {
-    val pairs = copurchaseEdges(s, dir)
+    // Cut the edge build ONCE: the coin splits below filter this frame
+    // twice (prior + delta), and without the cut each side replays the
+    // corpus-sized lineitem⋈orders join + countDistinct aggregate —
+    // the cut-shared-lineage convention jsDivergenceMatrix /
+    // prefixSimilarityJoin / the triangle join already follow. The cut
+    // frame is distinct-pair-sized, not corpus-sized.
+    val pairs = Checkpoints.cut(copurchaseEdges(s, dir))
     val coin = pmod(col("a") * 31L + col("b"), lit(10L))
     val prior = pairs.filter(coin < 8)
     val delta = pairs.filter(coin >= 8)
@@ -3258,8 +3279,9 @@ object ExtensionQueries {
     "x62_source_divergence" ->
       // dense smoothed per-source bucket distributions; JS terms mirror
       // the engine's expression order exactly and are decimal-quantized
-      // (scale 9) before the exact sum — libm ln noise (~1e-18 per term)
-      // sits far below the quantum
+      // (scale 12, six guard digits below the round-6 digit so exact
+      // .5 rounding ties are ~1e-6-rare) before the exact sum — libm ln
+      // noise (~1e-18 per term) sits far below the quantum
       s"""WITH tk AS (SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM documents),
          |bc AS (SELECT source, ${polySql("tok")} % ${CorpusMix.Buckets} AS bucket,
          |  CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
@@ -3273,18 +3295,20 @@ object ExtensionQueries {
          |  b.p * ln(b.p / ((a.p + b.p) / 2.0)) / 2.0 AS term
          | FROM g a JOIN g b ON a.bucket = b.bucket AND a.source < b.source)
          |SELECT src1, src2,
-         | round(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS js
+         | round(CAST(SUM(CAST(term AS DECIMAL(18,12))) AS DOUBLE), 6) AS js
          |FROM pairs GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin,
     "x63_temperature_mix" ->
       // the one libm quantity (n^alpha) is floored at 1e6 micro-units far
       // from knife edges; base/remainder/top-up are pure integer
-      // arithmetic, so Σ alloc == budget exactly in both engines
+      // arithmetic — int128 (HUGEINT here, decimal(38,0) engine-side)
+      // because budget*w and Σw overflow int64 at ~1e8-doc sources —
+      // so Σ alloc == budget exactly in both engines
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
          |w AS (SELECT source, n_docs,
          |  CAST(floor(power(CAST(n_docs AS DOUBLE), $MixAlpha) * 1000000.0) AS BIGINT) AS w FROM c),
-         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+         |t AS (SELECT SUM(CAST(w AS HUGEINT)) AS tw FROM w),
          |q AS (SELECT source, n_docs, w,
-         |  ($MixBudget * w) // tw AS base, ($MixBudget * w) % tw AS rem FROM w CROSS JOIN t),
+         |  (CAST($MixBudget AS HUGEINT) * w) // tw AS base, (CAST($MixBudget AS HUGEINT) * w) % tw AS rem FROM w CROSS JOIN t),
          |s AS (SELECT $MixBudget - SUM(base) AS short FROM q),
          |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
          |SELECT source, n_docs, w,

@@ -314,10 +314,11 @@ object SparkEntry {
       max(col("l_quantity").cast("double")).as("mx1"),
       min(col("l_extendedprice").cast("double")).as("mn2"),
       max(col("l_extendedprice").cast("double")).as("mx2"))
-      // 3-row model frame feeding several plan branches — cache so the
-      // scan+agg runs once, not per branch (Bench/Verify clear caches
-      // between queries).
-      .cache()
+      // 3-row model frame feeding several plan branches — cut so the
+      // scan+agg runs once, not per branch; unlike a .cache(), the
+      // materialized blocks are reclaimed once unreferenced instead of
+      // staying registered in a direct caller's session.
+      .transform(graft.ops.Checkpoints.cut)
     // Per-column targets: 0-based fractional index p*(n-1) — the same
     // double arithmetic as DuckDB's quantile_cont, so the interpolated
     // value hash-matches. cid 1 = l_quantity@0.5, cid 2 = l_extendedprice@0.9.

@@ -297,11 +297,11 @@ object GeoTiff {
       val items = r.bands.zipWithIndex.map { case (b, i) =>
         s"""  <Item name="DESCRIPTION" sample="$i" role="description">${b.name}</Item>"""
       }
-      ("<GDALMetadata>\n" + items.mkString("\n") + "\n</GDALMetadata>\n ").getBytes("US-ASCII")
+      ("<GDALMetadata>\n" + items.mkString("\n") + "\n</GDALMetadata>\n\u0000").getBytes("US-ASCII")
     }
     val nodataAscii = r.nodata.map { v =>
       val s = if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
-      (s + " ").getBytes("US-ASCII")
+      (s + "\u0000").getBytes("US-ASCII")
     }
     // GeoKeys: version header + ModelType + RasterType + EPSG (geographic
     // CRS key 2048 if epsg looks geographic, else projected key 3072).

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-mix curation operators: the "what do we train on next epoch"
   * layer that sits between per-document filtering (x02/x10/x50) and
@@ -43,9 +44,16 @@ object CorpusMix {
     * @return (src1 < src2, js) one row per unordered source pair;
     *         js in [0, ln 2] computed over add-one-smoothed dense
     *         distributions. Per-bucket terms are decimal-quantized
-    *         (scale 9) before the exact sum, so the result is
+    *         (scale 12) before the exact sum, so the result is
     *         summation-order independent and engine-reproducible; the
     *         served value is rounded to 6 decimals (libm ulp noise).
+    *         The quantization scale sits 6 digits below the rounding
+    *         digit: a scale-9 sum lands on an exact ...500 rounding tie
+    *         with ~1e-3 probability per pair (where Spark's HALF_UP and
+    *         DuckDB's scaled-double round can disagree — the hazard
+    *         class [[graft.util.Exact.davg]] documents); at scale 12 the
+    *         tie probability is 1e-6 while libm ulp noise (~1e-16 per
+    *         term, ≤256 terms) still sits far below the quantum.
     */
   def jsDivergenceMatrix(counts0: DataFrame): DataFrame = {
     // Materialize the (source, bucket) counts ONCE: four downstream
@@ -71,7 +79,7 @@ object CorpusMix {
         (col("p1") * log(col("p1") / m) / 2.0 +
           col("p2") * log(col("p2") / m) / 2.0).as("term"))
       .groupBy(col("src1"), col("src2"))
-      .agg(round(graft.util.Exact.dsum(col("term"), 9), 6).as("js"))
+      .agg(round(graft.util.Exact.dsum(col("term"), 12), 6).as("js"))
   }
 
   /** Scalar twin of x62's bucket assignment for the STREAMING drift
@@ -138,6 +146,14 @@ object CorpusMix {
     * — so Σ alloc == budget EXACTLY, deterministically, with no
     * floating-point ties anywhere near the decision points.
     *
+    * The quota products run in decimal(38,0), not Long: w ≈ n^alpha * 1e6
+    * reaches ~1e14 at 1e8 docs (the 100 TB regime), so `budget * w` —
+    * and the corpus-wide Σw — overflow int64 long before the inputs look
+    * exotic, and non-ANSI Spark would wrap silently where the int128
+    * oracle stays exact. decimal(38,0) holds budget*w up to ~8.5e37
+    * (both factors at Long.MaxValue) with no wrap; the DuckDB oracle
+    * mirrors with HUGEINT.
+    *
     * @param counts (source: string, n_docs: long)
     * @return (source, n_docs, w, alloc) — alloc longs summing to budget
     */
@@ -150,14 +166,22 @@ object CorpusMix {
     // count — one corpus scan, not two.
     val weighted = Checkpoints.cut(counts.select(col("source"), col("n_docs"),
       floor(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6).cast("long").as("w")))
-    val tw = weighted.agg(sum(col("w")).as("tw"))
+    val tw = weighted.agg(sum(col("w").cast(DecimalType(38, 0))).as("tw"))
     val quotas = weighted.crossJoin(broadcast(tw))
       .select(col("source"), col("n_docs"), col("w"),
-        expr(s"($budget * w) div tw").as("base"),
-        expr(s"($budget * w) % tw").as("rem"))
-    // largest-remainder rank + the shortfall are both dimension-sized
-    val short = lit(budget) - sum(col("base")).over(Window.partitionBy())
-    val rk = row_number().over(Window.orderBy(col("rem").desc, col("source")))
+        expr(s"(cast($budget as decimal(38,0)) * w) div tw").as("base"),
+        expr(s"(cast($budget as decimal(38,0)) * w) % tw").as("rem"))
+    // Largest-remainder rank + the shortfall are both dimension-sized.
+    // The single-partition windows are intentional (sources are a
+    // catalog, not data); partitioning on `w pmod 1` — constant 0 for
+    // every row, but NOT foldable, so the optimizer can't strip it the
+    // way it strips a literal — keeps the partition spec nonempty and
+    // WindowExec's no-partition warning meaningful for genuinely
+    // unbounded windows elsewhere.
+    val onePart = pmod(col("w"), lit(1L))
+    val short = lit(budget) - sum(col("base")).over(Window.partitionBy(onePart))
+    val rk = row_number().over(
+      Window.partitionBy(onePart).orderBy(col("rem").desc, col("source")))
     quotas
       .select(col("source"), col("n_docs"), col("w"),
         (col("base") + when(rk <= short, 1L).otherwise(0L)).as("alloc"))
