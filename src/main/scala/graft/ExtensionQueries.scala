@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.ops.{AnnModels, Checkpoints, CorpusMix, Dedup, GraphOps, Similarity, Skew, TextOps, TimeSeries}
+import graft.ops.{AnnModels, Checkpoints, CorpusMix, Dedup, GraphOps, Ranks, Similarity, Skew, TextOps, TimeSeries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2240,6 +2240,110 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-source keep threshold of the x64 calibration: docs below the
+    * 20th quality percentile OF THEIR OWN SOURCE are cut.
+    */
+  private val CalibCut = 0.2
+
+  /** Per-source quality calibration (x64): the exact percent_rank of
+    * every document's quality score WITHIN its source, plus the keep
+    * flag for a per-source bottom-20% cut. A global quality threshold
+    * (x10/x35's shape) silently guts whole sources whose score
+    * distribution sits low (different language, different register);
+    * calibrating the cut per source keeps each source's own best 80% —
+    * the standard quantile-normalization step before mixing sources.
+    *
+    * Scale shape: [[Ranks.groupPercentRank]] — the oracle's
+    * `percent_rank() OVER (PARTITION BY source ORDER BY quality)` sorts
+    * each source inside ONE window partition (a dominant source = one
+    * straggler task at 100 TB); the engine reassembles the identical
+    * values from a (source, bucket) histogram + within-bucket rank, so
+    * the widest shuffle key is 1000x finer than the source.
+    */
+  private def x64(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextOps.quality(col("text")).as("quality"))
+    Ranks.groupPercentRank(d, "source", "quality")
+      .select(col("doc_id"), col("source"), col("quality"), col("pct_rank"),
+        (col("pct_rank") >= CalibCut).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train-coin modulus/threshold and keep floor of the x65 held-out
+    * perplexity filter: content-hash coin < 8 of 10 trains the LM
+    * (80%), the rest is scored; held-out docs whose mean bigram
+    * log-probability clears the floor are kept.
+    */
+  private val LmSplitMod = 10
+  private val LmTrainBelow = 8
+
+  /** Sits inside the fixture's held-out score range (−3.76..−3.36 at
+    * sf0.01) so the flag genuinely splits (~30% cut), with ≥3.6e-4 of
+    * margin to the nearest observed mean — far above any cross-engine
+    * noise on the decimal-exact average.
+    */
+  private val LmKeepFloor = -3.45
+
+  /** Held-out perplexity filter (x65): the CCNet-style LM quality cut
+    * with the train/serve discipline x47's SemDeDup established. x49
+    * scores every document under an LM fit on the SAME corpus — fine as
+    * a feature, circular as a filter (a document helps shape the model
+    * that judges it). Here a deterministic content-hash coin splits the
+    * corpus 80/20; unigram+bigram statistics come from the TRAIN split
+    * only, and the HELD-OUT split is scored under them. Unseen held-out
+    * bigrams don't drop (x49's inner join would silently skip them —
+    * exactly the out-of-domain evidence a filter exists to see): the
+    * interpolated backoff term floors every bigram at
+    * (1-λ)·(c(cur)+1)/(T+V), so novel text scores LOW rather than not
+    * at all. Output: per held-out doc, bigram count, decimal-exact mean
+    * log-prob, and the keep flag against [[LmKeepFloor]].
+    *
+    * Scale shape: x49's — tokenize/explode map-side, counts and scoring
+    * joins all equi-keyed on tokens or (prev, cur), the totals frame a
+    * broadcast scalar. The split adds one map-side hash predicate.
+    */
+  private def x65(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      (TextOps.polyHash(concat(lit("lmsplit#"), col("text"))) % LmSplitMod).as("coin"))
+    val train = docs.filter(col("coin") < LmTrainBelow)
+    val held = docs.filter(col("coin") >= LmTrainBelow)
+    val uni = train.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+    val tot = uni.agg(sum(col("uc")).as("tt"), count(lit(1)).as("vv"))
+    def bigrams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(
+          element_at(col("t"), i).as("prev"),
+          element_at(col("t"), i + 1).as("cur")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bc = bigrams(train).groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bc"))
+    // bc non-null implies prev was seen in train (pc non-null), so the
+    // seen-bigram term needs only the bc guard
+    val hb = bigrams(held)
+      .join(bc, Seq("prev", "cur"), "left")
+      .join(uni.select(col("tok").as("prev"), col("uc").as("pc")), Seq("prev"), "left")
+      .join(uni.select(col("tok").as("cur"), col("uc").as("cc")), Seq("cur"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        log(
+          when(col("bc").isNotNull,
+            lit(BigramLambda) * (col("bc").cast("double") / col("pc").cast("double")))
+            .otherwise(lit(0.0)) +
+            lit(1.0 - BigramLambda) *
+              ((coalesce(col("cc"), lit(0L)) + 1L).cast("double") /
+                (col("tt") + col("vv")).cast("double"))).as("lp"))
+    hb.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        // un-rounded on purpose — the x49 tie-hazard note applies
+        graft.util.Exact.davg(col("lp"), 6).as("avg_logprob"))
+      .withColumn("keep", (col("avg_logprob") >= LmKeepFloor).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -2303,7 +2407,9 @@ object ExtensionQueries {
     "x60_table_profile_sketch" -> (x60 _),
     "x61_incremental_cc" -> (x61 _),
     "x62_source_divergence" -> (x62 _),
-    "x63_temperature_mix" -> (x63 _))
+    "x63_temperature_mix" -> (x63 _),
+    "x64_quality_calibration" -> (x64 _),
+    "x65_lm_holdout_filter" -> (x65 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3313,5 +3419,50 @@ object ExtensionQueries {
          |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
          |SELECT source, n_docs, w,
          | CAST(base + CASE WHEN rk <= (SELECT short FROM s) THEN 1 ELSE 0 END AS BIGINT) AS alloc
-         |FROM r ORDER BY source""".stripMargin)
+         |FROM r ORDER BY source""".stripMargin,
+    "x64_quality_calibration" ->
+      // the oracle IS the naive per-source-sort window; the engine's
+      // bucket decomposition must reassemble bit-identical percent
+      // ranks (integer-over-integer division, so no rounding needed)
+      s"""WITH h AS (SELECT doc_id, source,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM documents),
+         |q AS (SELECT doc_id, source, $QualitySql AS quality FROM h),
+         |r AS (SELECT doc_id, source, quality,
+         |  percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pct_rank FROM q)
+         |SELECT doc_id, source, quality, pct_rank,
+         | CAST(pct_rank >= $CalibCut AS INT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "x65_lm_holdout_filter" ->
+      // x49's LM arithmetic with the 80/20 content-hash split: stats
+      // CTEs read the train split only, scoring LEFT-joins so unseen
+      // held-out bigrams keep the backoff floor instead of dropping
+      s"""WITH d AS (SELECT doc_id, text, ${polySql("'lmsplit#' || text")} % $LmSplitMod AS coin FROM documents),
+         |ttk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM d WHERE coin < $LmTrainBelow),
+         |htk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM d WHERE coin >= $LmTrainBelow),
+         |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS uc FROM (SELECT unnest(t) AS tok FROM ttk) GROUP BY tok),
+         |tot AS (SELECT (SELECT CAST(SUM(uc) AS BIGINT) FROM uc) AS tt,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM uc) AS vv),
+         |tbp AS (SELECT p.prev AS prev, p.cur AS cur FROM (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> {'prev': t[i], 'cur': t[i+1]})) AS p
+         |  FROM ttk WHERE len(t) >= 2)),
+         |bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bc FROM tbp GROUP BY prev, cur),
+         |hbp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> {'prev': t[i], 'cur': t[i+1]})) AS p
+         |  FROM htk WHERE len(t) >= 2)),
+         |sc AS (SELECT hbp.doc_id,
+         |  ln(CASE WHEN bc.bc IS NOT NULL THEN $BigramLambda * (CAST(bc.bc AS DOUBLE) / CAST(pu.uc AS DOUBLE)) ELSE 0.0 END
+         |   + ${1.0 - BigramLambda} * (CAST(coalesce(cu.uc, 0) + 1 AS DOUBLE) / CAST(tt + vv AS DOUBLE))) AS lp
+         | FROM hbp LEFT JOIN bc ON bc.prev = hbp.prev AND bc.cur = hbp.cur
+         |   LEFT JOIN uc pu ON pu.tok = hbp.prev
+         |   LEFT JOIN uc cu ON cu.tok = hbp.cur
+         |   CROSS JOIN tot),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
+         | FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, avg_logprob,
+         | CAST(avg_logprob >= $LmKeepFloor AS INT) AS keep
+         |FROM ag ORDER BY doc_id""".stripMargin)
 }

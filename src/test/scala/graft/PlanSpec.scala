@@ -465,6 +465,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("Window")
   }
 
+  test("x64: percent ranks come from the bucket decomposition, not a per-source sort") {
+    val p = finalPlan("x64_quality_calibration")
+    // The whole point of Ranks.groupPercentRank: the naive window
+    // function never appears, and the data-sized window partitions on
+    // the 1000x-finer (source, bucket) key.
+    p should not include "percent_rank"
+    p should include("_bkt")
+    p should include("Window")
+    // stats and histogram frames are dimension-sized broadcasts
+    p should include("BroadcastHashJoin")
+  }
+
+  test("x65: held-out scoring is equi-joined on tokens; only the totals attach crosses") {
+    // static plan for the count (the AQE toString repeats subtrees)
+    val p0 = plan("x65_lm_holdout_filter")
+    "BroadcastNestedLoopJoin".r.findAllIn(p0).size shouldBe 1 // the 1-row (tt, vv) attach
+    val p = finalPlan("x65_lm_holdout_filter")
+    p should not include "CartesianProduct"
+    // the unseen-bigram floor rides on LEFT joins, not inner
+    p should include("LeftOuter")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
