@@ -63,7 +63,12 @@ object ScaleVerify {
     // x62's oracle tokenizes + char-folds the whole corpus in SQL — fine
     // to sf1/sf10; at sf100 prefer the engine-side timing alone.
     "x62_source_divergence" -> None,
-    "x63_temperature_mix" -> None)
+    "x63_temperature_mix" -> None,
+    // x64 output is corpus-sized (one row per doc) — slice like x19;
+    // the oracle's per-source window sort is linear-ish DuckDB work.
+    "x64_quality_calibration" -> Some("doc_id % 997 = 0"),
+    // x65 output is held-out-doc-sized (~20% of corpus).
+    "x65_lm_holdout_filter" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8
