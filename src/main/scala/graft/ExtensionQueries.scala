@@ -640,15 +640,28 @@ object ExtensionQueries {
     * n = member count) plus a keep_id = -1 summary row carrying the
     * surviving document count (total - removed).
     */
-  private def x26(s: SparkSession, dir: String): DataFrame = {
+  /** The engineered x26/x66 dedup corpus: 120 base docs plus three
+    * planted copy families (verbatim, one appended chain tail, two) so
+    * exact AND near-dup edges both occur, with chained tails exercising
+    * multi-hop cluster transitivity.
+    */
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
     val third = base.filter(col("doc_id") % 3 === 0)
-    val corpus = base
+    base
       .union(third.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       .union(third.select((col("doc_id") + 200000).as("doc_id"),
         concat(col("text"), chainTail("chainalpha")).as("text")))
       .union(third.select((col("doc_id") + 300000).as("doc_id"),
         concat(col("text"), chainTail("chainalpha"), chainTail("chainbeta")).as("text")))
+  }
+
+  /** Stages 1-3 of the x26 pipeline, shared with x66: exact-hash edges ∪
+    * LSH-candidate + Jaccard-verified near-dup edges → connected
+    * components. Returns (id, label) for every doc that HAS a duplicate;
+    * singletons are absent (callers coalesce to self).
+    */
+  private def dupLabels(corpus: DataFrame): DataFrame = {
     // Shingle sets feed signature computation AND pair verification — cut
     // (interpreted HOF expression, multiple DAG branches; see x04/x06).
     val sh = Checkpoints.cut(
@@ -675,7 +688,12 @@ object ExtensionQueries {
       .filter((inter / union) >= 0.5)
       .select(col("id1"), col("id2"))
     // Stage 3 — connected components over the union of both edge kinds.
-    val labels = Dedup.duplicateClusters(exactEdges.union(nearPairs))
+    Dedup.duplicateClusters(exactEdges.union(nearPairs))
+  }
+
+  private def x26(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dedupCorpus(s, dir)
+    val labels = dupLabels(corpus)
     // Stage 4 — keep-list + surviving-corpus stats.
     val clusters = labels.groupBy(col("label").as("keep_id")).agg(count(lit(1)).as("n"))
     val total = corpus.agg(count(lit(1)).as("tot"))
@@ -2344,6 +2362,47 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster canonicalization (x66): the dedup story's last step. x26
+    * answers "which docs are duplicates of each other" and keeps the
+    * MIN-ID member per cluster — arbitrary; a real pipeline keeps the
+    * BEST copy (the clean original, not the boilerplate-wrapped scrape).
+    * Over the same engineered corpus and the same exact+LSH cluster
+    * machinery ([[dupLabels]]), every document gets its cluster's
+    * argmax-quality representative (ties broken by min doc_id) and a
+    * keep flag; singletons represent themselves.
+    *
+    * The argmax runs as TWO primitive-typed hash aggregates — per-cluster
+    * max(quality), then min(doc_id) among the members tied at that max —
+    * rather than one min(struct(-quality, doc_id)): a struct-typed
+    * min/max is not hash-aggregatable in Spark and silently plans as a
+    * SortAggregate (caught by this query's PlanSpec pin), while the
+    * two-phase form stays in codegen'd hash aggregation on (cluster)
+    * keys. No per-cluster sort or window anywhere; the serve join is
+    * node-keyed. Everything else inherits x26's scale shape (banded LSH
+    * equi-joins, O(diameter) label propagation with per-round lineage
+    * cuts).
+    */
+  private def x66(s: SparkSession, dir: String): DataFrame = {
+    // quality rides along from the start; the corpus is cut because the
+    // edge build and the serve side both read it
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir)
+      .withColumn("quality", TextOps.quality(col("text"))))
+    // three consumers (best, the tie filter, the serve join) — cut so the
+    // label join computes once
+    val labeled = Checkpoints.cut(corpus
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"), col("quality")))
+    val best = labeled.groupBy(col("cluster")).agg(max(col("quality")).as("bq"))
+    val reps = labeled.join(best, "cluster")
+      .filter(col("quality") === col("bq"))
+      .groupBy(col("cluster")).agg(min(col("doc_id")).as("rep_id"))
+    labeled.join(reps, "cluster")
+      .select(col("doc_id"), col("rep_id"), col("quality"),
+        (col("doc_id") === col("rep_id")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -2409,7 +2468,8 @@ object ExtensionQueries {
     "x62_source_divergence" -> (x62 _),
     "x63_temperature_mix" -> (x63 _),
     "x64_quality_calibration" -> (x64 _),
-    "x65_lm_holdout_filter" -> (x65 _))
+    "x65_lm_holdout_filter" -> (x65 _),
+    "x66_cluster_canonical" -> (x66 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2425,6 +2485,46 @@ object ExtensionQueries {
 
   private def minhashSql(i: Int, hs: String): String =
     s"list_min(list_transform($hs, h -> (${Dedup.MinHashA(i)} * h + ${Dedup.MinHashB(i)}) % ${Dedup.MinHashP}))"
+
+  /** Shared x26/x66 oracle CTE prefix: the engineered corpus through the
+    * propagated cluster labels (`corpus`, `sh`, ..., `lab4`). Label
+    * propagation is unrolled (the x13 k-means trick): each round is
+    * label' = least(own, min over neighbours) — the exact SQL mirror of
+    * Dedup.duplicateClusters' neighbourMin + least/coalesce step.
+    */
+  private lazy val DupClusterCtesSql: String = {
+    def labRound(prev: String, out: String): String =
+      s"""$out AS (SELECT l.id, least(min(l.label), coalesce(min(nb.label), min(l.label))) AS label
+         | FROM $prev l LEFT JOIN adj ON adj.a = l.id LEFT JOIN $prev nb ON nb.id = adj.b
+         | GROUP BY l.id)""".stripMargin
+    s"""base AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+       |corpus AS (SELECT doc_id, text FROM base
+       | UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id % 3 = 0
+       | UNION ALL SELECT doc_id + 200000, text || ${chainTailSql("chainalpha")} FROM base WHERE doc_id % 3 = 0
+       | UNION ALL SELECT doc_id + 300000, text || ${chainTailSql("chainalpha")} || ${chainTailSql("chainbeta")} FROM base WHERE doc_id % 3 = 0),
+       |$ShinglesSql,
+       |hh AS (SELECT doc_id, s, list_transform(s, x -> ${polySql("x")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, s, ${(0 until Dedup.MinHashK).map(i => minhashSql(i, "hs") + s" AS mh$i").mkString(",\n ")} FROM hh),
+       |banded AS (SELECT doc_id, unnest([${(0 until Dedup.LshBands).map(b => s"'$b:' || mh${2 * b} || ':' || mh${2 * b + 1}").mkString(", ")}]) AS band FROM sig),
+       |cool AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= ${Dedup.ShingleDfCap}),
+       |capped AS (SELECT banded.* FROM banded JOIN cool USING (band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |nearp AS (SELECT id1, id2 FROM (
+       |  SELECT id1, id2,
+       |   CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS inter,
+       |   CAST(len(s1.s) + len(s2.s) AS DOUBLE) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS uni
+       |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+       | WHERE inter/uni >= 0.5),
+       |exact AS (SELECT m AS id1, doc_id AS id2 FROM
+       |  (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m FROM corpus) WHERE doc_id <> m),
+       |edges AS (SELECT id1, id2 FROM exact UNION SELECT id1, id2 FROM nearp),
+       |adj AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+       |lab0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
+       |${labRound("lab0", "lab1")},
+       |${labRound("lab1", "lab2")},
+       |${labRound("lab2", "lab3")},
+       |${labRound("lab3", "lab4")}""".stripMargin
+  }
 
   /** One k-means iteration, unrolled for the IVF oracles: assign to the
     * nearest centroid, then per-(cell, dim) decimal-exact mean reassembled
@@ -2765,47 +2865,13 @@ object ExtensionQueries {
          | round(CAST(n_hits AS DOUBLE) / CAST(z.n_shingles AS DOUBLE), 6) AS containment
          |FROM hits h JOIN tesz z USING (doc_id) ORDER BY doc_id""".stripMargin
     },
-    "x26_dedup_pipeline" -> {
-      // One label-propagation round, unrolled (the x13 k-means trick):
-      // label' = least(own, min over neighbours) — the exact SQL mirror of
-      // Dedup.duplicateClusters' neighbourMin + least/coalesce step.
-      def labRound(prev: String, out: String): String =
-        s"""$out AS (SELECT l.id, least(min(l.label), coalesce(min(nb.label), min(l.label))) AS label
-           | FROM $prev l LEFT JOIN adj ON adj.a = l.id LEFT JOIN $prev nb ON nb.id = adj.b
-           | GROUP BY l.id)""".stripMargin
-      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
-         |corpus AS (SELECT doc_id, text FROM base
-         | UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id % 3 = 0
-         | UNION ALL SELECT doc_id + 200000, text || ${chainTailSql("chainalpha")} FROM base WHERE doc_id % 3 = 0
-         | UNION ALL SELECT doc_id + 300000, text || ${chainTailSql("chainalpha")} || ${chainTailSql("chainbeta")} FROM base WHERE doc_id % 3 = 0),
-         |$ShinglesSql,
-         |hh AS (SELECT doc_id, s, list_transform(s, x -> ${polySql("x")}) AS hs FROM sh),
-         |sig AS (SELECT doc_id, s, ${(0 until Dedup.MinHashK).map(i => minhashSql(i, "hs") + s" AS mh$i").mkString(",\n ")} FROM hh),
-         |banded AS (SELECT doc_id, unnest([${(0 until Dedup.LshBands).map(b => s"'$b:' || mh${2 * b} || ':' || mh${2 * b + 1}").mkString(", ")}]) AS band FROM sig),
-         |cool AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= ${Dedup.ShingleDfCap}),
-         |capped AS (SELECT banded.* FROM banded JOIN cool USING (band)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
-         |nearp AS (SELECT id1, id2 FROM (
-         |  SELECT id1, id2,
-         |   CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS inter,
-         |   CAST(len(s1.s) + len(s2.s) AS DOUBLE) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS uni
-         |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
-         | WHERE inter/uni >= 0.5),
-         |exact AS (SELECT m AS id1, doc_id AS id2 FROM
-         |  (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m FROM corpus) WHERE doc_id <> m),
-         |edges AS (SELECT id1, id2 FROM exact UNION SELECT id1, id2 FROM nearp),
-         |adj AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
-         |lab0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
-         |${labRound("lab0", "lab1")},
-         |${labRound("lab1", "lab2")},
-         |${labRound("lab2", "lab3")},
-         |${labRound("lab3", "lab4")},
+    "x26_dedup_pipeline" ->
+      s"""WITH $DupClusterCtesSql,
          |clusters AS (SELECT CAST(label AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n FROM lab4 GROUP BY label)
          |SELECT keep_id, n FROM clusters
          |UNION ALL SELECT -1::BIGINT AS keep_id,
          | (SELECT CAST(count(*) AS BIGINT) FROM corpus) - (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM clusters) AS n
-         |ORDER BY keep_id""".stripMargin
-    },
+         |ORDER BY keep_id""".stripMargin,
     "x27_salted_agg" ->
       // The oracle is the UNSALTED aggregate — the salted two-phase plan
       // must be observationally identical to it.
@@ -3464,5 +3530,24 @@ object ExtensionQueries {
          | FROM sc GROUP BY doc_id)
          |SELECT doc_id, n_bigrams, avg_logprob,
          | CAST(avg_logprob >= $LmKeepFloor AS INT) AS keep
-         |FROM ag ORDER BY doc_id""".stripMargin)
+         |FROM ag ORDER BY doc_id""".stripMargin,
+    "x66_cluster_canonical" ->
+      // same cluster CTEs as x26; the representative is the per-cluster
+      // window head on (quality DESC, doc_id) — the engine's
+      // min(struct(-quality, doc_id)) aggregate must agree exactly
+      s"""WITH $DupClusterCtesSql,
+         |hq AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM corpus),
+         |qq AS (SELECT doc_id, $QualitySql AS quality FROM hq),
+         |allq AS (SELECT c.doc_id, CAST(coalesce(l.label, c.doc_id) AS BIGINT) AS cluster, q.quality
+         | FROM corpus c LEFT JOIN lab4 l ON l.id = c.doc_id JOIN qq q ON q.doc_id = c.doc_id),
+         |reps AS (SELECT cluster, doc_id AS rep_id FROM (
+         |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM allq)
+         | WHERE rn = 1)
+         |SELECT a.doc_id, r.rep_id, a.quality,
+         | CAST(a.doc_id = r.rep_id AS INT) AS keep
+         |FROM allq a JOIN reps r USING (cluster) ORDER BY a.doc_id""".stripMargin)
 }

@@ -68,7 +68,9 @@ object ScaleVerify {
     // the oracle's per-source window sort is linear-ish DuckDB work.
     "x64_quality_calibration" -> Some("doc_id % 997 = 0"),
     // x65 output is held-out-doc-sized (~20% of corpus).
-    "x65_lm_holdout_filter" -> Some("doc_id % 97 = 0"))
+    "x65_lm_holdout_filter" -> Some("doc_id % 97 = 0"),
+    // x66 shares x26's capped engineered corpus — output is 240 rows.
+    "x66_cluster_canonical" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

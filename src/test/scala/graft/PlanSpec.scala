@@ -487,6 +487,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("LeftOuter")
   }
 
+  test("x66: representative selection is a cluster-key hash aggregate, no per-cluster window") {
+    val p = finalPlan("x66_cluster_canonical")
+    // the oracle picks reps via row_number() over each cluster; the
+    // engine must use the min(struct(-quality, doc_id)) hash aggregate
+    p should not include "row_number"
+    p should include("HashAggregate")
+    p should not include "CartesianProduct"
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
