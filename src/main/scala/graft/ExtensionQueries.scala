@@ -2403,6 +2403,59 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Eval-slice modulus and neighbour count of the x67 label-vote QA:
+    * vec_id % 20 == 0 holds out 5% of vectors; each is labeled by its 10
+    * nearest train vectors.
+    */
+  private val KnnEvalMod = 20
+  private val KnnK = 10
+
+  /** k-NN label-vote QA (x67): the auto-labeling / label-quality audit
+    * over the embeddings table's `label` column (its first consumer).
+    * A 5% eval slice is held out; each eval vector is assigned the
+    * majority label of its [[KnnK]] nearest TRAIN vectors by exact
+    * cosine (vote ties → smallest label, neighbour-rank ties → smallest
+    * vec_id), and compared against its true label. Disagreements are
+    * exactly the candidates a labeling pipeline routes to review — and
+    * the aggregate accuracy is the health metric for embedding/label
+    * coherence.
+    *
+    * Scale shape: the eval slice is SAMPLED (that is the point of a QA
+    * audit), so the brute-force scan is (train x eval-sample) with the
+    * sample broadcast — one pass over the corpus, no shuffle of the
+    * train side; the vote/argmax is the x66 two-phase hash-aggregate
+    * shape on qid keys (no struct aggregates, no per-qid windows beyond
+    * the bounded top-k rank). For labeling the FULL corpus at 100 TB the
+    * IVF/PQ serve path (x13/x25/x28) replaces brute force; this query is
+    * the exactness harness those approximations are measured against.
+    */
+  private def x67(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+    val eval = e.filter(col("vec_id") % KnnEvalMod === 0)
+    val train = e.filter(col("vec_id") % KnnEvalMod =!= 0)
+    val nn = Similarity.bruteForceTopK(
+      train.select(col("vec_id"), col("v")),
+      eval.select(col("vec_id"), col("v")), KnnK, dim = EmbDim)
+    // Cut: the vote table's two consumers (the max and the argmax join)
+    // would otherwise each replay the corpus-sized kNN scan — the
+    // cut-shared-lineage convention; the cut frame is (eval x labels)-
+    // sized.
+    val votes = Checkpoints.cut(nn
+      .join(train.select(col("vec_id"), col("label").as("nl")), "vec_id")
+      .groupBy(col("qid"), col("nl")).agg(count(lit(1)).as("votes")))
+    val top = votes.groupBy(col("qid")).agg(max(col("votes")).as("mv"))
+    val pred = votes.join(top, "qid")
+      .filter(col("votes") === col("mv"))
+      .groupBy(col("qid"))
+      .agg(min(col("nl")).as("pred"), max(col("mv")).as("votes"))
+    eval.select(col("vec_id"), col("label"))
+      .join(pred.withColumnRenamed("qid", "vec_id"), "vec_id")
+      .select(col("vec_id"), col("label"), col("pred"), col("votes"),
+        (col("label") === col("pred")).cast("int").as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -2469,7 +2522,8 @@ object ExtensionQueries {
     "x63_temperature_mix" -> (x63 _),
     "x64_quality_calibration" -> (x64 _),
     "x65_lm_holdout_filter" -> (x65 _),
-    "x66_cluster_canonical" -> (x66 _))
+    "x66_cluster_canonical" -> (x66 _),
+    "x67_knn_label_vote" -> (x67 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3549,5 +3603,21 @@ object ExtensionQueries {
          | WHERE rn = 1)
          |SELECT a.doc_id, r.rep_id, a.quality,
          | CAST(a.doc_id = r.rep_id AS INT) AS keep
-         |FROM allq a JOIN reps r USING (cluster) ORDER BY a.doc_id""".stripMargin)
+         |FROM allq a JOIN reps r USING (cluster) ORDER BY a.doc_id""".stripMargin,
+    "x67_knn_label_vote" ->
+      // x08's cosine/rank arithmetic (round 6, ties by vec_id) + the
+      // two-phase vote argmax (max votes, then min label among ties)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         |ev AS (SELECT vec_id AS qid, v AS qv, label AS tl FROM e WHERE vec_id % $KnnEvalMod = 0),
+         |tr AS (SELECT vec_id, v, label FROM e WHERE vec_id % $KnnEvalMod <> 0),
+         |p AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos, tr.label AS nl
+         | FROM tr, ev WHERE vec_id <> qid),
+         |r AS (SELECT qid, nl, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM p),
+         |vt AS (SELECT qid, nl, CAST(count(*) AS BIGINT) AS votes FROM r WHERE rnk <= $KnnK GROUP BY qid, nl),
+         |mx AS (SELECT qid, max(votes) AS mv FROM vt GROUP BY qid),
+         |pr AS (SELECT vt.qid, CAST(min(nl) AS INT) AS pred, CAST(max(vt.votes) AS BIGINT) AS votes
+         | FROM vt JOIN mx ON mx.qid = vt.qid AND vt.votes = mx.mv GROUP BY vt.qid)
+         |SELECT ev.qid AS vec_id, CAST(ev.tl AS INT) AS label, pr.pred, pr.votes,
+         | CAST(ev.tl = pr.pred AS INT) AS correct
+         |FROM ev JOIN pr ON pr.qid = ev.qid ORDER BY vec_id""".stripMargin)
 }

@@ -70,7 +70,11 @@ object ScaleVerify {
     // x65 output is held-out-doc-sized (~20% of corpus).
     "x65_lm_holdout_filter" -> Some("doc_id % 97 = 0"),
     // x66 shares x26's capped engineered corpus — output is 240 rows.
-    "x66_cluster_canonical" -> None)
+    "x66_cluster_canonical" -> None,
+    // x67's output is eval-slice-sized (5% of vectors); the oracle's
+    // all-pairs cosine over the train side is quadratic-ish in DuckDB —
+    // fine at sf1 (2.5k eval x 47.5k train), prefer engine-only beyond.
+    "x67_knn_label_vote" -> Some("vec_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

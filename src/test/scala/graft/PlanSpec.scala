@@ -496,6 +496,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("x67: the kNN scan runs once (cut); the vote argmax serves corpus-free hash aggregates") {
+    val p = plan("x67_knn_label_vote")
+    // the train x eval cosine scan materializes inside the Checkpoints.cut
+    // — its two vote consumers must read the generation, not replay it
+    p should include("ExistingRDD")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "SortAggregate"
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
