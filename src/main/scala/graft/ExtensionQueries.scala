@@ -2456,6 +2456,61 @@ object ExtensionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Neighbourhood size and keep floor of the x68 margin miner. */
+  private val BitextK = 4
+  private val BitextMarginFloor = 1.0
+
+  /** Margin-based bitext mining (x68): the parallel-corpus construction
+    * op (Artetxe & Schwenk 2019's margin criterion, the CCMatrix shape).
+    * For every English document, its best Spanish candidate by exact
+    * cosine is scored by margin = 2·cos(x,y) / (avgK(x) + avgK(y)) —
+    * the ratio of the pair's similarity to the mean of each side's
+    * [[BitextK]]-nearest cross-language neighbourhood — so a pair only
+    * survives when it stands OUT of both vectors' neighbourhoods
+    * (absolute-cosine thresholds fail because hub vectors are close to
+    * everything). Ids align embeddings↔documents, languages come from
+    * `documents.lang`.
+    *
+    * Determinism: cosines round to 6 (the x08 convention), the
+    * neighbourhood means are decimal-exact sums over the rounded
+    * cosines, and the margin is a fixed-op-order double expression —
+    * hash-identical across engines with no rounding of the served
+    * margin (the Exact.davg convention).
+    *
+    * Scale shape: one cross-language cosine grid, cut once for its
+    * three consumers (best-candidate, forward and backward
+    * neighbourhood means); ranks are WindowGroupLimit-pruned per-side
+    * windows, means are hash aggregates on the side keys. At 100 TB the
+    * grid comes from the ANN path (x13/x25) instead of the broadcast
+    * brute force; the margin algebra downstream is unchanged.
+    */
+  private def x68(s: SparkSession, dir: String): DataFrame = {
+    val langs = t(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang"))
+    val em = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+      .join(langs, "vec_id")
+    val en = em.filter(col("lang") === "en").select(col("vec_id").as("en_id"), col("v").as("ev"))
+    val es = em.filter(col("lang") === "es").select(col("vec_id").as("es_id"), col("v").as("sv"))
+    val allCos = Checkpoints.cut(en.crossJoin(broadcast(es))
+      .select(col("en_id"), col("es_id"),
+        round(Similarity.cosineStatic(col("ev"), col("sv"),
+          Similarity.norm(col("ev"), EmbDim), Similarity.norm(col("sv"), EmbDim),
+          EmbDim), 6).as("cos")))
+    val wf = Window.partitionBy(col("en_id")).orderBy(col("cos").desc, col("es_id"))
+    val wb = Window.partitionBy(col("es_id")).orderBy(col("cos").desc, col("en_id"))
+    val fwd = allCos.withColumn("rf", row_number().over(wf))
+    val top1 = fwd.filter(col("rf") === 1).select(col("en_id"), col("es_id"), col("cos"))
+    val avgX = fwd.filter(col("rf") <= BitextK).groupBy(col("en_id"))
+      .agg((graft.util.Exact.dsum(col("cos"), 6) / count(lit(1))).as("ax"))
+    val avgY = allCos.withColumn("rb", row_number().over(wb))
+      .filter(col("rb") <= BitextK).groupBy(col("es_id"))
+      .agg((graft.util.Exact.dsum(col("cos"), 6) / count(lit(1))).as("ay"))
+    top1.join(avgX, "en_id").join(avgY, "es_id")
+      .select(col("en_id"), col("es_id"), col("cos"),
+        (lit(2.0) * col("cos") / (col("ax") + col("ay"))).as("margin"))
+      .withColumn("keep", (col("margin") >= BitextMarginFloor).cast("int"))
+      .orderBy(col("en_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -2523,7 +2578,8 @@ object ExtensionQueries {
     "x64_quality_calibration" -> (x64 _),
     "x65_lm_holdout_filter" -> (x65 _),
     "x66_cluster_canonical" -> (x66 _),
-    "x67_knn_label_vote" -> (x67 _))
+    "x67_knn_label_vote" -> (x67 _),
+    "x68_bitext_margin" -> (x68 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3619,5 +3675,24 @@ object ExtensionQueries {
          | FROM vt JOIN mx ON mx.qid = vt.qid AND vt.votes = mx.mv GROUP BY vt.qid)
          |SELECT ev.qid AS vec_id, CAST(ev.tl AS INT) AS label, pr.pred, pr.votes,
          | CAST(ev.tl = pr.pred AS INT) AS correct
-         |FROM ev JOIN pr ON pr.qid = ev.qid ORDER BY vec_id""".stripMargin)
+         |FROM ev JOIN pr ON pr.qid = ev.qid ORDER BY vec_id""".stripMargin,
+    "x68_bitext_margin" ->
+      // cosines round to 6 (x08 convention); neighbourhood means are
+      // decimal-exact sums over the rounded cosines; the margin mirrors
+      // the engine's (2.0 * cos) / (ax + ay) op order exactly
+      s"""WITH l AS (SELECT doc_id AS vec_id, lang FROM documents),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |en AS (SELECT e.vec_id AS en_id, v AS ev FROM e JOIN l USING (vec_id) WHERE lang = 'en'),
+         |es AS (SELECT e.vec_id AS es_id, v AS sv FROM e JOIN l USING (vec_id) WHERE lang = 'es'),
+         |g AS (SELECT en_id, es_id, round(list_cosine_similarity(ev, sv), 6) AS cos FROM en CROSS JOIN es),
+         |f AS (SELECT en_id, es_id, cos, row_number() OVER (PARTITION BY en_id ORDER BY cos DESC, es_id) AS rf FROM g),
+         |b AS (SELECT en_id, es_id, cos, row_number() OVER (PARTITION BY es_id ORDER BY cos DESC, en_id) AS rb FROM g),
+         |t1 AS (SELECT en_id, es_id, cos FROM f WHERE rf = 1),
+         |ax AS (SELECT en_id, CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS ax FROM f WHERE rf <= $BitextK GROUP BY en_id),
+         |ay AS (SELECT es_id, CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS ay FROM b WHERE rb <= $BitextK GROUP BY es_id),
+         |m AS (SELECT t1.en_id, t1.es_id, t1.cos, (2.0 * t1.cos) / (ax.ax + ay.ay) AS margin
+         | FROM t1 JOIN ax ON ax.en_id = t1.en_id JOIN ay ON ay.es_id = t1.es_id)
+         |SELECT en_id, es_id, cos, margin,
+         | CAST(margin >= $BitextMarginFloor AS INT) AS keep
+         |FROM m ORDER BY en_id""".stripMargin)
 }

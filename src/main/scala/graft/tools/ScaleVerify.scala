@@ -74,7 +74,10 @@ object ScaleVerify {
     // x67's output is eval-slice-sized (5% of vectors); the oracle's
     // all-pairs cosine over the train side is quadratic-ish in DuckDB —
     // fine at sf1 (2.5k eval x 47.5k train), prefer engine-only beyond.
-    "x67_knn_label_vote" -> Some("vec_id % 97 = 0"))
+    "x67_knn_label_vote" -> Some("vec_id % 97 = 0"),
+    // x68 output is en-side-sized; the oracle's cross-language cosine
+    // grid is (en x es) — fine at sf1 (~21k x 7k), engine-only beyond.
+    "x68_bitext_margin" -> Some("en_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

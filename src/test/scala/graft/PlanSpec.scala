@@ -505,6 +505,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "SortAggregate"
   }
 
+  test("x68: the cosine grid cuts once; ranks are group-limit-pruned windows") {
+    val p = plan("x68_bitext_margin")
+    p should include("ExistingRDD")      // the cut cross-language grid
+    p should include("WindowGroupLimit") // top-k pruned before the full sort
+    p should not include "SortAggregate"
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
