@@ -2511,6 +2511,42 @@ object ExtensionQueries {
       .orderBy(col("en_id"))
   }
 
+  /** Document budget of the x69 materialization — below the fixture
+    * corpus size so the cut binds on every source.
+    */
+  private val MatBudget = 200L
+
+  /** Mix materialization (x69): x63 decides HOW MANY documents each
+    * source contributes; this query decides WHICH — the per-source
+    * alloc-many docs with the smallest content-hash spread (a seeded,
+    * engine-independent "random" sample that is reproducible run to
+    * run, the x12/x29 determinism discipline). A source smaller than
+    * its allocation contributes everything it has (alloc is a target,
+    * not a guarantee).
+    *
+    * The selection primitive is [[Ranks.groupRowNumber]]: "take exactly
+    * K per group" is naively `row_number() OVER (PARTITION BY source
+    * ORDER BY hash)` — one window partition per source, a straggler
+    * sort at 100 TB; the decomposition reassembles the identical unique
+    * ranks from a (source, bucket) histogram + within-bucket
+    * row_number, so no task sorts more than ~n/1000 of a source. The
+    * hash (< 2^30) is exactly representable as the double the bucketing
+    * runs on.
+    */
+  private def x69(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextOps.polyHash(concat(lit("mix#"), col("text"))).cast("double").as("hd"))
+    val counts = t(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val allocs = CorpusMix.temperatureAllocation(counts, MixAlpha, MatBudget)
+      .select(col("source"), col("alloc"))
+    Ranks.groupRowNumber(docs, "source", "hd", "doc_id")
+      .join(broadcast(allocs), "source")
+      .filter(col("row_num") <= col("alloc"))
+      .select(col("doc_id"), col("source"), col("row_num").as("pick_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -2579,7 +2615,8 @@ object ExtensionQueries {
     "x65_lm_holdout_filter" -> (x65 _),
     "x66_cluster_canonical" -> (x66 _),
     "x67_knn_label_vote" -> (x67 _),
-    "x68_bitext_margin" -> (x68 _))
+    "x68_bitext_margin" -> (x68 _),
+    "x69_mix_materialize" -> (x69 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -2635,6 +2672,23 @@ object ExtensionQueries {
        |${labRound("lab2", "lab3")},
        |${labRound("lab3", "lab4")}""".stripMargin
   }
+
+  /** Shared x63/x69 oracle CTE chain: per-source counts through the
+    * largest-remainder allocation, ending in
+    * `alc(source, n_docs, w, alloc)`. Mirrors
+    * CorpusMix.temperatureAllocation with the given budget.
+    */
+  private def tempMixCtesSql(budget: Long): String =
+    s"""c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs,
+       |  CAST(floor(power(CAST(n_docs AS DOUBLE), $MixAlpha) * 1000000.0) AS BIGINT) AS w FROM c),
+       |t AS (SELECT SUM(CAST(w AS HUGEINT)) AS tw FROM w),
+       |q AS (SELECT source, n_docs, w,
+       |  (CAST($budget AS HUGEINT) * w) // tw AS base, (CAST($budget AS HUGEINT) * w) % tw AS rem FROM w CROSS JOIN t),
+       |s AS (SELECT $budget - SUM(base) AS short FROM q),
+       |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
+       |alc AS (SELECT source, n_docs, w,
+       |  CAST(base + CASE WHEN rk <= (SELECT short FROM s) THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r)""".stripMargin
 
   /** One k-means iteration, unrolled for the IVF oracles: assign to the
     * nearest centroid, then per-(cell, dim) decimal-exact mean reassembled
@@ -3585,17 +3639,9 @@ object ExtensionQueries {
       // arithmetic — int128 (HUGEINT here, decimal(38,0) engine-side)
       // because budget*w and Σw overflow int64 at ~1e8-doc sources —
       // so Σ alloc == budget exactly in both engines
-      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
-         |w AS (SELECT source, n_docs,
-         |  CAST(floor(power(CAST(n_docs AS DOUBLE), $MixAlpha) * 1000000.0) AS BIGINT) AS w FROM c),
-         |t AS (SELECT SUM(CAST(w AS HUGEINT)) AS tw FROM w),
-         |q AS (SELECT source, n_docs, w,
-         |  (CAST($MixBudget AS HUGEINT) * w) // tw AS base, (CAST($MixBudget AS HUGEINT) * w) % tw AS rem FROM w CROSS JOIN t),
-         |s AS (SELECT $MixBudget - SUM(base) AS short FROM q),
-         |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
-         |SELECT source, n_docs, w,
-         | CAST(base + CASE WHEN rk <= (SELECT short FROM s) THEN 1 ELSE 0 END AS BIGINT) AS alloc
-         |FROM r ORDER BY source""".stripMargin,
+      s"""WITH ${tempMixCtesSql(MixBudget)}
+         |SELECT source, n_docs, w, alloc
+         |FROM alc ORDER BY source""".stripMargin,
     "x64_quality_calibration" ->
       // the oracle IS the naive per-source-sort window; the engine's
       // bucket decomposition must reassemble bit-identical percent
@@ -3694,5 +3740,15 @@ object ExtensionQueries {
          | FROM t1 JOIN ax ON ax.en_id = t1.en_id JOIN ay ON ay.es_id = t1.es_id)
          |SELECT en_id, es_id, cos, margin,
          | CAST(margin >= $BitextMarginFloor AS INT) AS keep
-         |FROM m ORDER BY en_id""".stripMargin)
+         |FROM m ORDER BY en_id""".stripMargin,
+    "x69_mix_materialize" ->
+      // the oracle IS the naive per-source-sort window; the engine's
+      // bucket decomposition must produce the identical unique ranks
+      s"""WITH ${tempMixCtesSql(MatBudget)},
+         |d AS (SELECT doc_id, source, ${polySql("'mix#' || text")} AS h FROM documents),
+         |rr AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS pick_rank FROM d)
+         |SELECT rr.doc_id, rr.source, rr.pick_rank
+         |FROM rr JOIN alc USING (source) WHERE rr.pick_rank <= alc.alloc
+         |ORDER BY rr.doc_id""".stripMargin)
 }

@@ -97,4 +97,42 @@ object Ranks {
     */
   private[ops] def keepAbove(pct: Column, cut: Double): Column =
     (pct >= cut).cast("int")
+
+  /** Exact SQL `row_number() OVER (PARTITION BY group ORDER BY value,
+    * tie)` without a per-group global sort — the selection primitive
+    * behind "take exactly K rows per group" cuts.
+    *
+    * Same bucket decomposition as [[groupPercentRank]], but the
+    * within-bucket window is a row_number over (value, tie), so the
+    * returned `row_num: long` is UNIQUE within the group as long as
+    * (value, tie) is unique per row (the caller's contract — pass a
+    * per-row key as `tie`). `value` must be non-null finite doubles.
+    */
+  def groupRowNumber(
+      df: DataFrame, group: String, value: String, tie: String): DataFrame = {
+    val b = lit(RankBuckets)
+    val stats = df.groupBy(col(group)).agg(
+      min(col(value)).as("_mn"),
+      max(col(value)).as("_mx"))
+    val bucketed = df.join(broadcast(stats), group)
+      .withColumn("_bkt",
+        when(col("_mx") > col("_mn"),
+          least(floor((col(value) - col("_mn")) / (col("_mx") - col("_mn")) * b),
+            lit((RankBuckets - 1).toLong)))
+          .otherwise(lit(0L)).cast("long"))
+    val hist = bucketed.groupBy(col(group), col("_bkt"))
+      .agg(count(lit(1)).as("_bc"))
+    val wLower = Window.partitionBy(col(group)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = hist
+      .withColumn("_below", coalesce(sum(col("_bc")).over(wLower), lit(0L)))
+      .select(col(group), col("_bkt"), col("_below"))
+    val wIn = Window.partitionBy(col(group), col("_bkt"))
+      .orderBy(col(value), col(tie))
+    bucketed
+      .withColumn("_rkin", row_number().over(wIn).cast("long"))
+      .join(broadcast(below), Seq(group, "_bkt"))
+      .withColumn("row_num", col("_below") + col("_rkin"))
+      .drop("_mn", "_mx", "_bkt", "_bc", "_rkin", "_below")
+  }
 }

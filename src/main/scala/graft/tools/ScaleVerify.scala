@@ -77,7 +77,9 @@ object ScaleVerify {
     "x67_knn_label_vote" -> Some("vec_id % 97 = 0"),
     // x68 output is en-side-sized; the oracle's cross-language cosine
     // grid is (en x es) — fine at sf1 (~21k x 7k), engine-only beyond.
-    "x68_bitext_margin" -> Some("en_id % 97 = 0"))
+    "x68_bitext_margin" -> Some("en_id % 97 = 0"),
+    // x69 output is budget-bounded (200 rows).
+    "x69_mix_materialize" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

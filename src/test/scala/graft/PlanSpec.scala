@@ -512,6 +512,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "SortAggregate"
   }
 
+  test("x69: per-source pick ranks come from the bucket decomposition, windows on (source, bucket)") {
+    val p = finalPlan("x69_mix_materialize")
+    p should include("_bkt")
+    p should include("Window")
+    p should include("BroadcastHashJoin") // allocs + histogram frames broadcast
+    p should not include "CartesianProduct"
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"

@@ -72,6 +72,21 @@ class RanksSpec extends AnyFunSuite with Matchers with SparkTest {
     check(giant ++ tiny, "skew")
   }
 
+  test("groupRowNumber matches the naive window exactly, incl. value collisions") {
+    val rnd = new Random(11)
+    val rows = (1L to 500L).map { id =>
+      // coarse values => collisions the doc_id tie-break must resolve
+      (id, s"g${rnd.nextInt(3)}", (rnd.nextInt(40) * 1.0))
+    }
+    val df = rows.toDF("id", "g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val expect = df.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+    val got = Ranks.groupRowNumber(df, "g", "v", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("row_num")).toMap
+    got shouldBe expect
+  }
+
   test("values spanning negative ranges and repeated min/max") {
     val rows = Seq(
       (1L, "g", -5.0), (2L, "g", -5.0), (3L, "g", 0.0),
