@@ -2547,6 +2547,67 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus release diff (x70): the dataset-versioning audit every
+    * corpus RELEASE ships with — which documents were added, removed,
+    * changed, or untouched between version N and N+1. A simulated next
+    * release (drop every 17th doc, revise every 13th survivor, add a
+    * new doc for every 19th) diffs against the fixture; the diff itself
+    * is version-agnostic: a doc_id-keyed full outer join comparing
+    * CONTENT HASHES, so only 32-byte keys move through the shuffle —
+    * never document bodies. The complement of x32's row-level CDC merge
+    * at corpus granularity.
+    */
+  private def x70(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .union(v1.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val a = v1.select(col("doc_id"), Dedup.contentKey(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), Dedup.contentKey(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Power-of-two sequence-length buckets of the x71 report, clamped to
+    * [16, 4096]; longer docs truncate to the top cap.
+    */
+  private val PadCaps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+
+  /** Padding-waste report (x71): the batch-shape diagnostic behind
+    * length-bucketed training. Each doc lands in the smallest
+    * power-of-two token cap that holds it; per bucket the report gives
+    * doc count, real tokens, padding (cap·docs − tokens) and the waste
+    * ratio — the number a pipeline minimizes when tuning bucket
+    * boundaries vs x20's packing. The cap is a literal comparison
+    * chain, NOT 2^ceil(log2 n): the libm form has knife edges at exact
+    * powers of two, exactly the values the buckets sit on.
+    *
+    * One map-side expression pass + one 9-key hash aggregate; the waste
+    * ratio is an integer-over-integer double division (hash-exact).
+    */
+  private def x71(s: SparkSession, dir: String): DataFrame = {
+    val n = TextOps.bpeTokenCount(col("text"))
+    val cap = PadCaps.init.foldRight(lit(PadCaps.last): Column)(
+      (c, acc) => when(n <= c, lit(c)).otherwise(acc))
+    t(s, dir, "documents")
+      .select(cap.as("cap"), least(n, lit(PadCaps.last)).cast("long").as("tok"))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .select(col("cap"), col("n_docs"), col("tokens"),
+        (col("cap") * col("n_docs") - col("tokens")).as("padding"),
+        ((col("cap") * col("n_docs") - col("tokens")).cast("double") /
+          (col("cap") * col("n_docs")).cast("double")).as("waste_ratio"))
+      .orderBy(col("cap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -2616,7 +2677,9 @@ object ExtensionQueries {
     "x66_cluster_canonical" -> (x66 _),
     "x67_knn_label_vote" -> (x67 _),
     "x68_bitext_margin" -> (x68 _),
-    "x69_mix_materialize" -> (x69 _))
+    "x69_mix_materialize" -> (x69 _),
+    "x70_corpus_diff" -> (x70 _),
+    "x71_padding_waste" -> (x71 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3750,5 +3813,30 @@ object ExtensionQueries {
          |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS pick_rank FROM d)
          |SELECT rr.doc_id, rr.source, rr.pick_rank
          |FROM rr JOIN alc USING (source) WHERE rr.pick_rank <= alc.alloc
-         |ORDER BY rr.doc_id""".stripMargin)
+         |ORDER BY rr.doc_id""".stripMargin,
+    "x70_corpus_diff" ->
+      // same simulated next release; the diff compares md5 content
+      // hashes over the doc_id full outer join, mirroring the engine
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 17 <> 0
+        | UNION ALL SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 19 = 0),
+        |a AS (SELECT doc_id, md5(text) AS h1 FROM v1),
+        |b AS (SELECT doc_id, md5(text) AS h2 FROM v2)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        | CASE WHEN a.doc_id IS NULL THEN 'added'
+        |      WHEN b.doc_id IS NULL THEN 'removed'
+        |      WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id ORDER BY doc_id""".stripMargin,
+    "x71_padding_waste" -> {
+      val capCase = PadCaps.init.map(c => s"WHEN n <= $c THEN $c")
+        .mkString("CASE ", " ", s" ELSE ${PadCaps.last} END")
+      s"""WITH d AS (SELECT CAST(length(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT) AS n FROM documents),
+         |b AS (SELECT $capCase AS cap, least(n, ${PadCaps.last}) AS tok FROM d)
+         |SELECT CAST(cap AS BIGINT) AS cap, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(tok) AS BIGINT) AS tokens,
+         | CAST(cap * count(*) - SUM(tok) AS BIGINT) AS padding,
+         | CAST(cap * count(*) - SUM(tok) AS DOUBLE) / CAST(cap * count(*) AS DOUBLE) AS waste_ratio
+         |FROM b GROUP BY cap ORDER BY cap""".stripMargin
+    })
 }
