@@ -49,6 +49,29 @@ object ExtensionQueries {
   private def polySql(e: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (a, x) -> (a*31 + x) % ${TextOps.HashP})"
 
+  /** DuckDB mirror of [[TextOps.htmlBlockText]] over expression `e`:
+    * strip tags, decode entities (same order, &amp; last), collapse
+    * whitespace, trim — byte-identical patterns (RE2-safe).
+    */
+  private def htmlTxtSql(e: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($e, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g'))"
+
+  /** DuckDB mirror of [[TextOps.htmlLinkChars]]. */
+  private def htmlLcSql(e: String): String =
+    s"coalesce(list_sum(list_transform(regexp_extract_all($e, '(?is)<a[^>]*>(.*?)</a>', 1), " +
+      s"a -> CAST(length(${htmlTxtSql("a")}) AS BIGINT))), 0)"
+
+  /** DuckDB mirror of [[TextOps.htmlBlocks]] (drop pass applied by the
+    * caller): per-block (t, lc) structs in document order.
+    */
+  private def htmlBlocksSql(e: String): String =
+    s"list_transform(string_split_regex($e, '${TextOps.HtmlBlockRe}'), " +
+      s"b -> struct_pack(t := ${htmlTxtSql("b")}, lc := ${htmlLcSql("b")}))"
+
   // --- queries -------------------------------------------------------------
 
   private def x01(s: SparkSession, dir: String): DataFrame =
@@ -985,8 +1008,10 @@ object ExtensionQueries {
     // safe here. Partition on `bucket pmod 1` (constant 0, but
     // non-foldable — a literal partition key gets optimizer-stripped and
     // the warning returns) so WindowExec's no-partition warning stays a
-    // real signal for genuinely unbounded windows.
-    val wb = Window.partitionBy(pmod(col("bucket"), lit(1L)))
+    // real signal for genuinely unbounded windows. coalesce pins the
+    // non-null assumption (a null key would fork the "constant"
+    // partition and corrupt the cumulative sum).
+    val wb = Window.partitionBy(pmod(coalesce(col("bucket"), lit(0L)), lit(1L)))
       .orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val prev = bstats
@@ -2313,8 +2338,11 @@ object ExtensionQueries {
     * exactly the out-of-domain evidence a filter exists to see): the
     * interpolated backoff term floors every bigram at
     * (1-λ)·(c(cur)+1)/(T+V), so novel text scores LOW rather than not
-    * at all. Output: per held-out doc, bigram count, decimal-exact mean
-    * log-prob, and the keep flag against [[LmKeepFloor]].
+    * at all. Output: per held-out doc WITH at least one bigram (docs of
+    * fewer than 2 tokens have no bigram evidence and are absent from
+    * the output by contract — a consumer wanting a default for them
+    * left-joins this frame), bigram count, decimal-exact mean log-prob,
+    * and the keep flag against [[LmKeepFloor]].
     *
     * Scale shape: x49's — tokenize/explode map-side, counts and scoring
     * joins all equi-keyed on tokens or (prev, cur), the totals frame a
@@ -2403,26 +2431,34 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Eval-slice modulus and neighbour count of the x67 label-vote QA:
-    * vec_id % 20 == 0 holds out 5% of vectors; each is labeled by its 10
-    * nearest train vectors.
+  /** Eval-slice size and neighbour count of the x67 label-vote QA: a
+    * FIXED-COUNT hash sample of 25 vectors is held out (not a
+    * proportional slice — 5% of a 100 TB table cannot broadcast; 25
+    * rows always can); each is labeled by its 10 nearest train vectors.
     */
-  private val KnnEvalMod = 20
+  private val KnnEvalN = 25L
   private val KnnK = 10
 
   /** k-NN label-vote QA (x67): the auto-labeling / label-quality audit
     * over the embeddings table's `label` column (its first consumer).
-    * A 5% eval slice is held out; each eval vector is assigned the
-    * majority label of its [[KnnK]] nearest TRAIN vectors by exact
-    * cosine (vote ties → smallest label, neighbour-rank ties → smallest
-    * vec_id), and compared against its true label. Disagreements are
-    * exactly the candidates a labeling pipeline routes to review — and
-    * the aggregate accuracy is the health metric for embedding/label
-    * coherence.
+    * A fixed-count hash-sampled eval slice is held out; each eval
+    * vector is assigned the majority label of its [[KnnK]] nearest
+    * TRAIN vectors by exact cosine (vote ties → smallest label,
+    * neighbour-rank ties → smallest vec_id), and compared against its
+    * true label. Disagreements are exactly the candidates a labeling
+    * pipeline routes to review — and the aggregate accuracy is the
+    * health metric for embedding/label coherence.
     *
-    * Scale shape: the eval slice is SAMPLED (that is the point of a QA
-    * audit), so the brute-force scan is (train x eval-sample) with the
-    * sample broadcast — one pass over the corpus, no shuffle of the
+    * The eval slice is the [[KnnEvalN]] vectors with the smallest
+    * (content-hash, vec_id) — a deterministic, engine-reproducible
+    * "random" sample whose SIZE is a constant, not a fraction: the
+    * round-10 `vec_id % 20` slice was corpus-proportional, and
+    * broadcasting 5% of a 100 TB table is terabytes. Ranking uses
+    * [[Ranks.groupRowNumber]] (constant group key), so no task ever
+    * sorts more than ~1/1000 of the corpus to pick the sample.
+    *
+    * Scale shape: the brute-force scan is (train x 25-row sample) with
+    * the sample broadcast — one pass over the corpus, no shuffle of the
     * train side; the vote/argmax is the x66 two-phase hash-aggregate
     * shape on qid keys (no struct aggregates, no per-qid windows beyond
     * the bounded top-k rank). For labeling the FULL corpus at 100 TB the
@@ -2432,8 +2468,17 @@ object ExtensionQueries {
   private def x67(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"), col("label"))
-    val eval = e.filter(col("vec_id") % KnnEvalMod === 0)
-    val train = e.filter(col("vec_id") % KnnEvalMod =!= 0)
+      .withColumn("_hd",
+        TextOps.polyHash(concat(lit("knn#"), col("vec_id").cast("string")))
+          .cast("double"))
+      .withColumn("_g", pmod(coalesce(col("vec_id"), lit(0L)), lit(1L)))
+    // ranked once (cut): the eval filter and its train complement would
+    // otherwise each replay the two rank shuffles
+    val ranked = Checkpoints.cut(
+      Ranks.groupRowNumber(e, "_g", "_hd", "vec_id")
+        .select(col("vec_id"), col("v"), col("label"), col("row_num")))
+    val eval = ranked.filter(col("row_num") <= KnnEvalN).drop("row_num")
+    val train = ranked.filter(col("row_num") > KnnEvalN).drop("row_num")
     val nn = Similarity.bruteForceTopK(
       train.select(col("vec_id"), col("v")),
       eval.select(col("vec_id"), col("v")), KnnK, dim = EmbDim)
@@ -2564,7 +2609,10 @@ object ExtensionQueries {
         when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")).as("text"))
       .union(v1.filter(col("doc_id") % 19 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        // 1e12 offset: far above any realistic corpus id, so simulated
+        // additions can never collide with surviving v1 ids at larger
+        // scale factors (a 1e6 offset collided beyond ~1M docs)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
     val a = v1.select(col("doc_id"), Dedup.contentKey(col("text")).as("h1"))
     val b = v2.select(col("doc_id"), Dedup.contentKey(col("text")).as("h2"))
     a.join(b, Seq("doc_id"), "full_outer")
@@ -2606,6 +2654,58 @@ object ExtensionQueries {
         ((col("cap") * col("n_docs") - col("tokens")).cast("double") /
           (col("cap") * col("n_docs")).cast("double")).as("waste_ratio"))
       .orderBy(col("cap"))
+  }
+
+  /** HTML/boilerplate main-text extraction (x72): the stage-0 of every
+    * web-corpus pipeline — raw HTML in, main text out — over
+    * [[TextOps.htmlMainText]]'s block/link-density machinery. The
+    * corpus has no HTML, so a deterministic page is PLANTED around each
+    * document's text (the x18 PII-planting discipline): head with
+    * title/style/script, a pure-link nav bar, an h1, the document text
+    * as the main paragraph, a link-heavy related-links block on every
+    * 5th doc, an UNCLOSED paragraph on every 7th (malformed nesting —
+    * block splitting on closers degrades it to a merge with the footer,
+    * no parser state to corrupt), and a link-dense footer.
+    *
+    * The extractor must: drop script/style/comments wholesale, split on
+    * closing block tags, strip residual tags, decode entities, collapse
+    * whitespace, and drop boilerplate by integer link-density
+    * (linked chars * 2 > visible chars). Verified by fingerprint: the
+    * polyHash of the extracted main text proves byte-identical
+    * extraction without shipping full texts through the compare.
+    *
+    * Scale shape: map-only — one expression pass fused into the scan,
+    * ORDER BY aside; no shuffle, no join, no aggregate (PlanSpec pins
+    * ≤1 exchange, the final sort's range partitioning).
+    */
+  private def x72(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>body {color: #222}</style><script>var id = "), id,
+      lit(";</script></head><body>" +
+        "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>" +
+        "<h1>Doc "), id, lit("</h1><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 5 === 0,
+        lit("<p>Related: <a href=\"/r1\">first link text</a> and " +
+          "<a href=\"/r2\">second much longer link text here</a> end</p>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("<p>trailing malformed <b>bold text without closing tags"))
+        .otherwise(lit("")),
+      lit("<div class=\"footer\"><a href=\"/terms\">Terms of Service</a> " +
+        "<a href=\"/privacy\">Privacy Policy</a> (c)</div></body></html>"))
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("_blocks", TextOps.htmlBlocks(html))
+      .withColumn("_ne", filter(col("_blocks"), b => length(b("t")) > 0))
+      .withColumn("_kept", filter(col("_ne"), TextOps.htmlKeepBlock _))
+      .withColumn("_main", array_join(transform(col("_kept"), b => b("t")), " "))
+      .select(col("doc_id"),
+        size(col("_ne")).cast("long").as("n_blocks"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        length(col("_main")).cast("long").as("main_chars"),
+        TextOps.polyHash(col("_main")).as("main_fp"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2679,7 +2779,8 @@ object ExtensionQueries {
     "x68_bitext_margin" -> (x68 _),
     "x69_mix_materialize" -> (x69 _),
     "x70_corpus_diff" -> (x70 _),
-    "x71_padding_waste" -> (x71 _))
+    "x71_padding_waste" -> (x71 _),
+    "x72_html_extract" -> (x72 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3772,9 +3873,11 @@ object ExtensionQueries {
     "x67_knn_label_vote" ->
       // x08's cosine/rank arithmetic (round 6, ties by vec_id) + the
       // two-phase vote argmax (max votes, then min label among ties)
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
-         |ev AS (SELECT vec_id AS qid, v AS qv, label AS tl FROM e WHERE vec_id % $KnnEvalMod = 0),
-         |tr AS (SELECT vec_id, v, label FROM e WHERE vec_id % $KnnEvalMod <> 0),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+         |  ${polySql("'knn#' || CAST(vec_id AS VARCHAR)")} AS hd FROM embeddings),
+         |r0 AS (SELECT vec_id, v, label, row_number() OVER (ORDER BY hd, vec_id) AS rn FROM e),
+         |ev AS (SELECT vec_id AS qid, v AS qv, label AS tl FROM r0 WHERE rn <= $KnnEvalN),
+         |tr AS (SELECT vec_id, v, label FROM r0 WHERE rn > $KnnEvalN),
          |p AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos, tr.label AS nl
          | FROM tr, ev WHERE vec_id <> qid),
          |r AS (SELECT qid, nl, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM p),
@@ -3820,7 +3923,7 @@ object ExtensionQueries {
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
         |  FROM v1 WHERE doc_id % 17 <> 0
-        | UNION ALL SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 19 = 0),
+        | UNION ALL SELECT doc_id + 1000000000000 AS doc_id, text FROM v1 WHERE doc_id % 19 = 0),
         |a AS (SELECT doc_id, md5(text) AS h1 FROM v1),
         |b AS (SELECT doc_id, md5(text) AS h2 FROM v2)
         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,

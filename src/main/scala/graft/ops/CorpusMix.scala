@@ -177,8 +177,12 @@ object CorpusMix {
     // every row, but NOT foldable, so the optimizer can't strip it the
     // way it strips a literal — keeps the partition spec nonempty and
     // WindowExec's no-partition warning meaningful for genuinely
-    // unbounded windows elsewhere.
-    val onePart = pmod(col("w"), lit(1L))
+    // unbounded windows elsewhere. coalesce guards the non-null
+    // assumption: a null w would otherwise split the "constant" key
+    // into two partitions and silently corrupt the cumulative sum
+    // (here w is floor(...)-built and never null, but the guard makes
+    // the trick safe to copy).
+    val onePart = pmod(coalesce(col("w"), lit(0L)), lit(1L))
     val short = lit(budget) - sum(col("base")).over(Window.partitionBy(onePart))
     val rk = row_number().over(
       Window.partitionBy(onePart).orderBy(col("rem").desc, col("source")))

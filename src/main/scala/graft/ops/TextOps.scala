@@ -94,6 +94,87 @@ object TextOps {
       .otherwise(lit("fr"))
   }
 
+  // --- HTML / boilerplate main-text extraction (stage-0 of a web-corpus
+  // pipeline: raw HTML -> the main text everything downstream consumes).
+  // Deliberately regex-dialect-neutral (no lookaround, no backreferences,
+  // inline (?i)/(?s) flags only) so the DuckDB oracle applies
+  // byte-identical patterns; everything here is a pure per-row Column
+  // expression — at 100 TB this is map work fused into the WARC/HTML scan,
+  // with no shuffle anywhere.
+
+  /** Non-content regions dropped wholesale before block splitting:
+    * script and style elements (their text is code, not prose) and HTML
+    * comments. Non-greedy so adjacent elements never merge.
+    */
+  val HtmlDropRes: Seq[String] = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->")
+
+  /** Block boundaries: closing block-level tags and <br>. Splitting on
+    * CLOSERS (not openers) keeps each block's own markup inside the
+    * block, so link-density is measured against the right text — and
+    * makes unclosed tags degrade gracefully (a malformed block simply
+    * merges with its successor; no parser state to corrupt).
+    */
+  val HtmlBlockRe = "(?i)</p>|</div>|</li>|</h[1-6]>|<br[^>]*>|</tr>|</td>|</title>"
+
+  /** Any remaining tag (after the drop pass) becomes a space. */
+  val HtmlTagRe = "<[^>]*>"
+
+  /** Anchor elements; group 1 is the link's inner markup. */
+  val HtmlLinkRe = "(?is)<a[^>]*>(.*?)</a>"
+
+  /** The entity set worth decoding without a full parser; `&amp;` LAST
+    * so escaped markup (`&amp;lt;`) decodes exactly once and never
+    * resurrects a strippable tag.
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Remove script/style/comment regions. */
+  def htmlDropNonContent(c: Column): Column =
+    HtmlDropRes.foldLeft(c)((acc, re) => regexp_replace(acc, re, " "))
+
+  /** Visible text of one block: strip tags FIRST (so escaped markup in
+    * the text survives as content), then decode entities, then collapse
+    * whitespace.
+    */
+  def htmlBlockText(b: Column): Column =
+    trim(regexp_replace(
+      HtmlEntities.foldLeft(regexp_replace(b, HtmlTagRe, " ")) {
+        case (acc, (e, r)) => replace(acc, lit(e), lit(r))
+      },
+      "\\s+", " "))
+
+  /** Total visible characters inside the block's anchor elements — the
+    * numerator of the link-density boilerplate heuristic.
+    */
+  def htmlLinkChars(b: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(b, lit(HtmlLinkRe), lit(1)),
+        a => length(htmlBlockText(a)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-block (text, link_chars) structs in document order. */
+  def htmlBlocks(c: Column): Column =
+    transform(split(htmlDropNonContent(c), HtmlBlockRe),
+      b => struct(htmlBlockText(b).as("t"), htmlLinkChars(b).as("lc")))
+
+  /** Boilerplate rule on a block struct: drop empty blocks and blocks
+    * where linked text is more than half the visible text (nav bars,
+    * footers, related-links lists). Integer arithmetic — no float
+    * threshold edge for engines to disagree on.
+    */
+  def htmlKeepBlock(s: Column): Column =
+    length(s("t")) > 0 && s("lc") * 2 <= length(s("t")).cast("long")
+
+  /** Extracted main text: kept blocks joined with single spaces. */
+  def htmlMainText(c: Column): Column =
+    array_join(
+      transform(filter(htmlBlocks(c), htmlKeepBlock _), s => s("t")), " ")
+
   /** Document quality score in [0, 1]: rewards reasonable length, stopword
     * density (real prose has function words), and low punctuation noise.
     * Pure double arithmetic, identical operation order in the oracle.

@@ -71,15 +71,23 @@ object ScaleVerify {
     "x65_lm_holdout_filter" -> Some("doc_id % 97 = 0"),
     // x66 shares x26's capped engineered corpus — output is 240 rows.
     "x66_cluster_canonical" -> None,
-    // x67's output is eval-slice-sized (5% of vectors); the oracle's
-    // all-pairs cosine over the train side is quadratic-ish in DuckDB —
-    // fine at sf1 (2.5k eval x 47.5k train), prefer engine-only beyond.
-    "x67_knn_label_vote" -> Some("vec_id % 97 = 0"),
+    // x67's output is now fixed-count (25 eval rows) — compare whole;
+    // the oracle's train-side cosine scan is (25 x corpus), linear.
+    "x67_knn_label_vote" -> None,
     // x68 output is en-side-sized; the oracle's cross-language cosine
     // grid is (en x es) — fine at sf1 (~21k x 7k), engine-only beyond.
     "x68_bitext_margin" -> Some("en_id % 97 = 0"),
     // x69 output is budget-bounded (200 rows).
-    "x69_mix_materialize" -> None)
+    "x69_mix_materialize" -> None,
+    // x68b shares x68's oracle grid cost (the ENGINE prunes via IVF
+    // cells; the oracle still scores the full grid) — sf1, not beyond.
+    "x68b_bitext_ann" -> Some("en_id % 97 = 0"),
+    // x70 output is corpus-sized (one row per doc across both versions).
+    "x70_corpus_diff" -> Some("doc_id % 97 = 0"),
+    // x71 output is 9 buckets — compare whole.
+    "x71_padding_waste" -> None,
+    // x72 output is corpus-sized (one row per doc).
+    "x72_html_extract" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -490,7 +490,8 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
   test("x66: representative selection is a cluster-key hash aggregate, no per-cluster window") {
     val p = finalPlan("x66_cluster_canonical")
     // the oracle picks reps via row_number() over each cluster; the
-    // engine must use the min(struct(-quality, doc_id)) hash aggregate
+    // engine must use the two-phase max(quality)+min(doc_id) hash
+    // aggregates (a struct min/max would plan as SortAggregate)
     p should not include "row_number"
     p should include("HashAggregate")
     p should not include "CartesianProduct"
@@ -499,7 +500,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
   test("x67: the kNN scan runs once (cut); the vote argmax serves corpus-free hash aggregates") {
     val p = plan("x67_knn_label_vote")
     // the train x eval cosine scan materializes inside the Checkpoints.cut
-    // — its two vote consumers must read the generation, not replay it
+    // — its two vote consumers must read the generation, not replay it.
+    // The eval side is the FIXED-COUNT hash sample (25 rows at any
+    // corpus size — CorpusVersionSpec pins the count), so the broadcast
+    // inside the scan is bounded, never corpus-proportional.
     p should include("ExistingRDD")
     p should not include "BroadcastNestedLoopJoin"
     p should not include "SortAggregate"
@@ -518,6 +522,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("Window")
     p should include("BroadcastHashJoin") // allocs + histogram frames broadcast
     p should not include "CartesianProduct"
+  }
+
+  test("x70: the diff is a doc_id-keyed full outer join over hashes — no text through the join") {
+    val p = finalPlan("x70_corpus_diff")
+    p should include("FullOuter")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // only (doc_id, md5) reach the join: the projection drops `text`
+    // before the shuffle, so 32-byte keys move, never document bodies
+    "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p) should not be empty
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach(_ should not include "text")
+  }
+
+  test("x71: one map pass + one 9-key hash aggregate, no extra shuffles") {
+    val p = plan("x71_padding_waste")
+    p should include("HashAggregate")
+    p should include("partial_")       // map-side combine before the 9-key exchange
+    p should not include "SortAggregate"
+    p should not include "Window"
+    // exactly two exchanges: the aggregate's hash partitioning and the
+    // final ORDER BY's range partitioning — nothing else shuffles
+    "Exchange".r.findAllIn(p).size should be <= 2
   }
 
   test("x56: component serving joins sizes on the component key, no nested loops") {
