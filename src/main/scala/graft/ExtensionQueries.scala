@@ -2685,7 +2685,14 @@ object ExtensionQueries {
       lit("</title><style>body {color: #222}</style><script>var id = "), id,
       lit(";</script></head><body>" +
         "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>" +
-        "<h1>Doc "), id, lit("</h1><p>"), col("text"), lit("</p>"),
+        "<h1>Doc "), id, lit("</h1><p>"), col("text"),
+      // entity-bearing tail on every 3rd doc: the decode order
+      // (&amp; last, after tag stripping) is exercised through the
+      // fingerprint compare, not just the unit spec
+      when(col("doc_id") % 3 === 0,
+        lit(" tail &quot;q&quot; &amp;lt;esc&amp;gt; &lt;i&gt; x&nbsp;y"))
+        .otherwise(lit("")),
+      lit("</p>"),
       when(col("doc_id") % 5 === 0,
         lit("<p>Related: <a href=\"/r1\">first link text</a> and " +
           "<a href=\"/r2\">second much longer link text here</a> end</p>"))
@@ -3941,5 +3948,31 @@ object ExtensionQueries {
          | CAST(cap * count(*) - SUM(tok) AS BIGINT) AS padding,
          | CAST(cap * count(*) - SUM(tok) AS DOUBLE) / CAST(cap * count(*) AS DOUBLE) AS waste_ratio
          |FROM b GROUP BY cap ORDER BY cap""".stripMargin
-    })
+    },
+    "x72_html_extract" ->
+      // identical planted page, byte-identical regex/entity pipeline
+      // (TextOps patterns are RE2-safe by construction), fingerprint
+      // compare over the extracted main text
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |  '</title><style>body {color: #222}</style><script>var id = ' || CAST(doc_id AS VARCHAR) ||
+         |  ';</script></head><body><div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><h1>Doc ' ||
+         |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' tail &quot;q&quot; &amp;lt;esc&amp;gt; &lt;i&gt; x&nbsp;y' ELSE '' END || '</p>' ||
+         |  CASE WHEN doc_id % 5 = 0 THEN '<p>Related: <a href="/r1">first link text</a> and <a href="/r2">second much longer link text here</a> end</p>' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN '<p>trailing malformed <b>bold text without closing tags' ELSE '' END ||
+         |  '<div class="footer"><a href="/terms">Terms of Service</a> <a href="/privacy">Privacy Policy</a> (c)</div></body></html>' AS html
+         | FROM documents),
+         |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+         |  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |  '(?s)<!--.*?-->', ' ', 'g') AS body FROM h),
+         |bl AS (SELECT doc_id, ${htmlBlocksSql("body")} AS blocks FROM c),
+         |k AS (SELECT doc_id,
+         |  list_filter(blocks, s -> length(s.t) > 0) AS ne,
+         |  list_filter(blocks, s -> length(s.t) > 0 AND s.lc * 2 <= length(s.t)) AS kept FROM bl),
+         |m AS (SELECT doc_id, ne, kept, array_to_string(list_transform(kept, s -> s.t), ' ') AS main FROM k)
+         |SELECT doc_id, CAST(len(ne) AS BIGINT) AS n_blocks, CAST(len(kept) AS BIGINT) AS n_kept,
+         | CAST(length(main) AS BIGINT) AS main_chars, ${polySql("main")} AS main_fp
+         |FROM m ORDER BY doc_id""".stripMargin)
 }

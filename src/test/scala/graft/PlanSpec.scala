@@ -546,6 +546,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     "Exchange".r.findAllIn(p).size should be <= 2
   }
 
+  test("x72: extraction is map-only — expressions fused into the scan, no shuffle but the sort") {
+    val p = plan("x72_html_extract")
+    p should not include "HashAggregate"
+    p should not include "Join"
+    p should not include "Window"
+    // the only exchange is the final ORDER BY's range partitioning —
+    // the extraction itself never moves a byte between tasks
+    "Exchange".r.findAllIn(p).size should be <= 1
+    p should include("rangepartitioning")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
