@@ -2540,6 +2540,15 @@ object ExtensionQueries {
         round(Similarity.cosineStatic(col("ev"), col("sv"),
           Similarity.norm(col("ev"), EmbDim), Similarity.norm(col("sv"), EmbDim),
           EmbDim), 6).as("cos")))
+    bitextMarginTail(allCos)
+  }
+
+  /** The margin algebra both bitext miners share, over a (en_id, es_id,
+    * cos) candidate grid: forward/backward neighbourhood ranks
+    * (WindowGroupLimit-pruned), decimal-exact K-neighbourhood means,
+    * margin = 2·cos / (ax + ay), keep against [[BitextMarginFloor]].
+    */
+  private def bitextMarginTail(allCos: DataFrame): DataFrame = {
     val wf = Window.partitionBy(col("en_id")).orderBy(col("cos").desc, col("es_id"))
     val wb = Window.partitionBy(col("es_id")).orderBy(col("cos").desc, col("en_id"))
     val fwd = allCos.withColumn("rf", row_number().over(wf))
