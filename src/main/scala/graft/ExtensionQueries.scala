@@ -51,14 +51,17 @@ object ExtensionQueries {
 
   /** DuckDB mirror of [[TextOps.htmlBlockText]] over expression `e`:
     * strip tags, decode entities (same order, &amp; last), collapse
-    * whitespace, trim — byte-identical patterns (RE2-safe).
+    * whitespace, trim — byte-identical patterns AND semantics: the
+    * collapse uses [[TextOps.WsClassRe]], the explicit class that means
+    * the same five chars in Java and RE2 (`\s` does not — Java's
+    * matches \x0B, RE2's doesn't).
     */
   private def htmlTxtSql(e: String): String =
     "trim(regexp_replace(" +
       "replace(replace(replace(replace(replace(replace(" +
       s"regexp_replace($e, '<[^>]*>', ' ', 'g'), " +
       "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
-      "'&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g'))"
+      s"'&nbsp;', ' '), '&amp;', '&'), '${TextOps.WsClassRe}', ' ', 'g'))"
 
   /** DuckDB mirror of [[TextOps.htmlLinkChars]]. */
   private def htmlLcSql(e: String): String =
@@ -2543,6 +2546,61 @@ object ExtensionQueries {
     bitextMarginTail(allCos)
   }
 
+  /** English-side probe width of the x68b ANN miner (the IVF recall
+    * knob): each en vector searches its [[BitextNProbe]] nearest cells.
+    */
+  private val BitextNProbe = 4
+
+  /** ANN-served bitext mining (x68b): the 100 TB path of x68 — the
+    * identical margin algebra ([[bitextMarginTail]]), but the candidate
+    * grid comes from the trained IVF index (the same persisted k-means
+    * model x13/x25/x47 serve from) instead of x68's |en|×|es| broadcast
+    * cosine grid. The Spanish side is ASSIGNED to its one nearest cell
+    * (the index); the English side PROBES its [[BitextNProbe]] nearest
+    * cells (the recall knob), and candidates are the cell equi-join
+    * pairs — the only data shuffle is on cell id, and the only broadcast
+    * is the fixed-k centroid model, so nothing is corpus-proportional in
+    * executor memory at any scale (vs x68, whose broadcast IS the
+    * Spanish corpus). At 100 TB the cell count grows with the corpus
+    * (the published IVF knob) and candidate volume stays
+    * ~|en| · nprobe · cell-occupancy, linear in the data.
+    *
+    * Semantics: margins are computed over the candidate-restricted
+    * neighbourhoods — the CCMatrix construction (Schwenk et al. 2021
+    * mine with FAISS-served neighbourhoods, not exact grids). Recall of
+    * x68's kept pairs is measured in BitextSpec; the oracle retrains the
+    * identical IVF model in SQL (the x13 unrolled-k-means trick), so the
+    * PRUNED candidate set itself — not just the margin algebra — is
+    * hash-checked end to end.
+    */
+  private def x68b(s: SparkSession, dir: String): DataFrame =
+    bitextMarginTail(Checkpoints.cut(x68bCandidates(s, dir)))
+
+  /** x68b's IVF-served candidate grid, pre-cut — exposed so PlanSpec can
+    * pin the generation stage's shape (the cut hides it behind an
+    * ExistingRDD in the served query's plan).
+    */
+  private[graft] def x68bCandidates(s: SparkSession, dir: String): DataFrame = {
+    val langs = t(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang"))
+    val em = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val trained = AnnModels.ivfCentroids(s, dir, em, IvfCells, KmIters, EmbDim)
+    val lem = em.join(langs, "vec_id")
+    val en = lem.filter(col("lang") === "en").select(col("vec_id").as("en_id"), col("v").as("ev"))
+    val es = lem.filter(col("lang") === "es").select(col("vec_id").as("es_id"), col("v").as("sv"))
+    val esa = Similarity.ivfAssign(
+      es, trained.select(col("cell_id").as("es_id"), col("cv").as("sv")), EmbDim, "es_id", "sv")
+    val ena = Similarity.ivfProbe(
+      en, trained.select(col("cell_id").as("en_id"), col("cv").as("ev")),
+      EmbDim, BitextNProbe, "en_id", "ev")
+    // es lives in exactly one cell and the probed en cells are distinct
+    // (row_number), so each (en_id, es_id) pair appears at most once.
+    ena.join(esa, "cell_id")
+      .select(col("en_id"), col("es_id"),
+        round(Similarity.cosineStatic(col("ev"), col("sv"),
+          Similarity.norm(col("ev"), EmbDim), Similarity.norm(col("sv"), EmbDim),
+          EmbDim), 6).as("cos"))
+  }
+
   /** The margin algebra both bitext miners share, over a (en_id, es_id,
     * cos) candidate grid: forward/backward neighbourhood ranks
     * (WindowGroupLimit-pruned), decimal-exact K-neighbourhood means,
@@ -2793,6 +2851,7 @@ object ExtensionQueries {
     "x66_cluster_canonical" -> (x66 _),
     "x67_knn_label_vote" -> (x67 _),
     "x68_bitext_margin" -> (x68 _),
+    "x68b_bitext_ann" -> (x68b _),
     "x69_mix_materialize" -> (x69 _),
     "x70_corpus_diff" -> (x70 _),
     "x71_padding_waste" -> (x71 _),
@@ -2907,6 +2966,24 @@ object ExtensionQueries {
        |  FROM $assigned)
        | GROUP BY cell_id, s.pos),
        |$out AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell_id)""".stripMargin
+
+  /** The x68/x68b shared margin-tail SQL over a candidate CTE `g`
+    * (en_id, es_id, cos) — the mirror of [[bitextMarginTail]]:
+    * neighbourhood means are decimal-exact sums over the rounded
+    * cosines; the margin mirrors the engine's (2.0 * cos) / (ax + ay)
+    * op order exactly.
+    */
+  private def bitextTailSql: String =
+    s"""f AS (SELECT en_id, es_id, cos, row_number() OVER (PARTITION BY en_id ORDER BY cos DESC, es_id) AS rf FROM g),
+       |b AS (SELECT en_id, es_id, cos, row_number() OVER (PARTITION BY es_id ORDER BY cos DESC, en_id) AS rb FROM g),
+       |t1 AS (SELECT en_id, es_id, cos FROM f WHERE rf = 1),
+       |ax AS (SELECT en_id, CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS ax FROM f WHERE rf <= $BitextK GROUP BY en_id),
+       |ay AS (SELECT es_id, CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS ay FROM b WHERE rb <= $BitextK GROUP BY es_id),
+       |m AS (SELECT t1.en_id, t1.es_id, t1.cos, (2.0 * t1.cos) / (ax.ax + ay.ay) AS margin
+       | FROM t1 JOIN ax ON ax.en_id = t1.en_id JOIN ay ON ay.es_id = t1.es_id)
+       |SELECT en_id, es_id, cos, margin,
+       | CAST(margin >= $BitextMarginFloor AS INT) AS keep
+       |FROM m ORDER BY en_id""".stripMargin
 
   val oracleSql: Map[String, String] = ListMap(
     "x01_text_stats" ->
@@ -3905,24 +3982,42 @@ object ExtensionQueries {
          | CAST(ev.tl = pr.pred AS INT) AS correct
          |FROM ev JOIN pr ON pr.qid = ev.qid ORDER BY vec_id""".stripMargin,
     "x68_bitext_margin" ->
-      // cosines round to 6 (x08 convention); neighbourhood means are
-      // decimal-exact sums over the rounded cosines; the margin mirrors
-      // the engine's (2.0 * cos) / (ax + ay) op order exactly
+      // cosines round to 6 (x08 convention); the shared margin tail runs
+      // over the full cross-language grid
       s"""WITH l AS (SELECT doc_id AS vec_id, lang FROM documents),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |en AS (SELECT e.vec_id AS en_id, v AS ev FROM e JOIN l USING (vec_id) WHERE lang = 'en'),
          |es AS (SELECT e.vec_id AS es_id, v AS sv FROM e JOIN l USING (vec_id) WHERE lang = 'es'),
          |g AS (SELECT en_id, es_id, round(list_cosine_similarity(ev, sv), 6) AS cos FROM en CROSS JOIN es),
-         |f AS (SELECT en_id, es_id, cos, row_number() OVER (PARTITION BY en_id ORDER BY cos DESC, es_id) AS rf FROM g),
-         |b AS (SELECT en_id, es_id, cos, row_number() OVER (PARTITION BY es_id ORDER BY cos DESC, en_id) AS rb FROM g),
-         |t1 AS (SELECT en_id, es_id, cos FROM f WHERE rf = 1),
-         |ax AS (SELECT en_id, CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS ax FROM f WHERE rf <= $BitextK GROUP BY en_id),
-         |ay AS (SELECT es_id, CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS ay FROM b WHERE rb <= $BitextK GROUP BY es_id),
-         |m AS (SELECT t1.en_id, t1.es_id, t1.cos, (2.0 * t1.cos) / (ax.ax + ay.ay) AS margin
-         | FROM t1 JOIN ax ON ax.en_id = t1.en_id JOIN ay ON ay.es_id = t1.es_id)
-         |SELECT en_id, es_id, cos, margin,
-         | CAST(margin >= $BitextMarginFloor AS INT) AS keep
-         |FROM m ORDER BY en_id""".stripMargin,
+         |$bitextTailSql""".stripMargin,
+    "x68b_bitext_ann" ->
+      // identical trained IVF index to x13/x25 (the unrolled-k-means
+      // trick over the FULL embeddings table); es side assigned to its
+      // one nearest cell, en side probes its two nearest (the SQL mirror
+      // of Similarity.ivfProbe(nprobe = 2)); candidates are the cell
+      // equi-join pairs, then the identical shared margin tail
+      s"""WITH l AS (SELECT doc_id AS vec_id, lang FROM documents),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfUpdateSql("a2", "c2")},
+         |en AS (SELECT e.vec_id AS en_id, v AS ev FROM e JOIN l USING (vec_id) WHERE lang = 'en'),
+         |es AS (SELECT e.vec_id AS es_id, v AS sv FROM e JOIN l USING (vec_id) WHERE lang = 'es'),
+         |esa AS (SELECT es_id, sv, cell_id FROM (
+         | SELECT es.es_id, es.sv, c2.cell_id,
+         |  row_number() OVER (PARTITION BY es.es_id
+         |    ORDER BY round(list_cosine_similarity(es.sv, c2.cv), 6) DESC, c2.cell_id) AS arnk
+         | FROM es CROSS JOIN c2) WHERE arnk = 1),
+         |ena AS (SELECT en_id, ev, cell_id FROM (
+         | SELECT en.en_id, en.ev, c2.cell_id,
+         |  row_number() OVER (PARTITION BY en.en_id
+         |    ORDER BY round(list_cosine_similarity(en.ev, c2.cv), 6) DESC, c2.cell_id) AS arnk
+         | FROM en CROSS JOIN c2) WHERE arnk <= $BitextNProbe),
+         |g AS (SELECT ena.en_id, esa.es_id, round(list_cosine_similarity(ena.ev, esa.sv), 6) AS cos
+         | FROM ena JOIN esa USING (cell_id)),
+         |$bitextTailSql""".stripMargin,
     "x69_mix_materialize" ->
       // the oracle IS the naive per-source-sort window; the engine's
       // bucket decomposition must produce the identical unique ranks

@@ -122,6 +122,16 @@ object TextOps {
   /** Any remaining tag (after the drop pass) becomes a space. */
   val HtmlTagRe = "<[^>]*>"
 
+  /** Explicit whitespace class for the collapse pass — deliberately NOT
+    * `\s`: Java's `\s` matches vertical tab (\x0B) while RE2/DuckDB's
+    * does not, so a document containing a VT would collapse differently
+    * and fingerprint-mismatch across engines. This class names the same
+    * five ASCII whitespace chars in both dialects. (The `(?i)` in
+    * [[HtmlBlockRe]] is safe despite Java-vs-RE2 case-folding dialect
+    * differences: it only folds ASCII tag names.)
+    */
+  val WsClassRe = "[ \\t\\n\\r\\f\\x0B]+"
+
   /** Anchor elements; group 1 is the link's inner markup. */
   val HtmlLinkRe = "(?is)<a[^>]*>(.*?)</a>"
 
@@ -146,7 +156,7 @@ object TextOps {
       HtmlEntities.foldLeft(regexp_replace(b, HtmlTagRe, " ")) {
         case (acc, (e, r)) => replace(acc, lit(e), lit(r))
       },
-      "\\s+", " "))
+      WsClassRe, " "))
 
   /** Total visible characters inside the block's anchor elements — the
     * numerator of the link-density boilerplate heuristic.

@@ -79,8 +79,9 @@ object ScaleVerify {
     "x68_bitext_margin" -> Some("en_id % 97 = 0"),
     // x69 output is budget-bounded (200 rows).
     "x69_mix_materialize" -> None,
-    // x68b shares x68's oracle grid cost (the ENGINE prunes via IVF
-    // cells; the oracle still scores the full grid) — sf1, not beyond.
+    // x68b's oracle retrains the IVF model in SQL (corpus x 16 scoring,
+    // the x13 cost) and scores only the cell-pruned candidates — linear,
+    // unlike x68's full grid, so it sweeps wherever x13 does.
     "x68b_bitext_ann" -> Some("en_id % 97 = 0"),
     // x70 output is corpus-sized (one row per doc across both versions).
     "x70_corpus_diff" -> Some("doc_id % 97 = 0"),
@@ -129,6 +130,16 @@ object ScaleVerify {
     val pool = Family ++ ByNameOnly.toSeq
     val family = pool.filter { case (n, _) =>
       names.map(_.contains(n)).getOrElse(!ByNameOnly.contains(n))
+    }
+    // Fail fast on any name with no registered query or oracle BEFORE a
+    // single query executes: a dangling Family entry (or a typo in an
+    // explicit name list) must cost seconds, not an hours-long sf100 run
+    // that then dies in the oracle-JSON loop after all the work is done.
+    family.foreach { case (name, _) =>
+      require(SparkEntry.queries.contains(name),
+        s"ScaleVerify: no registered query named '$name'")
+      require(SparkEntry.oracleSql.contains(name),
+        s"ScaleVerify: no oracle SQL registered for '$name'")
     }
     family.foreach { case (name, slice) =>
       val t0 = System.nanoTime()

@@ -516,6 +516,26 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "SortAggregate"
   }
 
+  test("x68b: candidates come from the IVF cell equi-join — no cartesian grid, no corpus broadcast") {
+    // The generation stage (pre-cut — the served query hides it behind
+    // the ExistingRDD): both cross joins broadcast the fixed-k persisted
+    // centroid model (the x47 assignment shape), never a language corpus
+    // — x68's corpus-sized Spanish broadcast is exactly what this plan
+    // must NOT contain; the pair join itself is keyed on cell_id.
+    val cand = ExtensionQueries.x68bCandidates(spark, dir)
+    cand.collect()
+    val g = cand.queryExecution.executedPlan.toString
+    g should not include "CartesianProduct"
+    g should include("graft_models")
+    g should include regex """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[cell_id"""
+    g should include("WindowGroupLimit") // probe/assignment ranks pruned
+    // The served margin tail over the cut grid, as for x68:
+    val p = plan("x68b_bitext_ann")
+    p should include("ExistingRDD")
+    p should include("WindowGroupLimit")
+    p should not include "SortAggregate"
+  }
+
   test("x69: per-source pick ranks come from the bucket decomposition, windows on (source, bucket)") {
     val p = finalPlan("x69_mix_materialize")
     p should include("_bkt")
@@ -532,7 +552,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     // only (doc_id, md5) reach the join: the projection drops `text`
     // before the shuffle, so 32-byte keys move, never document bodies
     "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p) should not be empty
-    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach(_ should not include "text")
+    // whichever join operator AQE/stats picked, it must not ship bodies
+    // (checking only SortMergeJoin lines would pass vacuously if the
+    // plan flipped to a broadcast/shuffled hash join)
+    p.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+      .foreach(_ should not include "text")
   }
 
   test("x71: one map pass + one 9-key hash aggregate, no extra shuffles") {

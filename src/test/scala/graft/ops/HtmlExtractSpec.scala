@@ -35,6 +35,13 @@ class HtmlExtractSpec extends AnyFunSuite with Matchers with SparkTest {
     extract("<p>a&nbsp;&nbsp;b &quot;c&quot; it&#39;s</p>") shouldBe "a b \"c\" it's"
   }
 
+  test("vertical tab collapses like any whitespace — the explicit class, not \\s") {
+    // \x0B is inside Java's \s but OUTSIDE RE2's: with a bare \s+ the
+    // two engines would disagree on this page's collapsed text (and so
+    // on main_fp). WsClassRe names VT explicitly, so both collapse it.
+    extract("<p>a\u000B\u000Bb\u000B c</p>") shouldBe "a b c"
+  }
+
   test("link-density rule sits on the exact integer boundary") {
     // linked 4 chars, total 9 ("ab cd efg": link "cd"=2... construct
     // exactly half: text "aaaa bbbb" with "bbbb" linked -> lc=4, n=9,

@@ -87,6 +87,58 @@ class RanksSpec extends AnyFunSuite with Matchers with SparkTest {
     got shouldBe expect
   }
 
+  test("poisoned input (null/NaN value) fails loudly instead of emitting wrong ranks") {
+    val poisonNaN = Seq((1L, "g", 1.0), (2L, "g", Double.NaN), (3L, "g", 2.0))
+    val poisonNull = Seq((1L, "g", Some(1.0)), (2L, "g", None), (3L, "g", Some(2.0)))
+    val eNaN = intercept[Exception] {
+      Ranks.groupPercentRank(poisonNaN.toDF("id", "g", "v"), "g", "v").collect()
+    }
+    eNaN.getMessage should include("Ranks: null/NaN in value column 'v'")
+    val eNull = intercept[Exception] {
+      Ranks.groupPercentRank(poisonNull.toDF("id", "g", "v"), "g", "v").collect()
+    }
+    eNull.getMessage should include("Ranks: null/NaN in value column 'v'")
+    val eRn = intercept[Exception] {
+      Ranks.groupRowNumber(poisonNaN.toDF("id", "g", "v"), "g", "v", "id").collect()
+    }
+    eRn.getMessage should include("Ranks: null/NaN in value column 'v'")
+    // tie poisoning is caught too (the tie drives the sub-bucket math)
+    val poisonTie = Seq((1.0, "g", 1.0), (Double.NaN, "g", 2.0))
+    val eTie = intercept[Exception] {
+      Ranks.groupRowNumber(poisonTie.toDF("id", "g", "v"), "g", "v", "id").collect()
+    }
+    eTie.getMessage should include("Ranks: null/NaN in tie column 'id'")
+  }
+
+  test("99%-tie group: exact row numbers with NO group-sized window partition") {
+    // 5,000 rows, 99% one tied value — the round-10 skew scenario: the
+    // old within-bucket window put the whole tie cluster (= the whole
+    // group) in one sort partition; the tie sub-bucket decomposition
+    // must (a) still be exact and (b) partition the final window on the
+    // (group, bucket, value, tie-bucket) key.
+    val rows = (1L to 5000L).map(id => (id, "g", if (id % 100 == 0) id * 1.0 else 7.0))
+    val df = rows.toDF("id", "g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val expect = df.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+    val ranked = Ranks.groupRowNumber(df, "g", "v", "id")
+    val got = ranked.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("row_num")).toMap
+    got shouldBe expect
+    // the only data-sized window partitions on the tie sub-bucket key
+    val plan = ranked.queryExecution.executedPlan.toString
+    plan should include("_tbkt")
+    // percent_rank side: the tie cluster is ONE histogram row — no
+    // data-sized window at all (every Window's partition spec carries
+    // the bucket and/or value refinement, never bare [g])
+    val pct = Ranks.groupPercentRank(df, "g", "v")
+    val naiveW = Window.partitionBy(col("g")).orderBy(col("v"))
+    val expPct = df.withColumn("p", percent_rank().over(naiveW))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("p")).toMap
+    val gotPct = pct.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pct_rank")).toMap
+    gotPct shouldBe expPct
+    pct.queryExecution.executedPlan.toString should not include "rank("
+  }
+
   test("values spanning negative ranges and repeated min/max") {
     val rows = Seq(
       (1L, "g", -5.0), (2L, "g", -5.0), (3L, "g", 0.0),
