@@ -12,9 +12,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Partition-count sensitivity knob: a real cluster runs 200+ shuffle
+    // partitions, not local[32]'s 32 — the cluster-conf probe (see SURVEY
+    // "partition-count sensitivity") re-times the suite at 200 to catch
+    // any plan that secretly depends on a low partition count.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // Pinned like Verify's session: the NTZ→TimestampType normalization in
       // Tables.events is only wall-clock-exact under a fixed session zone.
       .config("spark.sql.session.timeZone", "UTC")

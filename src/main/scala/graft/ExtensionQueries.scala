@@ -2271,6 +2271,33 @@ object ExtensionQueries {
     CorpusMix.jsDivergenceMatrix(counts).orderBy(col("src1"), col("src2"))
   }
 
+  /** Token-slice modulus of the x62s probe twin: both engines keep only
+    * tokens whose polyHash ≡ 0 (mod 16) before counting.
+    */
+  private val DivSliceMod = 16L
+
+  /** Sliced source divergence (x62s): x62 over the 1-in-[[DivSliceMod]]
+    * token-hash subsample — the divergence statistic a monitor would
+    * actually compute at 100 TB (subsampling tokens by hash preserves
+    * per-source style signal; the JS values differ from x62's only
+    * through the subsample). Its REASON to exist is the scale gate: the
+    * full x62 oracle must explode ~1B tokens through DuckDB's unnest at
+    * sf100 (infeasible — the round-10 note caps it at sf10), while this
+    * twin's pre-bucket filter (`pmod(polyHash(tok), 16) = 0` — the SAME
+    * predicate text in both engines, applied before the count) cuts the
+    * oracle's exploded row count 16x, making the sf100 row-exact compare
+    * affordable. ScaleVerify carries it; logs/SCALECHECK_r12 has the row.
+    */
+  private def x62s(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("source"), TextOps.polyHash(col("tok")).as("h"))
+      .filter(pmod(col("h"), lit(DivSliceMod)) === 0)
+      .select(col("source"), pmod(col("h"), lit(CorpusMix.Buckets.toLong)).as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+    CorpusMix.jsDivergenceMatrix(counts).orderBy(col("src1"), col("src2"))
+  }
+
   /** Alpha-temperature mix allocation (x63): raw per-source document
     * counts rebalanced into an EXACT integer budget via
     * [[CorpusMix.temperatureAllocation]] (w ∝ n^0.3 upweights small
@@ -2782,6 +2809,122 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Tracking-parameter prefix dropped by the x73 canonicalizer. */
+  private val UrlTrackRe = "^utm_"
+
+  /** URL canonicalization + dedup (x73): stage-0 of every web-corpus
+    * pipeline — CommonCrawl-style ingest dedupes by CANONICAL URL before
+    * any content hash is computed, because the same page arrives under
+    * scheme/host case variants, explicit default ports, `www.` prefixes,
+    * tracking parameters, reordered query strings, trailing slashes, and
+    * fragments. Each document synthesizes a deterministic messy URL
+    * (seven independent variant axes keyed off doc_id residues — the x72
+    * synthesis discipline, so the oracle builds the byte-identical
+    * input); the canonical form lowercases scheme+host, strips `www.`
+    * and default ports (443/https, 80/http), drops the fragment, strips
+    * trailing path slashes (root stays `/`), removes `utm_*` params, and
+    * byte-sorts the survivors. Dedup = one hash aggregate on the
+    * canonical string: variant count and the kept (min) doc id.
+    *
+    * Scale shape: canonicalization is pure per-row Column work fused
+    * into the scan (regex extract/replace + array filter/sort — all
+    * codegen'd built-ins, RE2-safe patterns so DuckDB applies the
+    * identical bytes); the only shuffle is the (canon_url) hash
+    * aggregate with map-side combine. No UDF, no driver work, map+agg
+    * at any corpus size.
+    */
+  private def x73(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 7 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+      when(id % 2 === 0, lit("www.")).otherwise(lit("")),
+      when(id % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".example"),
+      when(id % 5 === 0, lit(".COM")).otherwise(lit(".com")),
+      when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), (id % 50).cast("string"),
+      when(id % 6 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(id % 2 === 0,
+        concat(lit("a=1&utm_source=feed&id="), (id % 20).cast("string")))
+        .otherwise(concat(lit("id="), (id % 20).cast("string"), lit("&a=1"))),
+      when(id % 9 === 0, lit("#top")).otherwise(lit("")))
+    val u = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("url", url)
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1)), "^www\\.", "")
+    val port = regexp_extract(col("url"), "^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    val portCanon = when(
+      port === "" || (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_replace(
+      regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qs = array_join(array_sort(
+      filter(split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
+        p => p =!= "" && not(p.rlike(UrlTrackRe)))), "&")
+    u.select(col("doc_id"),
+      concat(scheme, lit("://"), host, portCanon, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))).as("canon_url"),
+      host.as("host"))
+      .groupBy(col("canon_url"), col("host"))
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("canon_url"))
+  }
+
+  /** Documents whose line appears in more than this many docs are
+    * boilerplate (the x74 df cap).
+    */
+  private val LineDfCap = 5L
+
+  /** Line-level boilerplate dedup (x74): the CCNet line-dedup stage —
+    * lines repeated across many documents (headers, footers, cookie
+    * banners, nav text) are removed from EVERY document, keeping each
+    * doc's unique prose. Boilerplate is planted deterministically (a
+    * shared header on every 2nd doc, a shared footer on every 3rd, so
+    * their document frequency far exceeds [[LineDfCap]] while real
+    * content lines stay df=1), then: posexplode the line split, count
+    * each line's distinct-document frequency, drop lines above the cap,
+    * and reassemble surviving lines in document order with a
+    * fingerprint over the cleaned text.
+    *
+    * Scale shape: two corpus-sized shuffles — the (line) df aggregate
+    * (map-side combined; the key is the line's polyHash, 8 bytes, never
+    * the line text) and the per-doc reassembly aggregate on doc_id. The
+    * df frame joins back by hash equi-join. collect_list holds ONE
+    * document's lines (the packing bound every reassembly in this suite
+    * shares). Hash collisions: polyHash is the suite-wide content key
+    * (x03's convention) — a collision conflates two lines' df counts,
+    * the standard trade every hash-keyed dedup makes; the oracle uses
+    * the identical hash, so the compare is exact.
+    */
+  private def x74(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("_t", concat(
+        when(col("doc_id") % 2 === 0,
+          lit("Subscribe to our newsletter for updates\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nAll rights reserved - terms apply")).otherwise(lit(""))))
+    val lines = d
+      .select(col("doc_id"), posexplode(split(col("_t"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", TextOps.polyHash(col("line")))
+    val df = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    lines.join(df, "lh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((col("line_df") <= LineDfCap).cast("long")).as("n_kept"),
+        TextOps.polyHash(array_join(transform(
+          array_sort(collect_list(when(col("line_df") <= LineDfCap,
+            struct(col("pos"), col("line"))))),
+          e => e.getField("line")), "\n")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -2845,6 +2988,7 @@ object ExtensionQueries {
     "x60_table_profile_sketch" -> (x60 _),
     "x61_incremental_cc" -> (x61 _),
     "x62_source_divergence" -> (x62 _),
+    "x62s_divergence_slice" -> (x62s _),
     "x63_temperature_mix" -> (x63 _),
     "x64_quality_calibration" -> (x64 _),
     "x65_lm_holdout_filter" -> (x65 _),
@@ -2855,7 +2999,9 @@ object ExtensionQueries {
     "x69_mix_materialize" -> (x69 _),
     "x70_corpus_diff" -> (x70 _),
     "x71_padding_waste" -> (x71 _),
-    "x72_html_extract" -> (x72 _))
+    "x72_html_extract" -> (x72 _),
+    "x73_url_canonical" -> (x73 _),
+    "x74_line_dedup" -> (x74 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3890,6 +4036,27 @@ object ExtensionQueries {
          |SELECT src1, src2,
          | round(CAST(SUM(CAST(term AS DECIMAL(18,12))) AS DOUBLE), 6) AS js
          |FROM pairs GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin,
+    "x62s_divergence_slice" ->
+      // x62's oracle with the identical pre-bucket token filter: the hash
+      // is computed once per token, the 1-in-16 filter precedes the
+      // count, and everything downstream (smoothing, JS terms, scale-12
+      // quantized sum) is byte-for-byte x62's
+      s"""WITH tk AS (SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM documents),
+         |th AS (SELECT source, ${polySql("tok")} AS h FROM tk),
+         |bc AS (SELECT source, h % ${CorpusMix.Buckets} AS bucket,
+         |  CAST(count(*) AS BIGINT) AS c FROM th WHERE h % $DivSliceMod = 0 GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM bc GROUP BY source),
+         |g AS (SELECT n.source, b.bucket,
+         |  CAST(coalesce(bc.c, 0) + 1 AS DOUBLE) / CAST(n.n + ${CorpusMix.Buckets} AS DOUBLE) AS p
+         | FROM n CROSS JOIN (SELECT unnest(range(0, ${CorpusMix.Buckets})) AS bucket) b
+         | LEFT JOIN bc ON bc.source = n.source AND bc.bucket = b.bucket),
+         |pairs AS (SELECT a.source AS src1, b.source AS src2,
+         |  a.p * ln(a.p / ((a.p + b.p) / 2.0)) / 2.0 +
+         |  b.p * ln(b.p / ((a.p + b.p) / 2.0)) / 2.0 AS term
+         | FROM g a JOIN g b ON a.bucket = b.bucket AND a.source < b.source)
+         |SELECT src1, src2,
+         | round(CAST(SUM(CAST(term AS DECIMAL(18,12))) AS DOUBLE), 6) AS js
+         |FROM pairs GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin,
     "x63_temperature_mix" ->
       // the one libm quantity (n^alpha) is floored at 1e6 micro-units far
       // from knife edges; base/remainder/top-up are pure integer
@@ -4078,5 +4245,61 @@ object ExtensionQueries {
          |m AS (SELECT doc_id, ne, kept, array_to_string(list_transform(kept, s -> s.t), ' ') AS main FROM k)
          |SELECT doc_id, CAST(len(ne) AS BIGINT) AS n_blocks, CAST(len(kept) AS BIGINT) AS n_kept,
          | CAST(length(main) AS BIGINT) AS main_chars, ${polySql("main")} AS main_fp
-         |FROM m ORDER BY doc_id""".stripMargin)
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "x73_url_canonical" ->
+      // identical synthesized messy URL; canonicalization patterns are
+      // RE2-safe and byte-identical; anchored regexp_replace means
+      // DuckDB's replace-first == Spark's replace-all
+      s"""WITH u AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+         |  CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+         |  '.example' ||
+         |  CASE WHEN doc_id % 5 = 0 THEN '.COM' ELSE '.com' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+         |  '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+         |  CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END || '?' ||
+         |  CASE WHEN doc_id % 2 = 0 THEN 'a=1&utm_source=feed&id=' || CAST(doc_id % 20 AS VARCHAR)
+         |       ELSE 'id=' || CAST(doc_id % 20 AS VARCHAR) || '&a=1' END ||
+         |  CASE WHEN doc_id % 9 = 0 THEN '#top' ELSE '' END AS url
+         | FROM documents),
+         |p AS (SELECT doc_id,
+         |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         |  regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)), '^www\\.', '') AS host,
+         |  regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+         |  regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1), '/+$$', '') AS path0,
+         |  regexp_extract(url, '\\?([^#]*)', 1) AS q0
+         | FROM u),
+         |c AS (SELECT doc_id, host,
+         |  scheme || '://' || host ||
+         |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443') OR (scheme = 'http' AND port = '80')
+         |       THEN '' ELSE ':' || port END ||
+         |  CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+         |  CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+         | FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(q0, '&'),
+         |    x -> x <> '' AND NOT regexp_matches(x, '$UrlTrackRe'))), '&') AS qs FROM p))
+         |SELECT canon_url, host, CAST(count(*) AS BIGINT) AS n_urls,
+         | CAST(min(doc_id) AS BIGINT) AS keep_id
+         |FROM c GROUP BY canon_url, host ORDER BY canon_url""".stripMargin,
+    "x74_line_dedup" ->
+      // identical planted header/footer boilerplate (chr(10) avoids raw
+      // newlines in the SQL text); df over the shared polyHash line key;
+      // reassembly via ordered string_agg (NULL-skipping, like Spark's
+      // null-dropping collect_list), coalesced to '' for the all-
+      // boilerplate edge
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter for updates' || chr(10) ELSE '' END ||
+         |  text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'All rights reserved - terms apply' ELSE '' END AS t
+         | FROM documents),
+         |l AS (SELECT doc_id, CAST(s.i - 1 AS BIGINT) AS pos, s.line AS line FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(sp)+1), i -> {'i': i, 'line': sp[i]})) AS s
+         |  FROM (SELECT doc_id, string_split(t, chr(10)) AS sp FROM d))),
+         |h AS (SELECT doc_id, pos, line, ${polySql("line")} AS lh FROM l),
+         |f AS (SELECT lh, CAST(count(DISTINCT doc_id) AS BIGINT) AS line_df FROM h GROUP BY lh),
+         |j AS (SELECT h.doc_id, h.pos, h.line, f.line_df FROM h JOIN f USING (lh))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(CASE WHEN line_df <= $LineDfCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | ${polySql(s"coalesce(string_agg(CASE WHEN line_df <= $LineDfCap THEN line END, chr(10) ORDER BY pos), '')")} AS clean_fp
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -269,6 +269,94 @@ object Multimodal {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Caption-side feature vectors: the caption's UTF-8 bytes through the
+    * SAME byte-histogram kernel the opaque-payload fallback uses
+    * ([[decodeStub]]), so caption features and media features live in one
+    * comparable space. This is the honest stub for the text encoder of a
+    * CLIP-style dual-encoder (no model weights ship in this container);
+    * production swaps the kernel for a real encoder behind `mapInPandas`
+    * — every join, bucket, and scoring stage downstream is unchanged.
+    * Same iterator-in/iterator-out shape as [[extractFeatures]] so
+    * per-partition encoder sessions have a place to live.
+    */
+  def captionFeatures(
+      captions: DataFrame,
+      idCol: String = "caption_id",
+      mediaCol: String = "media_id",
+      textCol: String = "caption"): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(mediaCol, LongType, nullable = false),
+      StructField("cfeat", ArrayType(FloatType, containsNull = false), nullable = true))))
+    captions.select(col(idCol), col(mediaCol), encode(col(textCol), "UTF-8").as("_b"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val b = r.getAs[Array[Byte]]("_b")
+          Row(r.getAs[Long](idCol), r.getAs[Long](mediaCol),
+            if (b == null) null else decodeStub(b))
+        }
+      }(enc)
+  }
+
+  /** Caption↔media consistency scoring — the CLIP-score audit every
+    * image/caption corpus runs before training (mislabeled pairs, swapped
+    * captions, scraper drift): each caption is scored against ITS paired
+    * media (`cos_pair`, the native vector_dot cosine) and against the
+    * best LSH-retrieved media in the shared feature space (`best_cos`);
+    * `consistent = cos_pair >= best_cos` — a caption whose best retrieval
+    * beats its own pairing is exactly a candidate mislabel for review.
+    *
+    * Scale shape: decode and caption encoding are map-side
+    * (iterator-in/iterator-out, payloads never shuffle — only
+    * [[FeatureDim]] floats per row move); the paired score is a
+    * media_id equi-join; retrieval candidates come from the hyperplane
+    * bucket equi-join (shared planes on both sides, the x09/x11 LSH
+    * family), with the media side's hot buckets capped at `maxBucket`
+    * (the [[Similarity.bucketMemberPairs]] guard) so one featureless
+    * blob cluster cannot emit a quadratic candidate wave. Nothing
+    * data-sized broadcasts; no all-pairs stage anywhere (spec-pinned).
+    *
+    * Output: (caption_id, media_id, cos_pair, best_cos, consistent),
+    * cosines rounded to 6 (the x08 convention). No DuckDB oracle is
+    * possible — the driver fixtures ship no media table — so the
+    * contract is spec-verified (CaptionConsistencySpec: planted swapped
+    * captions are flagged, intact pairs score 1.0 and stay consistent).
+    */
+  def captionConsistency(
+      media: DataFrame, captions: DataFrame,
+      bits: Int = 8, maxBucket: Int = Dedup.ShingleDfCap): DataFrame = {
+    val mf = extractFeatures(media).filter(col("features").isNotNull)
+      .select(
+        col("media_id"), col("features").as("mv"),
+        Similarity.lshSignature(col("features"), bits, FeatureDim).as("bucket"),
+        Similarity.norm(col("features"), FeatureDim).as("mn"))
+    val cf = captionFeatures(captions).filter(col("cfeat").isNotNull)
+      .select(
+        col("caption_id"), col("media_id"), col("cfeat").as("cv"),
+        Similarity.lshSignature(col("cfeat"), bits, FeatureDim).as("bucket"),
+        Similarity.norm(col("cfeat"), FeatureDim).as("cn"))
+    val paired = cf.join(mf.select(col("media_id"), col("mv"), col("mn")), "media_id")
+      .select(col("caption_id"), col("media_id"),
+        round(Similarity.cosineStatic(col("cv"), col("mv"), col("cn"), col("mn"), FeatureDim), 6)
+          .as("cos_pair"))
+    // hot-bucket cap on the media side (count-filter, not collect_list:
+    // the retrieval join streams, so only the CAP decision needs the count)
+    val cool = mf.groupBy(col("bucket")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") <= maxBucket).select(col("bucket"))
+    val best = cf.join(mf.join(cool, "bucket").select(
+        col("bucket"), col("mv"), col("mn")), "bucket")
+      .select(col("caption_id"),
+        round(Similarity.cosineStatic(col("cv"), col("mv"), col("cn"), col("mn"), FeatureDim), 6)
+          .as("cos"))
+      .groupBy(col("caption_id")).agg(max(col("cos")).as("best_cos"))
+    paired.join(best, Seq("caption_id"), "left")
+      .select(col("caption_id"), col("media_id"), col("cos_pair"),
+        coalesce(col("best_cos"), col("cos_pair")).as("best_cos"))
+      .withColumn("consistent",
+        (col("cos_pair") >= col("best_cos")).cast("int"))
+      .orderBy(col("caption_id"))
+  }
+
   /** Parsed MP4 container facts (no codec needed — pure box walking). */
   case class VideoMeta(duration_ms: Long, width: Int, height: Int)
 

@@ -207,6 +207,50 @@ object DocStreams {
       }
   }
 
+  /** Streaming temperature-mix monitor — the unbounded twin of batch
+    * x63: per-source document counts accumulate across triggers (a
+    * streaming groupBy(source) count — dimension-keyed, so the state is
+    * ONE long per source, bounded forever on an unbounded feed), and
+    * every trigger re-apportions the fixed document budget over the
+    * counts seen so far with the IDENTICAL exact-integer kernel the
+    * batch query serves ([[graft.ops.CorpusMix.temperatureAllocation]]:
+    * decimal(38,0) quotas + largest-remainder top-up). The live "what
+    * should today's mix be" dashboard: after any trigger the emitted
+    * allocation is row-identical to batch x63 over the same documents
+    * (DocStreamsSpec pins it), so a curation pipeline can switch between
+    * the batch and streaming forms without renormalizing anything.
+    *
+    * Shape: the count aggregate runs in Complete mode — legal to
+    * re-emit whole because the result table IS dimension-sized (sources
+    * are a catalog, not data); the apportionment is inherently
+    * CROSS-source (the remainder rank orders every source), which no
+    * per-group stateful operator can express, so it runs inside
+    * foreachBatch on the <=|sources|-row count table where the window +
+    * decimal machinery is the ordinary batch plan. Nothing
+    * corpus-sized crosses a trigger boundary, and replay determinism is
+    * the kernel's own (pure integer function of the counts —
+    * StreamRestartSpec kill-replays it).
+    */
+  def temperatureMixMonitor(
+      docs: DataFrame,
+      alpha: Double,
+      budget: Long,
+      checkpointPath: String,
+      onTrigger: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.select(col("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (counts: DataFrame, batchId: Long) =>
+        onTrigger(
+          graft.ops.CorpusMix.temperatureAllocation(counts, alpha, budget),
+          batchId)
+      }
+      .start()
+
   /** Compact the band-key store: merge every `batch_id=K` segment with
     * `evictBeforeBatchId <= K <= upToBatchId` into ONE band-sorted segment
     * at `batch_id=upToBatchId`, and DELETE segments older than

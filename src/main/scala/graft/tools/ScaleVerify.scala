@@ -63,6 +63,10 @@ object ScaleVerify {
     // x62's oracle tokenizes + char-folds the whole corpus in SQL — fine
     // to sf1/sf10; at sf100 prefer the engine-side timing alone.
     "x62_source_divergence" -> None,
+    // x62s is x62's sf100 gate: the shared 1-in-16 token-hash pre-filter
+    // cuts the oracle's unnest volume 16x, so the row-exact compare runs
+    // where full x62's cannot (round-11 advice #6).
+    "x62s_divergence_slice" -> None,
     "x63_temperature_mix" -> None,
     // x64 output is corpus-sized (one row per doc) — slice like x19;
     // the oracle's per-source window sort is linear-ish DuckDB work.
@@ -88,7 +92,11 @@ object ScaleVerify {
     // x71 output is 9 buckets — compare whole.
     "x71_padding_waste" -> None,
     // x72 output is corpus-sized (one row per doc).
-    "x72_html_extract" -> Some("doc_id % 97 = 0"))
+    "x72_html_extract" -> Some("doc_id % 97 = 0"),
+    // x73 output is dimension-bounded (the synthesized canonical-URL
+    // space is sources x id-residues, ~2k rows at any scale) — compare
+    // whole; map+agg both engines, linear everywhere.
+    "x73_url_canonical" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8
@@ -103,7 +111,13 @@ object ScaleVerify {
     */
   val ByNameOnly: Map[String, Option[String]] = Map(
     "x56_connected_components" -> Some("node % 97 = 0"),
-    "x61_incremental_cc" -> Some("node % 97 = 0"))
+    "x61_incremental_cc" -> Some("node % 97 = 0"),
+    // x74 compares row-exact at any scale, but the GenScale fixtures
+    // replicate documents VERBATIM (k=10 copies per text), so above sf0.1
+    // every content line's df exceeds the cap and the dedup is
+    // semantically degenerate (all lines boilerplate) — run it by name
+    // when that's understood, not in a default sweep.
+    "x74_line_dedup" -> Some("doc_id % 97 = 0"))
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, rawOutDir) = args.take(2)

@@ -127,6 +127,62 @@ object StreamRestartProbe {
         java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
   }
 
+  /** temperatureMixMonitor (Complete-mode count aggregate + foreachBatch
+    * apportionment), killed + replayed at `killAt`, vs an uninterrupted
+    * twin. foreachBatch is at-least-once, so the replayed batch appends
+    * its allocation table twice; the probed contract is the FINAL
+    * allocation — for every source, the row with the highest batch id
+    * must be identical across runs (the allocation is a pure integer
+    * function of the state-store counts, so agreement here certifies the
+    * counts rolled back and re-applied exactly).
+    */
+  def runMix(spark: SparkSession, batches: Int, perBatch: Int, killAt: Int): Result = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("restart-mix").toString
+
+    // skewed source sizes, drifting with the batch index, so every
+    // trigger genuinely reshuffles the largest-remainder ranks
+    def mkDocs(b: Int): Seq[String] =
+      (0 until perBatch).map(i => s"s${(i * (b + 3)) % 5 % (2 + b % 3 + 1)}")
+
+    def sink(name: String) = s"$root/$name/out"
+    def chk(name: String) = s"$root/$name/chk"
+    def start(src: MemoryStream[String], name: String) =
+      DocStreams.temperatureMixMonitor(
+        src.toDF().toDF("source"), alpha = 0.3, budget = 10000L, chk(name),
+        (alloc, bid) => alloc.withColumn("bid", lit(bid))
+          .write.mode("append").parquet(sink(name)))
+
+    def finalRows(name: String): Array[String] = {
+      val df = spark.read.parquet(sink(name))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("bid").desc)
+      sortedRows(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "bid"))
+    }
+
+    val srcA = MemoryStream[String]
+    val qA = start(srcA, "twin")
+    (0 until batches).foreach { b => srcA.addData(mkDocs(b)); qA.processAllAvailable() }
+    qA.stop()
+
+    val srcB = MemoryStream[String]
+    var qB = start(srcB, "killed")
+    (0 until killAt).foreach { b => srcB.addData(mkDocs(b)); qB.processAllAvailable() }
+    qB.stop()
+    dropCommit(chk("killed"), killAt - 1)
+    qB = start(srcB, "killed")
+    (killAt until batches).foreach { b => srcB.addData(mkDocs(b)); qB.processAllAvailable() }
+    qB.stop()
+
+    val twin = finalRows("twin")
+    val killed = finalRows("killed")
+    Result("temperatureMixMonitor/final-alloc", batches, killAt, killed.length.toLong,
+      twin.nonEmpty &&
+        java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
+  }
+
   /** windowedTopUsers through a parquet file sink, killed + replayed at
     * `killAt`, vs an uninterrupted twin.
     */
@@ -226,7 +282,8 @@ object StreamRestartProbe {
     val killAt = args.lift(2).map(_.toInt).getOrElse(batches / 2)
     val results = Seq(
       runTopUsers(spark, batches, perBatch, killAt),
-      runNearDup(spark, batches, perBatch / 10, killAt))
+      runNearDup(spark, batches, perBatch / 10, killAt),
+      runMix(spark, batches, perBatch, killAt))
     println(f"${"probe"}%-36s ${"batches"}%7s ${"killAt"}%6s ${"rows"}%8s ${"agree"}%6s")
     results.foreach(r =>
       println(f"${r.probe}%-36s ${r.batches}%7d ${r.killAt}%6d ${r.rows}%8d ${r.agree}%6s"))

@@ -583,6 +583,30 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("rangepartitioning")
   }
 
+  test("x73: canonicalization fuses into the scan — one hash aggregate, no joins") {
+    val p = plan("x73_url_canonical")
+    p should not include "Join"
+    p should not include "Window"
+    p should include("HashAggregate")
+    p should include("partial_")       // map-side combine on canon_url
+    // exactly two exchanges: the aggregate's hash partitioning and the
+    // final ORDER BY's range partitioning
+    "Exchange".r.findAllIn(p).size should be <= 2
+  }
+
+  test("x74: line df joins back by 8-byte hash — no line text through the df join") {
+    val p = finalPlan("x74_line_dedup")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("HashAggregate")
+    // the df side of the join carries (lh, line_df) only — a join line
+    // shipping `line` would shuffle document text twice
+    p.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+      .foreach(_ should not include "line#")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"

@@ -111,6 +111,46 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("temperatureMixMonitor: every trigger apportions the full budget; final equals batch x63") {
+    import graft.ops.CorpusMix
+    import org.apache.spark.sql.functions.{col, count, lit}
+    implicit val sq = spark.sqlContext
+    val sources = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source")).as[String].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("mix-monitor").toString
+    val in = MemoryStream[String]
+    val q = DocStreams.temperatureMixMonitor(
+      in.toDF().toDF("source"), alpha = 0.3, budget = 100000L, s"$root/chk",
+      (alloc, bid) => alloc.withColumn("bid", lit(bid))
+        .write.mode("append").parquet(s"$root/out"))
+    try {
+      // three ragged triggers — counts must accumulate across them
+      val (a, rest) = sources.splitAt(sources.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      Seq(a, b, c).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.read.parquet(s"$root/out").cache()
+    // the budget apportions EXACTLY at every trigger, not just the last —
+    // the largest-remainder kernel's invariant holds on partial counts
+    val perTrigger = out.groupBy(col("bid"))
+      .agg(org.apache.spark.sql.functions.sum(col("alloc")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perTrigger.size shouldBe 3
+    perTrigger.values.foreach(_ shouldBe 100000L)
+    // final trigger = batch x63 over the same documents, row-identical
+    val lastBid = perTrigger.keys.max
+    val streamed = out.filter(col("bid") === lastBid)
+      .select(col("source"), col("n_docs"), col("w"), col("alloc"))
+      .collect().map(_.toString).sorted
+    val batch = CorpusMix.temperatureAllocation(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      alpha = 0.3, budget = 100000L)
+      .collect().map(_.toString).sorted
+    streamed shouldBe batch
+    out.unpersist(false)
+  }
+
   test("withCuration matches the batch scoring exactly (same expressions, stream or batch)") {
     val batch = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
     val out = DocStreams.withCuration(batch).orderBy("doc_id").collect()

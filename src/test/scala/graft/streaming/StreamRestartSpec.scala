@@ -36,4 +36,10 @@ class StreamRestartSpec extends AnyFunSuite with Matchers with SparkTest {
     r.rows should be > 0L
     r.agree shouldBe true
   }
+
+  test("temperatureMixMonitor: final allocation after kill+replay equals the twin") {
+    val r = StreamRestartProbe.runMix(spark, batches = 8, perBatch = 120, killAt = 4)
+    r.rows should be > 0L
+    r.agree shouldBe true
+  }
 }
