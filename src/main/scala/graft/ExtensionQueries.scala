@@ -6,6 +6,7 @@ import graft.ops.{AnnModels, Checkpoints, CorpusMix, Dedup, GraphOps, Ranks, Sim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.7 extension surface):
   * text analysis, dedup family (exact / n-gram Jaccard / MinHash+LSH /
@@ -2925,6 +2926,69 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed IPF round count of x75 (convergence is geometric; three
+    * alternating projections land within ~1e-3 of both marginals on the
+    * fixture, and a FIXED count keeps both engines bit-aligned).
+    */
+  private val IpfRounds = 3
+
+  /** 2-D mix design via iterative proportional fitting (x75): x63
+    * apportions a budget over ONE dimension; real mix design must hit
+    * marginal targets on TWO at once (per-language and per-source
+    * quotas, each temperature-allocated with the x63 kernel), which no
+    * independent per-dimension split can satisfy — the classic raking
+    * problem (Deming & Stephan 1940; survey raking / matrix balancing).
+    * Starting from the observed (lang, source) cell counts, each round
+    * rescales rows to the language targets then columns to the source
+    * targets; [[IpfRounds]] alternating projections converge to the
+    * max-entropy table with (approximately) both marginals.
+    *
+    * Determinism: the targets are x63's exact-integer allocations; each
+    * half-round's marginal sums are decimal-exact ([[graft.util.Exact]]
+    * scale-12 quantization), every rescaled cell re-quantizes at scale
+    * 12 (the x62 discipline — ties at the served round-6 digit are
+    * ~1e-6-rare), and the scale factor applies as `q * (target / m)` in
+    * both engines, so the oracle (which unrolls the identical rounds in
+    * SQL) hash-matches the served quotas.
+    *
+    * Scale shape: ONE corpus scan (the (lang, source) cell count, cut);
+    * every subsequent frame is dimension-sized (|langs| x |sources|
+    * cells), targets broadcast, and each half-round is a histogram
+    * aggregate + broadcast join — at 100 TB the iteration cost is
+    * independent of corpus size.
+    */
+  private def x75(s: SparkSession, dir: String): DataFrame = {
+    val cells = Checkpoints.cut(t(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs")))
+    val langT = CorpusMix.temperatureAllocation(
+      cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs"))
+        .select(col("lang").as("source"), col("n_docs")),
+      MixAlpha, MixBudget)
+      .select(col("source").as("lang"), col("alloc").as("lt"))
+    val srcT = CorpusMix.temperatureAllocation(
+      cells.groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs")),
+      MixAlpha, MixBudget)
+      .select(col("source"), col("alloc").as("st"))
+    def quant(c: Column): Column = c.cast(DecimalType(18, 12)).cast("double")
+    var q = cells
+      .join(broadcast(langT), "lang").join(broadcast(srcT), "source")
+      .select(col("lang"), col("source"), col("n_docs"), col("lt"), col("st"),
+        col("n_docs").cast("double").as("q"))
+    for (_ <- 0 until IpfRounds) {
+      val lm = q.groupBy(col("lang")).agg(graft.util.Exact.dsum(col("q"), 12).as("m"))
+      q = q.join(broadcast(lm), "lang")
+        .withColumn("q", quant(col("q") * (col("lt").cast("double") / col("m"))))
+        .drop("m")
+      val sm = q.groupBy(col("source")).agg(graft.util.Exact.dsum(col("q"), 12).as("m"))
+      q = q.join(broadcast(sm), "source")
+        .withColumn("q", quant(col("q") * (col("st").cast("double") / col("m"))))
+        .drop("m")
+    }
+    q.select(col("lang"), col("source"), col("n_docs"), col("lt"), col("st"),
+      round(col("q"), 6).as("quota"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3001,7 +3065,8 @@ object ExtensionQueries {
     "x71_padding_waste" -> (x71 _),
     "x72_html_extract" -> (x72 _),
     "x73_url_canonical" -> (x73 _),
-    "x74_line_dedup" -> (x74 _))
+    "x74_line_dedup" -> (x74 _),
+    "x75_ipf_mix" -> (x75 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3063,6 +3128,37 @@ object ExtensionQueries {
     * `alc(source, n_docs, w, alloc)`. Mirrors
     * CorpusMix.temperatureAllocation with the given budget.
     */
+  /** Generic-key temperature-allocation CTE chain (the x63 kernel over an
+    * arbitrary dimension column), prefix-namespaced so x75 can instantiate
+    * it twice (language and source targets) in one statement. Emits
+    * `${p}alc(k, alloc)`.
+    */
+  private def tempAllocCtesSql(key: String, p: String, budget: Long): String =
+    s"""${p}c AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY $key),
+       |${p}w AS (SELECT k, n_docs,
+       |  CAST(floor(power(CAST(n_docs AS DOUBLE), $MixAlpha) * 1000000.0) AS BIGINT) AS w FROM ${p}c),
+       |${p}t AS (SELECT SUM(CAST(w AS HUGEINT)) AS tw FROM ${p}w),
+       |${p}q AS (SELECT k, n_docs, w,
+       |  (CAST($budget AS HUGEINT) * w) // tw AS base, (CAST($budget AS HUGEINT) * w) % tw AS rem FROM ${p}w CROSS JOIN ${p}t),
+       |${p}s AS (SELECT $budget - SUM(base) AS short FROM ${p}q),
+       |${p}r AS (SELECT ${p}q.*, row_number() OVER (ORDER BY rem DESC, k) AS rk FROM ${p}q),
+       |${p}alc AS (SELECT k, CAST(base + CASE WHEN rk <= (SELECT short FROM ${p}s) THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM ${p}r)""".stripMargin
+
+  /** One unrolled IPF round for the x75 oracle: rescale rows (lang) to
+    * their targets, then columns (source) — marginal sums decimal-exact
+    * at scale 12, every rescaled cell re-quantized at scale 12, factor
+    * applied as `q * (target / m)`, mirroring the engine's op order.
+    */
+  private def ipfRoundSql(in: String, r: Int): String =
+    s"""lm$r AS (SELECT lang, CAST(SUM(CAST(q AS DECIMAL(18,12))) AS DOUBLE) AS m FROM $in GROUP BY lang),
+       |ql$r AS (SELECT c.lang, c.source, c.n_docs, c.lt, c.st,
+       |  CAST(CAST(c.q * (c.lt / lm$r.m) AS DECIMAL(18,12)) AS DOUBLE) AS q
+       | FROM $in c JOIN lm$r USING (lang)),
+       |sm$r AS (SELECT source, CAST(SUM(CAST(q AS DECIMAL(18,12))) AS DOUBLE) AS m FROM ql$r GROUP BY source),
+       |q$r AS (SELECT c.lang, c.source, c.n_docs, c.lt, c.st,
+       |  CAST(CAST(c.q * (c.st / sm$r.m) AS DECIMAL(18,12)) AS DOUBLE) AS q
+       | FROM ql$r c JOIN sm$r USING (source))""".stripMargin
+
   private def tempMixCtesSql(budget: Long): String =
     s"""c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
        |w AS (SELECT source, n_docs,
@@ -4301,5 +4397,21 @@ object ExtensionQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
          | CAST(SUM(CASE WHEN line_df <= $LineDfCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          | ${polySql(s"coalesce(string_agg(CASE WHEN line_df <= $LineDfCap THEN line END, chr(10) ORDER BY pos), '')")} AS clean_fp
-         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x75_ipf_mix" -> {
+      // both 1-D targets are the exact x63 integer kernel (HUGEINT);
+      // the IPF rounds unroll with the identical decimal-quantized
+      // marginal sums and `q * (target / m)` op order
+      val rounds = (1 to IpfRounds)
+        .map(r => ipfRoundSql(if (r == 1) "q0" else s"q${r - 1}", r)).mkString(",\n")
+      s"""WITH ${tempAllocCtesSql("lang", "tl", MixBudget)},
+         |${tempAllocCtesSql("source", "ts", MixBudget)},
+         |cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang, source),
+         |q0 AS (SELECT cells.lang, cells.source, cells.n_docs, lt.alloc AS lt, st.alloc AS st,
+         |  CAST(cells.n_docs AS DOUBLE) AS q
+         | FROM cells JOIN tlalc lt ON lt.k = cells.lang JOIN tsalc st ON st.k = cells.source),
+         |$rounds
+         |SELECT lang, source, n_docs, lt, st, round(q, 6) AS quota
+         |FROM q$IpfRounds ORDER BY lang, source""".stripMargin
+    })
 }

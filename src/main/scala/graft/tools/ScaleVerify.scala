@@ -96,7 +96,10 @@ object ScaleVerify {
     // x73 output is dimension-bounded (the synthesized canonical-URL
     // space is sources x id-residues, ~2k rows at any scale) — compare
     // whole; map+agg both engines, linear everywhere.
-    "x73_url_canonical" -> None)
+    "x73_url_canonical" -> None,
+    // x75 output is (langs x sources)-sized; the oracle is one corpus
+    // count + dimension-sized CTEs — linear everywhere.
+    "x75_ipf_mix" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -583,6 +583,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("rangepartitioning")
   }
 
+  test("x75: IPF iteration is corpus-free — cells cut once, rounds are dimension-sized") {
+    val p = finalPlan("x75_ipf_mix")
+    // the ONE corpus scan lives inside the Checkpoints.cut; all six
+    // half-rounds (marginal aggregate + broadcast rescale join) read the
+    // dimension-sized generation, so at 100 TB the iteration cost is
+    // independent of corpus size
+    "FileScan parquet".r.findAllIn(p).size shouldBe 0
+    p should include("ExistingRDD")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("x73: canonicalization fuses into the scan — one hash aggregate, no joins") {
     val p = plan("x73_url_canonical")
     p should not include "Join"

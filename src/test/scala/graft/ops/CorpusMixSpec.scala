@@ -91,4 +91,26 @@ class CorpusMixSpec extends AnyFunSuite with Matchers with SparkTest {
     // land within a few percent of the bound
     m(("a", "b")) should be > 0.9 * math.log(2.0)
   }
+
+  test("x75 IPF raking: source marginals exact, lang marginals converged, budget preserved") {
+    import org.apache.spark.sql.functions.{abs => sabs, col, first, sum => ssum}
+    val q = graft.SparkEntry.queries("x75_ipf_mix")(spark, "/root/testdata/sf0.001")
+    val rows = q.collect()
+    all(rows.map(_.getAs[Double]("quota"))) should be > 0.0
+    // total budget preserved (both marginal target sets sum to the budget,
+    // and every rescale preserves the rescaled dimension's total)
+    rows.map(_.getAs[Double]("quota")).sum shouldBe 100000.0 +- 0.01
+    // the LAST half-round rescaled to the source targets -> exact (to the
+    // scale-12 quantization) ...
+    val srcErr = q.groupBy(col("source"))
+      .agg(sabs(ssum(col("quota")) - first(col("st"))).as("e"))
+      .collect().map(_.getAs[Double]("e")).max
+    srcErr should be < 1e-3
+    // ... while the lang marginals have geometrically converged: within
+    // 0.1% of target after IpfRounds alternating projections
+    val langErr = q.groupBy(col("lang"))
+      .agg((sabs(ssum(col("quota")) - first(col("lt"))) / first(col("lt"))).as("e"))
+      .collect().map(_.getAs[Double]("e")).max
+    langErr should be < 1e-3
+  }
 }
