@@ -2606,9 +2606,11 @@ object ExtensionQueries {
 
   /** x68b's IVF-served candidate grid, pre-cut — exposed so PlanSpec can
     * pin the generation stage's shape (the cut hides it behind an
-    * ExistingRDD in the served query's plan).
+    * ExistingRDD in the served query's plan) and so tools.BitextTrade
+    * can measure the recall/cost trade across probe widths.
     */
-  private[graft] def x68bCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def x68bCandidates(
+      s: SparkSession, dir: String, nprobe: Int = BitextNProbe): DataFrame = {
     val langs = t(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang"))
     val em = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
     val trained = AnnModels.ivfCentroids(s, dir, em, IvfCells, KmIters, EmbDim)
@@ -2619,7 +2621,7 @@ object ExtensionQueries {
       es, trained.select(col("cell_id").as("es_id"), col("cv").as("sv")), EmbDim, "es_id", "sv")
     val ena = Similarity.ivfProbe(
       en, trained.select(col("cell_id").as("en_id"), col("cv").as("ev")),
-      EmbDim, BitextNProbe, "en_id", "ev")
+      EmbDim, nprobe, "en_id", "ev")
     // es lives in exactly one cell and the probed en cells are distinct
     // (row_number), so each (en_id, es_id) pair appears at most once.
     ena.join(esa, "cell_id")
@@ -2634,7 +2636,7 @@ object ExtensionQueries {
     * (WindowGroupLimit-pruned), decimal-exact K-neighbourhood means,
     * margin = 2·cos / (ax + ay), keep against [[BitextMarginFloor]].
     */
-  private def bitextMarginTail(allCos: DataFrame): DataFrame = {
+  private[graft] def bitextMarginTail(allCos: DataFrame): DataFrame = {
     val wf = Window.partitionBy(col("en_id")).orderBy(col("cos").desc, col("es_id"))
     val wb = Window.partitionBy(col("es_id")).orderBy(col("cos").desc, col("en_id"))
     val fwd = allCos.withColumn("rf", row_number().over(wf))
