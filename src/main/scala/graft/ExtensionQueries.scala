@@ -2991,6 +2991,45 @@ object ExtensionQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Leakage-safe train/val/test split (x76): x12 splits on a per-doc
+    * content-hash coin — correct for i.i.d. corpora, WRONG once
+    * near-duplicates exist: two near-dups can land in different splits
+    * and the model "generalizes" onto paraphrases of its own training
+    * data (the eval-leakage failure decontamination audits like x24
+    * detect AFTER the fact; this op prevents it at split time — the
+    * group-aware split every serious corpus release runs). The coin is
+    * therefore hashed on the duplicate CLUSTER's canonical id (the same
+    * exact+LSH label propagation x26/x66 serve), so a whole near-dup
+    * cluster moves between splits atomically; singletons hash on their
+    * own id, identical in spirit to x12's coin for the i.i.d. majority.
+    *
+    * Output also reports `torn`: whether the naive per-doc coin would
+    * have split this doc away from its cluster — the measured leakage
+    * the op prevented (non-zero by construction on the planted-dup
+    * corpus; DedupSpec-style invariant pinned in GraftExtensionsSpec:
+    * same cluster ⟹ same split, always).
+    *
+    * Scale shape: the cluster stages are x26's (bucketed candidates,
+    * bounded propagation — no quadratic stage); the split itself adds
+    * one map-side hash per row and nothing else. At 100 TB the split is
+    * as cheap as the dedup pipeline it rides on.
+    */
+  private def x76(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir))
+    val labeled = corpus
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+    def coin(c: Column): Column =
+      pmod(TextOps.polyHash(concat(lit("split#"), c.cast("string"))), lit(100L))
+    def splitOf(b: Column): Column =
+      when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+    labeled.select(col("doc_id"), col("cluster"),
+      splitOf(coin(col("cluster"))).as("split"),
+      (splitOf(coin(col("cluster"))) =!= splitOf(coin(col("doc_id"))))
+        .cast("int").as("torn"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3068,7 +3107,8 @@ object ExtensionQueries {
     "x72_html_extract" -> (x72 _),
     "x73_url_canonical" -> (x73 _),
     "x74_line_dedup" -> (x74 _),
-    "x75_ipf_mix" -> (x75 _))
+    "x75_ipf_mix" -> (x75 _),
+    "x76_cluster_split" -> (x76 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -4415,5 +4455,21 @@ object ExtensionQueries {
          |$rounds
          |SELECT lang, source, n_docs, lt, st, round(q, 6) AS quota
          |FROM q$IpfRounds ORDER BY lang, source""".stripMargin
-    })
+    },
+    "x76_cluster_split" ->
+      // same cluster CTEs as x26/x66; the split coin is the x12 hash
+      // convention over the cluster id (singletons: their own id), and
+      // `torn` compares against the naive per-doc coin
+      s"""WITH $DupClusterCtesSql,
+         |lbl AS (SELECT corpus.doc_id, coalesce(lab4.label, corpus.doc_id) AS cluster
+         | FROM corpus LEFT JOIN lab4 ON lab4.id = corpus.doc_id),
+         |sp AS (SELECT doc_id, cluster,
+         |  ${polySql("'split#' || CAST(cluster AS VARCHAR)")} % 100 AS cb,
+         |  ${polySql("'split#' || CAST(doc_id AS VARCHAR)")} % 100 AS nb
+         | FROM lbl)
+         |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+         | CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END AS split,
+         | CAST((CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END) <>
+         |      (CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val' ELSE 'test' END) AS INT) AS torn
+         |FROM sp ORDER BY doc_id""".stripMargin)
 }

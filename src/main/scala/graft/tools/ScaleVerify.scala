@@ -99,7 +99,9 @@ object ScaleVerify {
     "x73_url_canonical" -> None,
     // x75 output is (langs x sources)-sized; the oracle is one corpus
     // count + dimension-sized CTEs — linear everywhere.
-    "x75_ipf_mix" -> None)
+    "x75_ipf_mix" -> None,
+    // x76 rides x26's capped engineered corpus — output is 240 rows.
+    "x76_cluster_split" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -260,4 +260,25 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
       3L -> Seq("a", "b"))
     runPrefixJoin(sets, 0.5) shouldBe Set((2L, 3L, 1.0))
   }
+
+  test("x76 cluster split: same cluster always lands in one split; naive coin WOULD have torn it") {
+    val rows = graft.SparkEntry
+      .queries("x76_cluster_split")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[String]("split"), r.getAs[Int]("torn")))
+    // the leakage-safety invariant, by construction AND checked: every
+    // member of a cluster shares the cluster's split
+    rows.groupBy(_._2).values.foreach { members =>
+      members.map(_._3).distinct should have size 1
+    }
+    // the planted near-dup clusters make the naive per-doc coin tear at
+    // least one cluster apart — the leakage this operator prevents is
+    // real on this corpus, not vacuous
+    rows.map(_._4).sum should be > 0
+    // torn only ever fires for docs that HAVE a cluster-mate (a
+    // singleton's cluster coin IS its doc coin)
+    val clusterSizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    rows.filter(_._4 == 1).foreach { r => clusterSizes(r._2) should be > 1 }
+  }
 }
