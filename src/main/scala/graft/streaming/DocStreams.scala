@@ -207,6 +207,69 @@ object DocStreams {
       }
   }
 
+  /** Quality-histogram resolution of [[qualityCalibrationMonitor]]:
+    * the cut estimate's worst-case error is one bucket width (1e-3 in
+    * quality units) for values inside [0, 1).
+    */
+  val CalibBuckets = 1000
+
+  case class CalibState(counts: Array[Long])
+  case class SourceCalib(source: String, n_docs: Long, cut_est: Double)
+
+  /** Streaming per-source quality calibration — the bounded-state analog
+    * of batch x64 (whose exact per-source percent_rank is inherently
+    * retroactive: a rank is a function of ALL values, so no streaming
+    * operator can serve it exactly with finite state). An ingest
+    * pipeline needs a LIVE answer to "what is this source's bottom-20%
+    * quality cut right now" to gate admission; this monitor keeps ONE
+    * fixed [[CalibBuckets]]-bin histogram of the quality score per
+    * source (quality is clamped into [0, 1) — by construction the score
+    * concentrates there; clamped mass parks in the edge bins) and emits,
+    * per trigger, the left edge of the bucket holding the
+    * ceil(cutFrac·n)-th smallest value — within one bucket width (1e-3)
+    * of the exact x64 quantile, with state bounded forever at
+    * |sources| x 1000 longs on an unbounded feed.
+    *
+    * Scoring reuses the batch [[graft.ops.TextOps.quality]] EXPRESSION
+    * (map-side, before the shuffle — the shuffle carries one bucket int
+    * per doc, never text), so the streamed histogram is bit-identical to
+    * a batch histogram over the same documents (DocStreamsSpec pins
+    * stream == batch-twin exactly, and the estimate within 1e-3 of the
+    * exact x64 cut).
+    */
+  def qualityCalibrationMonitor(
+      docs: DataFrame, cutFrac: Double = 0.2,
+      textCol: String = "text"): Dataset[SourceCalib] = {
+    require(cutFrac > 0 && cutFrac < 1, s"cutFrac must be in (0, 1), got $cutFrac")
+    import docs.sparkSession.implicits._
+    val perDoc = docs.select(
+      col("source"),
+      least(lit(CalibBuckets - 1), greatest(lit(0),
+        floor(TextOps.quality(col(textCol)) * CalibBuckets).cast("int"))).as("b"))
+      .as[(String, Int)]
+    perDoc.groupByKey(_._1)
+      .mapGroupsWithState[CalibState, SourceCalib](GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Int)], state: GroupState[CalibState]) =>
+          val cur = state.getOption.map(_.counts).getOrElse(new Array[Long](CalibBuckets))
+          rows.foreach { case (_, b) => cur(b) += 1 }
+          state.update(CalibState(cur))
+          var n = 0L
+          var i = 0
+          while (i < cur.length) { n += cur(i); i += 1 }
+          val target = math.ceil(cutFrac * n).toLong
+          var cum = 0L
+          var cutBin = 0
+          var j = 0
+          var found = false
+          while (j < cur.length && !found) {
+            cum += cur(j)
+            if (cum >= target) { cutBin = j; found = true }
+            j += 1
+          }
+          SourceCalib(src, n, cutBin.toDouble / CalibBuckets)
+      }
+  }
+
   /** Streaming temperature-mix monitor — the unbounded twin of batch
     * x63: per-source document counts accumulate across triggers (a
     * streaming groupBy(source) count — dimension-keyed, so the state is

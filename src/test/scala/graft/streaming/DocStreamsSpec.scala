@@ -151,6 +151,49 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     out.unpersist(false)
   }
 
+  test("qualityCalibrationMonitor: streamed cut equals the batch histogram twin; within 1e-3 of exact") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = docsDf.select(col("source"), col("text")).as[(String, String)].collect().toSeq
+    val in = MemoryStream[(String, String)]
+    val q = DocStreams.qualityCalibrationMonitor(in.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("calib")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (a, rest) = docs.splitAt(docs.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      Seq(a, b, c).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val last = spark.table("calib").as[(String, Long, Double)].collect()
+      .zipWithIndex.groupBy(_._1._1).map { case (_, rows) => rows.maxBy(_._2)._1 }
+
+    // batch twin: identical clamped-histogram cut, computed driver-side
+    // from per-(source, quality) values scored by the SAME expression
+    val scored = docsDf
+      .select(col("source"), TextOps.quality(col("text")).as("q"))
+      .as[(String, Double)].collect().toSeq
+    val bySource = scored.groupBy(_._1)
+    last.size shouldBe bySource.size
+    last.foreach { case (src, n, est) =>
+      val qs = bySource(src).map(_._2).sorted
+      n shouldBe qs.size
+      val bins = qs.map(v => math.min(DocStreams.CalibBuckets - 1,
+        math.max(0, math.floor(v * DocStreams.CalibBuckets).toInt)))
+      val target = math.ceil(0.2 * qs.size).toLong
+      var cum = 0L
+      val expectBin = bins.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+        .collectFirst { case (bin, cnt) if { cum += cnt; cum >= target } => bin }.get
+      est shouldBe expectBin.toDouble / DocStreams.CalibBuckets // exact twin agreement
+      // and the histogram estimate brackets the EXACT bottom-20% quantile
+      // within one bucket width (the monitor's documented error bound)
+      val exact = qs((target - 1).toInt)
+      est should be <= exact
+      exact should be < est + 1.0 / DocStreams.CalibBuckets
+    }
+  }
+
   test("withCuration matches the batch scoring exactly (same expressions, stream or batch)") {
     val batch = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
     val out = DocStreams.withCuration(batch).orderBy("doc_id").collect()
