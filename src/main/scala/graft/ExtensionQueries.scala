@@ -3030,6 +3030,60 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation-funnel accounting (x77): the docs/tokens ledger every
+    * corpus release ships — how much each curation stage removes, in
+    * both documents and tokens, over the planted-duplicate corpus:
+    *
+    *   0 ingest → 1 exact dedup (content-hash group min) → 2 near dedup
+    *   (x26's exact+LSH cluster labels, keep the cluster's min surviving
+    *   id) → 3 quality gate (the x02 score at the ingest threshold 0.5).
+    *
+    * Each stage's survivors feed the next, and every row reports the
+    * docs/tokens REMOVED vs the previous stage — the "where did my
+    * corpus go" audit whose absence makes pipeline regressions invisible
+    * (a dedup bug shows up as a wrong funnel row long before eval moves).
+    * Composes the already-verified kernels (contentKey, dupLabels,
+    * wsTokenCount, quality) rather than re-deriving them, so the funnel
+    * numbers are consistent-by-construction with x03/x26/x02.
+    *
+    * Scale shape: the cluster stages are x26's; the ledger adds one
+    * window-min per stage key (hash / cluster — both WindowGroupLimit-
+    * free but bounded: a partition is one duplicate group) and four
+    * dimension-sized aggregate rows. The 4-row lag window partitions on
+    * the x63 non-foldable-constant trick.
+    */
+  private def x77(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir)
+      .withColumn("tok", TextOps.wsTokenCount(col("text")))
+      .withColumn("q", TextOps.quality(col("text"))))
+    val s1 = corpus
+      .withColumn("m",
+        min(col("doc_id")).over(Window.partitionBy(Dedup.contentKey(col("text")))))
+      .filter(col("doc_id") === col("m")).drop("m")
+    val s1c = s1
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+    val s2 = s1c
+      .withColumn("cm", min(col("doc_id")).over(Window.partitionBy(col("cluster"))))
+      .filter(col("doc_id") === col("cm"))
+    val s3 = s2.filter(col("q") >= 0.5)
+    def stat(df: DataFrame, id: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        .select(lit(id).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val st = stat(corpus, 0, "ingest")
+      .union(stat(s1, 1, "exact_dedup"))
+      .union(stat(s2, 2, "near_dedup"))
+      .union(stat(s3, 3, "quality_gate"))
+    val onePart = pmod(coalesce(col("stage"), lit(0)), lit(1))
+    val w = Window.partitionBy(onePart).orderBy(col("stage"))
+    st.select(col("stage").cast("long").as("stage"), col("stage_name"),
+      col("n_docs"), col("n_tokens"),
+      coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)).as("removed_docs"),
+      coalesce(lag(col("n_tokens"), 1).over(w) - col("n_tokens"), lit(0L)).as("removed_tokens"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3108,7 +3162,8 @@ object ExtensionQueries {
     "x73_url_canonical" -> (x73 _),
     "x74_line_dedup" -> (x74 _),
     "x75_ipf_mix" -> (x75 _),
-    "x76_cluster_split" -> (x76 _))
+    "x76_cluster_split" -> (x76 _),
+    "x77_curation_funnel" -> (x77 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -4471,5 +4526,34 @@ object ExtensionQueries {
          | CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END AS split,
          | CAST((CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END) <>
          |      (CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val' ELSE 'test' END) AS INT) AS torn
-         |FROM sp ORDER BY doc_id""".stripMargin)
+         |FROM sp ORDER BY doc_id""".stripMargin,
+    "x77_curation_funnel" ->
+      // same cluster CTEs; exact dedup partitions by text (== by content
+      // hash, the engine's key), tokens are the x01 ws count, quality the
+      // x02 score — the funnel composes verified kernels
+      s"""WITH $DupClusterCtesSql,
+         |tq AS (SELECT doc_id, text,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM corpus),
+         |tq2 AS (SELECT doc_id, text, ws AS tok, $QualitySql AS q FROM tq),
+         |s1 AS (SELECT tq2.* FROM tq2 JOIN (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m FROM corpus) e USING (doc_id)
+         | WHERE doc_id = m),
+         |s1c AS (SELECT s1.*, coalesce(lab4.label, s1.doc_id) AS cluster
+         | FROM s1 LEFT JOIN lab4 ON lab4.id = s1.doc_id),
+         |s2 AS (SELECT * FROM (
+         |  SELECT s1c.*, min(doc_id) OVER (PARTITION BY cluster) AS cm FROM s1c) WHERE doc_id = cm),
+         |s3 AS (SELECT * FROM s2 WHERE q >= 0.5),
+         |fun AS (
+         | SELECT 0 AS stage, 'ingest' AS stage_name, count(*) AS n_docs, SUM(tok) AS n_tokens FROM tq2
+         | UNION ALL SELECT 1, 'exact_dedup', count(*), SUM(tok) FROM s1
+         | UNION ALL SELECT 2, 'near_dedup', count(*), SUM(tok) FROM s2
+         | UNION ALL SELECT 3, 'quality_gate', count(*), SUM(tok) FROM s3)
+         |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+         | CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT) AS removed_docs,
+         | CAST(coalesce(lag(n_tokens) OVER (ORDER BY stage) - n_tokens, 0) AS BIGINT) AS removed_tokens
+         |FROM fun ORDER BY stage""".stripMargin)
 }

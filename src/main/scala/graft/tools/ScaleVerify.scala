@@ -101,7 +101,9 @@ object ScaleVerify {
     // count + dimension-sized CTEs — linear everywhere.
     "x75_ipf_mix" -> None,
     // x76 rides x26's capped engineered corpus — output is 240 rows.
-    "x76_cluster_split" -> None)
+    "x76_cluster_split" -> None,
+    // x77 shares the same corpus/cluster CTEs — output is 4 funnel rows.
+    "x77_curation_funnel" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

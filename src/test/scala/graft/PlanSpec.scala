@@ -619,6 +619,22 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
       .foreach(_ should not include "line#")
   }
 
+  test("x76/x77: cluster-riding ops stay on x26's equi-join shapes — no nested loops") {
+    Seq("x76_cluster_split", "x77_curation_funnel").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should not include "CartesianProduct"
+        p should not include "BroadcastNestedLoopJoin"
+      }
+    }
+    // x77's own stage windows (exact-hash and cluster group-min) sit
+    // OUTSIDE the cut and partition on hash/cluster keys — one duplicate
+    // group per partition, never a corpus-wide constant (x76's windows
+    // live inside dupLabels' cut and are pinned by the x26 tests)
+    val p77 = plan("x77_curation_funnel")
+    p77 should include("Window")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
