@@ -207,6 +207,73 @@ object DocStreams {
       }
   }
 
+  /** Per-document benchmark-containment scores (batch semantics): each
+    * document's distinct n-grams ([[graft.ops.Dedup.shingles]], the
+    * native expression — map-side) exploded and equi-joined against the
+    * distinct benchmark shingle set, LEFT-rejoined so clean documents
+    * keep flowing with n_hits = 0 (an inner join would silently drop
+    * exactly the uncontaminated majority). The x24 containment algebra
+    * over an arbitrary benchmark frame — shared by the batch audit shape
+    * and [[decontaminateIngest]]'s per-micro-batch admission decision.
+    * Benchmark suites are MBs, not TBs, so the broadcast is bounded at
+    * any corpus scale.
+    */
+  def decontaminationScores(
+      docs: DataFrame, benchShingles: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 5): DataFrame = {
+    val sh = docs.withColumn("_s", graft.ops.Dedup.shingles(col(textCol), n))
+    val hits = sh
+      .select(col(idCol), explode(col("_s")).as("shingle"))
+      .join(broadcast(benchShingles.select(col("shingle")).distinct()), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    sh.withColumn("n_shingles", size(col("_s")).cast("long")).drop("_s")
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("containment",
+        when(col("n_shingles") > 0,
+          round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Streaming eval-decontamination gate — the admission-time twin of
+    * batch x24: x24 finds leaked benchmark content after the fact; this
+    * stops it at the door. Documents whose 5-grams hit the benchmark
+    * set are quarantined for review, clean documents land in the
+    * corpus, both under `batch_id=N` overwrite partitions (the
+    * nearDupIngest exactly-once discipline: a replayed batch overwrites
+    * its own partial output idempotently).
+    *
+    * The containment join needs a doc-side explode + aggregate + self
+    * rejoin — batch semantics, not a stateless stream transform — so it
+    * runs inside foreachBatch ([[decontaminationScores]]); the stream
+    * itself keeps NO state (no watermark, no state store): admission is
+    * a pure function of (document, benchmark), re-derivable on any
+    * replay.
+    */
+  def decontaminateIngest(
+      docs: DataFrame,
+      benchShingles: DataFrame,
+      sinkPath: String,
+      quarantinePath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = decontaminationScores(batch, benchShingles, idCol, textCol, n).cache()
+        scored.filter(col("n_hits") === 0).write.mode("overwrite")
+          .parquet(new Path(sinkPath, s"batch_id=$batchId").toString)
+        scored.filter(col("n_hits") > 0).write.mode("overwrite")
+          .parquet(new Path(quarantinePath, s"batch_id=$batchId").toString)
+        scored.unpersist(false)
+        ()
+      }
+      .start()
+
   /** Quality-histogram resolution of [[qualityCalibrationMonitor]]:
     * the cut estimate's worst-case error is one bucket width (1e-3 in
     * quality units) for values inside [0, 1).

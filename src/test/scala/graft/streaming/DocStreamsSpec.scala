@@ -194,6 +194,47 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("decontaminateIngest: planted benchmark leakage quarantines at the door; replay idempotent") {
+    import org.apache.spark.sql.functions.{col, explode}
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("decontam").toString
+    // benchmark = two "eval" prompts; feed = clean prose + one doc
+    // containing an eval prompt verbatim + one short doc (no 5-grams)
+    val bench = Seq(
+      "what is the capital of france and spain",
+      "name the longest river on the african continent").toDF("text")
+      .select(explode(graft.ops.Dedup.shingles(col("text"), 5)).as("shingle"))
+    val feed = Seq(
+      (1L, prose),
+      (2L, "intro words then what is the capital of france and spain trailing text"),
+      (3L, "too short"),
+      (4L, prose + " extra tail tokens here"))
+    val in = MemoryStream[(Long, String)]
+    val q = DocStreams.decontaminateIngest(
+      in.toDF().toDF("doc_id", "text"), bench,
+      s"$root/sink", s"$root/quarantine", s"$root/chk")
+    in.addData(feed)
+    q.processAllAvailable(); q.awaitTermination(60000)
+    def ids(p: String): Set[Long] =
+      spark.read.parquet(p).select("doc_id").collect().map(_.getLong(0)).toSet
+    ids(s"$root/sink") shouldBe Set(1L, 3L, 4L)
+    ids(s"$root/quarantine") shouldBe Set(2L)
+    // the quarantined doc reports real containment over ITS shingles
+    val row = spark.read.parquet(s"$root/quarantine").collect().head
+    row.getAs[Long]("n_hits") should be > 0L
+    row.getAs[Double]("containment") should (be > 0.0 and be <= 1.0)
+    // replay idempotence: a second run over the same feed (fresh
+    // checkpoint, same batch ids) overwrites to the identical output
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = DocStreams.decontaminateIngest(
+      in2.toDF().toDF("doc_id", "text"), bench,
+      s"$root/sink", s"$root/quarantine", s"$root/chk2")
+    in2.addData(feed)
+    q2.processAllAvailable(); q2.awaitTermination(60000)
+    ids(s"$root/sink") shouldBe Set(1L, 3L, 4L)
+    ids(s"$root/quarantine") shouldBe Set(2L)
+  }
+
   test("withCuration matches the batch scoring exactly (same expressions, stream or batch)") {
     val batch = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
     val out = DocStreams.withCuration(batch).orderBy("doc_id").collect()
