@@ -3084,6 +3084,53 @@ object ExtensionQueries {
       .orderBy(col("stage"))
   }
 
+  /** Vector budget of the x78 semantic mix — below the fixture corpus
+    * size so the per-cell cut binds.
+    */
+  private val SemMixBudget = 500L
+
+  /** Cluster-balanced semantic corpus selection (x78): the D4 shape
+    * (Tirumala et al. 2023 — diversify pretraining data by sampling
+    * across EMBEDDING clusters instead of metadata): x63/x69 rebalance
+    * by source labels, but label-free corpora (crawls) need the same
+    * rebalancing in semantic space. The corpus's trained IVF cells (the
+    * same persisted k-means index x13/x25/x47/x68b serve) stand in for
+    * sources: per-cell counts get the exact x63 temperature allocation
+    * (upweighting small semantic clusters — diversity), and each cell
+    * contributes its alloc-many members with the smallest content hash
+    * (the x69 deterministic-pick discipline via
+    * [[Ranks.groupRowNumber]], so no task sorts more than ~1/1000 of a
+    * cell). Cell ids cross the allocation kernel as STRINGS (its source
+    * key), so the largest-remainder tiebreak compares identically in
+    * both engines.
+    *
+    * Scale shape: one broadcast-model assignment pass over the corpus
+    * (k-row centroid model — nothing data-sized), a cell-count
+    * histogram, the dimension-sized allocation, and the bucket-
+    * decomposed per-cell pick. At 100 TB the cell count grows with the
+    * corpus (the IVF knob), keeping every per-cell stage bounded.
+    */
+  private def x78(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val trained = AnnModels.ivfCentroids(s, dir, e, IvfCells, KmIters, EmbDim)
+    val assigned = Checkpoints.cut(Similarity.ivfAssign(
+      e, trained.select(col("cell_id").as("vec_id"), col("cv").as("v")), EmbDim)
+      .select(col("vec_id"), col("cell_id")))
+    val counts = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("n_docs"))
+      .select(col("cell_id").cast("string").as("source"), col("n_docs"))
+    val allocs = CorpusMix.temperatureAllocation(counts, MixAlpha, SemMixBudget)
+      .select(col("source").cast("long").as("cell_id"), col("alloc"))
+    val ranked = Ranks.groupRowNumber(
+      assigned.withColumn("hd",
+        TextOps.polyHash(concat(lit("semmix#"), col("vec_id").cast("string")))
+          .cast("double")),
+      "cell_id", "hd", "vec_id")
+    ranked.join(broadcast(allocs), "cell_id")
+      .filter(col("row_num") <= col("alloc"))
+      .select(col("vec_id"), col("cell_id"), col("row_num").as("pick_rank"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3163,7 +3210,8 @@ object ExtensionQueries {
     "x74_line_dedup" -> (x74 _),
     "x75_ipf_mix" -> (x75 _),
     "x76_cluster_split" -> (x76 _),
-    "x77_curation_funnel" -> (x77 _))
+    "x77_curation_funnel" -> (x77 _),
+    "x78_semantic_mix" -> (x78 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3226,12 +3274,17 @@ object ExtensionQueries {
     * CorpusMix.temperatureAllocation with the given budget.
     */
   /** Generic-key temperature-allocation CTE chain (the x63 kernel over an
-    * arbitrary dimension column), prefix-namespaced so x75 can instantiate
-    * it twice (language and source targets) in one statement. Emits
-    * `${p}alc(k, alloc)`.
+    * arbitrary dimension expression of an arbitrary relation),
+    * prefix-namespaced so x75 can instantiate it twice (language and
+    * source targets) and x78 over IVF cells in one statement. Emits
+    * `${p}alc(k, alloc)`. NOTE the largest-remainder tiebreak orders by
+    * `k` with ITS OWN type's comparison — a caller keying on a cast
+    * expression must mirror the same cast engine-side (x78 compares
+    * cell ids as strings in both engines).
     */
-  private def tempAllocCtesSql(key: String, p: String, budget: Long): String =
-    s"""${p}c AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY $key),
+  private def tempAllocCtesSql(
+      key: String, p: String, budget: Long, from: String = "documents"): String =
+    s"""${p}c AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS n_docs FROM $from GROUP BY $key),
        |${p}w AS (SELECT k, n_docs,
        |  CAST(floor(power(CAST(n_docs AS DOUBLE), $MixAlpha) * 1000000.0) AS BIGINT) AS w FROM ${p}c),
        |${p}t AS (SELECT SUM(CAST(w AS HUGEINT)) AS tw FROM ${p}w),
@@ -4555,5 +4608,26 @@ object ExtensionQueries {
          | CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
          | CAST(coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT) AS removed_docs,
          | CAST(coalesce(lag(n_tokens) OVER (ORDER BY stage) - n_tokens, 0) AS BIGINT) AS removed_tokens
-         |FROM fun ORDER BY stage""".stripMargin)
+         |FROM fun ORDER BY stage""".stripMargin,
+    "x78_semantic_mix" ->
+      // identical trained IVF index (the x13 unrolled k-means); per-cell
+      // counts through the exact allocation kernel with cell ids as
+      // VARCHAR keys (mirroring the engine's string tiebreak); the pick
+      // is the x69 naive-window oracle over (hash, vec_id) per cell
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfUpdateSql("a2", "c2")},
+         |${ivfAssignSql("c2", "assigned")},
+         |${tempAllocCtesSql("CAST(cell_id AS VARCHAR)", "sm", SemMixBudget, from = "assigned")},
+         |rr AS (SELECT vec_id, cell_id,
+         |  CAST(row_number() OVER (PARTITION BY cell_id
+         |    ORDER BY ${polySql("'semmix#' || CAST(vec_id AS VARCHAR)")}, vec_id) AS BIGINT) AS pick_rank
+         | FROM assigned)
+         |SELECT rr.vec_id, rr.cell_id, rr.pick_rank
+         |FROM rr JOIN smalc ON smalc.k = CAST(rr.cell_id AS VARCHAR)
+         |WHERE rr.pick_rank <= smalc.alloc
+         |ORDER BY rr.vec_id""".stripMargin)
 }

@@ -103,7 +103,10 @@ object ScaleVerify {
     // x76 rides x26's capped engineered corpus — output is 240 rows.
     "x76_cluster_split" -> None,
     // x77 shares the same corpus/cluster CTEs — output is 4 funnel rows.
-    "x77_curation_funnel" -> None)
+    "x77_curation_funnel" -> None,
+    // x78 output is budget-bounded (500 rows); the oracle retrains the
+    // IVF index in SQL (the x13 cost) — sweeps wherever x13 does.
+    "x78_semantic_mix" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -635,6 +635,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p77 should include("Window")
   }
 
+  test("x78: semantic mix serves from the cut assignment — bucket-decomposed picks, broadcast allocs") {
+    val p = finalPlan("x78_semantic_mix")
+    // the corpus-sized assignment pass lives inside the cut; the serve
+    // side is the Ranks bucket decomposition (windows on (cell, bucket)
+    // keys) plus the dimension-sized allocation broadcast
+    p should include("ExistingRDD")
+    p should include("_bkt")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
