@@ -3131,6 +3131,60 @@ object ExtensionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** n-gram width of the x79 duplication-rate metric (Lee et al. use
+    * 50-token windows on web text; the fixture's short word-salad docs
+    * need a width that actually occurs, and 5 matches the suite's
+    * shingle/decontamination convention).
+    */
+  private val DupNgramN = 5
+
+  /** Corpus duplicate-n-gram rate (x79): the corpus-health metric of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") — the fraction of n-gram POSITIONS whose n-gram
+    * occurs more than once corpus-wide, reported per source. Document-
+    * level dedup (x03/x06) can pass a corpus whose token stream is
+    * still heavily repeated (boilerplate, templates, quotations); this
+    * is the number that exposes it, and the one a dedup pipeline
+    * reports before/after to prove it worked. Positions are POSITIONAL
+    * n-grams (not the distinct shingle set — within-doc repetition
+    * counts, per the metric's definition). Duplication is planted
+    * (every 7th doc re-added verbatim under a shifted id — 7 is coprime
+    * with the fixture's source-assignment period, so the plant spreads
+    * across sources instead of saturating those whose ids it divides)
+    * since natural 5-gram collisions in word salad are ~zero.
+    *
+    * Scale shape: one explode to (source, gram-hash) positions — the
+    * shuffle key is the 8-byte polyHash, never gram text — cut once for
+    * its two consumers (the global occurrence count and the join back),
+    * then a map-side-combined count and a source-keyed aggregate. Two
+    * corpus-sized hash shuffles, no joins wider than the position
+    * stream, at any corpus size.
+    */
+  private def x79(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val corpus = base.union(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("source"), col("text")))
+    val tk = TextOps.tokens(col("text"))
+    val grams = when(size(tk) >= DupNgramN,
+      transform(sequence(lit(1), size(tk) - (DupNgramN - 1)),
+        i => concat_ws(" ", (0 until DupNgramN).map(j => element_at(tk, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val pos = Checkpoints.cut(corpus
+      .select(col("source"), explode(grams).as("g"))
+      .select(col("source"), TextOps.polyHash(col("g")).as("gh")))
+    val cnt = pos.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+    pos.join(cnt, "gh")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_positions"),
+        sum((col("n") > 1).cast("long")).as("n_dup_positions"))
+      .select(col("source"), col("n_positions"), col("n_dup_positions"),
+        round(col("n_dup_positions").cast("double") / col("n_positions").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3211,7 +3265,8 @@ object ExtensionQueries {
     "x75_ipf_mix" -> (x75 _),
     "x76_cluster_split" -> (x76 _),
     "x77_curation_funnel" -> (x77 _),
-    "x78_semantic_mix" -> (x78 _))
+    "x78_semantic_mix" -> (x78 _),
+    "x79_dup_ngram_rate" -> (x79 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -4629,5 +4684,23 @@ object ExtensionQueries {
          |SELECT rr.vec_id, rr.cell_id, rr.pick_rank
          |FROM rr JOIN smalc ON smalc.k = CAST(rr.cell_id AS VARCHAR)
          |WHERE rr.pick_rank <= smalc.alloc
-         |ORDER BY rr.vec_id""".stripMargin)
+         |ORDER BY rr.vec_id""".stripMargin,
+    "x79_dup_ngram_rate" ->
+      // identical planted duplication; POSITIONAL 5-grams (no distinct —
+      // within-doc repetition counts), global occurrence counts over the
+      // shared polyHash gram key
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+         |corpus AS (SELECT doc_id, source, text FROM base
+         | UNION ALL SELECT doc_id + 1000000, source, text FROM base WHERE doc_id % 7 = 0),
+         |tk AS (SELECT source, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM corpus),
+         |g AS (SELECT source, unnest(CASE WHEN len(t) >= $DupNgramN
+         |  THEN list_transform(range(1, len(t) - ${DupNgramN - 2}),
+         |    i -> ${(0 until DupNgramN).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")})
+         |  ELSE []::VARCHAR[] END) AS gram FROM tk),
+         |h AS (SELECT source, ${polySql("gram")} AS gh FROM g),
+         |c AS (SELECT gh, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY gh)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_positions,
+         | CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
+         | round(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+         |FROM h JOIN c USING (gh) GROUP BY source ORDER BY source""".stripMargin)
 }

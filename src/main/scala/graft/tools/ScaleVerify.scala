@@ -106,7 +106,11 @@ object ScaleVerify {
     "x77_curation_funnel" -> None,
     // x78 output is budget-bounded (500 rows); the oracle retrains the
     // IVF index in SQL (the x13 cost) — sweeps wherever x13 does.
-    "x78_semantic_mix" -> None)
+    "x78_semantic_mix" -> None,
+    // x79 output is source-sized; both engines are one positional-gram
+    // explode + two hash aggregates — linear, like x62's shape but
+    // without the dense-grid tail.
+    "x79_dup_ngram_rate" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -646,6 +646,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("x79: dup-rate shuffles 8-byte gram hashes, never gram text; counts combine map-side") {
+    val p = finalPlan("x79_dup_ngram_rate")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("partial_count")  // global occurrence count combines map-side
+    // the occurrence join is keyed on the hash — no join line carries
+    // the gram string column
+    p.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+      .foreach { l => l should include("gh"); l should not include "g#" }
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
