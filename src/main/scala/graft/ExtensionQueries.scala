@@ -1321,15 +1321,26 @@ object ExtensionQueries {
     * Output: (doc_id, n_words, bpe_tokens); blank docs have no tokens
     * and (like the oracle's unnest) drop out.
     */
-  private def x46(s: SparkSession, dir: String): DataFrame = {
-    val docWords = t(s, dir, "documents")
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-    val merged = AnnModels.trainOrLoad(s, dir, "documents", s"bpe_vocab_r$BpeRounds") {
-      val vocab = docWords.groupBy(col("w")).agg(count(lit(1)).as("n"))
+  /** The persisted post-merge BPE vocabulary x45/x46/x81 all serve from:
+    * trained once per dataset fingerprint ([[AnnModels.trainOrLoad]]) on
+    * the corpus-wide word counts, so every consumer tokenizes with the
+    * IDENTICAL vocabulary — retraining per query would replay the merge
+    * DAG and could drift if a consumer's word frame differed.
+    */
+  private def bpeMergedVocab(s: SparkSession, dir: String): DataFrame =
+    AnnModels.trainOrLoad(s, dir, "documents", s"bpe_vocab_r$BpeRounds") {
+      val words = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
         .filter(bmpOnly(col("w")))
         .select(col("w"), bpeSymbolize(col("w")).as("sym"), col("n"))
       bpeTrainRounds(vocab, BpeRounds)._2
     }
+
+  private def x46(s: SparkSession, dir: String): DataFrame = {
+    val docWords = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val merged = bpeMergedVocab(s, dir)
     val tokCounts = merged.select(
       col("w"),
       size(filter(split(trim(col("sym")), " "), c => c =!= "")).cast("long").as("ntok"))
@@ -3185,6 +3196,196 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** x80 knobs: step size on the excess loss, uniform smoothing mass
+    * (DoReMi's regularizer toward uniform), kept mass 1-smooth written as
+    * an explicit literal so both engines parse the identical constant,
+    * and the token budget the final weights apportion.
+    */
+  private val DoremiEta = 1.0
+  private val DoremiSmooth = 0.1
+  private val DoremiKeep = 0.9
+  private val DoremiBudget = 100000L
+
+  /** Domain reweighting by excess loss (x80) — the DoReMi shape (Xie et
+    * al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): domains whose own distribution is hardest for the
+    * REFERENCE model get upweighted. The full method trains a proxy
+    * model; the pipeline-engine reduction uses the engine's own LM
+    * kernels: reference = the corpus-wide unigram LM (x22), per-domain
+    * model = each source's own unigram LM, and the per-domain excess loss
+    * is the token-position mean of (ln p_source - ln p_global) — exactly
+    * KL(p_source || p_global), the "how much does the reference underfit
+    * this domain" number (nonnegative by Gibbs' inequality). Weights are
+    * the exponentiated-gradient update smoothed toward uniform
+    * (alpha = 0.9*softmax + 0.1*uniform, DoReMi eq. 2's regularizer),
+    * then the budget apportions through the shared largest-remainder
+    * kernel ([[CorpusMix.remainderAllocation]] — x63/x75/x78's integer
+    * tail), so Σ alloc == budget exactly.
+    *
+    * Determinism discipline: ln ratios ride as doubles but every
+    * cross-engine sum quantizes per-row at scale 6 before a decimal-exact
+    * aggregate (the x22/x62 rule); `excess` is served un-rounded (exact
+    * decimal / long — bit-identical by construction, and rounding a
+    * decimal-exact mean lands on .5 ties, the x22 lesson); exp's libm
+    * noise is rounded at 6 before the weight floor, far from knife edges.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the (source, token) count);
+    * everything downstream is vocab-sized (the token join) or
+    * dimension-sized (sources). The decimal(18,6) position sums hold
+    * ~1e12 magnitude — 1e11 tokens x |d| <= 15 at 100 TB fits the
+    * internal decimal(28,6) accumulator with headroom.
+    */
+  private def x80(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val st = Checkpoints.cut(
+      tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("sc")))
+    val g = st.groupBy(col("tok")).agg(sum(col("sc")).as("gc"))
+    val stot = st.groupBy(col("source")).agg(sum(col("sc")).as("stot"))
+    val gt = g.agg(sum(col("gc")).cast("long").as("gt"))
+    val d = st.join(g, "tok").join(broadcast(stot), "source").crossJoin(broadcast(gt))
+      .select(col("source"), col("sc"),
+        (log(col("sc").cast("double") / col("stot").cast("double"))
+          - log(col("gc").cast("double") / col("gt").cast("double"))).as("d"))
+    val ex = d.groupBy(col("source")).agg(
+      (sum((col("d") * col("sc").cast("double")).cast(DecimalType(18, 6))).cast("double")
+        / sum(col("sc")).cast("double")).as("excess"))
+    val u = ex.select(col("source"), col("excess"),
+      round(exp(lit(DoremiEta) * col("excess")), 6).as("u"))
+    val uu = u.agg(
+      sum(col("u").cast(DecimalType(18, 6))).cast("double").as("usum"),
+      count(lit(1)).as("k"))
+    val weighted = u.crossJoin(broadcast(uu)).select(
+      col("source"), col("excess"),
+      floor((lit(DoremiKeep) * col("u") / col("usum")
+        + lit(DoremiSmooth) / col("k").cast("double")) * lit(1e9)).cast("long").as("w"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    CorpusMix.remainderAllocation(
+      Checkpoints.cut(weighted.join(nd, "source")), DoremiBudget)
+      .select(col("source"), col("n_docs"), col("excess"), col("w"), col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  /** Tokenizer-fertility audit per language (x81): tokens-per-word
+    * (fertility) and bytes-per-token under the SAME persisted BPE
+    * vocabulary x45/x46 train/serve ([[bpeMergedVocab]]) — the tokenizer-
+    * equity table every multilingual corpus release ships (a language
+    * with 2x fertility burns 2x context budget per word, so its
+    * effective token quota is half of what the mix design says; this is
+    * the number that feeds back into x63/x75's budgets). n_bytes counts
+    * UTF-8 bytes (Spark `octet_length` == DuckDB `strlen`); the ratios
+    * are integer/integer double divisions — bit-identical cross-engine,
+    * served un-rounded (the davg rule: rounding exact ratios lands on
+    * .5 ties).
+    *
+    * Scale shape: one corpus-sized (lang, word) explode into a
+    * vocab-keyed equi-join against the persisted merge table (vocab-
+    * sized, broadcastable at real scale), then a dimension-sized
+    * aggregate. No window, no pair space.
+    */
+  private def x81(s: SparkSession, dir: String): DataFrame = {
+    val docWords = t(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+    val tokCounts = bpeMergedVocab(s, dir).select(
+      col("w"),
+      size(filter(split(trim(col("sym")), " "), c => c =!= "")).cast("long").as("ntok"))
+    docWords.join(tokCounts, "w")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("bpe_tokens"),
+        sum(octet_length(col("w"))).cast("long").as("n_bytes"))
+      .select(col("lang"), col("n_words"), col("bpe_tokens"), col("n_bytes"),
+        (col("bpe_tokens").cast("double") / col("n_words").cast("double")).as("fertility"),
+        (col("n_bytes").cast("double") / col("bpe_tokens").cast("double")).as("bytes_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  /** Zipf fit rank depth: the head of the rank-frequency curve both
+    * engines regress over (top-k per source by term frequency).
+    */
+  private val ZipfTopK = 500
+
+  /** Corpus-health statistics per source (x82): type-token ratio and the
+    * Zipf slope — the least-squares slope of ln(frequency) on ln(rank)
+    * over the top-[[ZipfTopK]] vocabulary. Natural text tracks Zipf's law
+    * (slope ~ -1); templated/boilerplate-heavy or synthetic sources bend
+    * the curve, so the slope is the one-number "does this source look
+    * like language" screen (x79's positional dup rate catches verbatim
+    * repetition; this catches distributional weirdness).
+    *
+    * Determinism discipline: ln outputs (the only libm values) are
+    * rounded at 12 and quantized to decimal(18,12) per row; every
+    * regression sum is then decimal-exact (products at scale 24, within
+    * Spark's exact decimal(37,24) and DuckDB's (36,24)); the slope
+    * assembles from those identical doubles but is served ROUNDED at 6 —
+    * the multiply-subtract chain is genuine cross-engine noise (DuckDB
+    * contracts it, Java doesn't; measured 1e-14 apart). ttr is an
+    * integer/integer double division, served un-rounded.
+    *
+    * Scale shape: one (source, token) count (corpus-sized shuffle,
+    * map-side combined), then the per-source top-k window — rank <= k
+    * over frequency, which WindowGroupLimit bounds to k rows per
+    * partition map-side before the shuffle — and dimension-sized sums.
+    */
+  private def x82(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = Checkpoints.cut(
+      tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f")))
+    val totals = tf.groupBy(col("source")).agg(
+      count(lit(1)).as("n_types"), sum(col("f")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("f").desc, col("tok"))
+    val top = tf.withColumn("r", row_number().over(w)).filter(col("r") <= ZipfTopK)
+    val xy = top.select(col("source"),
+      round(log(col("r").cast("double")), 12).cast(DecimalType(18, 12)).as("x"),
+      round(log(col("f").cast("double")), 12).cast(DecimalType(18, 12)).as("y"))
+    val sums = xy.groupBy(col("source")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    sums.join(totals, "source").select(
+      col("source"), col("n_types"), col("n_tokens"),
+      (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+      // rounded: the assembly arithmetic is genuine cross-engine noise
+      // (DuckDB contracts the multiply-subtract chain, Java doesn't —
+      // measured 1e-14 apart at sf0.01), the sanctioned rounding case
+      round((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  /** Duplicate-cluster size ledger (x83): the distribution behind x26's
+    * dedup — for each cluster size k, how many clusters and how many
+    * documents sit in clusters of that size, plus each row's share of
+    * the corpus. The dedup-health twin of the x77 funnel: x77 says how
+    * many docs the near-dedup stage removed, this says HOW they clump
+    * (one mega-cluster of boilerplate vs many pairs needs a different
+    * fix), and a dedup regression shows up as mass moving between rows.
+    * Reuses the x26/x66/x76 cluster labels verbatim, so the ledger is
+    * consistent-by-construction with the pipeline it audits.
+    *
+    * Scale shape: x26's label propagation plus two hash aggregates
+    * (cluster -> size, size -> histogram); output is bounded by the
+    * largest cluster size.
+    */
+  private def x83(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir))
+    val labeled = corpus
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("k"))
+    val hist = sizes.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("k")).as("n_docs"))
+    val tot = hist.agg(sum(col("n_docs")).cast("long").as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("k").as("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total").cast("double")).as("pct_of_corpus"))
+      .orderBy(col("cluster_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3266,7 +3467,11 @@ object ExtensionQueries {
     "x76_cluster_split" -> (x76 _),
     "x77_curation_funnel" -> (x77 _),
     "x78_semantic_mix" -> (x78 _),
-    "x79_dup_ngram_rate" -> (x79 _))
+    "x79_dup_ngram_rate" -> (x79 _),
+    "x80_doremi_mix" -> (x80 _),
+    "x81_bpe_fertility" -> (x81 _),
+    "x82_zipf_health" -> (x82 _),
+    "x83_cluster_sizes" -> (x83 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -4702,5 +4907,85 @@ object ExtensionQueries {
          |SELECT source, CAST(count(*) AS BIGINT) AS n_positions,
          | CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
          | round(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
-         |FROM h JOIN c USING (gh) GROUP BY source ORDER BY source""".stripMargin)
+         |FROM h JOIN c USING (gh) GROUP BY source ORDER BY source""".stripMargin,
+    "x80_doremi_mix" ->
+      // per-source vs global unigram LM excess loss (scale-6 quantized
+      // position sums), exp-weights smoothed toward uniform, then the
+      // HUGEINT largest-remainder apportionment (x63's integer tail)
+      s"""WITH tk AS (SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM documents),
+         |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS sc FROM tk GROUP BY source, tok),
+         |g AS (SELECT tok, CAST(SUM(sc) AS BIGINT) AS gc FROM st GROUP BY tok),
+         |stt AS (SELECT source, CAST(SUM(sc) AS BIGINT) AS stot FROM st GROUP BY source),
+         |gt AS (SELECT CAST(SUM(gc) AS BIGINT) AS gt FROM g),
+         |d AS (SELECT st.source, st.sc,
+         |  ln(CAST(st.sc AS DOUBLE) / CAST(stt.stot AS DOUBLE))
+         |   - ln(CAST(g.gc AS DOUBLE) / CAST(gt.gt AS DOUBLE)) AS d
+         | FROM st JOIN g USING (tok) JOIN stt USING (source) CROSS JOIN gt),
+         |ex AS (SELECT source,
+         |  CAST(SUM(CAST(d * CAST(sc AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / CAST(SUM(sc) AS DOUBLE) AS excess
+         | FROM d GROUP BY source),
+         |u AS (SELECT source, excess, round(exp($DoremiEta * excess), 6) AS u FROM ex),
+         |uu AS (SELECT CAST(SUM(CAST(u AS DECIMAL(18,6))) AS DOUBLE) AS usum, count(*) AS k FROM u),
+         |w AS (SELECT source, excess,
+         |  CAST(floor(($DoremiKeep * u / usum + $DoremiSmooth / k) * 1000000000.0) AS BIGINT) AS w
+         | FROM u CROSS JOIN uu),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+         |tw AS (SELECT SUM(CAST(w AS HUGEINT)) AS tw FROM w),
+         |q AS (SELECT w.source, w.excess, nd.n_docs, w.w,
+         |  (CAST($DoremiBudget AS HUGEINT) * w.w) // tw.tw AS base,
+         |  (CAST($DoremiBudget AS HUGEINT) * w.w) % tw.tw AS rem
+         | FROM w JOIN nd USING (source) CROSS JOIN tw),
+         |sh AS (SELECT $DoremiBudget - SUM(base) AS short FROM q),
+         |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+         |SELECT source, n_docs, excess, w,
+         | CAST(base + CASE WHEN rk <= (SELECT short FROM sh) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM r ORDER BY source""".stripMargin,
+    "x81_bpe_fertility" ->
+      // x46's vocabulary CTE chain (identical merges), aggregated per
+      // language; strlen = UTF-8 bytes (Spark octet_length's mirror)
+      s"""WITH words AS (
+         | SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         | FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w HAVING $BmpOnlySql),
+         |s0 AS (SELECT w, ' ' || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), ' ') || ' ' AS sym, n FROM wc),
+         |${bpeRoundsCtes("w, ")},
+         |tc AS (SELECT w, len(list_filter(string_split(trim(sym), ' '), c -> c <> '')) AS ntok FROM s$BpeRounds)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         | CAST(SUM(ntok) AS BIGINT) AS bpe_tokens,
+         | CAST(SUM(strlen(w)) AS BIGINT) AS n_bytes,
+         | CAST(SUM(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+         | CAST(SUM(strlen(w)) AS DOUBLE) / CAST(SUM(ntok) AS DOUBLE) AS bytes_per_token
+         |FROM words JOIN tc USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "x82_zipf_health" ->
+      // scale-12 quantized ln(rank)/ln(freq), decimal-exact regression
+      // sums (products at scale 24), slope assembled from the identical
+      // doubles with the identical expression shape
+      s"""WITH tk AS (SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM documents),
+         |tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY source, tok),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types, CAST(SUM(f) AS BIGINT) AS n_tokens FROM tf GROUP BY source),
+         |top AS (SELECT source, f, row_number() OVER (PARTITION BY source ORDER BY f DESC, tok) AS r
+         | FROM tf QUALIFY r <= $ZipfTopK),
+         |xy AS (SELECT source,
+         |  CAST(round(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(18,12)) AS x,
+         |  CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(18,12)) AS y FROM top),
+         |sm AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |  CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+         | FROM xy GROUP BY source)
+         |SELECT sm.source, n_types, n_tokens,
+         | CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+         |FROM sm JOIN tot USING (source) ORDER BY source""".stripMargin,
+    "x83_cluster_sizes" ->
+      // same cluster CTEs as x26/x66/x76/x77; two aggregates on top
+      s"""WITH $DupClusterCtesSql,
+         |lbl AS (SELECT corpus.doc_id, coalesce(lab4.label, corpus.doc_id) AS cluster
+         | FROM corpus LEFT JOIN lab4 ON lab4.id = corpus.doc_id),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS k FROM lbl GROUP BY cluster),
+         |h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_clusters, CAST(SUM(k) AS BIGINT) AS n_docs FROM sz GROUP BY k),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM h)
+         |SELECT k AS cluster_size, n_clusters, n_docs,
+         | CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS pct_of_corpus
+         |FROM h CROSS JOIN t ORDER BY cluster_size""".stripMargin)
 }

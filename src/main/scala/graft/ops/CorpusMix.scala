@@ -160,17 +160,36 @@ object CorpusMix {
   def temperatureAllocation(
       counts: DataFrame, alpha: Double, budget: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    require(budget >= 0, s"budget must be nonnegative, got $budget")
     // Materialized once (dimension-sized): the total-weight aggregate and
     // the quota build would otherwise each replay the caller's corpus
     // count — one corpus scan, not two.
     val weighted = Checkpoints.cut(counts.select(col("source"), col("n_docs"),
       floor(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6).cast("long").as("w")))
+    remainderAllocation(weighted, budget)
+  }
+
+  /** Exact largest-remainder apportionment of `budget` over arbitrary
+    * integer weights — the integer tail of [[temperatureAllocation]],
+    * factored out so callers with their OWN weighting scheme (x80's
+    * excess-loss exponential, vs the n^alpha temperature here) share the
+    * overflow-safe decimal(38,0) quota math and the deterministic
+    * (remainder desc, source) top-up tie-break verbatim.
+    *
+    * @param weighted any frame with `source` (string, the tie-break key)
+    *                 and `w` (long weight, non-null); extra columns ride
+    *                 through untouched. Should be dimension-sized and
+    *                 already materialized ([[Checkpoints.cut]]) — the
+    *                 total-weight aggregate and the quota build both
+    *                 consume it.
+    * @return the input columns plus `alloc` (longs summing to budget)
+    */
+  def remainderAllocation(weighted: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be nonnegative, got $budget")
     val tw = weighted.agg(sum(col("w").cast(DecimalType(38, 0))).as("tw"))
     val quotas = weighted.crossJoin(broadcast(tw))
-      .select(col("source"), col("n_docs"), col("w"),
-        expr(s"(cast($budget as decimal(38,0)) * w) div tw").as("base"),
-        expr(s"(cast($budget as decimal(38,0)) * w) % tw").as("rem"))
+      .select(weighted.columns.map(col) :+
+        expr(s"(cast($budget as decimal(38,0)) * w) div tw").as("base") :+
+        expr(s"(cast($budget as decimal(38,0)) * w) % tw").as("rem"): _*)
     // Largest-remainder rank + the shortfall are both dimension-sized.
     // The single-partition windows are intentional (sources are a
     // catalog, not data); partitioning on `w pmod 1` — constant 0 for
@@ -187,7 +206,7 @@ object CorpusMix {
     val rk = row_number().over(
       Window.partitionBy(onePart).orderBy(col("rem").desc, col("source")))
     quotas
-      .select(col("source"), col("n_docs"), col("w"),
-        (col("base") + when(rk <= short, 1L).otherwise(0L)).as("alloc"))
+      .select(weighted.columns.map(col) :+
+        (col("base") + when(rk <= short, 1L).otherwise(0L)).as("alloc"): _*)
   }
 }

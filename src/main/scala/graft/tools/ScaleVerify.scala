@@ -110,7 +110,19 @@ object ScaleVerify {
     // x79 output is source-sized; both engines are one positional-gram
     // explode + two hash aggregates — linear, like x62's shape but
     // without the dense-grid tail.
-    "x79_dup_ngram_rate" -> None)
+    "x79_dup_ngram_rate" -> None,
+    // x80 output is source-sized; both engines are one (source, token)
+    // count + vocab-sized LM join + dimension-sized weight/quota CTEs.
+    "x80_doremi_mix" -> None,
+    // x81 output is lang-sized; the oracle re-runs the x45/x46 BPE CTE
+    // chain (vocab-sized rounds) — sweeps wherever x46's does.
+    "x81_bpe_fertility" -> None,
+    // x82 output is source-sized; the oracle's window is per-source
+    // vocab (QUALIFY top-k) — linear like x23's shape.
+    "x82_zipf_health" -> None,
+    // x83 rides x26's capped engineered corpus — output is a handful of
+    // histogram rows.
+    "x83_cluster_sizes" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -659,6 +659,45 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
       .foreach { l => l should include("gh"); l should not include "g#" }
   }
 
+  test("x80: served apportionment is corpus-free — excess-loss weights cut once") {
+    val p = finalPlan("x80_doremi_mix")
+    // x63's shape: the corpus-sized (source, token) count and the
+    // vocab-sized LM join both live inside Checkpoints.cut; the served
+    // plan reads the 20-row weighted generation and apportions with
+    // dimension-sized windows.
+    "FileScan parquet".r.findAllIn(p).size shouldBe 0
+    p should include("ExistingRDD")
+    p should include("Window")
+    p should not include "CartesianProduct"
+  }
+
+  test("x81: fertility joins words against the vocab-sized merge table — no pair space") {
+    val p = finalPlan("x81_bpe_fertility")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("partial_count") // per-lang aggregate combines map-side
+    // the vocab side is the persisted model table (a pruned parquet scan
+    // of the tiny merge table), broadcast — not a retrain DAG
+    p should include("bpe_vocab")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("x82: zipf top-k is a WindowGroupLimit, regression sums are dimension-sized") {
+    val p = finalPlan("x82_zipf_health")
+    p should not include "CartesianProduct"
+    // rank <= k pushes a per-partition limit below the window shuffle, so
+    // a 1e8-type source ships k rows per map task, not its whole vocab
+    p should include("WindowGroupLimit")
+    p should include("ExistingRDD") // the (source, token) count is cut once
+  }
+
+  test("x83: cluster-size ledger is two hash aggregates over the cut labels") {
+    val p = finalPlan("x83_cluster_sizes")
+    p should not include "CartesianProduct"
+    p should include("ExistingRDD")
+    p should include("partial_count")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
