@@ -3386,6 +3386,70 @@ object ExtensionQueries {
       .orderBy(col("cluster_size"))
   }
 
+  /** CCNet perplexity buckets (x84) — the Wenzek et al. 2020 shape: rank
+    * every document by language-model score WITHIN its language and cut
+    * head/middle/tail terciles. CCNet ranks by KenLM perplexity; the
+    * engine reduction ranks by x22's exact unigram avg-logprob (higher =
+    * head), and the per-language percent rank is the hardened bucket
+    * decomposition ([[Ranks.groupPercentRank]] — x64's machinery), so no
+    * language becomes a single straggler window partition at 100 TB.
+    * The tercile cuts compare the deterministic pct_rank against
+    * 2.0/3.0 and 1.0/3.0, literal double divisions both engines compute
+    * identically. Docs whose language LM score is tied bucket together
+    * (percent_rank tie semantics match cross-engine by x64 precedent).
+    *
+    * Scale shape: x22's LM join (corpus-sized tokenize + vocab join) +
+    * the bucket-decomposed ranks — the widest shuffle key is
+    * (lang, bucket), 1000x finer than the language.
+    */
+  private def x84(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+    val total = vocab.agg(sum(col("tc")).as("tt"))
+    val lp = tok.join(vocab, "tok").crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("tc").cast("double") / col("tt").cast("double")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(graft.util.Exact.davg(col("lp"), 6).as("avg_logprob"))
+    val d = docs.select(col("doc_id"), col("lang")).join(lp, "doc_id")
+    Ranks.groupPercentRank(d, "lang", "avg_logprob")
+      .select(col("doc_id"), col("lang"), col("avg_logprob"), col("pct_rank"),
+        when(col("pct_rank") >= lit(2.0) / lit(3.0), lit("head"))
+          .when(col("pct_rank") >= lit(1.0) / lit(3.0), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing window: over [[DupNgramN]]-token gram hashes, guarantee
+    * one fingerprint per [[WinnowW]] consecutive grams.
+    */
+  private val WinnowW = 4
+
+  /** Winnowing document fingerprints (x85) — Schleimer et al. 2003 (the
+    * MOSS algorithm): slide a [[WinnowW]]-gram window over each
+    * document's positional [[DupNgramN]]-gram hashes and keep the
+    * window's minimum hash, rightmost position on ties; recording each
+    * selected position once gives a fingerprint set with density
+    * ~2/(w+1) and the guarantee that any shared run of
+    * w + ngram - 1 tokens yields at least one MATCHING fingerprint —
+    * the bounded-size sketch for passage-level overlap that x44's exact
+    * span join detects in full. Fingerprints are (doc_id, pos, gh), so
+    * downstream dedup joins on gh exactly like the x06/x42 band buckets.
+    *
+    * Both engines compute the window argmin as scalar expressions over
+    * `lead` columns (w is a small constant), so selection — including
+    * the rightmost-tie rule — is deterministic and hash-checked; docs
+    * with fewer than w grams yield no fingerprints (documented MOSS
+    * edge). Scale shape: per-document ordered windows (a doc bounds the
+    * partition), one distinct on (doc, pos) — no pair space, no
+    * corpus-sized window.
+    */
+  private def x85(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text", DupNgramN, WinnowW)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3471,7 +3535,9 @@ object ExtensionQueries {
     "x80_doremi_mix" -> (x80 _),
     "x81_bpe_fertility" -> (x81 _),
     "x82_zipf_health" -> (x82 _),
-    "x83_cluster_sizes" -> (x83 _))
+    "x83_cluster_sizes" -> (x83 _),
+    "x84_ccnet_buckets" -> (x84 _),
+    "x85_winnowing" -> (x85 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -4987,5 +5053,42 @@ object ExtensionQueries {
          |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM h)
          |SELECT k AS cluster_size, n_clusters, n_docs,
          | CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS pct_of_corpus
-         |FROM h CROSS JOIN t ORDER BY cluster_size""".stripMargin)
+         |FROM h CROSS JOIN t ORDER BY cluster_size""".stripMargin,
+    "x84_ccnet_buckets" ->
+      // x22's exact LM mean per doc, percent_rank per language (the
+      // engine's bucket decomposition reproduces the window exactly),
+      // tercile cuts on identical double literals
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok FROM documents),
+        |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS tc FROM tk GROUP BY tok),
+        |tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt FROM vc),
+        |lp AS (SELECT doc_id,
+        |  CAST(SUM(CAST(ln(CAST(tc AS DOUBLE) / CAST(tt AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
+        | FROM tk JOIN vc USING (tok) CROSS JOIN tt GROUP BY doc_id),
+        |d AS (SELECT documents.doc_id, lang, avg_logprob FROM documents JOIN lp USING (doc_id)),
+        |pr AS (SELECT doc_id, lang, avg_logprob,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY avg_logprob) AS pct_rank FROM d)
+        |SELECT doc_id, lang, avg_logprob, pct_rank,
+        | CASE WHEN pct_rank >= 2.0/3.0 THEN 'head'
+        |      WHEN pct_rank >= 1.0/3.0 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM pr ORDER BY doc_id""".stripMargin,
+    "x85_winnowing" ->
+      // positional grams (0-based, aligned with posexplode), lead-window
+      // argmin with the rightmost-tie CASE — identical scalar algebra
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM documents),
+         |gr AS (SELECT doc_id, CASE WHEN len(t) >= $DupNgramN
+         |  THEN list_transform(range(1, len(t) - ${DupNgramN - 2}),
+         |    i -> struct_pack(i := i - 1, g := ${(0 until DupNgramN).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")}))
+         |  ELSE [] END AS gs FROM tk),
+         |p AS (SELECT doc_id, u.i AS i, ${polySql("u.g")} AS gh
+         | FROM (SELECT doc_id, unnest(gs) AS u FROM gr)),
+         |led AS (SELECT doc_id, i, gh AS gh0,
+         |  lead(gh, 1) OVER (PARTITION BY doc_id ORDER BY i) AS gh1,
+         |  lead(gh, 2) OVER (PARTITION BY doc_id ORDER BY i) AS gh2,
+         |  lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY i) AS gh3 FROM p),
+         |sel AS (SELECT doc_id,
+         |  i + CASE WHEN gh3 = m THEN 3 WHEN gh2 = m THEN 2 WHEN gh1 = m THEN 1 ELSE 0 END AS pos,
+         |  m AS gh
+         | FROM (SELECT *, least(gh0, gh1, gh2, gh3) AS m FROM led WHERE gh3 IS NOT NULL))
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, gh
+         |FROM sel ORDER BY doc_id, pos""".stripMargin)
 }

@@ -417,4 +417,51 @@ object Dedup {
       .select(col("id1"), col("id2"), (col("o") / (col("n1") + col("n2") - col("o"))).as("jac"))
       .filter(col("jac") >= t)
   }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    * over each document's positional n-gram hashes, slide a w-gram window
+    * and select the window's minimum hash — RIGHTMOST position on ties —
+    * recording each selected position once. Guarantees: at least one
+    * fingerprint per window (so any shared token run of length
+    * >= w + n - 1 across two documents produces at least one matching
+    * (gh) fingerprint), with expected density 2/(w+1) — the bounded
+    * sketch for passage-level overlap that [[exactSubstringSpans]]
+    * detects exactly.
+    *
+    * The window argmin is pure scalar algebra over `lead` columns (w is
+    * a small constant), so selection is deterministic and an oracle can
+    * mirror it expression-for-expression. Per-document ordered windows
+    * only — a document bounds the partition; no pair space.
+    *
+    * @return (id, pos, gh): 0-based selected gram positions + hashes
+    */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame = {
+    require(n >= 1, s"ngram width must be >= 1, got $n")
+    require(w >= 2, s"winnow window must be >= 2, got $w")
+    val tk = TextOps.tokens(col(textCol))
+    val grams = when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val pos = docs
+      .select(col(idCol).as("id"), posexplode(grams).as(Seq("i", "g")))
+      .select(col("id"), col("i"), TextOps.polyHash(col("g")).as("gh"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("i"))
+    val ghCols = (0 until w).map {
+      case 0 => col("gh").as("gh0")
+      case k => lead(col("gh"), k).over(byPos).as(s"gh$k")
+    }
+    val led = pos.select(col("id") +: col("i") +: ghCols: _*)
+      .filter(col(s"gh${w - 1}").isNotNull) // valid window starts only
+    val m = least((0 until w).map(k => col(s"gh$k")): _*)
+    // rightmost tie: probe gh[w-1] first, fall back leftward
+    val off = (w - 1 to 1 by -1).foldRight(lit(0)) {
+      (k, acc) => when(col(s"gh$k") === m, k).otherwise(acc)
+    }
+    led.select(col("id"), (col("i") + off).as("pos"), m.as("gh"))
+      .distinct()
+  }
 }

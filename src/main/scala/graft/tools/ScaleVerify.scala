@@ -122,7 +122,11 @@ object ScaleVerify {
     "x82_zipf_health" -> None,
     // x83 rides x26's capped engineered corpus — output is a handful of
     // histogram rows.
-    "x83_cluster_sizes" -> None)
+    "x83_cluster_sizes" -> None,
+    // x84/x85 outputs are doc-/position-sized — slice the compare; both
+    // engines share the LM/window algebra so the slice stays exact.
+    "x84_ccnet_buckets" -> Some("doc_id % 97 = 0"),
+    "x85_winnowing" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

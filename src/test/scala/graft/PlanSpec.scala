@@ -698,6 +698,26 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("partial_count")
   }
 
+  test("x84: ccnet buckets rank via the bucket decomposition, not a per-lang sort") {
+    val p = finalPlan("x84_ccnet_buckets")
+    // x64's guarantee carried over: the naive window never appears and
+    // the data-sized window partitions on the 1000x-finer (lang, bucket)
+    p should not include "percent_rank"
+    p should include("_bkt")
+    p should not include "CartesianProduct"
+  }
+
+  test("x85: winnowing windows partition per document; no pair space") {
+    val p = finalPlan("x85_winnowing")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the lead window runs per doc; the distinct is a hash aggregate on
+    // (doc, pos, gh)
+    p should include("Window")
+    p should include("doc_id")
+    p should include("HashAggregate")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"

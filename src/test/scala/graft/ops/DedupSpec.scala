@@ -281,4 +281,55 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
     val clusterSizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
     rows.filter(_._4 == 1).foreach { r => clusterSizes(r._2) should be > 1 }
   }
+
+  test("winnowing: every window covered, rightmost tie, match guarantee on shared runs") {
+    val n = 3; val w = 4
+    // doc 2 shares a 12-token run with doc 1 (>= w + n - 1 = 6 tokens),
+    // embedded at a different offset — the winnowing guarantee says they
+    // MUST share at least one fingerprint hash from inside the run
+    val run = "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi"
+    val d1 = s"${randText(11, 20)} $run ${randText(12, 8)}"
+    val d2 = s"${randText(13, 5)} $run ${randText(14, 25)}"
+    // doc 3 uses a disjoint vocabulary so its fingerprint hashes cannot
+    // collide with doc 1's by chance
+    val d3 = (0 until 40).map(i => s"uniq$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", n, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    // coverage: every valid window start has a selected position inside
+    // its window (the defining winnowing invariant) — gram counts
+    // recomputed independently in plain Scala
+    def nGramsOf(text: String): Int =
+      text.trim.toLowerCase.split("\\s+").count(_.nonEmpty) - (n - 1)
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Seq(1L -> d1, 2L -> d2, 3L -> d3).foreach { case (id, text) =>
+      (0 to nGramsOf(text) - w).foreach { start =>
+        assert((start until start + w).exists(byDoc(id).contains),
+          s"doc $id window at $start has no fingerprint")
+      }
+    }
+    // match guarantee: docs 1 and 2 share a fingerprint hash; doc 3 none
+    val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    val h3 = fp.filter(_._1 == 3L).map(_._3).toSet
+    (h1 & h2) should not be empty
+    (h1 & h3) shouldBe empty
+    // rightmost tie-break: a doc of one repeated token has all-equal gram
+    // hashes, so each window selects its LAST position — selected
+    // positions are exactly {w-1, w, ..., nGrams-1}
+    val rep = Seq((9L, Seq.fill(10)("echo").mkString(" "))).toDF("doc_id", "text")
+    val repFp = Dedup.winnowFingerprints(rep, "doc_id", "text", n, w)
+      .collect().map(_.getInt(1)).sorted
+    val repGrams = 10 - (n - 1)
+    repFp shouldBe (w - 1 until repGrams).toArray
+    // density: fingerprints never exceed window count and land near the
+    // 2/(w+1) expectation on random text
+    val rand = Seq((7L, randText(21, 200))).toDF("doc_id", "text")
+    val nfp = Dedup.winnowFingerprints(rand, "doc_id", "text", n, w).count().toDouble
+    val windows = (200 - (n - 1)) - (w - 1)
+    nfp should be <= windows.toDouble
+    nfp / windows should be > 0.2
+    nfp / windows should be < 0.6
+  }
 }
