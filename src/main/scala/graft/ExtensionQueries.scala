@@ -3450,6 +3450,84 @@ object ExtensionQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Gopher-rule thresholds (Rae et al. 2021, MassiveText filtering,
+    * table A1): word-count bounds, mean-word-length band, symbol- and
+    * bullet-density caps, alphabetic-word floor, stopword floor.
+    */
+  private val GopherMinWords = 50L
+  private val GopherMaxWords = 100000L
+
+  /** Planted rule violations (one per rule, ids 500001+): the fixture is
+    * uniform word salad, so without plants several rules would never
+    * fire and a broken comparison would pass vacuously. Built from
+    * repeat/concat algebra so the oracle synthesizes identical bytes.
+    */
+  private val GopherShort = "tiny doc with too few words to pass the gate"
+  private val GopherSymbols = ("#### " * 60).trim
+  private val GopherLongWords =
+    ("pneumonoultramicroscopicsilicovolcanoconiosis " * 60).trim
+  private val GopherBullets =
+    "- item alpha beta gamma delta epsilon zeta eta theta iota\n" * 60
+  private val GopherNoStop = ("zebra quokka wombat capybara axolotl " * 12).trim
+  private val GopherEllipsis =
+    "the quick brown fox jumps over something here today ...\n" * 10
+
+  /** Gopher quality-rule filter (x86): the published MassiveText rule
+    * set as one map-only decision surface — per document, every rule's
+    * measurement, its violation flag, and the final keep bit, so the
+    * DECISION (not just a score) is hash-checked. Rules: word count in
+    * [[[GopherMinWords]], [[GopherMaxWords]]]; mean word length in
+    * [3, 10]; symbol-to-word ratio (# chars + '...' runs) <= 0.1;
+    * alphabetic-word ratio >= 0.8; bullet-line ratio <= 0.9;
+    * ellipsis-ending-line ratio <= 0.3; >= 2 English stopword hits.
+    *
+    * Every measurement is integer counting (regexp/list algebra shared
+    * byte-identically with the oracle — whitespace removal uses the
+    * explicit [[TextOps.WsClassRe]] class, the x72 lesson); ratios are
+    * integer/integer double divisions served un-rounded; thresholds are
+    * identical double literals. Map-only — no shuffle at all until the
+    * final ORDER BY.
+    */
+  private def x86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      500001L -> GopherShort, 500002L -> GopherSymbols,
+      500003L -> GopherLongWords, 500004L -> GopherBullets,
+      500005L -> GopherNoStop, 500006L -> GopherEllipsis)
+    val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .union(planted.toDF("doc_id", "text"))
+    val tk = TextOps.tokens(col("text"))
+    val nWords = size(tk).cast("long")
+    val nChars = length(regexp_replace(col("text"), TextOps.WsClassRe, "")).cast("long")
+    val nAlpha = size(filter(tk, t => t.rlike("[a-z]"))).cast("long")
+    val nSym = (regexp_count(col("text"), lit("#"))
+      + regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^- "))).cast("long")
+    val nEllip = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+    val nStop = TextOps.stopHits(col("text"), TextOps.StopwordPatterns.head._2)
+    val m = corpus.select(col("doc_id"), nWords.as("n_words"),
+      (nChars.cast("double") / nWords.cast("double")).as("mean_wlen"),
+      (nSym.cast("double") / nWords.cast("double")).as("sym_ratio"),
+      (nAlpha.cast("double") / nWords.cast("double")).as("alpha_ratio"),
+      (nBullet.cast("double") / nLines.cast("double")).as("bullet_ratio"),
+      (nEllip.cast("double") / nLines.cast("double")).as("ellipsis_ratio"),
+      nStop.as("n_stop"))
+    val rules = Seq(
+      "r_words" -> (col("n_words") < GopherMinWords || col("n_words") > GopherMaxWords),
+      "r_wlen" -> (col("mean_wlen") < 3.0 || col("mean_wlen") > 10.0),
+      "r_symbol" -> (col("sym_ratio") > 0.1),
+      "r_alpha" -> (col("alpha_ratio") < 0.8),
+      "r_bullet" -> (col("bullet_ratio") > 0.9),
+      "r_ellipsis" -> (col("ellipsis_ratio") > 0.3),
+      "r_stop" -> (col("n_stop") < 2))
+    m.select(col("*") +: rules.map { case (n, c) => c.cast("int").as(n) }: _*)
+      .withColumn("keep",
+        rules.map(r => col(r._1)).reduce(_ + _).equalTo(0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3537,7 +3615,8 @@ object ExtensionQueries {
     "x82_zipf_health" -> (x82 _),
     "x83_cluster_sizes" -> (x83 _),
     "x84_ccnet_buckets" -> (x84 _),
-    "x85_winnowing" -> (x85 _))
+    "x85_winnowing" -> (x85 _),
+    "x86_gopher_rules" -> (x86 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5090,5 +5169,46 @@ object ExtensionQueries {
          |  m AS gh
          | FROM (SELECT *, least(gh0, gh1, gh2, gh3) AS m FROM led WHERE gh3 IS NOT NULL))
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, gh
-         |FROM sel ORDER BY doc_id, pos""".stripMargin)
+         |FROM sel ORDER BY doc_id, pos""".stripMargin,
+    "x86_gopher_rules" -> {
+      val toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+      // identical planted bytes via repeat/concat algebra
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         | UNION ALL SELECT CAST(500001 AS BIGINT), '$GopherShort'
+         | UNION ALL SELECT CAST(500002 AS BIGINT), trim(repeat('#### ', 60))
+         | UNION ALL SELECT CAST(500003 AS BIGINT), trim(repeat('pneumonoultramicroscopicsilicovolcanoconiosis ', 60))
+         | UNION ALL SELECT CAST(500004 AS BIGINT), repeat('- item alpha beta gamma delta epsilon zeta eta theta iota' || chr(10), 60)
+         | UNION ALL SELECT CAST(500005 AS BIGINT), trim(repeat('zebra quokka wombat capybara axolotl ', 12))
+         | UNION ALL SELECT CAST(500006 AS BIGINT), repeat('the quick brown fox jumps over something here today ...' || chr(10), 10)),
+         |m AS (SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS nw,
+         |  CAST(length(regexp_replace(text, '${TextOps.WsClassRe}', '', 'g')) AS BIGINT) AS nc,
+         |  CAST(len(list_filter($toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS na,
+         |  CAST(length(regexp_extract_all(text, '#')) + length(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS ns,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+         |  CAST(len(list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '^- '))) AS BIGINT) AS nb,
+         |  CAST(len(list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '\\.\\.\\.$$'))) AS BIGINT) AS ne,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS nst
+         | FROM base),
+         |r AS (SELECT doc_id, nw AS n_words,
+         |  CAST(nc AS DOUBLE) / CAST(nw AS DOUBLE) AS mean_wlen,
+         |  CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE) AS sym_ratio,
+         |  CAST(na AS DOUBLE) / CAST(nw AS DOUBLE) AS alpha_ratio,
+         |  CAST(nb AS DOUBLE) / CAST(nl AS DOUBLE) AS bullet_ratio,
+         |  CAST(ne AS DOUBLE) / CAST(nl AS DOUBLE) AS ellipsis_ratio,
+         |  nst AS n_stop FROM m),
+         |rl AS (SELECT r.*,
+         |  CAST(n_words < $GopherMinWords OR n_words > $GopherMaxWords AS INT) AS r_words,
+         |  CAST(mean_wlen < 3.0 OR mean_wlen > 10.0 AS INT) AS r_wlen,
+         |  CAST(sym_ratio > 0.1 AS INT) AS r_symbol,
+         |  CAST(alpha_ratio < 0.8 AS INT) AS r_alpha,
+         |  CAST(bullet_ratio > 0.9 AS INT) AS r_bullet,
+         |  CAST(ellipsis_ratio > 0.3 AS INT) AS r_ellipsis,
+         |  CAST(n_stop < 2 AS INT) AS r_stop FROM r)
+         |SELECT doc_id, n_words, mean_wlen, sym_ratio, alpha_ratio, bullet_ratio,
+         | ellipsis_ratio, n_stop, r_words, r_wlen, r_symbol, r_alpha, r_bullet,
+         | r_ellipsis, r_stop,
+         | CAST(r_words + r_wlen + r_symbol + r_alpha + r_bullet + r_ellipsis + r_stop = 0 AS INT) AS keep
+         |FROM rl ORDER BY doc_id""".stripMargin
+    })
 }

@@ -126,7 +126,9 @@ object ScaleVerify {
     // x84/x85 outputs are doc-/position-sized — slice the compare; both
     // engines share the LM/window algebra so the slice stays exact.
     "x84_ccnet_buckets" -> Some("doc_id % 97 = 0"),
-    "x85_winnowing" -> Some("doc_id % 97 = 0"))
+    "x85_winnowing" -> Some("doc_id % 97 = 0"),
+    // x86 is map-only rule algebra; doc-level output — slice.
+    "x86_gopher_rules" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

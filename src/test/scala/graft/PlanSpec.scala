@@ -718,6 +718,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("HashAggregate")
   }
 
+  test("x86: gopher rules are map-only — no shuffle but the final sort") {
+    val p = plan("x86_gopher_rules")
+    p should not include "HashAggregate"
+    p should not include "Join"
+    p should not include "Window"
+    "Exchange".r.findAllIn(p).size should be <= 1
+    p should include("rangepartitioning")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
