@@ -3176,14 +3176,9 @@ object ExtensionQueries {
     val corpus = base.union(
       base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("source"), col("text")))
-    val tk = TextOps.tokens(col("text"))
-    val grams = when(size(tk) >= DupNgramN,
-      transform(sequence(lit(1), size(tk) - (DupNgramN - 1)),
-        i => concat_ws(" ", (0 until DupNgramN).map(j => element_at(tk, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
     val pos = Checkpoints.cut(corpus
-      .select(col("source"), explode(grams).as("g"))
-      .select(col("source"), TextOps.polyHash(col("g")).as("gh")))
+      .select(col("source"),
+        explode(TextOps.positionalGramHashes(col("text"), DupNgramN)).as("gh")))
     val cnt = pos.groupBy(col("gh")).agg(count(lit(1)).as("n"))
     pos.join(cnt, "gh")
       .groupBy(col("source"))

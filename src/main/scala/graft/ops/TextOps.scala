@@ -41,6 +41,20 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
 
+  /** Positional n-gram hashes: one [[polyHash]] per token position, NOT
+    * deduplicated — within-document repetition counts (the x79 dup-rate
+    * semantics). Empty array for texts under n tokens. Shared by the
+    * batch dup-ngram query and the streaming dup-gram monitor so both
+    * hash the identical gram stream.
+    */
+  def positionalGramHashes(c: Column, n: Int): Column = {
+    val tk = tokens(c)
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => polyHash(concat_ws(" ", (0 until n).map(j => element_at(tk, i + lit(j))): _*))))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** Whitespace token count (0 for blank text). */
   def wsTokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L))

@@ -381,6 +381,74 @@ object DocStreams {
       }
       .start()
 
+  /** Fixed bucket-table width for [[dupGramRateMonitor]]: gram hashes
+    * fold into this many buckets so streaming state stays bounded
+    * (sources x buckets longs, forever) on an unbounded gram vocabulary.
+    */
+  val DupGramBuckets = 65536
+
+  /** Per-(source, bucket) positional gram counts — the shared kernel of
+    * the streaming monitor and its batch twin (the spec pins the two
+    * row-identical over the same documents).
+    */
+  def dupGramBucketCounts(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    docs.select(col("source"),
+        explode(TextOps.positionalGramHashes(col(textCol), n)).as("gh"))
+      .select(col("source"), pmod(col("gh"), lit(DupGramBuckets.toLong)).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
+
+  /** Roll bucket counts up to the per-source duplicate-position rate: a
+    * position is "duplicated" when its bucket holds >1 position
+    * CORPUS-WIDE (cross-source, like batch x79's gram counts). Inputs
+    * and output are dimension-sized ((sources x buckets) and sources).
+    */
+  def dupGramRollup(counts: DataFrame): DataFrame = {
+    val g = counts.groupBy(col("b")).agg(sum(col("n")).as("gn"))
+    counts.join(g, "b")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_positions"),
+        sum(when(col("gn") > 1, col("n")).otherwise(0L)).as("n_dup_positions"))
+      .select(col("source"), col("n_positions"), col("n_dup_positions"),
+        round(col("n_dup_positions").cast("double") / col("n_positions").cast("double"), 6)
+          .as("dup_rate"))
+  }
+
+  /** Streaming dup-n-gram-rate monitor — the bounded-state twin of batch
+    * x79 (Lee et al. 2022's corpus-health number): per-(source, bucket)
+    * positional gram counts accumulate in a Complete-mode aggregate
+    * (state = [[DupGramBuckets]] longs per source, bounded forever —
+    * exact per-gram counts would grow with the vocabulary), and every
+    * trigger rolls the bucket table up to the live per-source dup rate
+    * inside foreachBatch (the rate is inherently cross-source, the
+    * temperatureMixMonitor placement). Folding grams into buckets makes
+    * the estimate one-sidedly CONSERVATIVE — colliding distinct grams
+    * can only mark extra positions duplicated, never hide a real dup —
+    * so the monitor is the drift alarm ("dup rate just jumped, a
+    * templated source is leaking in") while batch x79 remains the exact
+    * release number; the bias at any scale is set by the
+    * positions/buckets ratio, the standard sketch knob. The spec pins
+    * the final trigger row-identical to the batch bucket twin and the
+    * bracket vs the exact gram-level rate.
+    */
+  def dupGramRateMonitor(
+      docs: DataFrame,
+      n: Int,
+      checkpointPath: String,
+      onTrigger: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.select(col("source"),
+        explode(TextOps.positionalGramHashes(col("text"), n)).as("gh"))
+      .select(col("source"), pmod(col("gh"), lit(DupGramBuckets.toLong)).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (counts: DataFrame, batchId: Long) =>
+        onTrigger(dupGramRollup(counts), batchId)
+      }
+      .start()
+
   /** Compact the band-key store: merge every `batch_id=K` segment with
     * `evictBeforeBatchId <= K <= upToBatchId` into ONE band-sorted segment
     * at `batch_id=upToBatchId`, and DELETE segments older than

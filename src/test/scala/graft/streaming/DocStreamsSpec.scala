@@ -151,6 +151,60 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     out.unpersist(false)
   }
 
+  test("dupGramRateMonitor: final trigger equals the batch bucket twin; conservative vs exact") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.functions.{col, count, explode, lit, round, sum, when}
+    implicit val sq = spark.sqlContext
+    // planted verbatim duplicates on a modulus coprime to the fixture's
+    // source period (the x79 discipline) so EVERY source's true dup rate
+    // is off zero
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = base.union(
+      base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 900000, col("source"), col("text")))
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val root = java.nio.file.Files.createTempDirectory("dupgram-monitor").toString
+    val in = MemoryStream[(String, String)]
+    val q = DocStreams.dupGramRateMonitor(
+      in.toDF().toDF("source", "text"), n = 5, s"$root/chk",
+      (rates, bid) => rates.withColumn("bid", lit(bid))
+        .write.mode("append").parquet(s"$root/out"))
+    try {
+      val (a, rest) = docs.splitAt(docs.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      Seq(a, b, c).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.read.parquet(s"$root/out").cache()
+    val lastBid = out.agg(org.apache.spark.sql.functions.max(col("bid"))).head.getLong(0)
+    val streamed = out.filter(col("bid") === lastBid)
+      .select(col("source"), col("n_positions"), col("n_dup_positions"), col("dup_rate"))
+      .collect().map(_.toString).sorted
+    // batch bucket twin over the same documents — row-identical
+    val staticDocs = docs.toDF("source", "text")
+    val twin = DocStreams.dupGramRollup(
+      DocStreams.dupGramBucketCounts(staticDocs, n = 5))
+      .collect().map(_.toString).sorted
+    streamed shouldBe twin
+    // conservative bracket: the bucket rate can only OVERestimate the
+    // exact gram-level rate (collisions add dup positions, never hide)
+    val pos = staticDocs.select(col("source"),
+      explode(TextOps.positionalGramHashes(col("text"), 5)).as("gh"))
+    val gc = pos.groupBy(col("gh")).agg(count(lit(1)).as("gn"))
+    val exact = pos.join(gc, "gh").groupBy(col("source"))
+      .agg((sum(when(col("gn") > 1, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bucketRates = out.filter(col("bid") === lastBid)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("dup_rate")).toMap
+    exact.foreach { case (s, r) =>
+      bucketRates(s) should be >= r - 1e-9
+      r should be > 0.0 // the plant is visible in the exact rate
+    }
+    out.unpersist(false)
+  }
+
   test("qualityCalibrationMonitor: streamed cut equals the batch histogram twin; within 1e-3 of exact") {
     import graft.ops.TextOps
     import org.apache.spark.sql.functions.col
