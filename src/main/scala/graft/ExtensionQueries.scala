@@ -3523,6 +3523,98 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C4 cleaning rules (x87) — the Raffel et al. 2020 line+page filter:
+    * keep lines that end in terminal punctuation, have >= 5 words, and
+    * don't mention javascript; then drop pages with < 3 sentences (on
+    * the RETAINED lines), or containing "lorem ipsum" or a curly brace
+    * anywhere. The complement to x86's Gopher rules (statistical gates)
+    * — C4 is the structural gate, and together they're the two published
+    * stage-1 web filters every pipeline starts from.
+    *
+    * The fixture is single-line punctuation-free word salad (no rule
+    * would ever fire), so each document is deterministically WRAPPED
+    * into a multi-line page (identical concat algebra both engines):
+    * a kept line built from its text, a too-short line, a javascript
+    * line, the raw salad line (no terminal punct), plus id-keyed lorem /
+    * brace / few-sentence plants on coprime moduli. Every rule fires,
+    * every measurement + flag + the kept-text fingerprint is
+    * hash-checked, and the whole decision is map-only (the x72/x86
+    * shape: no shuffle but the final sort).
+    */
+  private def x87(s: SparkSession, dir: String): DataFrame = {
+    val nl = lit("\n")
+    // three sentences on the kept line so clean pages PASS the few-
+    // sentence gate; the %13 variant keeps a one-sentence line instead,
+    // so p_fewsent fires there and only there
+    val line1 = concat(col("text"),
+      lit(" one more. two more lines here. three sentences total here."))
+    val line1Short = concat(col("text"), lit(" one."))
+    val line2 = lit("too short.")
+    val line3 = lit("this javascript line has at least five words.")
+    val line4 = col("text")
+    val page = concat(
+      when(col("doc_id") % 13 === 0, concat(line1Short, nl, line4))
+        .otherwise(concat(line1, nl, line2, nl, line3, nl, line4)),
+      when(col("doc_id") % 9 === 0, concat(nl, lit("lorem ipsum dolor sit amet.")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(nl, lit("a line with a { brace and five words.")))
+        .otherwise(lit("")))
+    val lines = split(col("page"), "\n")
+    def lineWords(l: Column): Column =
+      size(filter(split(trim(l), "\\s+"), w => w =!= ""))
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?\"]$") && lineWords(l) >= 5 && !lower(l).contains("javascript"))
+    val keptText = array_join(keptLines, "\n")
+    t(s, dir, "documents").select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("n_kept"),
+        regexp_count(keptText, lit("[.!?]")).cast("long").as("n_sentences"),
+        TextOps.polyHash(keptText).as("clean_fp"),
+        lower(col("page")).contains("lorem ipsum").cast("int").as("p_lorem"),
+        col("page").contains("{").cast("int").as("p_brace"))
+      .withColumn("p_fewsent", (col("n_sentences") < 3).cast("int"))
+      .withColumn("keep",
+        (col("p_fewsent") + col("p_lorem") + col("p_brace") === 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID confusion matrix (x88): the labeled `lang` column vs
+    * the engine's own [[TextOps.langGuess]] heuristic, as (label, guess)
+    * counts with each row's share of its label — the QA table that says
+    * WHERE the classifier confuses (es->fr, de->en, ...) rather than one
+    * accuracy number; feeding x63/x75's language budgets with a biased
+    * classifier silently reallocates whole languages, and this is the
+    * audit that catches it. Share = count/label-total, integer/integer
+    * double division served un-rounded.
+    *
+    * Scale shape: map-only scoring into one (lang, guess) aggregate
+    * (<= 16 cells) plus a dimension-sized broadcast for the totals.
+    */
+  private def x88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the fixture is stopword-free word salad (everything ties to 'en'),
+    // so stopword-rich plants make the diagonal AND an off-diagonal
+    // (mislabeled zh->es) observable — the x86 planting discipline
+    val planted = Seq(
+      "en" -> ("the cat and the dog is in a house of hats " * 5).trim,
+      "es" -> ("el perro la casa de que y en los campos " * 5).trim,
+      "de" -> ("der hund die katze und das haus ist von mit " * 5).trim,
+      "fr" -> ("le chien la maison les champs de et un que " * 5).trim,
+      "zh" -> ("el gato de la casa que y en los " * 5).trim)
+    val corpus = t(s, dir, "documents").select(col("lang"), col("text"))
+      .union(planted.toDF("lang", "text"))
+    val g = corpus
+      .select(col("lang"), TextOps.langGuess(col("text")).as("guess"))
+      .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+    val tot = g.groupBy(col("lang")).agg(sum(col("n")).as("lt"))
+    g.join(broadcast(tot), "lang")
+      .select(col("lang"), col("guess"), col("n"),
+        (col("n").cast("double") / col("lt").cast("double")).as("share"),
+        (col("lang") === col("guess")).cast("int").as("is_correct"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3611,7 +3703,9 @@ object ExtensionQueries {
     "x83_cluster_sizes" -> (x83 _),
     "x84_ccnet_buckets" -> (x84 _),
     "x85_winnowing" -> (x85 _),
-    "x86_gopher_rules" -> (x86 _))
+    "x86_gopher_rules" -> (x86 _),
+    "x87_c4_clean" -> (x87 _),
+    "x88_langid_confusion" -> (x88 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5205,5 +5299,57 @@ object ExtensionQueries {
          | r_ellipsis, r_stop,
          | CAST(r_words + r_wlen + r_symbol + r_alpha + r_bullet + r_ellipsis + r_stop = 0 AS INT) AS keep
          |FROM rl ORDER BY doc_id""".stripMargin
-    })
+    },
+    "x87_c4_clean" ->
+      // identical page construction (concat algebra, chr(10) newlines),
+      // identical line predicates, fingerprint over the kept text
+      s"""WITH pg AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 13 = 0
+         |     THEN text || ' one.' || chr(10) || text
+         |     ELSE text || ' one more. two more lines here. three sentences total here.' || chr(10) || 'too short.' || chr(10) ||
+         |          'this javascript line has at least five words.' || chr(10) || text END)
+         |  || (CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+         |  || (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'a line with a { brace and five words.' ELSE '' END) AS page
+         | FROM documents),
+         |k AS (SELECT doc_id, page, string_split(page, chr(10)) AS ls,
+         |  list_filter(string_split(page, chr(10)), x -> regexp_matches(x, '[.!?"]$$')
+         |    AND len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w <> '')) >= 5
+         |    AND NOT contains(lower(x), 'javascript')) AS kl
+         | FROM pg),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(kl) AS BIGINT) AS n_kept,
+         |  CAST(length(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]')) AS BIGINT) AS n_sentences,
+         |  ${polySql("array_to_string(kl, chr(10))")} AS clean_fp,
+         |  CAST(contains(lower(page), 'lorem ipsum') AS INT) AS p_lorem,
+         |  CAST(contains(page, '{') AS INT) AS p_brace
+         | FROM k)
+         |SELECT doc_id, n_lines, n_kept, n_sentences, clean_fp, p_lorem, p_brace,
+         | CAST(n_sentences < 3 AS INT) AS p_fewsent,
+         | CAST((CASE WHEN n_sentences < 3 THEN 1 ELSE 0 END) + p_lorem + p_brace = 0 AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "x88_langid_confusion" ->
+      // x02's langGuess mirror, aggregated into the (label, guess) matrix
+      s"""WITH corpus AS (SELECT lang, text FROM documents
+         | UNION ALL SELECT 'en', trim(repeat('the cat and the dog is in a house of hats ', 5))
+         | UNION ALL SELECT 'es', trim(repeat('el perro la casa de que y en los campos ', 5))
+         | UNION ALL SELECT 'de', trim(repeat('der hund die katze und das haus ist von mit ', 5))
+         | UNION ALL SELECT 'fr', trim(repeat('le chien la maison les champs de et un que ', 5))
+         | UNION ALL SELECT 'zh', trim(repeat('el gato de la casa que y en los ', 5))),
+         |h AS (SELECT lang,
+         |  length(regexp_extract_all(lower(text), '$StopEn')) AS en,
+         |  length(regexp_extract_all(lower(text), '$StopEs')) AS es,
+         |  length(regexp_extract_all(lower(text), '$StopDe')) AS de,
+         |  length(regexp_extract_all(lower(text), '$StopFr')) AS fr
+         | FROM corpus),
+         |g AS (SELECT lang,
+         |  CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |       WHEN es >= de AND es >= fr THEN 'es'
+         |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS guess FROM h),
+         |c AS (SELECT lang, guess, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY lang, guess),
+         |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lt FROM c GROUP BY lang)
+         |SELECT c.lang, c.guess, c.n,
+         | CAST(n AS DOUBLE) / CAST(lt AS DOUBLE) AS share,
+         | CAST(c.lang = c.guess AS INT) AS is_correct
+         |FROM c JOIN t USING (lang) ORDER BY lang, guess""".stripMargin)
 }

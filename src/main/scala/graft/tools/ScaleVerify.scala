@@ -128,7 +128,11 @@ object ScaleVerify {
     "x84_ccnet_buckets" -> Some("doc_id % 97 = 0"),
     "x85_winnowing" -> Some("doc_id % 97 = 0"),
     // x86 is map-only rule algebra; doc-level output — slice.
-    "x86_gopher_rules" -> Some("doc_id % 97 = 0"))
+    "x86_gopher_rules" -> Some("doc_id % 97 = 0"),
+    // x87 is map-only page construction + line filters; doc-level — slice.
+    "x87_c4_clean" -> Some("doc_id % 97 = 0"),
+    // x88 output is the (lang, guess) matrix, <= 16 rows at any scale.
+    "x88_langid_confusion" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -727,6 +727,22 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("rangepartitioning")
   }
 
+  test("x87: c4 cleaning is map-only — no shuffle but the final sort") {
+    val p = plan("x87_c4_clean")
+    p should not include "HashAggregate"
+    p should not include "Join"
+    p should not include "Window"
+    "Exchange".r.findAllIn(p).size should be <= 1
+    p should include("rangepartitioning")
+  }
+
+  test("x88: confusion matrix is one tiny aggregate + a broadcast total") {
+    val p = finalPlan("x88_langid_confusion")
+    p should not include "CartesianProduct"
+    p should include("partial_count")
+    p should include("BroadcastHashJoin")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
