@@ -3615,6 +3615,42 @@ object ExtensionQueries {
       .orderBy(col("lang"), col("guess"))
   }
 
+  /** Bottom-percentile cut for x89: vectors in their cell's lowest
+    * decile of centroid cosine are outlier candidates.
+    */
+  private val OutlierCut = 0.1
+
+  /** Semantic outlier detection (x89): each embedding's cosine to its
+    * OWN trained IVF centroid, percent-ranked WITHIN its cell, flagging
+    * the bottom [[OutlierCut]] — the embedding-space analogue of x64's
+    * per-source quality calibration: a global distance cut would gut
+    * naturally-diffuse clusters, the per-cell rank finds what's far from
+    * its own neighborhood (OOD docs, encoder glitches, mislabels — the
+    * candidates x67's kNN vote then adjudicates). Serves from the SAME
+    * persisted index as x13/x25/x47/x68b/x78, so "outlier" means outlier
+    * under the index the corpus actually ships.
+    *
+    * Scale shape: assignment is the broadcast-centroid map (model = k
+    * rows at any scale); the per-cell ranks are the hardened bucket
+    * decomposition (no cell-sized window partition); cosine rounded at 6
+    * (libm noise) before ranking so both engines rank identical values.
+    */
+  private def x89(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val trained = AnnModels.ivfCentroids(s, dir, e, IvfCells, KmIters, EmbDim)
+    val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val assigned = Similarity.ivfAssign(e, cents, EmbDim)
+    val scored = assigned.join(broadcast(trained), "cell_id")
+      .select(col("vec_id"), col("cell_id"),
+        round(Similarity.cosineStatic(col("v"), col("cv"),
+          Similarity.norm(col("v"), EmbDim), Similarity.norm(col("cv"), EmbDim),
+          EmbDim), 6).as("cos_c"))
+    Ranks.groupPercentRank(scored, "cell_id", "cos_c")
+      .select(col("vec_id"), col("cell_id"), col("cos_c"), col("pct_rank"),
+        (col("pct_rank") < OutlierCut).cast("int").as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3705,7 +3741,8 @@ object ExtensionQueries {
     "x85_winnowing" -> (x85 _),
     "x86_gopher_rules" -> (x86 _),
     "x87_c4_clean" -> (x87 _),
-    "x88_langid_confusion" -> (x88 _))
+    "x88_langid_confusion" -> (x88 _),
+    "x89_semantic_outliers" -> (x89 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5351,5 +5388,23 @@ object ExtensionQueries {
          |SELECT c.lang, c.guess, c.n,
          | CAST(n AS DOUBLE) / CAST(lt AS DOUBLE) AS share,
          | CAST(c.lang = c.guess AS INT) AS is_correct
-         |FROM c JOIN t USING (lang) ORDER BY lang, guess""".stripMargin)
+         |FROM c JOIN t USING (lang) ORDER BY lang, guess""".stripMargin,
+    "x89_semantic_outliers" ->
+      // identical trained IVF index (the x13 unrolled k-means); cosine
+      // to the OWN centroid rounded at 6, percent_rank per cell
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfUpdateSql("a2", "c2")},
+         |${ivfAssignSql("c2", "assigned")},
+         |sc AS (SELECT a.vec_id, a.cell_id,
+         |  round(list_cosine_similarity(a.v, c2.cv), 6) AS cos_c
+         | FROM assigned a JOIN c2 USING (cell_id)),
+         |pr AS (SELECT vec_id, cell_id, cos_c,
+         |  percent_rank() OVER (PARTITION BY cell_id ORDER BY cos_c) AS pct_rank FROM sc)
+         |SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id, cos_c, pct_rank,
+         | CAST(pct_rank < $OutlierCut AS INT) AS is_outlier
+         |FROM pr ORDER BY vec_id""".stripMargin)
 }

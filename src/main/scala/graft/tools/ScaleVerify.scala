@@ -132,7 +132,10 @@ object ScaleVerify {
     // x87 is map-only page construction + line filters; doc-level — slice.
     "x87_c4_clean" -> Some("doc_id % 97 = 0"),
     // x88 output is the (lang, guess) matrix, <= 16 rows at any scale.
-    "x88_langid_confusion" -> None)
+    "x88_langid_confusion" -> None,
+    // x89 output is vec-sized — slice; the oracle retrains the IVF index
+    // in SQL (the x13 cost), so it sweeps wherever x13's does.
+    "x89_semantic_outliers" -> Some("vec_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -743,6 +743,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("BroadcastHashJoin")
   }
 
+  test("x89: outlier ranks come from the bucket decomposition; centroids broadcast") {
+    val p = finalPlan("x89_semantic_outliers")
+    p should not include "percent_rank"
+    p should include("_bkt")
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin") // the k-row centroid model attaches broadcast
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
