@@ -3651,6 +3651,38 @@ object ExtensionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Document novelty score (x90): the share of a document's DISTINCT
+    * 5-gram hashes that appear in no other document — the doc-level
+    * complement of x79's corpus-wide positional dup rate, and the
+    * standard admission filter for synthetic/generated data (a generator
+    * that paraphrases its prompt set produces low-novelty docs long
+    * before exact dedup catches anything). Planted verbatim duplicates
+    * (the x79 modulus) drive their own AND their originals' novelty to
+    * zero — the detection is observable from both sides.
+    *
+    * Distinctness is over gram HASHES on both engines (array_distinct of
+    * the hash array == DISTINCT (doc, gh)), so hash collisions —
+    * harmless at the df-counting level — cannot diverge the engines.
+    * Scale shape: x79's (one gram explode, hash-keyed df aggregate,
+    * hash-keyed join back) — shuffle keys are 8-byte hashes, never gram
+    * text; both aggregates combine map-side.
+    */
+  private def x90(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.union(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val dg = Checkpoints.cut(corpus.select(col("doc_id"),
+      explode(array_distinct(TextOps.positionalGramHashes(col("text"), DupNgramN))).as("gh")))
+    val dfreq = dg.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    dg.join(dfreq, "gh").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") === 1).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3742,7 +3774,8 @@ object ExtensionQueries {
     "x86_gopher_rules" -> (x86 _),
     "x87_c4_clean" -> (x87 _),
     "x88_langid_confusion" -> (x88 _),
-    "x89_semantic_outliers" -> (x89 _))
+    "x89_semantic_outliers" -> (x89 _),
+    "x90_novelty_score" -> (x90 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5406,5 +5439,22 @@ object ExtensionQueries {
          |  percent_rank() OVER (PARTITION BY cell_id ORDER BY cos_c) AS pct_rank FROM sc)
          |SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id, cos_c, pct_rank,
          | CAST(pct_rank < $OutlierCut AS INT) AS is_outlier
-         |FROM pr ORDER BY vec_id""".stripMargin)
+         |FROM pr ORDER BY vec_id""".stripMargin,
+    "x90_novelty_score" ->
+      // x79's planted duplication and gram algebra; DISTINCT over gram
+      // HASHES on both sides, df over distinct (doc, gh) pairs
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |corpus AS (SELECT doc_id, text FROM base
+         | UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0),
+         |tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM corpus),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $DupNgramN
+         |  THEN list_transform(range(1, len(t) - ${DupNgramN - 2}),
+         |    i -> ${(0 until DupNgramN).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")})
+         |  ELSE []::VARCHAR[] END) AS gram FROM tk),
+         |h AS (SELECT DISTINCT doc_id, ${polySql("gram")} AS gh FROM g),
+         |c AS (SELECT gh, CAST(count(*) AS BIGINT) AS df FROM h GROUP BY gh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM h JOIN c USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

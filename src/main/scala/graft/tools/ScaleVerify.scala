@@ -135,7 +135,9 @@ object ScaleVerify {
     "x88_langid_confusion" -> None,
     // x89 output is vec-sized — slice; the oracle retrains the IVF index
     // in SQL (the x13 cost), so it sweeps wherever x13's does.
-    "x89_semantic_outliers" -> Some("vec_id % 97 = 0"))
+    "x89_semantic_outliers" -> Some("vec_id % 97 = 0"),
+    // x90 is x79's gram shape with a distinct; doc-level output — slice.
+    "x90_novelty_score" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -751,6 +751,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("BroadcastHashJoin") // the k-row centroid model attaches broadcast
   }
 
+  test("x90: novelty joins on 8-byte gram hashes, never gram text") {
+    val p = finalPlan("x90_novelty_score")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("partial_count")
+    p.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+      .foreach { l => l should include("gh"); l should not include "text" }
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
