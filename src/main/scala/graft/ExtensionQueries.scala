@@ -3177,8 +3177,9 @@ object ExtensionQueries {
       base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("source"), col("text")))
     val pos = Checkpoints.cut(corpus
+      .select(col("source"), TextOps.tokens(col("text")).as("_tk"))
       .select(col("source"),
-        explode(TextOps.positionalGramHashes(col("text"), DupNgramN)).as("gh")))
+        explode(TextOps.positionalGramHashesOfTokens(col("_tk"), DupNgramN)).as("gh")))
     val cnt = pos.groupBy(col("gh")).agg(count(lit(1)).as("n"))
     pos.join(cnt, "gh")
       .groupBy(col("source"))
@@ -3672,8 +3673,11 @@ object ExtensionQueries {
     val corpus = base.union(
       base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-    val dg = Checkpoints.cut(corpus.select(col("doc_id"),
-      explode(array_distinct(TextOps.positionalGramHashes(col("text"), DupNgramN))).as("gh")))
+    val dg = Checkpoints.cut(corpus
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextOps.positionalGramHashesOfTokens(col("_tk"), DupNgramN))).as("gh")))
     val dfreq = dg.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     dg.join(dfreq, "gh").groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

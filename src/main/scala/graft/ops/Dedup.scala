@@ -440,28 +440,33 @@ object Dedup {
       n: Int, w: Int): DataFrame = {
     require(n >= 1, s"ngram width must be >= 1, got $n")
     require(w >= 2, s"winnow window must be >= 2, got $w")
-    val tk = TextOps.tokens(col(textCol))
-    val grams = when(size(tk) >= n,
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
-    val pos = docs
-      .select(col(idCol).as("id"), posexplode(grams).as(Seq("i", "g")))
-      .select(col("id"), col("i"), TextOps.polyHash(col("g")).as("gh"))
-    val byPos = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("i"))
-    val ghCols = (0 until w).map {
-      case 0 => col("gh").as("gh0")
-      case k => lead(col("gh"), k).over(byPos).as(s"gh$k")
+    // Selection runs entirely in the array domain per document — no
+    // per-document window, no shuffle at all: each window start's
+    // argmin (rightmost tie) is scalar algebra over the materialized
+    // hash array, and the per-window picks dedupe with array_distinct
+    // BEFORE the explode (selections are per-document by construction).
+    // The two intermediate projections are deliberate boundaries: the
+    // token array and the hash array each materialize once per row, so
+    // the per-position lambdas index attributes instead of re-running
+    // the tokenizer/hasher (see TextOps.positionalGramHashesOfTokens).
+    val sels = {
+      val h = col("_h")
+      val m = size(h)
+      when(m >= w,
+        array_distinct(transform(sequence(lit(1), m - (w - 1)), s => {
+          val mn = least((0 until w).map(k => element_at(h, s + lit(k))): _*)
+          // rightmost tie: probe h[s+w-1] first, fall back leftward
+          val off = (w - 1 to 1 by -1).foldRight(lit(0)) {
+            (k, acc) => when(element_at(h, s + lit(k)) === mn, lit(k)).otherwise(acc)
+          }
+          struct((s - 1 + off).as("pos"), mn.as("gh")) // 0-based positions
+        })))
+        .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))
     }
-    val led = pos.select(col("id") +: col("i") +: ghCols: _*)
-      .filter(col(s"gh${w - 1}").isNotNull) // valid window starts only
-    val m = least((0 until w).map(k => col(s"gh$k")): _*)
-    // rightmost tie: probe gh[w-1] first, fall back leftward
-    val off = (w - 1 to 1 by -1).foldRight(lit(0)) {
-      (k, acc) => when(col(s"gh$k") === m, k).otherwise(acc)
-    }
-    led.select(col("id"), (col("i") + off).as("pos"), m.as("gh"))
-      .distinct()
+    docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_tk"))
+      .select(col("id"), TextOps.positionalGramHashesOfTokens(col("_tk"), n).as("_h"))
+      .select(col("id"), explode(sels).as("sel"))
+      .select(col("id"), col("sel.pos").as("pos"), col("sel.gh").as("gh"))
   }
 }

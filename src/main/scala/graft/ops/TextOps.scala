@@ -44,16 +44,30 @@ object TextOps {
   /** Positional n-gram hashes: one [[polyHash]] per token position, NOT
     * deduplicated — within-document repetition counts (the x79 dup-rate
     * semantics). Empty array for texts under n tokens. Shared by the
-    * batch dup-ngram query and the streaming dup-gram monitor so both
-    * hash the identical gram stream.
+    * batch dup-ngram/novelty/winnowing queries and the streaming
+    * dup-gram monitor so all hash the identical gram stream.
+    *
+    * PERFORMANCE: pass a MATERIALIZED token-array column (project
+    * [[tokens]] into its own column first). Higher-order-function
+    * lambdas evaluate interpreted, so a tokenizer expression captured in
+    * the lambda body re-tokenizes the document on every element_at —
+    * n+1 re-tokenizations per gram position (measured 14 s -> 1.5 s at
+    * sf0.1 for the dup-rate query). A projection boundary makes `tk` an
+    * attribute and each access O(1); CollapseProject will not re-inline
+    * a non-cheap expression referenced many times.
     */
-  def positionalGramHashes(c: Column, n: Int): Column = {
-    val tk = tokens(c)
+  def positionalGramHashesOfTokens(tk: Column, n: Int): Column =
     when(size(tk) >= n,
       transform(sequence(lit(1), size(tk) - (n - 1)),
         i => polyHash(concat_ws(" ", (0 until n).map(j => element_at(tk, i + lit(j))): _*))))
       .otherwise(array().cast("array<long>"))
-  }
+
+  /** [[positionalGramHashesOfTokens]] over raw text — convenience for
+    * one-shot use; prefer the token-column form in anything hot (see the
+    * performance note above).
+    */
+  def positionalGramHashes(c: Column, n: Int): Column =
+    positionalGramHashesOfTokens(tokens(c), n)
 
   /** Whitespace token count (0 for blank text). */
   def wsTokenCount(c: Column): Column =

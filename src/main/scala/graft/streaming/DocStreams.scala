@@ -392,8 +392,9 @@ object DocStreams {
     * row-identical over the same documents).
     */
   def dupGramBucketCounts(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
-    docs.select(col("source"),
-        explode(TextOps.positionalGramHashes(col(textCol), n)).as("gh"))
+    docs.select(col("source"), TextOps.tokens(col(textCol)).as("_tk"))
+      .select(col("source"),
+        explode(TextOps.positionalGramHashesOfTokens(col("_tk"), n)).as("gh"))
       .select(col("source"), pmod(col("gh"), lit(DupGramBuckets.toLong)).as("b"))
       .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
 
@@ -436,8 +437,9 @@ object DocStreams {
       checkpointPath: String,
       onTrigger: (DataFrame, Long) => Unit,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    docs.select(col("source"),
-        explode(TextOps.positionalGramHashes(col("text"), n)).as("gh"))
+    docs.select(col("source"), TextOps.tokens(col("text")).as("_tk"))
+      .select(col("source"),
+        explode(TextOps.positionalGramHashesOfTokens(col("_tk"), n)).as("gh"))
       .select(col("source"), pmod(col("gh"), lit(DupGramBuckets.toLong)).as("b"))
       .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
       .writeStream

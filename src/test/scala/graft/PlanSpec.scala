@@ -707,15 +707,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
-  test("x85: winnowing windows partition per document; no pair space") {
-    val p = finalPlan("x85_winnowing")
-    p should not include "CartesianProduct"
-    p should not include "BroadcastNestedLoopJoin"
-    // the lead window runs per doc; the distinct is a hash aggregate on
-    // (doc, pos, gh)
-    p should include("Window")
-    p should include("doc_id")
-    p should include("HashAggregate")
+  test("x85: winnowing selects in the array domain — map-only, no shuffle but the sort") {
+    val p = plan("x85_winnowing")
+    // argmin + dedupe happen inside per-row array algebra; the plan has
+    // no window, no aggregate, no join — nothing moves between tasks
+    // until the final ORDER BY
+    p should not include "Window"
+    p should not include "HashAggregate"
+    p should not include "Join"
+    "Exchange".r.findAllIn(p).size should be <= 1
+    p should include("rangepartitioning")
   }
 
   test("x86: gopher rules are map-only — no shuffle but the final sort") {
