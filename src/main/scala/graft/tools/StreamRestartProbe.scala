@@ -183,6 +183,64 @@ object StreamRestartProbe {
         java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
   }
 
+  /** Kill-replay for the dup-gram-rate monitor: same worst-window drill
+    * (offsets written, commit dropped, restart) — the final per-source
+    * rates must equal the uninterrupted twin's. Replay determinism is
+    * the Complete-mode aggregate's (counts are a pure function of the
+    * replayed input) plus the rollup's (pure function of the counts).
+    */
+  def runDupGram(spark: SparkSession, batches: Int, perBatch: Int, killAt: Int): Result = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("restart-dupgram").toString
+
+    // repeated phrases on a drifting modulus so dup rates move per batch
+    def mkDocs(b: Int): Seq[(String, String)] =
+      (0 until perBatch).map { i =>
+        val src = s"s${i % 3}"
+        val body =
+          if ((i + b) % 4 == 0) "alpha beta gamma delta epsilon zeta eta theta"
+          else s"uniq${b}x$i tokens roll ${i * 7} through window ${b + i} spread wide"
+        (src, body)
+      }
+
+    def sink(name: String) = s"$root/$name/out"
+    def chk(name: String) = s"$root/$name/chk"
+    def start(src: MemoryStream[(String, String)], name: String) =
+      DocStreams.dupGramRateMonitor(
+        src.toDF().toDF("source", "text"), n = 5, chk(name),
+        (rates, bid) => rates.withColumn("bid", lit(bid))
+          .write.mode("append").parquet(sink(name)))
+
+    def finalRows(name: String): Array[String] = {
+      val df = spark.read.parquet(sink(name))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("bid").desc)
+      sortedRows(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "bid"))
+    }
+
+    val srcA = MemoryStream[(String, String)]
+    val qA = start(srcA, "twin")
+    (0 until batches).foreach { b => srcA.addData(mkDocs(b)); qA.processAllAvailable() }
+    qA.stop()
+
+    val srcB = MemoryStream[(String, String)]
+    var qB = start(srcB, "killed")
+    (0 until killAt).foreach { b => srcB.addData(mkDocs(b)); qB.processAllAvailable() }
+    qB.stop()
+    dropCommit(chk("killed"), killAt - 1)
+    qB = start(srcB, "killed")
+    (killAt until batches).foreach { b => srcB.addData(mkDocs(b)); qB.processAllAvailable() }
+    qB.stop()
+
+    val twin = finalRows("twin")
+    val killed = finalRows("killed")
+    Result("dupGramRateMonitor/final-rates", batches, killAt, killed.length.toLong,
+      twin.nonEmpty &&
+        java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
+  }
+
   /** windowedTopUsers through a parquet file sink, killed + replayed at
     * `killAt`, vs an uninterrupted twin.
     */

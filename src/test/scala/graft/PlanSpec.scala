@@ -691,11 +691,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("ExistingRDD") // the (source, token) count is cut once
   }
 
-  test("x83: cluster-size ledger is two hash aggregates over the cut labels") {
+  test("x83: cluster-size ledger serves from the cut histogram (propagation runs once)") {
     val p = finalPlan("x83_cluster_sizes")
     p should not include "CartesianProduct"
+    // the histogram materializes once (it feeds both the total and the
+    // join — uncut, the label propagation executed twice); the served
+    // plan is the cut generation + the 1-row broadcast total
     p should include("ExistingRDD")
-    p should include("partial_count")
+    "FileScan parquet".r.findAllIn(p).size shouldBe 0
   }
 
   test("x84: ccnet buckets rank via the bucket decomposition, not a per-lang sort") {

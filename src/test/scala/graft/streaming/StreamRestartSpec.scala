@@ -42,4 +42,10 @@ class StreamRestartSpec extends AnyFunSuite with Matchers with SparkTest {
     r.rows should be > 0L
     r.agree shouldBe true
   }
+
+  test("dupGramRateMonitor: final rates after worst-window kill+replay equal the twin") {
+    val r = StreamRestartProbe.runDupGram(spark, batches = 6, perBatch = 60, killAt = 3)
+    r.rows should be > 0L
+    r.agree shouldBe true
+  }
 }
