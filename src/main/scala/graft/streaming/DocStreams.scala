@@ -382,20 +382,32 @@ object DocStreams {
       .start()
 
   /** Fixed bucket-table width for [[dupGramRateMonitor]]: gram hashes
-    * fold into this many buckets so streaming state stays bounded
-    * (sources x buckets longs, forever) on an unbounded gram vocabulary.
+    * fold into this many buckets so streaming state stays bounded on an
+    * unbounded gram vocabulary (state = OBSERVED (source, bucket) pairs,
+    * <= min(positions seen, sources x width)).
+    *
+    * Sizing rule (measured, tools.DupGramTrade at sf0.1 — 287k positions,
+    * exact rate 0.329): the conservative overshoot tracks the load
+    * factor positions/width. Load 4.4 (2^16) saturates (+0.65), load 0.3
+    * (2^20) reads +0.14, load 0.02 (2^24) reads +0.009. Size the width
+    * >= ~30x expected positions for <1% absolute bias; any fixed width
+    * still serves the drift-alarm contract (a templated source leaking
+    * in moves the rate regardless of the constant offset), and batch x79
+    * remains the exact release number.
     */
-  val DupGramBuckets = 65536
+  val DupGramBuckets = 1 << 20
 
   /** Per-(source, bucket) positional gram counts — the shared kernel of
     * the streaming monitor and its batch twin (the spec pins the two
     * row-identical over the same documents).
     */
-  def dupGramBucketCounts(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+  def dupGramBucketCounts(
+      docs: DataFrame, n: Int, textCol: String = "text",
+      buckets: Long = DupGramBuckets.toLong): DataFrame =
     docs.select(col("source"), TextOps.tokens(col(textCol)).as("_tk"))
       .select(col("source"),
         explode(TextOps.positionalGramHashesOfTokens(col("_tk"), n)).as("gh"))
-      .select(col("source"), pmod(col("gh"), lit(DupGramBuckets.toLong)).as("b"))
+      .select(col("source"), pmod(col("gh"), lit(buckets)).as("b"))
       .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
 
   /** Roll bucket counts up to the per-source duplicate-position rate: a
@@ -417,18 +429,18 @@ object DocStreams {
   /** Streaming dup-n-gram-rate monitor — the bounded-state twin of batch
     * x79 (Lee et al. 2022's corpus-health number): per-(source, bucket)
     * positional gram counts accumulate in a Complete-mode aggregate
-    * (state = [[DupGramBuckets]] longs per source, bounded forever —
-    * exact per-gram counts would grow with the vocabulary), and every
-    * trigger rolls the bucket table up to the live per-source dup rate
-    * inside foreachBatch (the rate is inherently cross-source, the
+    * (state bounded by sources x [[DupGramBuckets]] forever — exact
+    * per-gram counts would grow with the vocabulary), and every trigger
+    * rolls the bucket table up to the live per-source dup rate inside
+    * foreachBatch (the rate is inherently cross-source, the
     * temperatureMixMonitor placement). Folding grams into buckets makes
     * the estimate one-sidedly CONSERVATIVE — colliding distinct grams
     * can only mark extra positions duplicated, never hide a real dup —
     * so the monitor is the drift alarm ("dup rate just jumped, a
     * templated source is leaking in") while batch x79 remains the exact
-    * release number; the bias at any scale is set by the
-    * positions/buckets ratio, the standard sketch knob. The spec pins
-    * the final trigger row-identical to the batch bucket twin and the
+    * release number; the bias knob is the positions/width load factor,
+    * MEASURED in the [[DupGramBuckets]] sizing table. The spec pins the
+    * final trigger row-identical to the batch bucket twin and the
     * bracket vs the exact gram-level rate.
     */
   def dupGramRateMonitor(
