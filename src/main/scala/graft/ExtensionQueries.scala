@@ -3694,6 +3694,51 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Semantic drift between corpus versions (x91): assign v1 (the base
+    * embeddings) and a planted v2 (every 5th vector dropped, every 7th
+    * duplicated — a real composition shift) to the SAME trained IVF
+    * cells, and report the per-cell count distributions plus their
+    * Jensen-Shannon divergence. x70 diffs releases by content hash (WHICH
+    * docs changed); this is the SHAPE signal — two releases can differ in
+    * millions of hashes while semantically identical (re-crawls), or
+    * share most hashes while the topic mix quietly collapses, and only
+    * the cell-distribution divergence separates the two. The x62 JS
+    * discipline at cell granularity: p/q are integer/integer doubles,
+    * ln terms rounded at 6 per cell (libm), the total a decimal-exact
+    * sum of the rounded contributions.
+    *
+    * Scale shape: two broadcast-centroid assignment maps + two cell
+    * counts (map-side combined); everything after is <= k rows.
+    */
+  private def x91(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val v2 = e.filter(col("vec_id") % 5 =!= 0).union(
+      e.filter(col("vec_id") % 7 === 0).select((col("vec_id") + 100000).as("vec_id"), col("v")))
+    val trained = AnnModels.ivfCentroids(s, dir, e, IvfCells, KmIters, EmbDim)
+    val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val n1 = Similarity.ivfAssign(e, cents, EmbDim)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_v1"))
+    val n2 = Similarity.ivfAssign(v2, cents, EmbDim)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_v2"))
+    val j = n1.join(n2, Seq("cell_id"), "full")
+      .select(col("cell_id"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+    val tot = j.agg(sum(col("n_v1")).cast("long").as("t1"),
+      sum(col("n_v2")).cast("long").as("t2"))
+    val pq = j.crossJoin(broadcast(tot)).select(
+      col("cell_id"), col("n_v1"), col("n_v2"),
+      (col("n_v1").cast("double") / col("t1").cast("double")).as("p"),
+      (col("n_v2").cast("double") / col("t2").cast("double")).as("q"))
+    val m = (col("p") + col("q")) / 2
+    val ct = pq.withColumn("js_contrib", round(
+      lit(0.5) * when(col("p") > 0, col("p") * log(col("p") / m)).otherwise(0.0)
+        + lit(0.5) * when(col("q") > 0, col("q") * log(col("q") / m)).otherwise(0.0), 6))
+    val jsTot = ct.agg(
+      sum(col("js_contrib").cast(DecimalType(18, 6))).cast("double").as("js_total"))
+    ct.crossJoin(broadcast(jsTot)).orderBy(col("cell_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3786,7 +3831,8 @@ object ExtensionQueries {
     "x87_c4_clean" -> (x87 _),
     "x88_langid_confusion" -> (x88 _),
     "x89_semantic_outliers" -> (x89 _),
-    "x90_novelty_score" -> (x90 _))
+    "x90_novelty_score" -> (x90 _),
+    "x91_semantic_drift" -> (x91 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5467,5 +5513,38 @@ object ExtensionQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
          | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
-         |FROM h JOIN c USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM h JOIN c USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x91_semantic_drift" ->
+      // identical trained index; v2 = identical planted shift; the x62
+      // JS discipline at cell granularity (ln terms rounded at 6, total
+      // a decimal-exact sum of the rounded contributions)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfUpdateSql("a2", "c2")},
+         |${ivfAssignSql("c2", "assigned")},
+         |v2t AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0
+         | UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 7 = 0),
+         |a2v AS (SELECT vec_id, cell_id FROM (
+         | SELECT t.vec_id, c2.cell_id,
+         |  row_number() OVER (PARTITION BY t.vec_id
+         |    ORDER BY round(list_cosine_similarity(t.v, c2.cv), 6) DESC, c2.cell_id) AS arnk
+         | FROM v2t t CROSS JOIN c2) WHERE arnk = 1),
+         |n1 AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_v1 FROM assigned GROUP BY cell_id),
+         |n2 AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_v2 FROM a2v GROUP BY cell_id),
+         |j AS (SELECT cell_id, coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2
+         | FROM n1 FULL JOIN n2 USING (cell_id)),
+         |t AS (SELECT CAST(SUM(n_v1) AS BIGINT) AS t1, CAST(SUM(n_v2) AS BIGINT) AS t2 FROM j),
+         |pq AS (SELECT cell_id, n_v1, n_v2,
+         |  CAST(n_v1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS p,
+         |  CAST(n_v2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS q FROM j CROSS JOIN t),
+         |ct AS (SELECT cell_id, n_v1, n_v2, p, q,
+         |  round(0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END)
+         |      + 0.5 * (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END), 6) AS js_contrib
+         | FROM pq),
+         |tt AS (SELECT CAST(SUM(CAST(js_contrib AS DECIMAL(18,6))) AS DOUBLE) AS js_total FROM ct)
+         |SELECT CAST(cell_id AS BIGINT) AS cell_id, n_v1, n_v2, p, q, js_contrib, js_total
+         |FROM ct CROSS JOIN tt ORDER BY cell_id""".stripMargin)
 }

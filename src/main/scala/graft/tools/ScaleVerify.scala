@@ -137,7 +137,10 @@ object ScaleVerify {
     // in SQL (the x13 cost), so it sweeps wherever x13's does.
     "x89_semantic_outliers" -> Some("vec_id % 97 = 0"),
     // x90 is x79's gram shape with a distinct; doc-level output — slice.
-    "x90_novelty_score" -> Some("doc_id % 97 = 0"))
+    "x90_novelty_score" -> Some("doc_id % 97 = 0"),
+    // x91 output is cell-sized (<= k rows); the oracle retrains the IVF
+    // index in SQL — sweeps wherever x13's does.
+    "x91_semantic_drift" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

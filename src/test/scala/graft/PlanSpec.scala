@@ -766,6 +766,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
       .foreach { l => l should include("gh"); l should not include "text" }
   }
 
+  test("x91: drift assigns via broadcast centroids; everything after is cell-sized") {
+    val p = finalPlan("x91_semantic_drift")
+    p should not include "CartesianProduct"
+    p should include("partial_count") // both version counts combine map-side
+    // the x13 assignment shape: the k-row centroid model attaches via a
+    // broadcast nested-loop cross (every vector scores all k), never a
+    // data-sized cartesian
+    p should include("IdentityBroadcastMode")
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
