@@ -3739,6 +3739,35 @@ object ExtensionQueries {
     ct.crossJoin(broadcast(jsTot)).orderBy(col("cell_id"))
   }
 
+  /** Taint propagation through duplicate clusters (x92): an ingest-time
+    * flag (PII hit, takedown, license restriction — planted here on
+    * every 11th doc) must bind to CONTENT, not to the row that happened
+    * to get flagged: a near-duplicate of a flagged document carries the
+    * same risk, and dropping only the flagged copy silently ships the
+    * clone. Effective flag = max over the x26/x66/x76 duplicate cluster;
+    * `tainted_by_dup` isolates the docs whose own flag was clean but
+    * whose cluster was not — the measured "how much did propagation
+    * actually catch" number (0 would mean the plant modulus and the
+    * cluster structure never met, i.e. an unobservable rule).
+    *
+    * Scale shape: x26's propagation plus one cluster-keyed max and one
+    * join back — both on the 8-byte cluster key.
+    */
+  private def x92(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir))
+    val labeled = corpus
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"),
+        (col("doc_id") % 11 === 0).cast("int").as("own_flag"))
+    val cflag = labeled.groupBy(col("cluster"))
+      .agg(max(col("own_flag")).as("effective_flag"))
+    labeled.join(cflag, "cluster")
+      .select(col("doc_id"), col("cluster"), col("own_flag"), col("effective_flag"),
+        ((col("effective_flag") === 1) && (col("own_flag") === 0))
+          .cast("int").as("tainted_by_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3832,7 +3861,8 @@ object ExtensionQueries {
     "x88_langid_confusion" -> (x88 _),
     "x89_semantic_outliers" -> (x89 _),
     "x90_novelty_score" -> (x90 _),
-    "x91_semantic_drift" -> (x91 _))
+    "x91_semantic_drift" -> (x91 _),
+    "x92_taint_propagation" -> (x92 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5546,5 +5576,16 @@ object ExtensionQueries {
          | FROM pq),
          |tt AS (SELECT CAST(SUM(CAST(js_contrib AS DECIMAL(18,6))) AS DOUBLE) AS js_total FROM ct)
          |SELECT CAST(cell_id AS BIGINT) AS cell_id, n_v1, n_v2, p, q, js_contrib, js_total
-         |FROM ct CROSS JOIN tt ORDER BY cell_id""".stripMargin)
+         |FROM ct CROSS JOIN tt ORDER BY cell_id""".stripMargin,
+    "x92_taint_propagation" ->
+      // same cluster CTEs as x26/x66/x76/x77/x83; cluster max of the
+      // planted ingest flag, joined back per doc
+      s"""WITH $DupClusterCtesSql,
+         |lbl AS (SELECT corpus.doc_id, coalesce(lab4.label, corpus.doc_id) AS cluster,
+         |  CAST(corpus.doc_id % 11 = 0 AS INT) AS own_flag
+         | FROM corpus LEFT JOIN lab4 ON lab4.id = corpus.doc_id),
+         |cf AS (SELECT cluster, CAST(max(own_flag) AS INT) AS effective_flag FROM lbl GROUP BY cluster)
+         |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster, own_flag, effective_flag,
+         | CAST(effective_flag = 1 AND own_flag = 0 AS INT) AS tainted_by_dup
+         |FROM lbl JOIN cf USING (cluster) ORDER BY doc_id""".stripMargin)
 }

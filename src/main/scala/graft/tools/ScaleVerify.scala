@@ -140,7 +140,9 @@ object ScaleVerify {
     "x90_novelty_score" -> Some("doc_id % 97 = 0"),
     // x91 output is cell-sized (<= k rows); the oracle retrains the IVF
     // index in SQL — sweeps wherever x13's does.
-    "x91_semantic_drift" -> None)
+    "x91_semantic_drift" -> None,
+    // x92 rides x26's capped engineered corpus — 240 rows.
+    "x92_taint_propagation" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -776,6 +776,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("IdentityBroadcastMode")
   }
 
+  test("x92: taint propagates via cluster-keyed max + join back, no pair space") {
+    val p = finalPlan("x92_taint_propagation")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("partial_max") // the cluster flag combines map-side
+    p should include("ExistingRDD") // the cut corpus
+  }
+
   test("x56: component serving joins sizes on the component key, no nested loops") {
     val p = finalPlan("x56_connected_components")
     p should not include "CartesianProduct"
