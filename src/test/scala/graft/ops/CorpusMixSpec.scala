@@ -16,6 +16,29 @@ class CorpusMixSpec extends AnyFunSuite with Matchers with SparkTest {
     CorpusMix.temperatureAllocation(counts.toDF("source", "n_docs"), alpha, budget)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
 
+  test("remainderAllocation: arbitrary weights, extra columns ride through, exact budget") {
+    // the generic tail x80 feeds its exp-weights into — contract checked
+    // directly, not just through temperatureAllocation's delegation
+    val weighted = Seq(
+      ("a", 5L, 17L, 0.11), ("b", 9L, 1L, 0.22),
+      ("c", 2L, 9999999L, 0.33), ("d", 1L, 3L, 0.44))
+      .toDF("source", "n_docs", "w", "extra")
+    val out = CorpusMix.remainderAllocation(weighted, budget = 1000L)
+    out.columns shouldBe Array("source", "n_docs", "w", "extra", "alloc")
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(2), r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    rows.map(_._4).sum shouldBe 1000L // exact, not approximate
+    // extra column survives untouched
+    rows.map(_._3) shouldBe Array(0.11, 0.22, 0.33, 0.44)
+    // allocation is monotone in w, and a dominating weight takes nearly all
+    val byW = rows.sortBy(_._2)
+    byW.map(_._4) shouldBe byW.map(_._4).sorted
+    rows.find(_._1 == "c").get._4 should be >= 990L
+    // zero budget allocates zero everywhere, still summing exactly
+    CorpusMix.remainderAllocation(weighted, budget = 0L)
+      .collect().map(_.getLong(4)).sum shouldBe 0L
+  }
+
   test("allocation sums EXACTLY to the budget, across alphas and ragged sizes") {
     val counts = Seq("a" -> 7L, "b" -> 123L, "c" -> 5000L, "d" -> 1L, "e" -> 999L)
     for (alpha <- Seq(0.3, 0.5, 0.7, 1.0); budget <- Seq(0L, 1L, 17L, 100000L)) {
