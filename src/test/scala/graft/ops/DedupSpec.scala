@@ -282,6 +282,36 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
     rows.filter(_._4 == 1).foreach { r => clusterSizes(r._2) should be > 1 }
   }
 
+  test("positional gram hashes: token-column form == raw-text form, grams hash the joined text") {
+    // the perf refactor seam (materialized tokens vs inline tokenizer)
+    // must be a pure rewrite — same values, every position, both orders
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon"),
+      (2L, "  Mixed   CASE\ttokens  with  gaps  here  now  ok  "),
+      (3L, "tiny one")).toDF("doc_id", "text")
+    val viaText = docs.select(col("doc_id"),
+      TextOps.positionalGramHashes(col("text"), 5).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaTokens = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), TextOps.positionalGramHashesOfTokens(col("tk"), 5).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    viaTokens shouldBe viaText
+    // positional semantics: within-doc repeats hash identically at both
+    // occurrences (doc 1 repeats 'alpha beta gamma delta epsilon' at
+    // positions 0 and 6)
+    viaTokens(1L).length shouldBe 7
+    viaTokens(1L).distinct.length should be < 7
+    viaTokens(1L).head shouldBe viaTokens(1L)(6)
+    // under n tokens -> empty, not null
+    viaTokens(3L) shouldBe Seq.empty
+    // hashes equal the polyHash of the space-joined gram text
+    val direct = docs.filter(col("doc_id") === 2L)
+      .select(TextOps.polyHash(lit("mixed case tokens with gaps")).as("p"))
+      .head.getLong(0)
+    viaTokens(2L).head shouldBe direct
+  }
+
   test("winnowing: every window covered, rightmost tie, match guarantee on shared runs") {
     val n = 3; val w = 4
     // doc 2 shares a 12-token run with doc 1 (>= w + n - 1 = 6 tokens),
