@@ -75,8 +75,12 @@ object Bench {
     // runs (the x04/x06 shingle frames), so the min is warm-JVM/
     // warm-page-cache steady state — the page cache is already warm after
     // the warmup scans, same as rep 1.
+    // Min-of-3 is the COMMITTED protocol (round-13 verdict: round-over-
+    // round adjudication needs the number to be reproducible, not a
+    // hand-picked quiet-box run): three interleaved reps bound the damage
+    // any single load spike can do to the min.
     val reps = math.max(1,
-      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
     val errors = scala.collection.mutable.ListBuffer[String]()
     // A rep that throws is EXCLUDED from the timings (a fast failure would
     // otherwise report a misleadingly tiny min and still count toward the
@@ -90,7 +94,31 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Host-load sentinel: a fixed single-threaded arithmetic spin timed
+    // before each rep round. Unlike the 1-minute load average (which the
+    // suite's own 32 threads saturate), the spin's wall time moves ONLY
+    // with external contention for one core — a rep round whose sentinel
+    // runs >= 1.5x the fastest round's was taken under co-located load
+    // and is flagged in the output, so a drifted total is adjudicable
+    // from the artifact alone instead of via multi-session forensics.
+    def sentinelSpin(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 300000000) { // ~0.1-0.3 s quiet; xorshift defeats constant-folding
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 42L) System.err.println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
+    val sentinels = scala.collection.mutable.ListBuffer[Double]()
     (0 until reps).foreach { _ =>
+      sentinels += sentinelSpin()
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -111,6 +139,7 @@ object Bench {
         if (ok) timings(name) = elapsed :: timings.getOrElse(name, Nil)
       }
     }
+    val loadEnd = loadAvg()
     val results = timings.map { case (name, ts) => name -> ts.min }
     // Millisecond precision: sub-ms digits are pure noise and the driver
     // snapshots only a bounded TAIL of stdout into BENCH_r{N}.json —
@@ -120,18 +149,38 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ms(if (results.nonEmpty) results.values.sum else 0.0)
+    // Load-sentinel verdict: rep rounds whose calibration spin ran >=1.5x
+    // the fastest round's were taken under external load. min-of-reps
+    // already discards them per query; the flag makes a contaminated RUN
+    // (all reps flagged ~= nothing clean to take the min over) visible in
+    // the artifact itself.
+    val sMin = if (sentinels.nonEmpty) sentinels.min else 0.0
+    val flagged = sentinels.zipWithIndex.collect {
+      case (s, i) if sMin > 0 && s >= sMin * 1.5 => i
+    }
+    val sentinelJson = sentinels.map(ms).mkString("[", ",", "]")
+    val flaggedJson = flagged.mkString("[", ",", "]")
+    val loadJson = s"[${ms(loadStart)},${ms(loadEnd)}]"
     // Headline fields LAST: with 100+ queries the map alone overflows the
     // driver's tail window, and a tail keeps the END of the line — so the
     // totals/errors/sf summary must sit after the map to survive. The
     // complete line additionally lands in logs/BENCH_local.json (repo
-    // cwd), the judge's full per-query artifact since round 8.
+    // cwd), the judge's full per-query artifact since round 8, which also
+    // carries the per-rep timings the stdout line can't afford.
     val line =
-      s"""{"queries":$qs,"errors":$errs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
+      s"""{"queries":$qs,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"load_avg":$loadJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("logs")
       java.nio.file.Files.createDirectories(out)
-      java.nio.file.Files.writeString(out.resolve("BENCH_local.json"), line + "\n")
+      // timings(name) prepends per rep, so reverse restores rep order —
+      // rep i of every query aligns with sentinel_sec[i].
+      val perRep = timings.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.reverse.map(ms).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val full =
+        s"""{"queries":$qs,"per_rep":$perRep,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"load_avg":$loadJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(out.resolve("BENCH_local.json"), full + "\n")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] could not write logs/BENCH_local.json: ${e.getMessage}")

@@ -5398,7 +5398,10 @@ object ExtensionQueries {
         |FROM pr ORDER BY doc_id""".stripMargin,
     "x85_winnowing" ->
       // positional grams (0-based, aligned with posexplode), lead-window
-      // argmin with the rightmost-tie CASE — identical scalar algebra
+      // argmin with the rightmost-tie CASE — identical scalar algebra.
+      // The lead columns and the tie CASE are GENERATED from WinnowW
+      // (like the gram concat is from DupNgramN), so bumping the window
+      // width keeps engine and oracle in lockstep.
       s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM documents),
          |gr AS (SELECT doc_id, CASE WHEN len(t) >= $DupNgramN
          |  THEN list_transform(range(1, len(t) - ${DupNgramN - 2}),
@@ -5407,13 +5410,11 @@ object ExtensionQueries {
          |p AS (SELECT doc_id, u.i AS i, ${polySql("u.g")} AS gh
          | FROM (SELECT doc_id, unnest(gs) AS u FROM gr)),
          |led AS (SELECT doc_id, i, gh AS gh0,
-         |  lead(gh, 1) OVER (PARTITION BY doc_id ORDER BY i) AS gh1,
-         |  lead(gh, 2) OVER (PARTITION BY doc_id ORDER BY i) AS gh2,
-         |  lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY i) AS gh3 FROM p),
+         |  ${(1 until WinnowW).map(j => s"lead(gh, $j) OVER (PARTITION BY doc_id ORDER BY i) AS gh$j").mkString(",\n         |  ")} FROM p),
          |sel AS (SELECT doc_id,
-         |  i + CASE WHEN gh3 = m THEN 3 WHEN gh2 = m THEN 2 WHEN gh1 = m THEN 1 ELSE 0 END AS pos,
+         |  i + CASE ${(WinnowW - 1 to 1 by -1).map(j => s"WHEN gh$j = m THEN $j").mkString(" ")} ELSE 0 END AS pos,
          |  m AS gh
-         | FROM (SELECT *, least(gh0, gh1, gh2, gh3) AS m FROM led WHERE gh3 IS NOT NULL))
+         | FROM (SELECT *, least(${(0 until WinnowW).map(j => s"gh$j").mkString(", ")}) AS m FROM led WHERE gh${WinnowW - 1} IS NOT NULL))
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, gh
          |FROM sel ORDER BY doc_id, pos""".stripMargin,
     "x86_gopher_rules" -> {

@@ -160,6 +160,10 @@ object CorpusMix {
   def temperatureAllocation(
       counts: DataFrame, alpha: Double, budget: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // Duplicates remainderAllocation's check ON PURPOSE: that one runs
+    // after the eager Checkpoints.cut below, so an invalid budget would
+    // otherwise pay a full corpus-scan materialization before throwing.
+    require(budget >= 0, s"budget must be nonnegative, got $budget")
     // Materialized once (dimension-sized): the total-weight aggregate and
     // the quota build would otherwise each replay the caller's corpus
     // count — one corpus scan, not two.

@@ -49,11 +49,19 @@ object X85Probe {
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val synth = base.filter(col("doc_id") % PlantEvery === 0).alias("a")
+    // Carry BOTH parent ids on the synthetic rows: the expected-pair set
+    // below derives from this exact frame, so a (k, k+300000) pair exists
+    // iff the synthetic doc was actually built (the successor join can
+    // drop the max-doc_id candidate when it has no +1 partner — deriving
+    // expectations independently from `base` would then report a spurious
+    // miss on a dataset-shape accident rather than a real recall loss).
+    val synth0 = base.filter(col("doc_id") % PlantEvery === 0).alias("a")
       .join(base.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select((col("a.doc_id") + 300000).as("doc_id"),
-        concat(col("a.text"), lit(" "), col("b.text")).as("text"))
-    val corpus = base.union(synth).cache()
+        concat(col("a.text"), lit(" "), col("b.text")).as("text"),
+        col("a.doc_id").as("pa"), col("b.doc_id").as("pb"))
+      .cache()
+    val corpus = base.union(synth0.select(col("doc_id"), col("text"))).cache()
 
     val fp = Dedup.winnowFingerprints(corpus, "doc_id", "text", N, W).cache()
     val nFp = fp.count()
@@ -71,14 +79,11 @@ object X85Probe {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct().cache()
 
-    val expected = base.filter(col("doc_id") % PlantEvery === 0)
-      .select(col("doc_id").as("k"))
+    val expected = synth0
       .select(explode(array(
-        struct(col("k").as("id1"), (col("k") + 300000).as("id2")),
-        struct((col("k") + 1).as("id1"), (col("k") + 300000).as("id2")))).as("p"))
+        struct(col("pa").as("id1"), col("doc_id").as("id2")),
+        struct(col("pb").as("id1"), col("doc_id").as("id2")))).as("p"))
       .select(col("p.id1"), col("p.id2"))
-      // the successor must exist (the last doc has no +1 partner)
-      .join(base.select(col("doc_id").as("id1")), "id1")
       .cache()
     val nExpected = expected.count()
     val missed = expected.join(cand, Seq("id1", "id2"), "left_anti").count()
