@@ -719,10 +719,18 @@ object ExtensionQueries {
   }
 
   private def x26(s: SparkSession, dir: String): DataFrame = {
-    val corpus = dedupCorpus(s, dir)
+    // Cut like every other dedupCorpus caller (x66/x76/x77/x83/x92):
+    // three consumers (shingle sets, exact-hash edges, the total count)
+    // would otherwise each replay the 4-branch corpus build — the family's
+    // round-13 partition-sensitivity lesson applied to its flagship.
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir))
     val labels = dupLabels(corpus)
-    // Stage 4 — keep-list + surviving-corpus stats.
-    val clusters = labels.groupBy(col("label").as("keep_id")).agg(count(lit(1)).as("n"))
+    // Stage 4 — keep-list + surviving-corpus stats. The cluster histogram
+    // feeds TWO consumers (the served union branch and the removed-count
+    // aggregate), so it is cut too — the x83 fix's exact shape; the frame
+    // is cluster-count-sized.
+    val clusters = Checkpoints.cut(
+      labels.groupBy(col("label").as("keep_id")).agg(count(lit(1)).as("n")))
     val total = corpus.agg(count(lit(1)).as("tot"))
     val removed = clusters.agg(coalesce(sum(col("n") - 1), lit(0L)).as("removed"))
     val summary = total.crossJoin(removed)
