@@ -3776,6 +3776,63 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x93 epoch-capped mix knobs. Alpha 0.5 (not [[MixAlpha]]'s 0.3) so
+    * the temperature upweighting is strong enough that small sources
+    * demand more than [[EpochCap]] epochs of their unique supply — the
+    * data-constrained regime the query exists to exercise. Budget
+    * 9N/5 = 1.8 epochs of the WHOLE corpus sits between the waterfall's
+    * interesting thresholds at every fixture scale (simulated: a 4-round
+    * cascade at 25 docs/source, 2 rounds at 250+, always within the
+    * oracle's [[CapMixRounds]] unroll) and below the Σ cap capacity.
+    */
+  private val EpochCap = 4L
+  private val CapAlpha = 0.5
+  private val CapMixRounds = 6
+
+  /** Epoch-capped (data-constrained) temperature mix: x63's alpha-
+    * temperature apportionment with the published ~4-epoch repetition
+    * cap (Muennighoff et al. 2023) — when the budget exceeds a source's
+    * unique supply x cap, the overflow redistributes to uncapped sources
+    * by the same largest-remainder discipline
+    * ([[CorpusMix.epochCappedAllocation]]'s waterfall).
+    *
+    * Unique supply is PLANTED in three tiers (full / half / fifth of the
+    * source's docs, by source-hash) because the fixture's sources are
+    * uniform — real corpora aren't, and uniform supplies would never
+    * bind a cap. The budget derives from the corpus (9N/5), so cap
+    * binding survives fixture replication.
+    *
+    * Scale shape: one corpus count + one (source) count aggregate; the
+    * waterfall itself is dimension-sized per round with two driver
+    * scalars per round. The oracle unrolls [[CapMixRounds]] waterfall
+    * rounds in SQL (converged rounds are no-ops — the x26 unroll trick);
+    * the engine's measured round count is pinned <= the unroll by
+    * CorpusMixSpec.
+    */
+  private def x93(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // Corpus-derived budget: a Long at the API boundary (the same
+    // dimension-scalar collect x63's MixBudget avoids only because its
+    // budget is a constant).
+    val budget = 9L * d.count() / 5L
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val weighted = counts
+      .withColumn("u",
+        when(pmod(TextOps.polyHash(col("source")), lit(3L)) === 0, col("n_docs"))
+          .when(pmod(TextOps.polyHash(col("source")), lit(3L)) === 1,
+            expr("n_docs div 2"))
+          .otherwise(expr("n_docs div 5")))
+      .select(col("source"), col("n_docs"), col("u"),
+        floor(pow(col("u").cast("double"), lit(CapAlpha)) * 1e6)
+          .cast("long").as("w"),
+        (col("u") * EpochCap).as("cap"))
+    CorpusMix.epochCappedAllocation(weighted, budget)
+      .select(col("source"), col("n_docs"), col("u"), col("w"), col("cap"),
+        col("alloc"), col("capped"),
+        expr("(alloc * 1000) div greatest(u, 1)").as("epochs_milli"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3870,7 +3927,8 @@ object ExtensionQueries {
     "x89_semantic_outliers" -> (x89 _),
     "x90_novelty_score" -> (x90 _),
     "x91_semantic_drift" -> (x91 _),
-    "x92_taint_propagation" -> (x92 _))
+    "x92_taint_propagation" -> (x92 _),
+    "x93_epoch_mix" -> (x93 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -3979,6 +4037,56 @@ object ExtensionQueries {
        |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
        |alc AS (SELECT source, n_docs, w,
        |  CAST(base + CASE WHEN rk <= (SELECT short FROM s) THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r)""".stripMargin
+
+  /** The x93 waterfall, unrolled: `rounds` cap-and-redistribute rounds
+    * over HUGEINT quota arithmetic (the int128 mirror of the engine's
+    * decimal(38,0)). Each round re-apportions the surviving budget over
+    * the uncapped sources and freezes the over-cap ones AT their cap; a
+    * converged round freezes nobody, so act/bud pass through unchanged
+    * and extra unrolled rounds are no-ops (the x26 unrolled-iteration
+    * trick). `allc` = every frozen slice plus round-`rounds`' survivors.
+    */
+  private def cappedMixCtesSql(rounds: Int): String = {
+    // REFERENCE DISCIPLINE: DuckDB inlines CTEs, so the expansion size is
+    // the number of root-reachable reference paths — a chain whose rounds
+    // each reference the previous round k times blows up k^rounds (the
+    // first cut of this oracle exhausted the process's file handles
+    // re-opening documents.parquet ~5^6 times). Hence: the surviving
+    // budget rides as a COLUMN b (no scalar-subquery fan-out), scalars
+    // come from window aggregates over the single upstream frame, and
+    // each round references its predecessor exactly once; the per-round
+    // frozen slices cp$r are pure leaves consumed once at the end.
+    val head =
+      s"""cnt93 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+         |act0 AS (SELECT source, n_docs, u,
+         |  CAST(floor(power(CAST(u AS DOUBLE), $CapAlpha) * 1000000.0) AS BIGINT) AS w,
+         |  CAST(u * $EpochCap AS BIGINT) AS cap,
+         |  (SELECT (9 * count(*)) // 5 FROM documents) AS b
+         | FROM (SELECT source, n_docs,
+         |   CASE WHEN ${polySql("source")} % 3 = 0 THEN n_docs
+         |        WHEN ${polySql("source")} % 3 = 1 THEN n_docs // 2
+         |        ELSE n_docs // 5 END AS u FROM cnt93))""".stripMargin
+    val rcte = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""q$r AS (SELECT source, n_docs, u, w, cap, b,
+         |  (CAST(b AS HUGEINT) * w) // tw AS base, (CAST(b AS HUGEINT) * w) % tw AS rem
+         | FROM (SELECT *, SUM(CAST(w AS HUGEINT)) OVER () AS tw FROM act$p)),
+         |al$r AS (SELECT source, n_docs, u, w, cap, b,
+         |  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         | FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         |   b - SUM(base) OVER () AS short FROM q$r)),
+         |cp$r AS (SELECT source, n_docs, u, w, cap, cap AS alloc FROM al$r WHERE alloc > cap),
+         |act$r AS (SELECT source, n_docs, u, w, cap, b FROM (
+         |  SELECT source, n_docs, u, w, cap, alloc, b0 - ov AS b FROM (
+         |    SELECT source, n_docs, u, w, cap, alloc, b AS b0,
+         |      SUM(CASE WHEN alloc > cap THEN cap ELSE 0 END) OVER () AS ov FROM al$r))
+         | WHERE alloc <= cap)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""allc AS (SELECT source, n_docs, u, w, cap, alloc, CAST(0 AS INT) AS capped FROM al$rounds WHERE alloc <= cap
+         | ${(1 to rounds).map(r => s"UNION ALL SELECT source, n_docs, u, w, cap, alloc, CAST(1 AS INT) AS capped FROM cp$r").mkString("\n ")})""".stripMargin
+    s"$head,\n$rcte,\n$tail"
+  }
 
   /** One k-means iteration, unrolled for the IVF oracles: assign to the
     * nearest centroid, then per-(cell, dim) decimal-exact mean reassembled
@@ -5596,5 +5704,14 @@ object ExtensionQueries {
          |cf AS (SELECT cluster, CAST(max(own_flag) AS INT) AS effective_flag FROM lbl GROUP BY cluster)
          |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster, own_flag, effective_flag,
          | CAST(effective_flag = 1 AND own_flag = 0 AS INT) AS tainted_by_dup
-         |FROM lbl JOIN cf USING (cluster) ORDER BY doc_id""".stripMargin)
+         |FROM lbl JOIN cf USING (cluster) ORDER BY doc_id""".stripMargin,
+    "x93_epoch_mix" ->
+      // the same planted supply tiers, floored-libm weights, and HUGEINT
+      // quota arithmetic as the engine; the waterfall unrolls
+      // CapMixRounds cap-and-redistribute rounds (converged rounds are
+      // no-ops), so engine and oracle agree bit-for-bit on every alloc
+      s"""WITH ${cappedMixCtesSql(CapMixRounds)}
+         |SELECT source, n_docs, u, w, cap, alloc, capped,
+         | (alloc * 1000) // greatest(u, 1) AS epochs_milli
+         |FROM allc ORDER BY source""".stripMargin)
 }

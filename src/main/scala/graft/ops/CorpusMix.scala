@@ -172,6 +172,85 @@ object CorpusMix {
     remainderAllocation(weighted, budget)
   }
 
+  /** Epoch-capped (data-constrained) apportionment: the published
+    * data-constrained-scaling discipline (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeating a source
+    * beyond ~4 epochs stops buying loss) applied to the quota kernel.
+    * Each source carries a hard `cap` (maxEpochs x its unique supply);
+    * the budget is apportioned by [[remainderAllocation]], any source
+    * allocated past its cap is frozen AT the cap, and the overflow is
+    * re-apportioned over the remaining sources by the same
+    * largest-remainder discipline — the cap-and-redistribute waterfall
+    * (water-filling), iterated to fixpoint.
+    *
+    * Termination: every non-final round freezes >= 1 source, so rounds
+    * <= #sources; a round that freezes nobody is the fixpoint (and
+    * re-running it is a no-op — the idempotence the unrolled SQL oracle
+    * relies on). All arithmetic after the caller's weight construction
+    * is integer (decimal(38,0) quotas, long caps), so the waterfall is
+    * bit-reproducible across engines and partitionings.
+    *
+    * Scale shape: every per-round frame is dimension-sized (sources are
+    * a catalog); the only driver-side values are two scalars per round
+    * (over-cap count + freed budget). Nothing corpus-sized moves.
+    *
+    * @param weighted (source: string, w: long, cap: long) plus
+    *                 ride-through columns; Σ cap must cover `budget`
+    * @return weighted's columns + alloc (long, Σ == budget) +
+    *         capped (int 1 = frozen at its cap)
+    */
+  def epochCappedAllocation(weighted: DataFrame, budget: Long): DataFrame =
+    epochCappedAllocationWithRounds(weighted, budget)._1
+
+  /** [[epochCappedAllocation]] plus the waterfall round count — the spec
+    * pins the fixture's convergence depth against the oracle's unroll.
+    */
+  def epochCappedAllocationWithRounds(
+      weighted0: DataFrame, budget: Long): (DataFrame, Int) = {
+    require(budget >= 0, s"budget must be nonnegative, got $budget")
+    val weighted = Checkpoints.cut(weighted0)
+    val cols = weighted.columns.toSeq
+    require(Seq("source", "w", "cap").forall(cols.contains),
+      s"weighted needs source/w/cap columns, got ${cols.mkString(", ")}")
+    // Capacity preflight: with Σ cap < budget the waterfall would freeze
+    // every source and strand the remainder — that is a caller error
+    // (the budget exceeds what the corpus can supply at this cap), named
+    // here rather than surfacing as a silent under-allocation.
+    val capacity = weighted
+      .agg(coalesce(sum(col("cap")), lit(0L)).cast("long")).head().getLong(0)
+    require(capacity >= budget,
+      s"total cap capacity $capacity cannot place budget $budget — raise maxEpochs or lower the budget")
+
+    var active = weighted
+    var b = budget
+    var cappedParts = List.empty[DataFrame]
+    var rounds = 0
+    var result: DataFrame = null
+    while (result == null) {
+      rounds += 1
+      // Cut per round: the allocation feeds THREE consumers (the over-cap
+      // scalar aggregate, the frozen slice, the surviving slice) and is
+      // dimension-sized.
+      val alloc = Checkpoints.cut(
+        remainderAllocation(active, b)
+          .select(cols.map(col) :+ col("alloc").cast("long").as("alloc"): _*))
+      val over = alloc.filter(col("alloc") > col("cap"))
+      val row = over.agg(
+        count(lit(1)).as("n"), coalesce(sum(col("cap")), lit(0L)).as("freed")).head()
+      if (row.getLong(0) == 0L) result = alloc
+      else {
+        cappedParts ::= over.select(cols.map(col) :+ col("cap").as("alloc"): _*)
+        b -= row.getLong(1)
+        active = alloc.filter(col("alloc") <= col("cap")).select(cols.map(col): _*)
+      }
+    }
+    val out = cappedParts
+      .map(_.select(cols.map(col) :+ col("alloc") :+ lit(1).as("capped"): _*))
+      .foldLeft(result.select(cols.map(col) :+ col("alloc") :+ lit(0).as("capped"): _*))(
+        _ union _)
+    (out, rounds)
+  }
+
   /** Exact largest-remainder apportionment of `budget` over arbitrary
     * integer weights — the integer tail of [[temperatureAllocation]],
     * factored out so callers with their OWN weighting scheme (x80's

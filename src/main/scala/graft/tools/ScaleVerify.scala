@@ -142,7 +142,11 @@ object ScaleVerify {
     // index in SQL — sweeps wherever x13's does.
     "x91_semantic_drift" -> None,
     // x92 rides x26's capped engineered corpus — 240 rows.
-    "x92_taint_propagation" -> None)
+    "x92_taint_propagation" -> None,
+    // x93 output is source-sized (20 rows); the budget derives from the
+    // corpus (9N/5), so cap binding survives fixture replication, and
+    // both engines are one corpus count + dimension-sized waterfall CTEs.
+    "x93_epoch_mix" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -136,4 +136,59 @@ class CorpusMixSpec extends AnyFunSuite with Matchers with SparkTest {
       .collect().map(_.getAs[Double]("e")).max
     langErr should be < 1e-3
   }
+
+  test("epochCappedAllocation: caps bind, budget preserved, rounds within the oracle unroll") {
+    import org.apache.spark.sql.functions._
+    // the x93 fixture shape: 20 uniform sources, three planted supply
+    // tiers (full / half / fifth), cap = 4 epochs, budget = 1.8 N
+    val counts = (0 until 20).map(i => (s"src$i", 25L)).toDF("source", "n_docs")
+    val tier = pmod(TextOps.polyHash(col("source")), lit(3L))
+    val weighted = counts
+      .withColumn("u",
+        when(tier === 0, col("n_docs"))
+          .when(tier === 1, expr("n_docs div 2"))
+          .otherwise(expr("n_docs div 5")))
+      .select(col("source"), col("n_docs"), col("u"),
+        floor(pow(col("u").cast("double"), lit(0.5)) * 1e6).cast("long").as("w"),
+        (col("u") * 4L).as("cap"))
+    val (out, rounds) = CorpusMix.epochCappedAllocationWithRounds(weighted, budget = 900L)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(4), r.getLong(5), r.getInt(6))) // (source, cap, alloc, capped)
+    rows.map(_._3).sum shouldBe 900L // budget preserved exactly through the waterfall
+    rows.foreach { case (s, cap, alloc, flag) =>
+      withClue(s"$s: ") {
+        alloc should be <= cap // no allocation ever exceeds its cap
+        if (flag == 1) alloc shouldBe cap // frozen sources sit exactly AT the cap
+      }
+    }
+    rows.count(_._4 == 1) shouldBe 14 // both small tiers bind
+    rows.count(_._4 == 0) shouldBe 6
+    // the waterfall actually cascaded (round-1 caps freed budget that
+    // pushed the mid tier over in a LATER round) and stays within the
+    // x93 oracle's unrolled depth
+    rounds shouldBe 4
+    rounds should be <= 6 // CapMixRounds — the oracle unroll this pins
+    // redistribution is real: every uncapped source receives MORE than a
+    // cap-ignorant single-round apportionment would give it
+    val plain = CorpusMix.remainderAllocation(weighted, 900L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    rows.filter(_._4 == 0).foreach { case (s, _, alloc, _) =>
+      withClue(s"$s: ") { alloc should be > plain(s) }
+    }
+  }
+
+  test("epochCappedAllocation: budget above total cap capacity fails fast") {
+    val weighted = Seq(("a", 10L, 5L), ("b", 10L, 5L)).toDF("source", "w", "cap")
+    an[IllegalArgumentException] should be thrownBy
+      CorpusMix.epochCappedAllocation(weighted, budget = 11L)
+  }
+
+  test("epochCappedAllocation: budget equal to capacity saturates every cap") {
+    // a's weight hogs round 1 (over-cap), freeing exactly b's cap for
+    // round 2, which lands b AT its cap without tripping the capped flag
+    val weighted = Seq(("a", 100L, 6L), ("b", 1L, 9L)).toDF("source", "w", "cap")
+    val (out, _) = CorpusMix.epochCappedAllocationWithRounds(weighted, budget = 15L)
+    out.collect().map(r => (r.getString(0), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1) shouldBe Array(("a", 6L, 1), ("b", 9L, 0))
+  }
 }
