@@ -2855,6 +2855,33 @@ object ExtensionQueries {
     * aggregate with map-side combine. No UDF, no driver work, map+agg
     * at any corpus size.
     */
+  /** The x73 canonicalization algebra over a raw `url` column — shared
+    * with x94's domain gate so both operate on the same canonical form.
+    * Returns (canon_url, host): lowercased scheme+host, `www.` and
+    * default ports stripped, fragment dropped, trailing path slashes
+    * trimmed (root stays `/`), `utm_*` params removed, survivors
+    * byte-sorted.
+    */
+  private def urlCanonCols(url: Column): (Column, Column) = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/:?#]+)", 1)), "^www\\.", "")
+    val port = regexp_extract(url, "^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    val portCanon = when(
+      port === "" || (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qs = array_join(array_sort(
+      filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+        p => p =!= "" && not(p.rlike(UrlTrackRe)))), "&")
+    val canon = concat(scheme, lit("://"), host, portCanon, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+    (canon, host)
+  }
+
   private def x73(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val url = concat(
@@ -2873,24 +2900,8 @@ object ExtensionQueries {
       when(id % 9 === 0, lit("#top")).otherwise(lit("")))
     val u = t(s, dir, "documents").select(col("doc_id"), col("source"))
       .withColumn("url", url)
-    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
-    val host = regexp_replace(
-      lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1)), "^www\\.", "")
-    val port = regexp_extract(col("url"), "^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
-    val portCanon = when(
-      port === "" || (scheme === "https" && port === "443") ||
-        (scheme === "http" && port === "80"), lit(""))
-      .otherwise(concat(lit(":"), port))
-    val path0 = regexp_replace(
-      regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1), "/+$", "")
-    val path = when(path0 === "", lit("/")).otherwise(path0)
-    val qs = array_join(array_sort(
-      filter(split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
-        p => p =!= "" && not(p.rlike(UrlTrackRe)))), "&")
-    u.select(col("doc_id"),
-      concat(scheme, lit("://"), host, portCanon, path,
-        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))).as("canon_url"),
-      host.as("host"))
+    val (canon, host) = urlCanonCols(col("url"))
+    u.select(col("doc_id"), canon.as("canon_url"), host.as("host"))
       .groupBy(col("canon_url"), col("host"))
       .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("canon_url"))
@@ -3833,6 +3844,90 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** Multi-label public suffixes for x94's registrable-domain extraction.
+    * A deliberate SUBSET of the public suffix list (publicsuffix.org) —
+    * the real list is ~9k entries loaded as a broadcast lookup with the
+    * identical longest-suffix-wins shape; four entries keep the oracle a
+    * byte-for-byte literal while exercising the 3-label path.
+    */
+  private val MultiSuffixes = Seq("co.uk", "com.au", "co.jp", "org.uk")
+
+  /** x94's planted blocklist — the RefinedWeb/FineWeb stage-0 domain
+    * reputation gate's deny side. One .net and one .co.uk entry so the
+    * blocklist join is exercised on BOTH registrable-domain shapes.
+    */
+  private val BadDomains = Seq("trackerfarm.net", "linkmill.co.uk")
+  private val DomainQualityFloor = 0.5
+
+  /** Domain-level reputation gate (x94): the stage-0 filter every web
+    * corpus runs before per-document quality — aggregate to REGISTRABLE
+    * domain (per-domain doc count, distinct canonical URLs -> dup rate,
+    * mean quality) and join a domain blocklist; a domain is kept iff it
+    * is not blocklisted and its mean quality clears the floor.
+    *
+    * URLs are synthesized domain-diverse (per-source .com and .co.uk
+    * registrable domains, www./news. subdomains, utm noise, plus two
+    * planted bad domains on doc_id residues) and pushed through the SAME
+    * canonicalization algebra as x73 ([[urlCanonCols]]). Registrable
+    * domain = last two host labels, or three when the last two are a
+    * multi-label public suffix ([[MultiSuffixes]]); every synthesized
+    * host has >= 2 labels (1-label hosts would need a null-vs-empty
+    * concat convention the engines don't share).
+    *
+    * Scale shape: everything per-row is map-only Column work fused into
+    * the scan; the aggregation is two-level — (domain, canon_url) with
+    * map-side combine (collapses URL-variant floods AT the mappers),
+    * then (domain) — so exactly two corpus-sized hash shuffles, both on
+    * small keys. The blocklist is a broadcast left join (domains are a
+    * catalog; the real ~9k-entry PSL+blocklist broadcasts the same way).
+    * PlanSpec pins <= 2 hash exchanges and the broadcast-only blocklist.
+    */
+  private def x94(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val id = col("doc_id")
+    val url = concat(
+      lit("https://"),
+      when(id % 2 === 0, lit("www.")).when(id % 3 === 0, lit("news.")).otherwise(lit("")),
+      when(id % 17 === 0, lit(BadDomains(0)))
+        .when(id % 23 === 0, lit(BadDomains(1)))
+        .otherwise(concat(col("source"),
+          when(id % 5 === 0, lit(".co.uk")).otherwise(lit(".com")))),
+      lit("/docs/"), (id % 50).cast("string"),
+      lit("?id="), (id % 20).cast("string"),
+      when(id % 9 === 0, lit("&utm_source=feed")).otherwise(lit("")))
+    val u = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextOps.quality(col("text")).as("q"))
+      .withColumn("url", url)
+    val (canon, host) = urlCanonCols(col("url"))
+    val parts = split(host, "\\.")
+    val suffix2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val domain = when(
+        suffix2.isin(MultiSuffixes: _*) && size(parts) >= 3,
+        concat_ws(".",
+          element_at(parts, -3), element_at(parts, -2), element_at(parts, -1)))
+      .otherwise(suffix2)
+    val perUrl = u
+      .select(domain.as("domain"), canon.as("canon_url"), col("q"))
+      .groupBy(col("domain"), col("canon_url"))
+      .agg(count(lit(1)).as("n"), sum(col("q").cast("decimal(18,6)")).as("qs"))
+    val blk = broadcast(BadDomains.toDF("domain").withColumn("blocked", lit(1)))
+    perUrl
+      .groupBy(col("domain"))
+      .agg(
+        sum(col("n")).as("n_docs"), count(lit(1)).as("n_urls"),
+        (sum(col("qs")).cast("double") / sum(col("n"))).as("mean_quality"))
+      .join(blk, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs").cast("long").as("n_docs"),
+        col("n_urls").cast("long").as("n_urls"), col("mean_quality"),
+        round(lit(1.0) - col("n_urls").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        coalesce(col("blocked"), lit(0)).as("blocked"),
+        (coalesce(col("blocked"), lit(0)) === 0 &&
+          col("mean_quality") >= DomainQualityFloor).cast("int").as("keep"))
+      .orderBy(col("domain"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -3928,7 +4023,8 @@ object ExtensionQueries {
     "x90_novelty_score" -> (x90 _),
     "x91_semantic_drift" -> (x91 _),
     "x92_taint_propagation" -> (x92 _),
-    "x93_epoch_mix" -> (x93 _))
+    "x93_epoch_mix" -> (x93 _),
+    "x94_domain_gate" -> (x94 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5713,5 +5809,54 @@ object ExtensionQueries {
       s"""WITH ${cappedMixCtesSql(CapMixRounds)}
          |SELECT source, n_docs, u, w, cap, alloc, capped,
          | (alloc * 1000) // greatest(u, 1) AS epochs_milli
-         |FROM allc ORDER BY source""".stripMargin)
+         |FROM allc ORDER BY source""".stripMargin,
+    "x94_domain_gate" ->
+      // identical synthesized domain-diverse URL, the x73 parse/canon
+      // CTEs verbatim, the same 4-entry multi-suffix set, and the same
+      // two-level (domain, canon) -> (domain) aggregation; blocklist is
+      // a VALUES literal of the planted bad domains
+      s"""WITH u94 AS (SELECT doc_id,
+         |  'https://' ||
+         |  CASE WHEN doc_id % 2 = 0 THEN 'www.' WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END ||
+         |  CASE WHEN doc_id % 17 = 0 THEN '${BadDomains(0)}'
+         |       WHEN doc_id % 23 = 0 THEN '${BadDomains(1)}'
+         |       ELSE source || CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END END ||
+         |  '/docs/' || CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 20 AS VARCHAR) ||
+         |  CASE WHEN doc_id % 9 = 0 THEN '&utm_source=feed' ELSE '' END AS url,
+         |  ws, pu, st FROM (SELECT doc_id, source, text,
+         |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |   CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |   CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         |  FROM documents)),
+         |q94 AS (SELECT doc_id, url, $QualitySql AS q FROM u94),
+         |p94 AS (SELECT doc_id, q,
+         |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         |  regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)), '^www\\.', '') AS host,
+         |  regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+         |  regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1), '/+$$', '') AS path0,
+         |  regexp_extract(url, '\\?([^#]*)', 1) AS q0
+         | FROM q94),
+         |c94 AS (SELECT doc_id, q, host,
+         |  scheme || '://' || host ||
+         |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443') OR (scheme = 'http' AND port = '80')
+         |       THEN '' ELSE ':' || port END ||
+         |  CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+         |  CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+         | FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(q0, '&'),
+         |    x -> x <> '' AND NOT regexp_matches(x, '$UrlTrackRe'))), '&') AS qs FROM p94)),
+         |d94 AS (SELECT doc_id, q, canon_url,
+         |  CASE WHEN len(sp) >= 3 AND (sp[-2] || '.' || sp[-1]) IN (${MultiSuffixes.map(s => s"'$s'").mkString(", ")})
+         |       THEN sp[-3] || '.' || sp[-2] || '.' || sp[-1]
+         |       ELSE sp[-2] || '.' || sp[-1] END AS domain
+         | FROM (SELECT *, string_split(host, '.') AS sp FROM c94)),
+         |pu94 AS (SELECT domain, canon_url, CAST(count(*) AS BIGINT) AS n,
+         |  SUM(CAST(q AS DECIMAL(18,6))) AS qs FROM d94 GROUP BY domain, canon_url),
+         |ag94 AS (SELECT domain, CAST(SUM(n) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(SUM(qs) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS mean_quality FROM pu94 GROUP BY domain)
+         |SELECT a.domain, n_docs, n_urls, mean_quality,
+         | round(1.0 - CAST(n_urls AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+         | CAST(b.domain IS NOT NULL AS INT) AS blocked,
+         | CAST(b.domain IS NULL AND mean_quality >= $DomainQualityFloor AS INT) AS keep
+         |FROM ag94 a LEFT JOIN (VALUES ${BadDomains.map(d => s"('$d')").mkString(", ")}) b(domain) ON b.domain = a.domain
+         |ORDER BY a.domain""".stripMargin)
 }

@@ -146,7 +146,12 @@ object ScaleVerify {
     // x93 output is source-sized (20 rows); the budget derives from the
     // corpus (9N/5), so cap binding survives fixture replication, and
     // both engines are one corpus count + dimension-sized waterfall CTEs.
-    "x93_epoch_mix" -> None)
+    "x93_epoch_mix" -> None,
+    // x94 output is registrable-domain-sized (~22 rows at any scale —
+    // domains are a catalog); both engines are map-only URL algebra +
+    // the two-level (domain, canon) -> (domain) aggregation, linear
+    // everywhere (the x73 oracle shape plus one more hash agg).
+    "x94_domain_gate" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -222,6 +222,23 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
       .foreach(l => l should not include "text")
   }
 
+  test("x94: two hash exchanges, broadcast-only blocklist, pushed scan") {
+    // The domain gate's scale contract: per-row URL/domain algebra fuses
+    // into the scan; aggregation is (domain, canon) -> (domain), each
+    // with map-side combine — exactly two corpus-sized hash shuffles (a
+    // third exchange is the final ORDER BY's range partitioning); the
+    // blocklist joins as a broadcast, never shuffling the corpus on it.
+    // Static plan, not finalPlan: AQE's final string re-prints exchanges
+    // inside materialized query stages, double-counting them.
+    val p = plan("x94_domain_gate")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") should be <= 2
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should include("partial_") // map-side combine on the (domain, canon) stage
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group
