@@ -50,6 +50,63 @@ object ExtensionQueries {
   private def polySql(e: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (a, x) -> (a*31 + x) % ${TextOps.HashP})"
 
+  /** 31^k mod HashP for k = 0..255 as a DuckDB list literal — the power
+    * table for token-level gram hashing ([[fastGramCtesSql]]).
+    */
+  private lazy val PwListSql: String =
+    Iterator.iterate(1L)(v => v * 31 % TextOps.HashP).take(256)
+      .mkString("[", ", ", "]")
+
+  /** 31^length(tok) mod HashP: table lookup for tokens under 256 chars
+    * (all of them, in practice), with an exact per-char fold fallback so
+    * an oversized token can never silently index past the table (DuckDB
+    * returns NULL there, which would corrupt every downstream hash).
+    */
+  private def pwSql(tok: String): String =
+    s"CAST(CASE WHEN length($tok) < 256 THEN ($PwListSql)[length($tok) + 1] " +
+      s"ELSE list_reduce(list_prepend(1::BIGINT, list_transform(range(length($tok)), x -> 31::BIGINT)), (a, x) -> (a * x) % ${TextOps.HashP}) END AS BIGINT)"
+
+  /** The n-gram hash at 1-based token position `$i`, combined from
+    * PER-TOKEN hashes instead of re-folding the concatenated gram text:
+    * hash(x || ' ' || y) = ((hash(x)*31 + 32) * 31^|y| + hash(y)) mod P
+    * (' ' is codepoint 32), applied n-1 times. Equal to
+    * polySql(gram text) by the polynomial-hash composition law —
+    * verified exhaustively against the per-char fold on the fixture
+    * corpus (25,165 positions, 0 mismatches). Every intermediate fits
+    * int64: (P-1)*31+32 < 2^35 and (P-1)^2 < 2^60.
+    */
+  private def gramHashSql(hs: String, pws: String, i: String, n: Int): String =
+    (1 until n).foldLeft(s"$hs[$i]")((acc, j) =>
+      s"((($acc * 31 + 32) % ${TextOps.HashP}) * $pws[$i + $j] + $hs[$i + $j]) % ${TextOps.HashP}")
+
+  /** Positional n-gram hashes of `$src`(id, text) via token-level
+    * combination — the oracle mirror of
+    * [[graft.ops.TextOps.positionalGramHashesOfTokens]] that hashes each
+    * character ONCE per document instead of once per gram position (the
+    * per-char list_reduce over gram TEXT was the gram family's
+    * certified-scale bottleneck: the oracle, not the engine). Emits
+    * `${pfx}gh`(id, i, gh) with i 0-based, ordered within id by i.
+    */
+  private def fastGramCtesSql(src: String, id: String, pfx: String, n: Int): String =
+    s"""${pfx}tk AS (SELECT $id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM $src),
+       |${pfx}th AS (SELECT $id, list_transform(t, tok -> ${polySql("tok")}) AS hs,
+       |  list_transform(t, tok -> ${pwSql("tok")}) AS pws FROM ${pfx}tk),
+       |${pfx}gh AS (SELECT $id, i0 - 1 AS i, ${gramHashSql("hs", "pws", "i0", n)} AS gh
+       | FROM (SELECT $id, hs, pws, unnest(range(1, len(hs) - ${n - 2})) AS i0 FROM ${pfx}th WHERE len(hs) >= $n))""".stripMargin
+
+  /** Winnowing selection over `${pfx}gh`(id, i, gh): per-id lead window
+    * of width w, argmin with the rightmost-tie CASE — emits
+    * `${pfx}sel`(id, pos, gh), one row per selected (possibly repeated)
+    * position. Generated from w like the gram concat is from n.
+    */
+  private def winnowSelCtesSql(id: String, pfx: String, w: Int): String =
+    s"""${pfx}led AS (SELECT $id, i, gh AS gh0,
+       |  ${(1 until w).map(j => s"lead(gh, $j) OVER (PARTITION BY $id ORDER BY i) AS gh$j").mkString(",\n       |  ")} FROM ${pfx}gh),
+       |${pfx}sel AS (SELECT $id,
+       |  i + CASE ${(w - 1 to 1 by -1).map(j => s"WHEN gh$j = m THEN $j").mkString(" ")} ELSE 0 END AS pos,
+       |  m AS gh
+       | FROM (SELECT *, least(${(0 until w).map(j => s"gh$j").mkString(", ")}) AS m FROM ${pfx}led WHERE gh${w - 1} IS NOT NULL))""".stripMargin
+
   /** DuckDB mirror of [[TextOps.htmlBlockText]] over expression `e`:
     * strip tags, decode entities (same order, &amp; last), collapse
     * whitespace, trim — byte-identical patterns AND semantics: the
@@ -5496,21 +5553,18 @@ object ExtensionQueries {
     "x79_dup_ngram_rate" ->
       // identical planted duplication; POSITIONAL 5-grams (no distinct —
       // within-doc repetition counts), global occurrence counts over the
-      // shared polyHash gram key
+      // shared polyHash gram key. Gram hashes via the token-level
+      // combination (fastGramCtesSql) — chars hashed once per doc, not
+      // once per gram position, which unlocks >sf1 oracle sweeps.
       s"""WITH base AS (SELECT doc_id, source, text FROM documents),
          |corpus AS (SELECT doc_id, source, text FROM base
          | UNION ALL SELECT doc_id + 1000000, source, text FROM base WHERE doc_id % 7 = 0),
-         |tk AS (SELECT source, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM corpus),
-         |g AS (SELECT source, unnest(CASE WHEN len(t) >= $DupNgramN
-         |  THEN list_transform(range(1, len(t) - ${DupNgramN - 2}),
-         |    i -> ${(0 until DupNgramN).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")})
-         |  ELSE []::VARCHAR[] END) AS gram FROM tk),
-         |h AS (SELECT source, ${polySql("gram")} AS gh FROM g),
-         |c AS (SELECT gh, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY gh)
+         |${fastGramCtesSql("corpus", "source", "f", DupNgramN)},
+         |c AS (SELECT gh, CAST(count(*) AS BIGINT) AS n FROM fgh GROUP BY gh)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_positions,
          | CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
          | round(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
-         |FROM h JOIN c USING (gh) GROUP BY source ORDER BY source""".stripMargin,
+         |FROM fgh JOIN c USING (gh) GROUP BY source ORDER BY source""".stripMargin,
     "x80_doremi_mix" ->
       // per-source vs global unigram LM excess loss (scale-6 quantized
       // position sums), exp-weights smoothed toward uniform, then the
@@ -5609,26 +5663,15 @@ object ExtensionQueries {
         |      WHEN pct_rank >= 1.0/3.0 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM pr ORDER BY doc_id""".stripMargin,
     "x85_winnowing" ->
-      // positional grams (0-based, aligned with posexplode), lead-window
-      // argmin with the rightmost-tie CASE — identical scalar algebra.
-      // The lead columns and the tie CASE are GENERATED from WinnowW
-      // (like the gram concat is from DupNgramN), so bumping the window
-      // width keeps engine and oracle in lockstep.
-      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM documents),
-         |gr AS (SELECT doc_id, CASE WHEN len(t) >= $DupNgramN
-         |  THEN list_transform(range(1, len(t) - ${DupNgramN - 2}),
-         |    i -> struct_pack(i := i - 1, g := ${(0 until DupNgramN).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")}))
-         |  ELSE [] END AS gs FROM tk),
-         |p AS (SELECT doc_id, u.i AS i, ${polySql("u.g")} AS gh
-         | FROM (SELECT doc_id, unnest(gs) AS u FROM gr)),
-         |led AS (SELECT doc_id, i, gh AS gh0,
-         |  ${(1 until WinnowW).map(j => s"lead(gh, $j) OVER (PARTITION BY doc_id ORDER BY i) AS gh$j").mkString(",\n         |  ")} FROM p),
-         |sel AS (SELECT doc_id,
-         |  i + CASE ${(WinnowW - 1 to 1 by -1).map(j => s"WHEN gh$j = m THEN $j").mkString(" ")} ELSE 0 END AS pos,
-         |  m AS gh
-         | FROM (SELECT *, least(${(0 until WinnowW).map(j => s"gh$j").mkString(", ")}) AS m FROM led WHERE gh${WinnowW - 1} IS NOT NULL))
+      // positional grams (0-based), lead-window argmin with the
+      // rightmost-tie CASE — identical scalar algebra, with the lead
+      // columns and tie CASE GENERATED from WinnowW (winnowSelCtesSql)
+      // and gram hashes via the token-level combination (fastGramCtesSql).
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |${fastGramCtesSql("corpus", "doc_id", "f", DupNgramN)},
+         |${winnowSelCtesSql("doc_id", "f", WinnowW)}
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, gh
-         |FROM sel ORDER BY doc_id, pos""".stripMargin,
+         |FROM fsel ORDER BY doc_id, pos""".stripMargin,
     "x86_gopher_rules" -> {
       val toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
       // identical planted bytes via repeat/concat algebra
@@ -5742,16 +5785,13 @@ object ExtensionQueries {
          |FROM pr ORDER BY vec_id""".stripMargin,
     "x90_novelty_score" ->
       // x79's planted duplication and gram algebra; DISTINCT over gram
-      // HASHES on both sides, df over distinct (doc, gh) pairs
+      // HASHES on both sides, df over distinct (doc, gh) pairs. Token-
+      // level gram hashing (fastGramCtesSql) like x79.
       s"""WITH base AS (SELECT doc_id, text FROM documents),
          |corpus AS (SELECT doc_id, text FROM base
          | UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0),
-         |tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM corpus),
-         |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $DupNgramN
-         |  THEN list_transform(range(1, len(t) - ${DupNgramN - 2}),
-         |    i -> ${(0 until DupNgramN).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")})
-         |  ELSE []::VARCHAR[] END) AS gram FROM tk),
-         |h AS (SELECT DISTINCT doc_id, ${polySql("gram")} AS gh FROM g),
+         |${fastGramCtesSql("corpus", "doc_id", "f", DupNgramN)},
+         |h AS (SELECT DISTINCT doc_id, gh FROM fgh),
          |c AS (SELECT gh, CAST(count(*) AS BIGINT) AS df FROM h GROUP BY gh)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
