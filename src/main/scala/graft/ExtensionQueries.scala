@@ -3985,6 +3985,86 @@ object ExtensionQueries {
       .orderBy(col("domain"))
   }
 
+  /** x95 knobs: one mutation per [[MutEvery]] tokens leaves intact runs
+    * of MutEvery-1 = 9 >= w + n - 1 = 8 tokens, so the winnowing
+    * no-lost-passage theorem still guarantees shared fingerprints inside
+    * every intact run of a mutated plant; the containment floor sits
+    * well under the ~0.5 fingerprint survival that mutation rate
+    * produces and far above word-salad background (~0).
+    */
+  private val MutEvery = 10
+  private val FpContainFloor = 0.3
+
+  /** Fuzzy decontamination (x95): the winnowing-fingerprint form of
+    * x24's exact 5-gram benchmark-leakage sweep — catches PARAPHRASED /
+    * partially edited eval contamination that exact verbatim-threshold
+    * containment misses, at 2/(w+1) of the n-gram index size
+    * ([[Dedup.winnowFingerprints]]'s density bound).
+    *
+    * Same content-hash split as x24 (train < 80, benchmark >= 90); two
+    * plant families: VERBATIM train docs at +200000 (x24's plant —
+    * containment 1.0 by the no-lost-passage theorem) and MUTATED train
+    * docs at +400000 with every [[MutEvery]]-th token replaced (the
+    * paraphrase simulation — exact x24-style matching at a verbatim
+    * threshold misses these; winnowing's self-synchronizing selection
+    * keeps fingerprint containment high inside the intact runs).
+    * Containment = |doc fingerprints ∩ train fingerprint set| /
+    * |doc fingerprints| over DISTINCT hashes.
+    *
+    * Scale shape: fingerprinting is per-document map work; the train
+    * index is a DISTINCT on the 8-byte hash (map-side combined); the
+    * sweep is one hash equi-join on gh + one per-doc aggregate — the
+    * x24 shape with a 60% smaller index and no document-pair space. The
+    * bench frame is deliberately NOT checkpointed: it is consumed twice
+    * (fingerprints + the class join) but its build is map-only scan
+    * work, and materializing a text-bearing corpus frame is exactly
+    * what a 100 TB run must avoid.
+    */
+  private def x95(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(
+      col("doc_id"), col("text"), (TextOps.polyHash(col("text")) % 100).as("bucket"))
+    val train = base.filter(col("bucket") < 80).select(col("doc_id"), col("text"))
+    val verbatim = base.filter(col("bucket") < 80 && col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+        lit("verbatim").as("class"))
+    // Tokens materialize as their own column BEFORE the positional
+    // lambda (the round-13 interpreted-HOF rule): element_at indexes an
+    // attribute, not a re-run of the tokenizer.
+    val mutated = base.filter(col("bucket") < 80 && col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 400000).as("doc_id"), TextOps.tokens(col("text")).as("_t"))
+      .select(col("doc_id"),
+        array_join(
+          // size guard: Spark's sequence(1, 0) DESCENDS instead of
+          // emitting empty — an empty token list must stay empty
+          when(size(col("_t")) > 0,
+            transform(sequence(lit(1), size(col("_t"))), i =>
+              when(pmod(i - 1, lit(MutEvery)) === 0,
+                concat(lit("zzmut"), i.cast("string")))
+                .otherwise(element_at(col("_t"), i))))
+            .otherwise(array().cast("array<string>")), " ").as("text"),
+        lit("mutated").as("class"))
+    val bench = base.filter(col("bucket") >= 90)
+      .select(col("doc_id"), col("text"), lit("natural").as("class"))
+      .union(verbatim).union(mutated)
+    val trainFp = Dedup.winnowFingerprints(train, "doc_id", "text", DupNgramN, WinnowW)
+      .select(col("gh")).distinct()
+    val benchFp = Dedup.winnowFingerprints(
+        bench.select(col("doc_id"), col("text")), "doc_id", "text", DupNgramN, WinnowW)
+      .select(col("id").as("doc_id"), col("gh")).distinct()
+    benchFp
+      .join(trainFp.withColumn("hit", lit(1)), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .join(bench.select(col("doc_id"), col("class")), "doc_id")
+      .withColumn("containment",
+        round(col("n_hit").cast("double") / col("n_fp").cast("double"), 6))
+      .select(col("doc_id"), col("class"), col("n_fp"), col("n_hit"),
+        col("containment"),
+        (col("containment") >= FpContainFloor).cast("int").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -4081,7 +4161,8 @@ object ExtensionQueries {
     "x91_semantic_drift" -> (x91 _),
     "x92_taint_propagation" -> (x92 _),
     "x93_epoch_mix" -> (x93 _),
-    "x94_domain_gate" -> (x94 _))
+    "x94_domain_gate" -> (x94 _),
+    "x95_fuzzy_decontamination" -> (x95 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5898,5 +5979,37 @@ object ExtensionQueries {
          | CAST(b.domain IS NOT NULL AS INT) AS blocked,
          | CAST(b.domain IS NULL AND mean_quality >= $DomainQualityFloor AS INT) AS keep
          |FROM ag94 a LEFT JOIN (VALUES ${BadDomains.map(d => s"('$d')").mkString(", ")}) b(domain) ON b.domain = a.domain
-         |ORDER BY a.domain""".stripMargin)
+         |ORDER BY a.domain""".stripMargin,
+    "x95_fuzzy_decontamination" ->
+      // identical split/plants; both corpora fingerprinted via the SAME
+      // fast gram + winnow generators as x85's oracle; bb and bench are
+      // MATERIALIZED (DuckDB inlines CTEs — bench is referenced by the
+      // fingerprint chain AND the class join, and bb by all three split
+      // slices, so without the hint the per-char full-text polyHash in
+      // bb would re-run ~7x)
+      s"""WITH bb AS MATERIALIZED (SELECT doc_id, text, ${polySql("text")} % 100 AS bucket FROM documents),
+         |tr AS (SELECT doc_id, text FROM bb WHERE bucket < 80),
+         |vb AS (SELECT doc_id + 200000 AS doc_id, text, 'verbatim' AS class FROM bb WHERE bucket < 80 AND doc_id % 13 = 0),
+         |mu0 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM bb WHERE bucket < 80 AND doc_id % 11 = 0),
+         |mu AS (SELECT doc_id + 400000 AS doc_id,
+         |  array_to_string(list_transform(range(1, len(t) + 1),
+         |    i -> CASE WHEN (i - 1) % $MutEvery = 0 THEN 'zzmut' || CAST(i AS VARCHAR) ELSE t[i] END), ' ') AS text,
+         |  'mutated' AS class FROM mu0),
+         |bench AS MATERIALIZED (SELECT doc_id, text, 'natural' AS class FROM bb WHERE bucket >= 90
+         | UNION ALL SELECT doc_id, text, class FROM vb
+         | UNION ALL SELECT doc_id, text, class FROM mu),
+         |${fastGramCtesSql("tr", "doc_id", "t95", DupNgramN)},
+         |${winnowSelCtesSql("doc_id", "t95", WinnowW)},
+         |trfp AS (SELECT DISTINCT gh FROM t95sel),
+         |${fastGramCtesSql("bench", "doc_id", "b95", DupNgramN)},
+         |${winnowSelCtesSql("doc_id", "b95", WinnowW)},
+         |bfp AS (SELECT DISTINCT doc_id, gh FROM b95sel),
+         |st AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |  CAST(SUM(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         | FROM bfp b LEFT JOIN trfp t ON t.gh = b.gh GROUP BY b.doc_id),
+         |ct AS (SELECT doc_id, n_fp, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / CAST(n_fp AS DOUBLE), 6) AS containment FROM st)
+         |SELECT c.doc_id, m.class, n_fp, n_hit, containment,
+         | CAST(containment >= $FpContainFloor AS INT) AS contaminated
+         |FROM ct c JOIN bench m ON m.doc_id = c.doc_id ORDER BY c.doc_id""".stripMargin)
 }

@@ -151,7 +151,11 @@ object ScaleVerify {
     // domains are a catalog); both engines are map-only URL algebra +
     // the two-level (domain, canon) -> (domain) aggregation, linear
     // everywhere (the x73 oracle shape plus one more hash agg).
-    "x94_domain_gate" -> None)
+    "x94_domain_gate" -> None,
+    // x95 output is bench-doc-sized — slice; the oracle winnows both
+    // corpora with the token-level gram mirror (the x85 sf10 shape, ~2x),
+    // so it sweeps wherever x85's does.
+    "x95_fuzzy_decontamination" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8
