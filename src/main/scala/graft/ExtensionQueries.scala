@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import graft.ops.{AnnModels, Checkpoints, CorpusMix, Dedup, GraphOps, Ranks, Similarity, Skew, TextOps, TimeSeries}
+import graft.ops.{AnnModels, Checkpoints, CorpusMix, Dedup, GraphOps, Ranks, Similarity, Skew, TextOps, TimeSeries, UrlOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2912,33 +2912,6 @@ object ExtensionQueries {
     * aggregate with map-side combine. No UDF, no driver work, map+agg
     * at any corpus size.
     */
-  /** The x73 canonicalization algebra over a raw `url` column — shared
-    * with x94's domain gate so both operate on the same canonical form.
-    * Returns (canon_url, host): lowercased scheme+host, `www.` and
-    * default ports stripped, fragment dropped, trailing path slashes
-    * trimmed (root stays `/`), `utm_*` params removed, survivors
-    * byte-sorted.
-    */
-  private def urlCanonCols(url: Column): (Column, Column) = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
-    val host = regexp_replace(
-      lower(regexp_extract(url, "^[A-Za-z]+://([^/:?#]+)", 1)), "^www\\.", "")
-    val port = regexp_extract(url, "^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
-    val portCanon = when(
-      port === "" || (scheme === "https" && port === "443") ||
-        (scheme === "http" && port === "80"), lit(""))
-      .otherwise(concat(lit(":"), port))
-    val path0 = regexp_replace(
-      regexp_extract(url, "^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1), "/+$", "")
-    val path = when(path0 === "", lit("/")).otherwise(path0)
-    val qs = array_join(array_sort(
-      filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
-        p => p =!= "" && not(p.rlike(UrlTrackRe)))), "&")
-    val canon = concat(scheme, lit("://"), host, portCanon, path,
-      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
-    (canon, host)
-  }
-
   private def x73(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val url = concat(
@@ -2957,7 +2930,7 @@ object ExtensionQueries {
       when(id % 9 === 0, lit("#top")).otherwise(lit("")))
     val u = t(s, dir, "documents").select(col("doc_id"), col("source"))
       .withColumn("url", url)
-    val (canon, host) = urlCanonCols(col("url"))
+    val (canon, host) = UrlOps.canonCols(col("url"))
     u.select(col("doc_id"), canon.as("canon_url"), host.as("host"))
       .groupBy(col("canon_url"), col("host"))
       .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keep_id"))
@@ -3901,14 +3874,6 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
-  /** Multi-label public suffixes for x94's registrable-domain extraction.
-    * A deliberate SUBSET of the public suffix list (publicsuffix.org) —
-    * the real list is ~9k entries loaded as a broadcast lookup with the
-    * identical longest-suffix-wins shape; four entries keep the oracle a
-    * byte-for-byte literal while exercising the 3-label path.
-    */
-  private val MultiSuffixes = Seq("co.uk", "com.au", "co.jp", "org.uk")
-
   /** x94's planted blocklist — the RefinedWeb/FineWeb stage-0 domain
     * reputation gate's deny side. One .net and one .co.uk entry so the
     * blocklist join is exercised on BOTH registrable-domain shapes.
@@ -3925,9 +3890,9 @@ object ExtensionQueries {
     * URLs are synthesized domain-diverse (per-source .com and .co.uk
     * registrable domains, www./news. subdomains, utm noise, plus two
     * planted bad domains on doc_id residues) and pushed through the SAME
-    * canonicalization algebra as x73 ([[urlCanonCols]]). Registrable
+    * canonicalization algebra as x73 ([[graft.ops.UrlOps.canonCols]]). Registrable
     * domain = last two host labels, or three when the last two are a
-    * multi-label public suffix ([[MultiSuffixes]]); every synthesized
+    * multi-label public suffix ([[graft.ops.UrlOps.MultiSuffixes]]); every synthesized
     * host has >= 2 labels (1-label hosts would need a null-vs-empty
     * concat convention the engines don't share).
     *
@@ -3956,14 +3921,8 @@ object ExtensionQueries {
     val u = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), TextOps.quality(col("text")).as("q"))
       .withColumn("url", url)
-    val (canon, host) = urlCanonCols(col("url"))
-    val parts = split(host, "\\.")
-    val suffix2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
-    val domain = when(
-        suffix2.isin(MultiSuffixes: _*) && size(parts) >= 3,
-        concat_ws(".",
-          element_at(parts, -3), element_at(parts, -2), element_at(parts, -1)))
-      .otherwise(suffix2)
+    val (canon, host) = UrlOps.canonCols(col("url"))
+    val domain = UrlOps.registrableDomain(host)
     val perUrl = u
       .select(domain.as("domain"), canon.as("canon_url"), col("q"))
       .groupBy(col("domain"), col("canon_url"))
@@ -5966,7 +5925,7 @@ object ExtensionQueries {
          | FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(q0, '&'),
          |    x -> x <> '' AND NOT regexp_matches(x, '$UrlTrackRe'))), '&') AS qs FROM p94)),
          |d94 AS (SELECT doc_id, q, canon_url,
-         |  CASE WHEN len(sp) >= 3 AND (sp[-2] || '.' || sp[-1]) IN (${MultiSuffixes.map(s => s"'$s'").mkString(", ")})
+         |  CASE WHEN len(sp) >= 3 AND (sp[-2] || '.' || sp[-1]) IN (${UrlOps.MultiSuffixes.map(s => s"'$s'").mkString(", ")})
          |       THEN sp[-3] || '.' || sp[-2] || '.' || sp[-1]
          |       ELSE sp[-2] || '.' || sp[-1] END AS domain
          | FROM (SELECT *, string_split(host, '.') AS sp FROM c94)),

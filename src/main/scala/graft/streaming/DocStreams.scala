@@ -381,6 +381,71 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming domain-reputation monitor — the unbounded twin of batch
+    * x94's stage-0 gate: documents arrive with a raw `url` and `text`,
+    * are canonicalized/registrable-domain-keyed with the SAME shared
+    * algebra as the batch query ([[graft.ops.UrlOps]]) and quality-scored
+    * with the same expressions, and accumulate per-domain state across
+    * triggers: a doc count, a decimal-exact quality sum, and a KMV
+    * sketch of canonical-URL hashes. Every trigger the emitted gate
+    * table (doc count, approx distinct canonical URLs -> dup rate, mean
+    * quality, broadcast-blocklist bit, keep) is served via foreachBatch.
+    *
+    * Bounded state on an unbounded feed: domains are a catalog (the
+    * aggregate result table is dimension-sized — Complete mode is legal
+    * for exactly that reason, the temperatureMixMonitor argument), and
+    * the per-domain state is 1 long + 1 decimal + the k smallest 8-byte
+    * hashes — NEVER the URL set, which grows without bound. Below k
+    * distinct URLs per domain the sketch is exact (the spec regime —
+    * emitted table row-identical to an exact batch twin); above, the
+    * (k-1)*P/kth_min estimator (the q29/x60 discipline).
+    */
+  def domainGateMonitor(
+      docs: DataFrame,
+      blocklist: Seq[String],
+      checkpointPath: String,
+      onTrigger: (DataFrame, Long) => Unit,
+      k: Int = 256,
+      qualityFloor: Double = 0.5,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    require(k > 0, s"kmv width must be positive, got $k")
+    val (canon, host) = graft.ops.UrlOps.canonCols(col("url"))
+    val perDoc = docs.select(
+      graft.ops.UrlOps.registrableDomain(host).as("domain"),
+      TextOps.polyHash(canon).as("ch"),
+      TextOps.quality(col("text")).as("q"))
+    perDoc
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q").cast("decimal(18,6)")).as("qs"),
+        graft.functions.SketchExprs.kMinValues(col("ch"), k).as("kmv"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (t: DataFrame, batchId: Long) =>
+        val sp = t.sparkSession
+        import sp.implicits._
+        val blk = broadcast(blocklist.toDF("domain").withColumn("blocked", lit(1)))
+        val mean = col("qs").cast("double") / col("n_docs").cast("double")
+        val nUrls = when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * TextOps.HashP.toDouble) /
+            element_at(col("kmv"), k).cast("double"))
+        val served = t
+          .withColumn("n_urls", nUrls)
+          .join(blk, Seq("domain"), "left")
+          .select(col("domain"), col("n_docs"), col("n_urls"),
+            mean.as("mean_quality"),
+            round(lit(1.0) - col("n_urls") / col("n_docs").cast("double"), 6)
+              .as("dup_rate"),
+            coalesce(col("blocked"), lit(0)).as("blocked"),
+            (coalesce(col("blocked"), lit(0)) === 0 && mean >= qualityFloor)
+              .cast("int").as("keep"))
+        onTrigger(served, batchId)
+      }
+      .start()
+  }
+
   /** Fixed bucket-table width for [[dupGramRateMonitor]]: gram hashes
     * fold into this many buckets so streaming state stays bounded on an
     * unbounded gram vocabulary (state = OBSERVED (source, bucket) pairs,

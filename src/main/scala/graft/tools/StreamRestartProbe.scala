@@ -183,6 +183,75 @@ object StreamRestartProbe {
         java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
   }
 
+  /** domainGateMonitor (Complete-mode domain aggregate: count + decimal
+    * quality sum + KMV url sketch, served via foreachBatch), killed +
+    * replayed at `killAt`, vs an uninterrupted twin. Same final-row
+    * contract as runMix: for every domain the highest-batch-id gate row
+    * must be identical — agreement certifies count, decimal sum, AND
+    * the KMV sketch state all rolled back and re-applied exactly.
+    */
+  def runDomainGate(spark: SparkSession, batches: Int, perBatch: Int, killAt: Int): Result = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("restart-domain").toString
+
+    // four domains (one blocklisted, one multi-label suffix), url paths
+    // cycling so canon duplicates accumulate across batches, text with
+    // batch-dependent quality drift
+    def mkDocs(b: Int): Seq[(String, String)] =
+      (0 until perBatch).map { i =>
+        val dom = (i + b) % 4 match {
+          case 0 => "acme.com"
+          case 1 => "acme.co.uk"
+          case 2 => "other.com"
+          case _ => "badactor.net"
+        }
+        val url = s"https://www.$dom/p/${(i * (b + 2)) % 7}?a=1" +
+          (if (i % 3 == 0) "&utm_source=x" else "")
+        val text = s"the cat and the dog sat in field ${i % 5} of batch $b " +
+          ("and the sun came out " * (1 + i % 3))
+        (url, text)
+      }
+
+    def sink(name: String) = s"$root/$name/out"
+    def chk(name: String) = s"$root/$name/chk"
+    def start(src: MemoryStream[(String, String)], name: String) =
+      DocStreams.domainGateMonitor(
+        src.toDF().toDF("url", "text"), blocklist = Seq("badactor.net"),
+        checkpointPath = chk(name),
+        onTrigger = (t, bid) => t.withColumn("bid", lit(bid))
+          .write.mode("append").parquet(sink(name)),
+        k = 64)
+
+    def finalRows(name: String): Array[String] = {
+      val df = spark.read.parquet(sink(name))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain")).orderBy(col("bid").desc)
+      sortedRows(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "bid"))
+    }
+
+    val srcA = MemoryStream[(String, String)]
+    val qA = start(srcA, "twin")
+    (0 until batches).foreach { b => srcA.addData(mkDocs(b)); qA.processAllAvailable() }
+    qA.stop()
+
+    val srcB = MemoryStream[(String, String)]
+    var qB = start(srcB, "killed")
+    (0 until killAt).foreach { b => srcB.addData(mkDocs(b)); qB.processAllAvailable() }
+    qB.stop()
+    dropCommit(chk("killed"), killAt - 1)
+    qB = start(srcB, "killed")
+    (killAt until batches).foreach { b => srcB.addData(mkDocs(b)); qB.processAllAvailable() }
+    qB.stop()
+
+    val twin = finalRows("twin")
+    val killed = finalRows("killed")
+    Result("domainGateMonitor/final-gate", batches, killAt, killed.length.toLong,
+      twin.nonEmpty &&
+        java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
+  }
+
   /** Kill-replay for the dup-gram-rate monitor: same worst-window drill
     * (offsets written, commit dropped, restart) — the final per-source
     * rates must equal the uninterrupted twin's. Replay determinism is
@@ -341,7 +410,8 @@ object StreamRestartProbe {
     val results = Seq(
       runTopUsers(spark, batches, perBatch, killAt),
       runNearDup(spark, batches, perBatch / 10, killAt),
-      runMix(spark, batches, perBatch, killAt))
+      runMix(spark, batches, perBatch, killAt),
+      runDomainGate(spark, batches, perBatch / 10, killAt))
     println(f"${"probe"}%-36s ${"batches"}%7s ${"killAt"}%6s ${"rows"}%8s ${"agree"}%6s")
     results.foreach(r =>
       println(f"${r.probe}%-36s ${r.batches}%7d ${r.killAt}%6d ${r.rows}%8d ${r.agree}%6s"))

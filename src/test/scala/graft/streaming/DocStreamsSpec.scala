@@ -151,6 +151,75 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     out.unpersist(false)
   }
 
+  test("domainGateMonitor: exact-regime final trigger equals the batch twin; blocklist bites") {
+    import graft.ops.{TextOps, UrlOps}
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    // fixture docs synthesized with messy urls over four registrable
+    // domains (one multi-label suffix, one blocklisted), duplicate canon
+    // urls planted via the id residue
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+      .select(col("doc_id"), col("text"), concat(
+        lit("https://"),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("news.")),
+        when(col("doc_id") % 7 === 0, lit("badactor.net"))
+          .when(col("doc_id") % 3 === 0, lit("acme.co.uk"))
+          .when(col("doc_id") % 3 === 1, lit("acme.com"))
+          .otherwise(lit("other.com")),
+        lit("/p/"), (col("doc_id") % 9).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("?utm_source=x&a=1")).otherwise(lit("?a=1")))
+        .as("url"))
+      .cache()
+    val rows = base.select(col("url"), col("text")).as[(String, String)].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("domain-monitor").toString
+    val in = MemoryStream[(String, String)]
+    val q = DocStreams.domainGateMonitor(
+      in.toDF().toDF("url", "text"), blocklist = Seq("badactor.net"),
+      checkpointPath = s"$root/chk",
+      onTrigger = (t, bid) => t.withColumn("bid", lit(bid))
+        .write.mode("append").parquet(s"$root/out"),
+      k = 1024, qualityFloor = 0.4)
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      Seq(a, b).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.read.parquet(s"$root/out").cache()
+    val lastBid = out.agg(max(col("bid"))).head.getLong(0)
+    val streamed = out.filter(col("bid") === lastBid).drop("bid")
+      .collect().map(_.toString).sorted
+    // batch twin with EXACT countDistinct — k=1024 far exceeds any
+    // domain's distinct canon urls, so the sketch count is exact and the
+    // emitted table must be row-identical
+    val (canon, host) = UrlOps.canonCols(col("url"))
+    val batch = base.select(
+        UrlOps.registrableDomain(host).as("domain"), canon.as("canon"),
+        TextOps.quality(col("text")).as("qq"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).cast("double").as("n_urls"),
+        (sum(col("qq").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_quality"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_urls") / col("n_docs").cast("double"), 6))
+      .withColumn("blocked", when(col("domain") === "badactor.net", 1).otherwise(0))
+      .withColumn("keep",
+        (col("blocked") === 0 && col("mean_quality") >= 0.4).cast("int"))
+      .select("domain", "n_docs", "n_urls", "mean_quality", "dup_rate", "blocked", "keep")
+      .collect().map(_.toString).sorted
+    streamed shouldBe batch
+    // the gate actually fires: the planted bad domain is blocked+dropped,
+    // the multi-label suffix produced a 3-label registrable domain, and
+    // duplicate canon urls produced a positive dup rate somewhere
+    val byDomain = out.filter(col("bid") === lastBid)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    byDomain("badactor.net").getAs[Int]("blocked") shouldBe 1
+    byDomain("badactor.net").getAs[Int]("keep") shouldBe 0
+    byDomain.keySet should contain("acme.co.uk")
+    byDomain.values.map(_.getAs[Double]("dup_rate")).max should be > 0.0
+    out.unpersist(false); base.unpersist(false)
+  }
+
   test("dupGramRateMonitor: final trigger equals the batch bucket twin; conservative vs exact") {
     import graft.ops.TextOps
     import org.apache.spark.sql.functions.{col, count, explode, lit, round, sum, when}

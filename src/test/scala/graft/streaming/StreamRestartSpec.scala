@@ -43,6 +43,12 @@ class StreamRestartSpec extends AnyFunSuite with Matchers with SparkTest {
     r.agree shouldBe true
   }
 
+  test("domainGateMonitor: final gate table after kill+replay equals the twin (count+decimal+KMV state)") {
+    val r = StreamRestartProbe.runDomainGate(spark, batches = 8, perBatch = 120, killAt = 4)
+    r.rows should be > 0L
+    r.agree shouldBe true
+  }
+
   test("dupGramRateMonitor: final rates after worst-window kill+replay equal the twin") {
     val r = StreamRestartProbe.runDupGram(spark, batches = 6, perBatch = 60, killAt = 3)
     r.rows should be > 0L
