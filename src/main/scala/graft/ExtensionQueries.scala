@@ -3804,10 +3804,14 @@ object ExtensionQueries {
     */
   private def x92(s: SparkSession, dir: String): DataFrame = {
     val corpus = Checkpoints.cut(dedupCorpus(s, dir))
-    val labeled = corpus
+    // Cut: two consumers (the cluster-flag aggregate and the serve join)
+    // would otherwise each replay the corpus-to-labels join — the x83/x26
+    // multi-consumer lesson. The frame is 3 numeric columns per doc, no
+    // text (round-14 conf probe: 200-partition ratio 2.08 before the cut).
+    val labeled = Checkpoints.cut(corpus
       .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"),
-        (col("doc_id") % 11 === 0).cast("int").as("own_flag"))
+        (col("doc_id") % 11 === 0).cast("int").as("own_flag")))
     val cflag = labeled.groupBy(col("cluster"))
       .agg(max(col("own_flag")).as("effective_flag"))
     labeled.join(cflag, "cluster")

@@ -113,6 +113,33 @@ object X95Probe {
     println(f"[x95-probe] natural  flag rate: fuzzy ${rate(nat, 0)}%.3f exact ${rate(nat, 1)}%.3f (n=${nat._1})")
     val ok = rate(v, 0) == 1.0 && rate(m, 0) > rate(m, 1)
     println(s"[x95-probe] ${if (ok) "PASS" else "FAIL"} fuzzy catches the mutated plants exact-at-verbatim misses")
+
+    // Mutation-density trade table: fuzzy recall at the served floor as
+    // the edit rate rises (mutEvery falls). The theorem guarantees a
+    // shared fingerprint per intact run >= w+n-1 = 8 tokens, so recall
+    // should hold while mutEvery-1 >= 8 and degrade gracefully below —
+    // the knob table that tells an operator where the detector's floor
+    // actually sits (the BitextTrade discipline).
+    println("[x95-probe] mutEvery | intact-run | fuzzy recall @ floor")
+    Seq(25, 10, 8, 6, 4).foreach { me =>
+      val plants = base.filter(col("bucket") < 80 && col("doc_id") % 11 === 0)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+        .select((col("doc_id") + 400000).as("doc_id"),
+          array_join(
+            when(size(col("_t")) > 0,
+              transform(sequence(lit(1), size(col("_t"))), i =>
+                when(pmod(i - 1, lit(me)) === 0, concat(lit("zzmut"), i.cast("string")))
+                  .otherwise(element_at(col("_t"), i))))
+              .otherwise(array().cast("array<string>")), " ").as("text"))
+      val cont = Dedup.winnowFingerprints(plants, "doc_id", "text", N, W)
+        .select(col("id"), col("gh")).distinct()
+        .join(trainFp.withColumn("hit", lit(1)), Seq("gh"), "left")
+        .groupBy(col("id"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("c"))
+      val nPlants = cont.count()
+      val caught = cont.filter(col("c") >= FpFloor).count()
+      println(f"[x95-probe]   $me%7d | ${me - 1}%10d | ${caught.toDouble / nPlants}%.3f ($caught/$nPlants)")
+    }
     spark.stop()
     if (!ok) sys.exit(1)
   }
