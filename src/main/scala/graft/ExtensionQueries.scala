@@ -2889,7 +2889,9 @@ object ExtensionQueries {
   }
 
   /** Tracking-parameter prefix dropped by the x73 canonicalizer. */
-  private val UrlTrackRe = "^utm_"
+  // Aliased from the engine-side op so the oracle regex can never desync
+  // from what UrlOps.canonCols actually strips.
+  private val UrlTrackRe = graft.ops.UrlOps.TrackRe
 
   /** URL canonicalization + dedup (x73): stage-0 of every web-corpus
     * pipeline — CommonCrawl-style ingest dedupes by CANONICAL URL before
