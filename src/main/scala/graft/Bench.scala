@@ -82,11 +82,14 @@ object Bench {
     val reps = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
     val errors = scala.collection.mutable.ListBuffer[String]()
-    // A rep that throws is EXCLUDED from the timings (a fast failure would
+    // A rep that throws is EXCLUDED from the min (a fast failure would
     // otherwise report a misleadingly tiny min and still count toward the
-    // suite total); queries with zero successful reps appear only in
+    // suite total) but recorded as None so per_rep keeps a placeholder —
+    // rep i of EVERY query stays aligned with sentinel_sec[i] even in the
+    // contaminated/failing runs the sentinel exists to adjudicate
+    // (round-14 ADVICE). Queries with zero successful reps appear only in
     // `errors`, never in `queries`.
-    val timings = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val timings = scala.collection.mutable.LinkedHashMap[String, List[Option[Double]]]()
     // Optional comma-separated query filter for local iteration on one
     // query's timing; the driver never sets it, so per-round runs time the
     // full suite.
@@ -113,12 +116,45 @@ object Bench {
       if (x == 42L) System.err.println("") // keep the loop live
       (System.nanoTime() - t0) / 1e9
     }
+    // Suite-width calibration spin: the SAME arithmetic loop run on one
+    // thread per configured core, wall-timed to completion of all of
+    // them. The single-core sentinel catches co-located contention for
+    // ONE core but walked straight past round 14's uniform 1.19x
+    // whole-box drift (its spin still got a free core); this one moves
+    // with exactly that — whole-machine multi-core throughput — because
+    // it demands every core at once, like the suite does.
+    def parallelSpin(): Double = {
+      val n = math.max(1, scala.util.Try(cpus.toInt).getOrElse(32))
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { tid =>
+        val th = new Thread(() => {
+          var x = 0x9e3779b97f4a7c15L + tid
+          var i = 0
+          while (i < 100000000) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            i += 1
+          }
+          if (x == 42L) System.err.println("")
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
     val sentinels = scala.collection.mutable.ListBuffer[Double]()
+    val parSentinels = scala.collection.mutable.ListBuffer[Double]()
+    // Untimed JIT warmup for both spins: rep 0's parallel spin otherwise
+    // runs interpreter/OSR-cold and reads ~1.3x rep 1's on a QUIET box —
+    // exactly the false positive the 1.25x flag must not fire on. Two
+    // parallel warmups: one compiles the loop, the second settles thread
+    // scheduling/turbo so rep 0 starts from steady state.
+    sentinelSpin(); parallelSpin(); parallelSpin()
     (0 until reps).foreach { _ =>
       sentinels += sentinelSpin()
+      parSentinels += parallelSpin()
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -136,11 +172,14 @@ object Bench {
         // Cache + checkpoint-block hygiene between runs, outside the
         // timed window (see CacheHygiene for why clearCache alone leaks).
         graft.util.CacheHygiene.clear(spark)
-        if (ok) timings(name) = elapsed :: timings.getOrElse(name, Nil)
+        timings(name) =
+          (if (ok) Some(elapsed) else None) :: timings.getOrElse(name, Nil)
       }
     }
     val loadEnd = loadAvg()
-    val results = timings.map { case (name, ts) => name -> ts.min }
+    val results = timings.collect {
+      case (name, ts) if ts.flatten.nonEmpty => name -> ts.flatten.min
+    }
     // Millisecond precision: sub-ms digits are pure noise and the driver
     // snapshots only a bounded TAIL of stdout into BENCH_r{N}.json —
     // every wasted digit pushes real entries out of that window.
@@ -158,8 +197,26 @@ object Bench {
     val flagged = sentinels.zipWithIndex.collect {
       case (s, i) if sMin > 0 && s >= sMin * 1.5 => i
     }
+    // Whole-box verdicts (round-14 verdict #1): the run is load-flagged
+    // when the pre-suite 1-minute load average says the box was already
+    // busy (4.0 on a 32-core box is comfortably above a quiet host's
+    // <1.5 and far below a co-located suite's ~12+), and a rep round is
+    // par-flagged when its suite-width spin ran >= 1.25x the fastest
+    // round's (tighter than the single-core 1.5x: the parallel spin is
+    // the direct analogue of suite throughput, so smaller drifts there
+    // are already meaningful).
+    val LoadFlagThreshold = 4.0
+    val loadFlagged = loadStart >= LoadFlagThreshold
+    val pMin = if (parSentinels.nonEmpty) parSentinels.min else 0.0
+    val parFlagged = parSentinels.zipWithIndex.collect {
+      case (s, i) if pMin > 0 && s >= pMin * 1.25 => i
+    }
+    if (loadFlagged) System.err.println(
+      f"[bench] LOAD-FLAGGED: start load average $loadStart%.2f >= $LoadFlagThreshold — totals below were taken on a busy box; adjudicate via per_rep + sentinels")
     val sentinelJson = sentinels.map(ms).mkString("[", ",", "]")
     val flaggedJson = flagged.mkString("[", ",", "]")
+    val parSentinelJson = parSentinels.map(ms).mkString("[", ",", "]")
+    val parFlaggedJson = parFlagged.mkString("[", ",", "]")
     val loadJson = s"[${ms(loadStart)},${ms(loadEnd)}]"
     // Headline fields LAST: with 100+ queries the map alone overflows the
     // driver's tail window, and a tail keeps the END of the line — so the
@@ -168,18 +225,20 @@ object Bench {
     // cwd), the judge's full per-query artifact since round 8, which also
     // carries the per-rep timings the stdout line can't afford.
     val line =
-      s"""{"queries":$qs,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"load_avg":$loadJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
+      s"""{"queries":$qs,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("logs")
       java.nio.file.Files.createDirectories(out)
       // timings(name) prepends per rep, so reverse restores rep order —
-      // rep i of every query aligns with sentinel_sec[i].
+      // rep i of every query aligns with sentinel_sec[i]; a failed rep
+      // prints as null so the alignment survives failures too.
       val perRep = timings.map { case (k, ts) =>
-        "\"" + k + "\":" + ts.reverse.map(ms).mkString("[", ",", "]")
+        "\"" + k + "\":" + ts.reverse.map(_.map(ms).getOrElse("null"))
+          .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full =
-        s"""{"queries":$qs,"per_rep":$perRep,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"load_avg":$loadJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+        s"""{"queries":$qs,"per_rep":$perRep,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
       java.nio.file.Files.writeString(out.resolve("BENCH_local.json"), full + "\n")
     } catch {
       case e: Throwable =>

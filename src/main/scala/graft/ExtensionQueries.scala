@@ -3873,7 +3873,16 @@ object ExtensionQueries {
         floor(pow(col("u").cast("double"), lit(CapAlpha)) * 1e6)
           .cast("long").as("w"),
         (col("u") * EpochCap).as("cap"))
-    CorpusMix.epochCappedAllocation(weighted, budget)
+    // Rounds guard (round-14 ADVICE): the oracle unrolls a FIXED
+    // CapMixRounds-deep waterfall; a fixture/scale shape that needed
+    // more rounds would leave the oracle silently under-redistributed
+    // and surface as a confusing parity diff. Fail loudly in the ENGINE
+    // instead, naming the knob to raise.
+    val (alloc, rounds) = CorpusMix.epochCappedAllocationWithRounds(weighted, budget)
+    require(rounds <= CapMixRounds,
+      s"x93 waterfall needed $rounds rounds but the SQL oracle unrolls only " +
+        s"$CapMixRounds (CapMixRounds) — raise the unroll before trusting the oracle")
+    alloc
       .select(col("source"), col("n_docs"), col("u"), col("w"), col("cap"),
         col("alloc"), col("capped"),
         expr("(alloc * 1000) div greatest(u, 1)").as("epochs_milli"))

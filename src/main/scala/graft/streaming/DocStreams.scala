@@ -428,9 +428,16 @@ object DocStreams {
         import sp.implicits._
         val blk = broadcast(blocklist.toDF("domain").withColumn("blocked", lit(1)))
         val mean = col("qs").cast("double") / col("n_docs").cast("double")
-        val nUrls = when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-          .otherwise(lit((k - 1).toDouble * TextOps.HashP.toDouble) /
-            element_at(col("kmv"), k).cast("double"))
+        // Clamp to n_docs (round-14 ADVICE): in the estimator regime the
+        // (k-1)*P/kth_min estimate can exceed the true distinct count's
+        // hard upper bound n_docs, which would serve a NEGATIVE dup_rate —
+        // an output batch x94 can never emit. Exact regime is unaffected
+        // (size(kmv) <= n_docs by construction there).
+        val nUrls = least(
+          when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+            .otherwise(lit((k - 1).toDouble * TextOps.HashP.toDouble) /
+              element_at(col("kmv"), k).cast("double")),
+          col("n_docs").cast("double"))
         val served = t
           .withColumn("n_urls", nUrls)
           .join(blk, Seq("domain"), "left")

@@ -106,6 +106,16 @@ object X95Probe {
     val nSh = trainSh.count()
     def rate(t: (Long, Long, Long), i: Int): Double =
       (if (i == 0) t._2 else t._3).toDouble / t._1
+    // Empty-class guard (round-14 ADVICE): at a tiny/unusual fixture
+    // scale a class can be empty (e.g. no doc with bucket<80 and
+    // doc_id%13==0); Map.apply would throw a bare NoSuchElementException
+    // where the probe should FAIL readably.
+    Seq("verbatim", "mutated", "natural").filterNot(joined.contains) match {
+      case Nil =>
+      case missing =>
+        println(s"[x95-probe] FAIL empty class(es) at $sfDir: ${missing.mkString(", ")} — fixture too small for the plant residues")
+        sys.exit(1)
+    }
     val v = joined("verbatim"); val m = joined("mutated"); val nat = joined("natural")
     println(f"[x95-probe] $sfDir train index: $nFp winnow fingerprints vs $nSh distinct 5-grams (ratio ${nFp.toDouble / nSh}%.3f, bound 2/(w+1)=${2.0 / (W + 1)}%.3f)")
     println(f"[x95-probe] verbatim recall: fuzzy@$FpFloor ${rate(v, 0)}%.3f (n=${v._1}) exact@$ExactVerbatimFloor ${rate(v, 1)}%.3f")
