@@ -107,6 +107,54 @@ object ExtensionQueries {
        |  m AS gh
        | FROM (SELECT *, least(${(0 until w).map(j => s"gh$j").mkString(", ")}) AS m FROM ${pfx}led WHERE gh${w - 1} IS NOT NULL))""".stripMargin
 
+  /** Shared x95/x96 oracle base: the engine's [[decontFrames]] as CTEs
+    * (bb/tr/vb/mu0/mu/bench) — one definition so the two oracles cannot
+    * desync on the split/plants.
+    */
+  private lazy val decontBaseCtesSql: String =
+    s"""bb AS MATERIALIZED (SELECT doc_id, text, ${polySql("text")} % 100 AS bucket FROM documents),
+       |tr AS (SELECT doc_id, text FROM bb WHERE bucket < 80),
+       |vb AS (SELECT doc_id + 200000 AS doc_id, text, 'verbatim' AS class FROM bb WHERE bucket < 80 AND doc_id % 13 = 0),
+       |mu0 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM bb WHERE bucket < 80 AND doc_id % 11 = 0),
+       |mu AS (SELECT doc_id + 400000 AS doc_id,
+       |  array_to_string(list_transform(range(1, len(t) + 1),
+       |    i -> CASE WHEN (i - 1) % $MutEvery = 0 THEN 'zzmut' || CAST(i AS VARCHAR) ELSE t[i] END), ' ') AS text,
+       |  'mutated' AS class FROM mu0),
+       |bench AS MATERIALIZED (SELECT doc_id, text, 'natural' AS class FROM bb WHERE bucket >= 90
+       | UNION ALL SELECT doc_id, text, class FROM vb
+       | UNION ALL SELECT doc_id, text, class FROM mu)""".stripMargin
+
+  /** DuckDB mirror of Public-Suffix-List resolution over `$src`'s
+    * DISTINCT hosts — emits `${pfx}dom`(host, domain) where domain is
+    * the registrable domain (NULL when the host IS a public suffix).
+    * The rule rows are GENERATED from [[graft.ops.Psl.default]] (name +
+    * kind 0 normal / 1 wildcard-tail / 2 exception), so the engine's
+    * codegen'd lookup ([[graft.functions.UrlExprs]]) and this mirror
+    * resolve the identical rule set by construction — the UrlOps
+    * tracking-regex aliasing discipline applied to the whole list.
+    * Resolution: candidate suffixes (the host's last 1..maxLabels
+    * labels) equi-join the rule table; exception prevails (minus its
+    * left-most label), else most labels (wildcard tail k matches as
+    * k + 1 when a label precedes it), else the implicit `*` default.
+    */
+  private def pslDomainCtesSql(src: String, pfx: String): String = {
+    val rules = graft.ops.Psl.default
+    val vals = rules.rows.map { case (n, t) => s"('$n', $t)" }.mkString(", ")
+    s"""${pfx}h AS (SELECT host, string_split(host, '.') AS sp, len(string_split(host, '.')) AS nl FROM (SELECT DISTINCT host FROM $src)),
+       |${pfx}r(name, typ) AS (SELECT * FROM (VALUES $vals)),
+       |${pfx}c AS (SELECT host, nl, k, array_to_string(sp[nl - k + 1:nl], '.') AS suffix
+       |  FROM (SELECT host, sp, nl, unnest(range(1, least(nl, ${rules.maxLabels}) + 1)) AS k FROM ${pfx}h)),
+       |${pfx}m AS (SELECT c.host,
+       |    max(CASE WHEN r.typ = 2 THEN c.k END) AS exc,
+       |    max(CASE WHEN r.typ = 0 THEN c.k WHEN r.typ = 1 AND c.nl >= c.k + 1 THEN c.k + 1 END) AS best
+       |  FROM ${pfx}c c JOIN ${pfx}r r ON r.name = c.suffix GROUP BY c.host),
+       |${pfx}dom AS (SELECT host,
+       |    CASE WHEN nl >= ps + 1 THEN array_to_string(sp[nl - ps:nl], '.') END AS domain
+       |  FROM (SELECT h.host, h.sp, h.nl,
+       |      CASE WHEN m.exc IS NOT NULL THEN m.exc - 1 ELSE coalesce(m.best, 1) END AS ps
+       |    FROM ${pfx}h h LEFT JOIN ${pfx}m m ON m.host = h.host))""".stripMargin
+  }
+
   /** DuckDB mirror of [[TextOps.htmlBlockText]] over expression `e`:
     * strip tags, decode entities (same order, &amp; last), collapse
     * whitespace, trim — byte-identical patterns AND semantics: the
@@ -3903,13 +3951,18 @@ object ExtensionQueries {
     * is not blocklisted and its mean quality clears the floor.
     *
     * URLs are synthesized domain-diverse (per-source .com and .co.uk
-    * registrable domains, www./news. subdomains, utm noise, plus two
-    * planted bad domains on doc_id residues) and pushed through the SAME
-    * canonicalization algebra as x73 ([[graft.ops.UrlOps.canonCols]]). Registrable
-    * domain = last two host labels, or three when the last two are a
-    * multi-label public suffix ([[graft.ops.UrlOps.MultiSuffixes]]); every synthesized
-    * host has >= 2 labels (1-label hosts would need a null-vs-empty
-    * concat convention the engines don't share).
+    * registrable domains, www./news. subdomains, utm noise, two planted
+    * bad domains, plus residues that exercise every PSL RULE SHAPE:
+    * `m.srcN.ck` under the wildcard `*.ck`, `city.kawasaki.jp` under a
+    * wildcard + exception pair, and `srcN.github.io` under a
+    * private-section platform suffix) and pushed through the SAME
+    * canonicalization algebra as x73 ([[graft.ops.UrlOps.canonCols]]).
+    * Registrable domain resolves the embedded real-format PSL snapshot
+    * per the publicsuffix.org algorithm ([[graft.ops.Psl]], codegen'd
+    * O(labels) probes — [[graft.functions.UrlExprs]]); the oracle
+    * re-resolves the SAME rule rows (generated from [[graft.ops.Psl.default]],
+    * so the mirrors cannot desync) via a candidate-suffix equi-join over
+    * DISTINCT hosts.
     *
     * Scale shape: everything per-row is map-only Column work fused into
     * the scan; the aggregation is two-level — (domain, canon_url) with
@@ -3928,6 +3981,9 @@ object ExtensionQueries {
       when(id % 2 === 0, lit("www.")).when(id % 3 === 0, lit("news.")).otherwise(lit("")),
       when(id % 17 === 0, lit(BadDomains(0)))
         .when(id % 23 === 0, lit(BadDomains(1)))
+        .when(id % 31 === 0, concat(lit("m."), col("source"), lit(".ck")))
+        .when(id % 37 === 0, lit("city.kawasaki.jp"))
+        .when(id % 41 === 0, concat(col("source"), lit(".github.io")))
         .otherwise(concat(col("source"),
           when(id % 5 === 0, lit(".co.uk")).otherwise(lit(".com")))),
       lit("/docs/"), (id % 50).cast("string"),
@@ -3994,7 +4050,14 @@ object ExtensionQueries {
     * work, and materializing a text-bearing corpus frame is exactly
     * what a 100 TB run must avoid.
     */
-  private def x95(s: SparkSession, dir: String): DataFrame = {
+  /** Shared x95/x96 corpora: the content-hash train/bench split with
+    * the verbatim (+200000) and mutated (+400000) plant families —
+    * factored so the sweep (x95) and the span localizer (x96) can never
+    * desync on the fixture they share.
+    *
+    * @return (train(doc_id, text), bench(doc_id, text, class))
+    */
+  private def decontFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = t(s, dir, "documents").select(
       col("doc_id"), col("text"), (TextOps.polyHash(col("text")) % 100).as("bucket"))
     val train = base.filter(col("bucket") < 80).select(col("doc_id"), col("text"))
@@ -4020,6 +4083,11 @@ object ExtensionQueries {
     val bench = base.filter(col("bucket") >= 90)
       .select(col("doc_id"), col("text"), lit("natural").as("class"))
       .union(verbatim).union(mutated)
+    (train, bench)
+  }
+
+  private def x95(s: SparkSession, dir: String): DataFrame = {
+    val (train, bench) = decontFrames(s, dir)
     val trainFp = Dedup.winnowFingerprints(train, "doc_id", "text", DupNgramN, WinnowW)
       .select(col("gh")).distinct()
     val benchFp = Dedup.winnowFingerprints(
@@ -4037,6 +4105,53 @@ object ExtensionQueries {
         col("containment"),
         (col("containment") >= FpContainFloor).cast("int").as("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  /** x96 knobs. SpanMergeGap: inside one shared passage, consecutive
+    * MATCHED fingerprint gram positions are <= [[WinnowW]] apart
+    * (winnowing selects >= 1 per w-window) and a single edited token
+    * voids the [[DupNgramN]] gram positions covering it, with up to
+    * w - 1 selection slack on each side — so gaps up to
+    * n + 2(w - 1) = 11 gram positions are bridged (one x95 mutated
+    * plant's intact runs localize as ONE span, not dozens) and
+    * anything larger starts a new span. SpanMinFp suppresses
+    * single-fingerprint background coincidences (real shared passages
+    * produce runs of matches; one stray 8-byte hash collision or a
+    * common phrase is not a leak). GhTrainDfCap drops fingerprints
+    * present in more than this many DISTINCT train docs from the index:
+    * boilerplate that common is duplication evidence (x79's business),
+    * not contamination evidence, and the cap bounds the per-fingerprint
+    * join fan-out at any corpus scale.
+    */
+  private val SpanMergeGap = DupNgramN + 2 * (WinnowW - 1)
+  private val SpanMinFp = 2L
+  private val GhTrainDfCap = 64L
+
+  /** Contamination span localization (x96): x95 says WHICH bench docs
+    * leak; this says WHERE — per (bench doc, train doc) pair, the
+    * merged token intervals whose winnowing fingerprints match, i.e.
+    * the passage to strip from train (or the benchmark item to cite).
+    * Positions ride the fingerprints for free
+    * ([[Dedup.winnowFingerprints]] returns them); localization is the
+    * x95 sweep with train_id + pos kept, then classic gaps-and-islands
+    * interval merging.
+    *
+    * Scale shape: both fingerprint frames are map-only per document;
+    * the sweep is the same 8-byte gh equi-join as x95 with per-hash
+    * fan-out bounded by [[GhTrainDfCap]]; the islands window partitions
+    * by (bench_doc, train_doc) — pairs sharing >= 1 fingerprint, a
+    * sparse candidate set, never the doc-pair cross space; output is
+    * interval-count-sized. Nothing text-bearing shuffles past the
+    * fingerprint step.
+    */
+  private def x96(s: SparkSession, dir: String): DataFrame = {
+    val (train, bench) = decontFrames(s, dir)
+    Dedup.fingerprintSpans(
+        bench.select(col("doc_id"), col("text")), train, "doc_id", "text",
+        DupNgramN, WinnowW, SpanMergeGap, SpanMinFp, GhTrainDfCap)
+      .select(col("id").as("doc_id"), col("train_id"), col("span_start"),
+        col("span_end"), col("span_tokens"), col("n_fp"))
+      .orderBy(col("doc_id"), col("train_id"), col("span_start"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -4136,7 +4251,8 @@ object ExtensionQueries {
     "x92_taint_propagation" -> (x92 _),
     "x93_epoch_mix" -> (x93 _),
     "x94_domain_gate" -> (x94 _),
-    "x95_fuzzy_decontamination" -> (x95 _))
+    "x95_fuzzy_decontamination" -> (x95 _),
+    "x96_contamination_spans" -> (x96 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5907,7 +6023,8 @@ object ExtensionQueries {
          |FROM allc ORDER BY source""".stripMargin,
     "x94_domain_gate" ->
       // identical synthesized domain-diverse URL, the x73 parse/canon
-      // CTEs verbatim, the same 4-entry multi-suffix set, and the same
+      // CTEs verbatim, PSL resolution re-derived from the SAME rule
+      // rows as the engine's lookup (pslDomainCtesSql), and the same
       // two-level (domain, canon) -> (domain) aggregation; blocklist is
       // a VALUES literal of the planted bad domains
       s"""WITH u94 AS (SELECT doc_id,
@@ -5915,6 +6032,9 @@ object ExtensionQueries {
          |  CASE WHEN doc_id % 2 = 0 THEN 'www.' WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END ||
          |  CASE WHEN doc_id % 17 = 0 THEN '${BadDomains(0)}'
          |       WHEN doc_id % 23 = 0 THEN '${BadDomains(1)}'
+         |       WHEN doc_id % 31 = 0 THEN 'm.' || source || '.ck'
+         |       WHEN doc_id % 37 = 0 THEN 'city.kawasaki.jp'
+         |       WHEN doc_id % 41 = 0 THEN source || '.github.io'
          |       ELSE source || CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END END ||
          |  '/docs/' || CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 20 AS VARCHAR) ||
          |  CASE WHEN doc_id % 9 = 0 THEN '&utm_source=feed' ELSE '' END AS url,
@@ -5939,11 +6059,9 @@ object ExtensionQueries {
          |  CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
          | FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(q0, '&'),
          |    x -> x <> '' AND NOT regexp_matches(x, '$UrlTrackRe'))), '&') AS qs FROM p94)),
-         |d94 AS (SELECT doc_id, q, canon_url,
-         |  CASE WHEN len(sp) >= 3 AND (sp[-2] || '.' || sp[-1]) IN (${UrlOps.MultiSuffixes.map(s => s"'$s'").mkString(", ")})
-         |       THEN sp[-3] || '.' || sp[-2] || '.' || sp[-1]
-         |       ELSE sp[-2] || '.' || sp[-1] END AS domain
-         | FROM (SELECT *, string_split(host, '.') AS sp FROM c94)),
+         |${pslDomainCtesSql("c94", "ps94")},
+         |d94 AS (SELECT c.doc_id, c.q, c.canon_url, p.domain
+         | FROM c94 c JOIN ps94dom p ON p.host = c.host),
          |pu94 AS (SELECT domain, canon_url, CAST(count(*) AS BIGINT) AS n,
          |  SUM(CAST(q AS DECIMAL(18,6))) AS qs FROM d94 GROUP BY domain, canon_url),
          |ag94 AS (SELECT domain, CAST(SUM(n) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_urls,
@@ -5961,17 +6079,7 @@ object ExtensionQueries {
       // fingerprint chain AND the class join, and bb by all three split
       // slices, so without the hint the per-char full-text polyHash in
       // bb would re-run ~7x)
-      s"""WITH bb AS MATERIALIZED (SELECT doc_id, text, ${polySql("text")} % 100 AS bucket FROM documents),
-         |tr AS (SELECT doc_id, text FROM bb WHERE bucket < 80),
-         |vb AS (SELECT doc_id + 200000 AS doc_id, text, 'verbatim' AS class FROM bb WHERE bucket < 80 AND doc_id % 13 = 0),
-         |mu0 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM bb WHERE bucket < 80 AND doc_id % 11 = 0),
-         |mu AS (SELECT doc_id + 400000 AS doc_id,
-         |  array_to_string(list_transform(range(1, len(t) + 1),
-         |    i -> CASE WHEN (i - 1) % $MutEvery = 0 THEN 'zzmut' || CAST(i AS VARCHAR) ELSE t[i] END), ' ') AS text,
-         |  'mutated' AS class FROM mu0),
-         |bench AS MATERIALIZED (SELECT doc_id, text, 'natural' AS class FROM bb WHERE bucket >= 90
-         | UNION ALL SELECT doc_id, text, class FROM vb
-         | UNION ALL SELECT doc_id, text, class FROM mu),
+      s"""WITH $decontBaseCtesSql,
          |${fastGramCtesSql("tr", "doc_id", "t95", DupNgramN)},
          |${winnowSelCtesSql("doc_id", "t95", WinnowW)},
          |trfp AS (SELECT DISTINCT gh FROM t95sel),
@@ -5985,5 +6093,33 @@ object ExtensionQueries {
          |  round(CAST(n_hit AS DOUBLE) / CAST(n_fp AS DOUBLE), 6) AS containment FROM st)
          |SELECT c.doc_id, m.class, n_fp, n_hit, containment,
          | CAST(containment >= $FpContainFloor AS INT) AS contaminated
-         |FROM ct c JOIN bench m ON m.doc_id = c.doc_id ORDER BY c.doc_id""".stripMargin)
+         |FROM ct c JOIN bench m ON m.doc_id = c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "x96_contamination_spans" ->
+      // same base CTEs + fingerprint generators as x95, with train_id
+      // and pos kept; df cap via HAVING; gaps-and-islands with the same
+      // lag/sum windows as the engine
+      s"""WITH $decontBaseCtesSql,
+         |${fastGramCtesSql("tr", "doc_id", "t96", DupNgramN)},
+         |${winnowSelCtesSql("doc_id", "t96", WinnowW)},
+         |trfp0 AS (SELECT DISTINCT doc_id AS train_id, gh FROM t96sel),
+         |rgh AS (SELECT gh FROM trfp0 GROUP BY gh HAVING count(*) <= $GhTrainDfCap),
+         |trfp AS (SELECT t.train_id, t.gh FROM trfp0 t JOIN rgh r ON r.gh = t.gh),
+         |${fastGramCtesSql("bench", "doc_id", "b96", DupNgramN)},
+         |${winnowSelCtesSql("doc_id", "b96", WinnowW)},
+         |bfp AS (SELECT DISTINCT doc_id, pos, gh FROM b96sel),
+         |m96 AS (SELECT DISTINCT b.doc_id, t.train_id, b.pos
+         | FROM bfp b JOIN trfp t ON t.gh = b.gh),
+         |i96 AS (SELECT doc_id, train_id, pos,
+         |  SUM(CASE WHEN prev IS NOT NULL AND pos - prev > $SpanMergeGap THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id, train_id ORDER BY pos) AS island
+         | FROM (SELECT *, lag(pos) OVER (PARTITION BY doc_id, train_id ORDER BY pos) AS prev FROM m96)),
+         |sp96 AS (SELECT doc_id, train_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + ${DupNgramN - 1} AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_fp
+         | FROM i96 GROUP BY doc_id, train_id, island)
+         |SELECT doc_id, train_id, span_start, span_end,
+         | span_end - span_start + 1 AS span_tokens, n_fp
+         |FROM sp96 WHERE n_fp >= $SpanMinFp
+         |ORDER BY doc_id, train_id, span_start""".stripMargin)
 }

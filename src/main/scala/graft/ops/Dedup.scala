@@ -469,4 +469,65 @@ object Dedup {
       .select(col("id"), explode(sels).as("sel"))
       .select(col("id"), col("sel.pos").as("pos"), col("sel.gh").as("gh"))
   }
+
+  /** Matched-fingerprint span localization: for every (bench doc,
+    * train doc) pair sharing winnowing fingerprints, the merged bench
+    * token intervals those matches cover — WHERE the shared passage
+    * sits, not just that it exists. Positions come free from
+    * [[winnowFingerprints]]; merging is gaps-and-islands over matched
+    * gram positions: a new span starts when the gap to the previous
+    * match exceeds `mergeGap` (sized by the caller from the winnow
+    * theorem: within one shared passage consecutive selections are
+    * <= w apart, and a single edited token voids n gram positions, so
+    * n + 2(w-1) bridges isolated edits without merging distinct
+    * passages). Spans with fewer than `minFp` matches drop — one
+    * shared fingerprint is a common phrase or an 8-byte coincidence,
+    * not passage evidence.
+    *
+    * Scale shape: fingerprinting is map-only per doc; the candidate
+    * join is an 8-byte gh equi-join whose per-hash fan-out is bounded
+    * by `dfCap` (fingerprints in more DISTINCT train docs than that are
+    * boilerplate — duplication evidence, not contamination evidence —
+    * and are dropped from the index, the posting-list-cap discipline);
+    * the islands window partitions by (bench, train) pair over the
+    * sparse matched set, never a doc-pair cross space.
+    *
+    * @return (id, train_id, span_start, span_end, span_tokens, n_fp) —
+    *         token intervals are inclusive, 0-based; end covers the
+    *         last matched gram's n tokens
+    */
+  def fingerprintSpans(
+      bench: DataFrame, train: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, mergeGap: Int, minFp: Long, dfCap: Long): DataFrame = {
+    require(mergeGap >= 0, s"mergeGap must be >= 0, got $mergeGap")
+    require(minFp >= 1, s"minFp must be >= 1, got $minFp")
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    val trainFp0 = winnowFingerprints(train, idCol, textCol, n, w)
+      .select(col("id").as("train_id"), col("gh")).distinct()
+    val rareGh = trainFp0.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+      .select(col("gh"))
+    val trainFp = trainFp0.join(rareGh, "gh")
+    val benchFp = winnowFingerprints(bench, idCol, textCol, n, w)
+      .select(col("id"), col("pos"), col("gh")).distinct()
+    val matches = benchFp.join(trainFp, "gh")
+      .select(col("id"), col("train_id"), col("pos")).distinct()
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("train_id")).orderBy(col("pos"))
+    matches
+      .withColumn("_prev", lag(col("pos"), 1).over(byPos))
+      // first row of a pair: _prev null -> otherwise(0) -> island 0
+      .withColumn("_new",
+        when(col("pos") - col("_prev") > mergeGap, 1).otherwise(0))
+      .withColumn("_island", sum(col("_new")).over(byPos.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("id"), col("train_id"), col("_island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_fp"))
+      .filter(col("n_fp") >= minFp)
+      .select(col("id"), col("train_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"), col("n_fp"))
+  }
 }

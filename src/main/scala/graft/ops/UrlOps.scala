@@ -19,13 +19,12 @@ object UrlOps {
   /** Tracking parameters stripped by canonicalization. */
   val TrackRe = "^utm_"
 
-  /** Multi-label public suffixes for [[registrableDomain]] — a
-    * deliberate SUBSET of the public suffix list (publicsuffix.org);
-    * the real ~9k-entry list loads as the same broadcast lookup with
-    * longest-suffix-wins, four entries keep the oracle a literal while
-    * exercising the 3-label path.
+  /** Rule set behind [[registrableDomain]]: the embedded real-format
+    * PSL snapshot ([[PslSnapshot]]), parsed once. The production ~9k
+    * entry publicsuffix.org file is a drop-in text swap via
+    * [[Psl.parse]] — same parser, same lookup, same expression.
     */
-  val MultiSuffixes: Seq[String] = Seq("co.uk", "com.au", "co.jp", "org.uk")
+  def pslRules: PslRules = Psl.default
 
   /** Canonical form of a raw URL: lowercased scheme+host, `www.` and
     * default ports stripped (443/https, 80/http), fragment dropped,
@@ -54,17 +53,15 @@ object UrlOps {
     (canon, host)
   }
 
-  /** Registrable domain of a canonical host: the last two labels, or
-    * three when the last two are a multi-label public suffix. Hosts
-    * must have >= 2 labels (1-label hosts would need a null-vs-empty
-    * concat convention Spark and DuckDB don't share).
+  /** Registrable domain of a canonical host under the embedded PSL
+    * snapshot: public suffix resolved per the publicsuffix.org
+    * algorithm (exception rules prevail, else longest match, else the
+    * implicit `*` default — so an unknown TLD still yields the last
+    * two labels), plus one label. NULL when the host is itself a
+    * public suffix. Codegen'd O(labels) hash probes per row
+    * ([[graft.functions.UrlExprs]]) — no shuffle, no interpreted-row
+    * boundary, the rule table rides the plan as one reference object.
     */
-  def registrableDomain(host: Column): Column = {
-    val parts = split(host, "\\.")
-    val suffix2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
-    when(suffix2.isin(MultiSuffixes: _*) && size(parts) >= 3,
-      concat_ws(".",
-        element_at(parts, -3), element_at(parts, -2), element_at(parts, -1)))
-      .otherwise(suffix2)
-  }
+  def registrableDomain(host: Column): Column =
+    graft.functions.UrlExprs.registrableDomain(host, pslRules)
 }

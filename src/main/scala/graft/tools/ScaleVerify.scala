@@ -155,7 +155,11 @@ object ScaleVerify {
     // x95 output is bench-doc-sized — slice; the oracle winnows both
     // corpora with the token-level gram mirror (the x85 sf10 shape, ~2x),
     // so it sweeps wherever x85's does.
-    "x95_fuzzy_decontamination" -> Some("doc_id % 97 = 0"))
+    "x95_fuzzy_decontamination" -> Some("doc_id % 97 = 0"),
+    // x96 output is span-sized (pairs sharing >= 2 fingerprints); the
+    // oracle rides the same winnow mirrors as x95 plus a window — slice
+    // on the bench doc like x95's.
+    "x96_contamination_spans" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -362,4 +362,67 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
     nfp / windows should be > 0.2
     nfp / windows should be < 0.6
   }
+
+  test("fingerprintSpans localizes a planted passage to its token interval") {
+    val n = 5; val w = 4; val gap = n + 2 * (w - 1)
+    // 30 unique passage tokens at offset 20 in the bench doc, offset 0
+    // in the train doc; surroundings per-doc-unique so the shared
+    // content is EXACTLY the passage
+    val passage = (0 until 30).map(i => s"shared$i").mkString(" ")
+    val benchDoc = (0 until 20).map(i => s"ba$i").mkString(" ") + " " + passage +
+      " " + (0 until 25).map(i => s"bb$i").mkString(" ")
+    val bench = Seq((100L, benchDoc), (101L, randText(5, 60))).toDF("doc_id", "text")
+    val train = Seq((1L, passage + " " + (0 until 40).map(i => s"ta$i").mkString(" ")),
+      (2L, randText(99, 60))).toDF("doc_id", "text")
+    val spans = Dedup.fingerprintSpans(bench, train, "doc_id", "text",
+      n, w, gap, minFp = 2L, dfCap = 64L).collect()
+    spans.length shouldBe 1
+    val r = spans.head
+    r.getAs[Long]("id") shouldBe 100L
+    r.getAs[Long]("train_id") shouldBe 1L
+    // winnow selection slack: the first selected gram can start up to
+    // w - 1 grams into the passage, the last covers through its end
+    val start = r.getAs[Long]("span_start")
+    val end = r.getAs[Long]("span_end")
+    start should be >= 20L
+    start should be <= (20L + w - 1)
+    end should be >= (20L + 30 - w.toLong)
+    end should be <= (20L + 30 - 1)
+    r.getAs[Long]("span_tokens") shouldBe (end - start + 1)
+  }
+
+  test("fingerprintSpans: mergeGap bridges an isolated edit, separates distinct passages") {
+    val n = 5; val w = 4; val gap = n + 2 * (w - 1)
+    val p1 = (0 until 24).map(i => s"pone$i")
+    // one edited token mid-passage: intact runs of 11/12 tokens (>= w+n-1=8)
+    val edited = (p1.take(12) :+ "zzedit") ++ p1.drop(13)
+    val p2 = (0 until 20).map(i => s"ptwo$i").mkString(" ")
+    // bench doc: edited copy of p1, then a LONG unique stretch, then p2
+    val benchDoc = (edited.mkString(" ")) + " " +
+      (0 until 40).map(i => s"bu$i").mkString(" ") + " " + p2
+    val bench = Seq((200L, benchDoc)).toDF("doc_id", "text")
+    val train = Seq((1L, p1.mkString(" ") + " " + p2)).toDF("doc_id", "text")
+    val spans = Dedup.fingerprintSpans(bench, train, "doc_id", "text",
+      n, w, gap, minFp = 2L, dfCap = 64L)
+      .orderBy(col("span_start")).collect()
+    // the edit is bridged (one span for p1, not two) and the unique
+    // stretch is not (p2 is its own span)
+    spans.length shouldBe 2
+    spans(0).getAs[Long]("span_start") should be < 24L
+    spans(1).getAs[Long]("span_start") should be >= 64L
+  }
+
+  test("fingerprintSpans: dfCap drops boilerplate fingerprints from the index") {
+    val n = 5; val w = 4
+    val boiler = (0 until 16).map(i => s"boil$i").mkString(" ")
+    // the same boilerplate in 5 train docs -> with dfCap 4 it cannot
+    // produce spans; a unique passage still can
+    val uniq = (0 until 16).map(i => s"uniq$i").mkString(" ")
+    val train = ((1L to 5L).map(i => (i, boiler + " " + randText(i.toInt, 30))) :+
+      (9L, uniq + " " + randText(77, 30))).toDF("doc_id", "text")
+    val bench = Seq((300L, boiler + " " + uniq)).toDF("doc_id", "text")
+    val spans = Dedup.fingerprintSpans(bench, train, "doc_id", "text",
+      n, w, n + 2 * (w - 1), minFp = 2L, dfCap = 4L).collect()
+    spans.map(_.getAs[Long]("train_id")).toSet shouldBe Set(9L)
+  }
 }
