@@ -3904,7 +3904,16 @@ object ExtensionQueries {
     * the engine's measured round count is pinned <= the unroll by
     * CorpusMixSpec.
     */
-  private def x93(s: SparkSession, dir: String): DataFrame = {
+  /** Shared x93/x97 epoch-capped allocation: the planted-supply weight
+    * frame through [[CorpusMix.epochCappedAllocationWithRounds]], with
+    * the rounds guard (round-14 ADVICE) — the oracle unrolls a FIXED
+    * [[CapMixRounds]]-deep waterfall, so a fixture/scale shape needing
+    * more rounds fails loudly in the ENGINE (naming the knob to raise)
+    * instead of surfacing as a confusing oracle parity diff.
+    *
+    * @return allocation frame (source, n_docs, u, w, cap, alloc, capped)
+    */
+  private def capMixAllocation(s: SparkSession, dir: String): (DataFrame, Long) = {
     val d = t(s, dir, "documents")
     // Corpus-derived budget: a Long at the API boundary (the same
     // dimension-scalar collect x63's MixBudget avoids only because its
@@ -3921,15 +3930,15 @@ object ExtensionQueries {
         floor(pow(col("u").cast("double"), lit(CapAlpha)) * 1e6)
           .cast("long").as("w"),
         (col("u") * EpochCap).as("cap"))
-    // Rounds guard (round-14 ADVICE): the oracle unrolls a FIXED
-    // CapMixRounds-deep waterfall; a fixture/scale shape that needed
-    // more rounds would leave the oracle silently under-redistributed
-    // and surface as a confusing parity diff. Fail loudly in the ENGINE
-    // instead, naming the knob to raise.
     val (alloc, rounds) = CorpusMix.epochCappedAllocationWithRounds(weighted, budget)
     require(rounds <= CapMixRounds,
       s"x93 waterfall needed $rounds rounds but the SQL oracle unrolls only " +
         s"$CapMixRounds (CapMixRounds) — raise the unroll before trusting the oracle")
+    (alloc, budget)
+  }
+
+  private def x93(s: SparkSession, dir: String): DataFrame = {
+    val (alloc, _) = capMixAllocation(s, dir)
     alloc
       .select(col("source"), col("n_docs"), col("u"), col("w"), col("cap"),
         col("alloc"), col("capped"),
@@ -4154,6 +4163,45 @@ object ExtensionQueries {
       .orderBy(col("doc_id"), col("train_id"), col("span_start"))
   }
 
+  /** Epoch-capped mix MATERIALIZATION (x97): x93 decides how many
+    * samples each source contributes under the repetition cap; this
+    * turns that allocation table into an actual doc-level sampling plan
+    * — per source, the top-`u` docs by deterministic content-hash rank
+    * are the unique-supply slice, each repeating `alloc div u` full
+    * epochs, with the `alloc mod u` top-ranked docs repeating once more
+    * (x69's hash-threshold materialization extended with repeats — the
+    * uncapped x63 mix never needs n_repeats > 1, the data-constrained
+    * x93 mix is ABOUT them). Invariants the spec pins: per-source
+    * sum(n_repeats) == alloc exactly, global sum == budget, and
+    * n_repeats <= EpochCap everywhere (alloc <= cap = u * EpochCap, so
+    * no doc can exceed the published ~4-epoch repetition bound).
+    *
+    * Scale shape: the allocation is dimension-sized (x93's waterfall);
+    * ranking is [[Ranks.groupRowNumber]]'s bucket decomposition (no
+    * per-source global sort); the repeat arithmetic is a broadcast join
+    * + map-only projection. Output is one row per SELECTED unique doc
+    * with its repeat factor — the 100 TB form (an exploded
+    * budget-sized corpus materializes downstream per epoch; emitting it
+    * here would multiply the output by ~1.8 for no information).
+    */
+  private def x97(s: SparkSession, dir: String): DataFrame = {
+    val (alloc, _) = capMixAllocation(s, dir)
+    val allocs = alloc.select(col("source"), col("u"), col("alloc"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextOps.polyHash(concat(lit("mix#"), col("text"))).as("hd"))
+    Ranks.groupRowNumber(docs, "source", "hd", "doc_id")
+      .join(broadcast(allocs), "source")
+      // the unique-supply slice (u = 0 sources contribute nothing, and
+      // the filter runs before the division below can see them)
+      .filter(col("row_num") <= col("u"))
+      .select(col("doc_id"), col("source"), col("row_num").as("pick_rank"),
+        (expr("alloc div u") +
+          when(col("row_num") <= expr("alloc % u"), 1L).otherwise(0L))
+          .cast("long").as("n_repeats"))
+      .filter(col("n_repeats") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -4252,7 +4300,8 @@ object ExtensionQueries {
     "x93_epoch_mix" -> (x93 _),
     "x94_domain_gate" -> (x94 _),
     "x95_fuzzy_decontamination" -> (x95 _),
-    "x96_contamination_spans" -> (x96 _))
+    "x96_contamination_spans" -> (x96 _),
+    "x97_epoch_mix_materialize" -> (x97 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -6121,5 +6170,18 @@ object ExtensionQueries {
          |SELECT doc_id, train_id, span_start, span_end,
          | span_end - span_start + 1 AS span_tokens, n_fp
          |FROM sp96 WHERE n_fp >= $SpanMinFp
-         |ORDER BY doc_id, train_id, span_start""".stripMargin)
+         |ORDER BY doc_id, train_id, span_start""".stripMargin,
+    "x97_epoch_mix_materialize" ->
+      // x93's waterfall CTEs verbatim + x69's per-source-sort ranking
+      // mirror; the u-slice filter runs in the subquery so the repeat
+      // division never sees a u = 0 source
+      s"""WITH ${cappedMixCtesSql(CapMixRounds)},
+         |d97 AS (SELECT doc_id, source, ${polySql("'mix#' || text")} AS h FROM documents),
+         |r97 AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS pick_rank FROM d97),
+         |m97 AS (SELECT r.doc_id, r.source, r.pick_rank,
+         |  CAST(a.alloc // a.u + CASE WHEN r.pick_rank <= a.alloc % a.u THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         | FROM r97 r JOIN allc a USING (source) WHERE r.pick_rank <= a.u)
+         |SELECT doc_id, source, pick_rank, n_repeats
+         |FROM m97 WHERE n_repeats > 0 ORDER BY doc_id""".stripMargin)
 }

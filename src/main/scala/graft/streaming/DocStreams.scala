@@ -274,6 +274,76 @@ object DocStreams {
       }
       .start()
 
+  /** Per-document winnowing-fingerprint containment against a benchmark
+    * fingerprint set — the fuzzy (x95) analog of the exact
+    * [[decontaminationScores]]: catches PARAPHRASED / partially edited
+    * benchmark leakage a verbatim 5-gram threshold misses, at 2/(w+1)
+    * of the gram-index size. Containment = |doc fp ∩ bench fp| /
+    * |doc fp| over DISTINCT hashes ([[graft.ops.Dedup.winnowFingerprints]]'s
+    * batch x95 algebra verbatim). Benchmark suites are MBs, so the
+    * 8-byte fingerprint set broadcast is bounded at any corpus scale —
+    * and 60% smaller than the exact twin's gram set. Docs too short to
+    * fingerprint (< w + n - 1 tokens) score 0 (clean), mirroring the
+    * batch operator's empty-fingerprint behavior.
+    */
+  def fuzzyDecontaminationScores(
+      docs: DataFrame, benchFingerprints: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5, w: Int = 4): DataFrame = {
+    val docFp = Dedup.winnowFingerprints(docs, idCol, textCol, n, w)
+      .select(col("id").as(idCol), col("gh")).distinct()
+    val scores = docFp
+      .join(broadcast(benchFingerprints.select(col("gh")).distinct())
+        .withColumn("hit", lit(1)), Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+    docs.join(scores, Seq(idCol), "left")
+      .withColumn("n_fp", coalesce(col("n_fp"), lit(0L)))
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("containment",
+        when(col("n_fp") > 0,
+          round(col("n_hit").cast("double") / col("n_fp").cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Streaming fuzzy-decontamination gate — the admission-time twin of
+    * batch x95 (as [[decontaminateIngest]] is of x24): arriving
+    * documents whose winnowing-fingerprint containment against the
+    * benchmark set clears `floor` are quarantined, clean documents land
+    * in the corpus, both under idempotent `batch_id=N` overwrite
+    * partitions. Like the exact gate, the stream keeps NO state (no
+    * watermark, no state store): admission is a pure function of
+    * (document, benchmark fingerprint set), re-derivable on any replay —
+    * the per-batch join/aggregate runs inside foreachBatch.
+    */
+  def fuzzyDecontaminateIngest(
+      docs: DataFrame,
+      benchFingerprints: DataFrame,
+      sinkPath: String,
+      quarantinePath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      w: Int = 4,
+      floor: Double = 0.3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = fuzzyDecontaminationScores(
+          batch, benchFingerprints, idCol, textCol, n, w).cache()
+        scored.filter(col("containment") < floor).write.mode("overwrite")
+          .parquet(new Path(sinkPath, s"batch_id=$batchId").toString)
+        scored.filter(col("containment") >= floor).write.mode("overwrite")
+          .parquet(new Path(quarantinePath, s"batch_id=$batchId").toString)
+        scored.unpersist(false)
+        ()
+      }
+      .start()
+
   /** Quality-histogram resolution of [[qualityCalibrationMonitor]]:
     * the cut estimate's worst-case error is one bucket width (1e-3 in
     * quality units) for values inside [0, 1).

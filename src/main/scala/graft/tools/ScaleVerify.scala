@@ -159,7 +159,11 @@ object ScaleVerify {
     // x96 output is span-sized (pairs sharing >= 2 fingerprints); the
     // oracle rides the same winnow mirrors as x95 plus a window — slice
     // on the bench doc like x95's.
-    "x96_contamination_spans" -> Some("doc_id % 97 = 0"))
+    "x96_contamination_spans" -> Some("doc_id % 97 = 0"),
+    // x97 output is one row per selected unique doc (~54% of the
+    // corpus under the planted supply tiers) — slice; both engines are
+    // x93's dimension-sized waterfall + one ranking pass.
+    "x97_epoch_mix_materialize" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -239,6 +239,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("partial_") // map-side combine on the (domain, canon) stage
   }
 
+  test("x96: fingerprint-span sweep is equi-join only, no pair cross space") {
+    // Localization must keep x95's candidate discipline: the bench x
+    // train pairing comes ONLY from the 8-byte gh equi-join (hash or
+    // sort-merge, both key-partitioned) — any nested-loop/cartesian
+    // shape would be the doc-pair cross space the operator exists to
+    // avoid.
+    val p = plan("x96_contamination_spans")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x97: allocation joins broadcast; no corpus-keyed nested loop") {
+    // The materializer's scale contract: the dimension-sized allocation
+    // table reaches the ranked corpus via broadcast (never shuffling
+    // the corpus on source for a 20-row join), and nothing in the
+    // ranking decomposition degenerates to a cross product.
+    val p = plan("x97_epoch_mix_materialize")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group

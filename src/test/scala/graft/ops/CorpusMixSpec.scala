@@ -191,4 +191,31 @@ class CorpusMixSpec extends AnyFunSuite with Matchers with SparkTest {
     out.collect().map(r => (r.getString(0), r.getLong(3), r.getInt(4)))
       .sortBy(_._1) shouldBe Array(("a", 6L, 1), ("b", 9L, 0))
   }
+
+  test("x97 materialization: per-source repeats sum to x93's alloc, respect the epoch cap") {
+    val dir = "/root/testdata/sf0.001"
+    val alloc = graft.ExtensionQueries.queries("x93_epoch_mix")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("u"), r.getAs[Long]("alloc"))).toMap
+    val mat = graft.ExtensionQueries.queries("x97_epoch_mix_materialize")(spark, dir)
+      .collect()
+    val budget = alloc.values.map(_._2).sum
+    // global: the materialized repeats place EXACTLY the budget
+    mat.map(_.getAs[Long]("n_repeats")).sum shouldBe budget
+    // per source: sum(n_repeats) == alloc; picks stay inside the
+    // unique-supply slice; no doc repeats past the published cap
+    mat.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val (u, a) = alloc(src)
+      withClue(s"$src: ") {
+        rows.map(_.getAs[Long]("n_repeats")).sum shouldBe a
+        rows.map(_.getAs[Long]("pick_rank")).max should be <= u
+        rows.map(_.getAs[Long]("pick_rank")).toSet.size shouldBe rows.length
+        all(rows.map(_.getAs[Long]("n_repeats"))) should be <= 4L // EpochCap
+      }
+    }
+    // sources whose planted unique supply rounds to zero contribute no
+    // rows (the u-slice filter, not a divide-by-zero)
+    val zeroU = alloc.collect { case (s, (0L, _)) => s }.toSet
+    mat.map(_.getAs[String]("source")).toSet.intersect(zeroU) shouldBe Set.empty
+  }
 }

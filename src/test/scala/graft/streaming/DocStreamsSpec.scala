@@ -358,6 +358,69 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     ids(s"$root/quarantine") shouldBe Set(2L)
   }
 
+  test("fuzzyDecontaminateIngest: mutated leakage the exact gate misses quarantines; replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("fuzzydecon").toString
+    val n = 5; val w = 4
+    // one 30-token benchmark item, fingerprinted once (MB-scale set ->
+    // bounded broadcast)
+    val promptToks = (0 until 30).map(i => s"evaltok$i")
+    val prompt = promptToks.mkString(" ")
+    val benchFp = graft.ops.Dedup.winnowFingerprints(
+      Seq((1L, prompt)).toDF("bench_id", "text"), "bench_id", "text", n, w)
+    // mutated plant: every 10th prompt token replaced (x95's MutEvery
+    // regime — intact runs of 9 >= w + n - 1 = 8 keep shared
+    // fingerprints inside every run)
+    val mutToks = promptToks.zipWithIndex.map { case (t, i) =>
+      if (i % 10 == 0) s"zzmut$i" else t }
+    val mutated = "intro words here " + mutToks.mkString(" ") + " tail words here"
+    val verbatim = "intro words here " + prompt + " tail words here"
+    val feed = Seq((1L, prose), (2L, verbatim), (3L, mutated), (4L, "too short"))
+    val in = MemoryStream[(Long, String)]
+    val q = DocStreams.fuzzyDecontaminateIngest(
+      in.toDF().toDF("doc_id", "text"), benchFp,
+      s"$root/sink", s"$root/quarantine", s"$root/chk", n = n, w = w)
+    in.addData(feed)
+    q.processAllAvailable(); q.awaitTermination(60000)
+    def ids(p: String): Set[Long] =
+      spark.read.parquet(p).select("doc_id").collect().map(_.getLong(0)).toSet
+    ids(s"$root/sink") shouldBe Set(1L, 4L)
+    ids(s"$root/quarantine") shouldBe Set(2L, 3L)
+    // the REASON this twin exists: the exact verbatim-threshold gate
+    // misses the mutated plant (its 5-gram containment is far below a
+    // 0.8 verbatim floor) while the fuzzy gate catches it
+    val exact = DocStreams.decontaminationScores(
+        Seq((3L, mutated)).toDF("doc_id", "text"),
+        Seq(prompt).toDF("text")
+          .select(org.apache.spark.sql.functions.explode(
+            graft.ops.Dedup.shingles(col("text"), n)).as("shingle")))
+      .collect().head.getAs[Double]("containment")
+    exact should be < 0.8
+    val fuzzy = spark.read.parquet(s"$root/quarantine")
+      .filter(col("doc_id") === 3L).collect().head
+    fuzzy.getAs[Double]("containment") should be >= 0.3
+    // stream == batch twin: the emitted scores are exactly the batch
+    // kernel's over the same documents
+    val batch = DocStreams.fuzzyDecontaminationScores(
+        feed.toDF("doc_id", "text"), benchFp, n = n, w = w)
+      .collect().map(_.toString).sorted
+    val streamed =
+      (spark.read.parquet(s"$root/sink").drop("batch_id").collect() ++
+        spark.read.parquet(s"$root/quarantine").drop("batch_id").collect())
+        .map(_.toString).sorted
+    streamed shouldBe batch
+    // replay idempotence (fresh checkpoint, same batch ids)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = DocStreams.fuzzyDecontaminateIngest(
+      in2.toDF().toDF("doc_id", "text"), benchFp,
+      s"$root/sink", s"$root/quarantine", s"$root/chk2", n = n, w = w)
+    in2.addData(feed)
+    q2.processAllAvailable(); q2.awaitTermination(60000)
+    ids(s"$root/sink") shouldBe Set(1L, 4L)
+    ids(s"$root/quarantine") shouldBe Set(2L, 3L)
+  }
+
   test("withCuration matches the batch scoring exactly (same expressions, stream or batch)") {
     val batch = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
     val out = DocStreams.withCuration(batch).orderBy("doc_id").collect()
