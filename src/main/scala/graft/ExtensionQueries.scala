@@ -4066,7 +4066,7 @@ object ExtensionQueries {
     *
     * @return (train(doc_id, text), bench(doc_id, text, class))
     */
-  private def decontFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def decontFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = t(s, dir, "documents").select(
       col("doc_id"), col("text"), (TextOps.polyHash(col("text")) % 100).as("bucket"))
     val train = base.filter(col("bucket") < 80).select(col("doc_id"), col("text"))
@@ -4202,6 +4202,70 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination rewrite (x98): the REMOVAL step x95/x96 stop short
+    * of — sweep the TRAIN side against the benchmark fingerprint set,
+    * merge each train doc's matched-token intervals (the x96
+    * gaps-and-islands with the same theorem-derived gap, no pair key:
+    * removal doesn't care WHICH benchmark item leaked), and emit the
+    * scrubbed document with the leaked spans cut out, plus the audit
+    * counts (spans, tokens removed, original length). Output is only
+    * the implicated docs; text is the lowercased token stream rejoined
+    * (the fingerprint tokenization — the form a training pipeline
+    * tokenizes anyway).
+    *
+    * Scale shape: fingerprint frames are map-only; the sweep is the gh
+    * equi-join (NOT a forced broadcast — at real scale the benchmark
+    * index is MBs and AQE broadcasts it on its own, but nothing breaks
+    * if it doesn't); token marking is a doc_id-keyed equi-join with a
+    * BETWEEN residual against the doc's own (non-overlapping) spans;
+    * the rebuild aggregates tokens per implicated doc only. Consecutive
+    * islands are > mergeGap >= n apart, so spans never overlap and the
+    * BETWEEN mark is unambiguous.
+    */
+  private def x98(s: SparkSession, dir: String): DataFrame = {
+    val (train, bench) = decontFrames(s, dir)
+    val benchFp = Dedup.winnowFingerprints(
+        bench.select(col("doc_id"), col("text")), "doc_id", "text", DupNgramN, WinnowW)
+      .select(col("gh")).distinct()
+    val trainFp = Dedup.winnowFingerprints(train, "doc_id", "text", DupNgramN, WinnowW)
+      .select(col("id"), col("pos"), col("gh")).distinct()
+    val matched = trainFp.join(benchFp, "gh")
+      .select(col("id"), col("pos")).distinct()
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val spans = matched
+      .withColumn("_prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("_new",
+        when(col("pos") - col("_prev") > SpanMergeGap, 1).otherwise(0))
+      .withColumn("_island", sum(col("_new")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_island"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (max(col("pos")) + DupNgramN - 1).cast("long").as("e"),
+        count(lit(1)).as("n_fp"))
+      .filter(col("n_fp") >= SpanMinFp)
+      .select(col("id"), col("s"), col("e"))
+    val toks = train
+      .select(col("doc_id").as("id"), TextOps.tokens(col("text")).as("_t"))
+      .select(col("id"), posexplode(col("_t")).as(Seq("tpos", "tok")))
+    val marked = toks
+      .join(spans, toks("id") === spans("id") &&
+        col("tpos") >= col("s") && col("tpos") <= col("e"), "left_semi")
+      .select(col("id"), col("tpos"))
+    toks
+      .join(marked.withColumn("_rm", lit(1)), Seq("id", "tpos"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_rm"), lit(0))).cast("long").as("tokens_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_rm").isNull,
+            struct(col("tpos"), col("tok"))))),
+          p => p.getField("tok")), " ").as("clean_text"))
+      .join(spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans")), "id")
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_tokens"),
+        col("tokens_removed"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -4301,7 +4365,8 @@ object ExtensionQueries {
     "x94_domain_gate" -> (x94 _),
     "x95_fuzzy_decontamination" -> (x95 _),
     "x96_contamination_spans" -> (x96 _),
-    "x97_epoch_mix_materialize" -> (x97 _))
+    "x97_epoch_mix_materialize" -> (x97 _),
+    "x98_decontamination_scrub" -> (x98 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -6183,5 +6248,39 @@ object ExtensionQueries {
          |  CAST(a.alloc // a.u + CASE WHEN r.pick_rank <= a.alloc % a.u THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
          | FROM r97 r JOIN allc a USING (source) WHERE r.pick_rank <= a.u)
          |SELECT doc_id, source, pick_rank, n_repeats
-         |FROM m97 WHERE n_repeats > 0 ORDER BY doc_id""".stripMargin)
+         |FROM m97 WHERE n_repeats > 0 ORDER BY doc_id""".stripMargin,
+    "x98_decontamination_scrub" ->
+      // train swept against the bench fingerprint set (no pair key),
+      // x96's islands partitioned by doc alone, token marking via a
+      // doc-keyed join with a BETWEEN residual (spans never overlap:
+      // islands sit > mergeGap >= n apart), scrubbed text rebuilt with
+      // ORDER BY tpos inside the aggregate; string_agg skips the
+      // removed (NULL) tokens and coalesces to '' for a fully-removed
+      // doc, mirroring array_join over an empty array
+      s"""WITH $decontBaseCtesSql,
+         |${fastGramCtesSql("tr", "doc_id", "t98", DupNgramN)},
+         |${winnowSelCtesSql("doc_id", "t98", WinnowW)},
+         |${fastGramCtesSql("bench", "doc_id", "b98", DupNgramN)},
+         |${winnowSelCtesSql("doc_id", "b98", WinnowW)},
+         |bfp98 AS (SELECT DISTINCT gh FROM b98sel),
+         |mt98 AS (SELECT DISTINCT t.doc_id, t.pos
+         | FROM (SELECT DISTINCT doc_id, pos, gh FROM t98sel) t JOIN bfp98 b ON b.gh = t.gh),
+         |i98 AS (SELECT doc_id, pos,
+         |  SUM(CASE WHEN prev IS NOT NULL AND pos - prev > $SpanMergeGap THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         | FROM (SELECT *, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mt98)),
+         |sp98 AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+         |  CAST(max(pos) + ${DupNgramN - 1} AS BIGINT) AS e
+         | FROM i98 GROUP BY doc_id, island HAVING count(*) >= $SpanMinFp),
+         |tk98 AS (SELECT doc_id, u.tpos, u.tok FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         |    i -> struct_pack(tpos := CAST(i - 1 AS BIGINT), tok := t[i]))) AS u
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM tr))),
+         |mk98 AS (SELECT k.doc_id, k.tpos, k.tok, s.s
+         | FROM tk98 k LEFT JOIN sp98 s ON s.doc_id = k.doc_id AND k.tpos BETWEEN s.s AND s.e)
+         |SELECT m.doc_id, ns.n_spans, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CASE WHEN m.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tokens_removed,
+         | coalesce(string_agg(CASE WHEN m.s IS NULL THEN m.tok END, ' ' ORDER BY m.tpos), '') AS clean_text
+         |FROM mk98 m JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sp98 GROUP BY doc_id) ns ON ns.doc_id = m.doc_id
+         |GROUP BY m.doc_id, ns.n_spans ORDER BY m.doc_id""".stripMargin)
 }

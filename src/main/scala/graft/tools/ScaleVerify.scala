@@ -163,7 +163,10 @@ object ScaleVerify {
     // x97 output is one row per selected unique doc (~54% of the
     // corpus under the planted supply tiers) — slice; both engines are
     // x93's dimension-sized waterfall + one ranking pass.
-    "x97_epoch_mix_materialize" -> Some("doc_id % 97 = 0"))
+    "x97_epoch_mix_materialize" -> Some("doc_id % 97 = 0"),
+    // x98 output is one row per implicated train doc — slice; oracle is
+    // the x95/x96 winnow shape plus a token unnest of the train slice.
+    "x98_decontamination_scrub" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -261,6 +261,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("x98: scrub is equi-joins only; token mark never goes nested-loop") {
+    // The rewrite's scale contract: the fingerprint sweep and the token
+    // marking are both doc/hash-keyed equi-joins (the BETWEEN on spans
+    // is a residual over a doc_id equi key, not a join condition on its
+    // own) — no cross space anywhere in the pipeline.
+    val p = plan("x98_decontamination_scrub")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group
