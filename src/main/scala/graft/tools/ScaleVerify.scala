@@ -158,7 +158,13 @@ object ScaleVerify {
     "x95_fuzzy_decontamination" -> Some("doc_id % 97 = 0"),
     // x96 output is span-sized (pairs sharing >= 2 fingerprints); the
     // oracle rides the same winnow mirrors as x95 plus a window — slice
-    // on the bench doc like x95's.
+    // on the bench doc like x95's. NOTE the x74 replication caveat
+    // applies ABOVE sf1: GenScale clones documents verbatim, so at sf10
+    // (100 copies) every fingerprint's train-doc frequency exceeds the
+    // 64 boilerplate cap and the index empties — both engines agree on
+    // the empty result, but the compare is vacuous there; sf1 (10
+    // copies, df ~10) is the largest replicated scale where x96 is
+    // semantically meaningful.
     "x96_contamination_spans" -> Some("doc_id % 97 = 0"),
     // x97 output is one row per selected unique doc (~54% of the
     // corpus under the planted supply tiers) — slice; both engines are
