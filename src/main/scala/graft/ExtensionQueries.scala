@@ -4227,40 +4227,9 @@ object ExtensionQueries {
     val benchFp = Dedup.winnowFingerprints(
         bench.select(col("doc_id"), col("text")), "doc_id", "text", DupNgramN, WinnowW)
       .select(col("gh")).distinct()
-    val trainFp = Dedup.winnowFingerprints(train, "doc_id", "text", DupNgramN, WinnowW)
-      .select(col("id"), col("pos"), col("gh")).distinct()
-    val matched = trainFp.join(benchFp, "gh")
-      .select(col("id"), col("pos")).distinct()
-    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val spans = matched
-      .withColumn("_prev", lag(col("pos"), 1).over(byPos))
-      .withColumn("_new",
-        when(col("pos") - col("_prev") > SpanMergeGap, 1).otherwise(0))
-      .withColumn("_island", sum(col("_new")).over(
-        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("id"), col("_island"))
-      .agg(min(col("pos")).cast("long").as("s"),
-        (max(col("pos")) + DupNgramN - 1).cast("long").as("e"),
-        count(lit(1)).as("n_fp"))
-      .filter(col("n_fp") >= SpanMinFp)
-      .select(col("id"), col("s"), col("e"))
-    val toks = train
-      .select(col("doc_id").as("id"), TextOps.tokens(col("text")).as("_t"))
-      .select(col("id"), posexplode(col("_t")).as(Seq("tpos", "tok")))
-    val marked = toks
-      .join(spans, toks("id") === spans("id") &&
-        col("tpos") >= col("s") && col("tpos") <= col("e"), "left_semi")
-      .select(col("id"), col("tpos"))
-    toks
-      .join(marked.withColumn("_rm", lit(1)), Seq("id", "tpos"), "left")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("_rm"), lit(0))).cast("long").as("tokens_removed"),
-        array_join(transform(
-          array_sort(collect_list(when(col("_rm").isNull,
-            struct(col("tpos"), col("tok"))))),
-          p => p.getField("tok")), " ").as("clean_text"))
-      .join(spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans")), "id")
+    val spans = Dedup.fingerprintSpansAgainst(
+      train, benchFp, "doc_id", "text", DupNgramN, WinnowW, SpanMergeGap, SpanMinFp)
+    Dedup.scrubSpans(train, spans, "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_spans"), col("n_tokens"),
         col("tokens_removed"), col("clean_text"))
       .orderBy(col("doc_id"))

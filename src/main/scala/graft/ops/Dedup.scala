@@ -496,6 +496,77 @@ object Dedup {
     *         token intervals are inclusive, 0-based; end covers the
     *         last matched gram's n tokens
     */
+  /** Merged matched-fingerprint spans of `docs` against a fingerprint
+    * SET (`indexFp`, one `gh` column; no per-index-doc identity — the
+    * x98/ingest-scrub direction, where removal doesn't care WHICH
+    * benchmark item leaked). Same gaps-and-islands merge as
+    * [[fingerprintSpans]], partitioned by doc alone.
+    *
+    * @return (id, s, e): inclusive 0-based token intervals, never
+    *         overlapping within a doc (consecutive islands sit further
+    *         apart than a span extends past its last matched gram)
+    */
+  def fingerprintSpansAgainst(
+      docs: DataFrame, indexFp: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, mergeGap: Int, minFp: Long): DataFrame = {
+    require(mergeGap >= 0, s"mergeGap must be >= 0, got $mergeGap")
+    require(minFp >= 1, s"minFp must be >= 1, got $minFp")
+    val docFp = winnowFingerprints(docs, idCol, textCol, n, w)
+      .select(col("id"), col("pos"), col("gh")).distinct()
+    val matched = docFp.join(indexFp.select(col("gh")).distinct(), "gh")
+      .select(col("id"), col("pos")).distinct()
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    matched
+      .withColumn("_prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("_new",
+        when(col("pos") - col("_prev") > mergeGap, 1).otherwise(0))
+      .withColumn("_island", sum(col("_new")).over(byPos.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("id"), col("_island"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (max(col("pos")) + n - 1).cast("long").as("e"),
+        count(lit(1)).as("n_fp"))
+      .filter(col("n_fp") >= minFp)
+      .select(col("id"), col("s"), col("e"))
+  }
+
+  /** Cut `spans` (id, s, e — non-overlapping inclusive token intervals)
+    * out of `docs` and rebuild the text: the REMOVAL step of
+    * decontamination. Only implicated docs return; text is the
+    * lowercased token stream rejoined (the fingerprint tokenization —
+    * the form a training pipeline tokenizes anyway). Token marking is a
+    * doc-keyed equi-join with a BETWEEN residual; the rebuild sorts
+    * inside the aggregate, so the output is deterministic under any
+    * partitioning.
+    *
+    * @return (id, n_spans, n_tokens, tokens_removed, clean_text)
+    */
+  def scrubSpans(
+      docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t"))
+      .select(col("id"), posexplode(col("_t")).as(Seq("tpos", "tok")))
+    val marked = toks
+      .join(spans, toks("id") === spans("id") &&
+        col("tpos") >= col("s") && col("tpos") <= col("e"), "left_semi")
+      .select(col("id"), col("tpos"))
+    toks
+      .join(marked.withColumn("_rm", lit(1)), Seq("id", "tpos"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_rm"), lit(0))).cast("long").as("tokens_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_rm").isNull,
+            struct(col("tpos"), col("tok"))))),
+          p => p.getField("tok")), " ").as("clean_text"))
+      .join(spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans")), "id")
+      .select(col("id"), col("n_spans"), col("n_tokens"),
+        col("tokens_removed"), col("clean_text"))
+  }
+
   def fingerprintSpans(
       bench: DataFrame, train: DataFrame, idCol: String, textCol: String,
       n: Int, w: Int, mergeGap: Int, minFp: Long, dfCap: Long): DataFrame = {

@@ -344,6 +344,71 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming scrub-at-ingest — the x98 twin, one step past
+    * [[fuzzyDecontaminateIngest]]: instead of quarantining a whole
+    * document because one benchmark passage leaked into it, CUT the
+    * leaked spans and admit the rest. Every arriving doc lands in the
+    * sink exactly once: clean docs pass through with their original
+    * text and zero audit counts; implicated docs land with the scrubbed
+    * token stream ([[graft.ops.Dedup.fingerprintSpansAgainst]] +
+    * [[graft.ops.Dedup.scrubSpans]] — the batch x98 kernels verbatim,
+    * so stream == batch by construction). Stateless per batch (pure
+    * function of document + benchmark fingerprint set), idempotent
+    * batch_id overwrite partitions — the decontaminateIngest
+    * exactly-once discipline.
+    *
+    * Output columns: idCol, text (original or scrubbed), n_spans,
+    * n_tokens, tokens_removed. NOTE scrubbed text is the lowercased
+    * token stream (the fingerprint tokenization); clean docs keep their
+    * byte-original text.
+    */
+  def scrubIngest(
+      docs: DataFrame,
+      benchFingerprints: DataFrame,
+      sinkPath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      w: Int = 4,
+      mergeGap: Int = 11,
+      minFp: Long = 2L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scrubbed = scrubBatch(
+          batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp)
+        scrubbed.write.mode("overwrite")
+          .parquet(new Path(sinkPath, s"batch_id=$batchId").toString)
+        ()
+      }
+      .start()
+
+  /** The per-batch kernel of [[scrubIngest]], exposed so the spec can
+    * pin stream == batch row-identically.
+    */
+  def scrubBatch(
+      batch: DataFrame, benchFingerprints: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5, w: Int = 4, mergeGap: Int = 11, minFp: Long = 2L): DataFrame = {
+    val spans = Dedup.fingerprintSpansAgainst(
+      batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp)
+    val scrubbed = Dedup.scrubSpans(batch, spans, idCol, textCol)
+      .select(col("id").as(idCol), col("clean_text"),
+        col("n_spans"), col("tokens_removed"))
+    batch
+      .select(col(idCol), col(textCol).as("_orig"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(scrubbed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), col("_orig")).as(textCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        col("n_tokens"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+  }
+
   /** Quality-histogram resolution of [[qualityCalibrationMonitor]]:
     * the cut estimate's worst-case error is one bucket width (1e-3 in
     * quality units) for values inside [0, 1).

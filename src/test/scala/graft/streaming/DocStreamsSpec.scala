@@ -421,6 +421,63 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     ids(s"$root/quarantine") shouldBe Set(2L, 3L)
   }
 
+  test("scrubIngest: leaked spans are cut at the door, clean docs pass byte-original; replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scrubingest").toString
+    val n = 5; val w = 4
+    val promptToks = (0 until 30).map(i => s"evaltok$i")
+    val prompt = promptToks.mkString(" ")
+    val benchFp = graft.ops.Dedup.winnowFingerprints(
+      Seq((1L, prompt)).toDF("bench_id", "text"), "bench_id", "text", n, w)
+    // doc 2 embeds the prompt between per-doc-unique flanks; doc 1 is
+    // clean prose with MixedCase preserved (the pass-through check)
+    val flanksA = (0 until 12).map(i => s"fa$i").mkString(" ")
+    val flanksB = (0 until 12).map(i => s"fb$i").mkString(" ")
+    val leaky = flanksA + " " + prompt + " " + flanksB
+    val cleanOrig = "The Quick Brown Fox kept ITS case intact here today"
+    val feed = Seq((1L, cleanOrig), (2L, leaky))
+    val in = MemoryStream[(Long, String)]
+    val q = DocStreams.scrubIngest(
+      in.toDF().toDF("doc_id", "text"), benchFp,
+      s"$root/sink", s"$root/chk", n = n, w = w)
+    in.addData(feed)
+    q.processAllAvailable(); q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$root/sink").drop("batch_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    // clean doc: byte-original text, zero audit counts
+    out(1L).getAs[String]("text") shouldBe cleanOrig
+    out(1L).getAs[Long]("n_spans") shouldBe 0L
+    out(1L).getAs[Long]("tokens_removed") shouldBe 0L
+    // leaky doc: the prompt is gone, the flanks survive, counts add up
+    val scrubbed = out(2L).getAs[String]("text")
+    scrubbed should not include "evaltok5"
+    scrubbed should include("fa0")
+    scrubbed should include("fb11")
+    out(2L).getAs[Long]("n_spans") shouldBe 1L
+    out(2L).getAs[Long]("n_tokens") shouldBe 54L // 12 + 30 + 12
+    out(2L).getAs[Long]("tokens_removed") should be >= 30L - (w - 1).toLong
+    // the scrubbed doc re-sweeps clean against the same benchmark
+    graft.ops.Dedup.fingerprintSpansAgainst(
+      Seq((2L, scrubbed)).toDF("doc_id", "text"), benchFp,
+      "doc_id", "text", n, w, mergeGap = 11, minFp = 2L).count() shouldBe 0L
+    // stream == batch kernel row-identically
+    val batch = DocStreams.scrubBatch(feed.toDF("doc_id", "text"), benchFp, n = n, w = w)
+      .collect().map(_.toString).sorted
+    spark.read.parquet(s"$root/sink").drop("batch_id")
+      .collect().map(_.toString).sorted shouldBe batch
+    // replay idempotence
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = DocStreams.scrubIngest(
+      in2.toDF().toDF("doc_id", "text"), benchFp,
+      s"$root/sink", s"$root/chk2", n = n, w = w)
+    in2.addData(feed)
+    q2.processAllAvailable(); q2.awaitTermination(60000)
+    spark.read.parquet(s"$root/sink").drop("batch_id")
+      .collect().map(_.toString).sorted shouldBe batch
+  }
+
   test("withCuration matches the batch scoring exactly (same expressions, stream or batch)") {
     val batch = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
     val out = DocStreams.withCuration(batch).orderBy("doc_id").collect()
