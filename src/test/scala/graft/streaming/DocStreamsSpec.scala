@@ -164,6 +164,7 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
         lit("https://"),
         when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("news.")),
         when(col("doc_id") % 7 === 0, lit("badactor.net"))
+          .when(col("doc_id") % 11 === 0, lit("m.acme.ck")) // PSL wildcard *.ck
           .when(col("doc_id") % 3 === 0, lit("acme.co.uk"))
           .when(col("doc_id") % 3 === 1, lit("acme.com"))
           .otherwise(lit("other.com")),
@@ -216,6 +217,10 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     byDomain("badactor.net").getAs[Int]("blocked") shouldBe 1
     byDomain("badactor.net").getAs[Int]("keep") shouldBe 0
     byDomain.keySet should contain("acme.co.uk")
+    // the streaming path rides the real PSL: under wildcard *.ck the
+    // registrable domain keeps the label BEFORE the suffix, so hosts
+    // www.m.acme.ck / news.m.acme.ck both key as m.acme.ck
+    byDomain.keySet should contain("m.acme.ck")
     byDomain.values.map(_.getAs[Double]("dup_rate")).max should be > 0.0
     out.unpersist(false); base.unpersist(false)
   }
