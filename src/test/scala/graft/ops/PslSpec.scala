@@ -112,6 +112,43 @@ class PslSpec extends AnyFunSuite with Matchers with SparkTest {
     hosts.foreach { h => out(h) shouldBe reg(h) }
   }
 
+  test("fuzz: resolver never throws, is deterministic, and returns whole-label suffixes") {
+    // Hand-rolled seeded fuzz (scalacheck-free): adversarial hosts with
+    // empty labels, leading/trailing dots, digits, long label chains —
+    // the resolver must never throw, must be a pure function, and any
+    // non-null result must be a whole-label suffix of the input.
+    val rnd = new scala.util.Random(961)
+    val atoms = Vector("com", "uk", "co", "ck", "jp", "kawasaki", "city",
+      "www", "m", "x", "zz9", "a-b", "xn--p1ai", "", "verylonglabel" * 3)
+    (0 until 10000).foreach { _ =>
+      val nLabs = rnd.nextInt(7)
+      val host0 = Seq.fill(nLabs)(atoms(rnd.nextInt(atoms.size))).mkString(".")
+      val host = (if (rnd.nextInt(10) == 0) "." else "") + host0 +
+        (if (rnd.nextInt(10) == 0) "." else "")
+      val r1 = reg(host); val r2 = reg(host)
+      withClue(s"host '$host': ") {
+        r2 shouldBe r1 // deterministic
+        if (r1 != null) {
+          host should endWith(r1)
+          // whole-label: the char before the suffix (if any) is a dot
+          val cut = host.length - r1.length
+          if (cut > 0) host.charAt(cut - 1) shouldBe '.'
+        }
+      }
+    }
+  }
+
+  test("fuzz: parser never throws on arbitrary rule text") {
+    val rnd = new scala.util.Random(962)
+    val pieces = Vector("com", "*.", "!", "//", " ", ".", "co.uk", "\t",
+      "*.*", "!!x", "*.ck extra", "")
+    (0 until 2000).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(12))(
+        Seq.fill(rnd.nextInt(4))(pieces(rnd.nextInt(pieces.size))).mkString).mkString("\n")
+      noException should be thrownBy Psl.parse(text)
+    }
+  }
+
   test("snapshot scale shape: rule rows are catalog-sized and loadable") {
     val n = rules.rows.size
     n should be >= 200
