@@ -14,6 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `vector_dot(a, b)` — native embedding dot product
   *  - `poly_hash(s)` — deterministic document fingerprint
   *  - `word_shingles(s)` — distinct word 3-gram shingles
+  *  - `registrable_domain(host)` — Public-Suffix-List resolution
   */
 object Graft {
 
@@ -99,6 +100,11 @@ object Graft {
     reg.createOrReplaceTempFunction("vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("poly_hash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles", exprs => WordShingles(exprs.head, 3), "built-in")
+    // registrable_domain(host) — Public-Suffix-List resolution over the
+    // embedded snapshot (swap via Psl.parse + UrlExprs for a custom list).
+    reg.createOrReplaceTempFunction("registrable_domain",
+      exprs => graft.functions.RegistrableDomainPsl(exprs.head, graft.ops.Psl.default),
+      "built-in")
     // kmin_values(hash_col, k) — KMV distinct-count sketch aggregate; the
     // analyzer wraps the AggregateFunction into an AggregateExpression.
     reg.createOrReplaceTempFunction(

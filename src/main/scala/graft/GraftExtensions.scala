@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         graft.functions.VectorExprs.litDouble(exprs(2)))))
     e.injectFunction((
+      FunctionIdentifier("registrable_domain"),
+      new ExpressionInfo(classOf[graft.functions.RegistrableDomainPsl].getName,
+        "registrable_domain"),
+      exprs => graft.functions.RegistrableDomainPsl(exprs.head, graft.ops.Psl.default)))
+    e.injectFunction((
       FunctionIdentifier("st_point_in_poly"),
       new ExpressionInfo(classOf[PointInPolygon].getName, "st_point_in_poly"),
       exprs => PointInPolygon(

@@ -24,6 +24,9 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkTest {
       r.getDouble(0) shouldBe 11.0 +- 1e-12
       r.getLong(1) shouldBe 3105L
       r.getInt(2) shouldBe 2
+      // PSL resolution through the extensions surface (wildcard shape)
+      s2.sql("SELECT registrable_domain('a.b.example.ck') AS d")
+        .head().getString(0) shouldBe "b.example.ck"
       // simhash64 through SQL agrees with the DataFrame expression
       val sh = s2.sql("SELECT simhash64('the quick brown fox') AS h").head().getLong(0)
       import s2.implicits._

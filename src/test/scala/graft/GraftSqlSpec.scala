@@ -17,13 +17,17 @@ class GraftSqlSpec extends AnyFunSuite with Matchers with SparkTest {
         | st_x_to_lon(st_lon_to_x(-93.759055)) AS lon_rt,
         | vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         | poly_hash('ab') AS h,
-        | size(word_shingles('a b c d')) AS ns""".stripMargin).head()
+        | size(word_shingles('a b c d')) AS ns,
+        | registrable_domain('b.example.co.uk') AS rd,
+        | registrable_domain('co.uk') AS rd_null""".stripMargin).head()
     r.getDouble(0) shouldBe graft.geo.WebMercator.lonToX(-93.759055)
     r.getDouble(1) shouldBe graft.geo.WebMercator.latToY(41.925015)
     r.getDouble(2) shouldBe -93.759055 +- 1e-9
     r.getDouble(3) shouldBe 11.0 +- 1e-12
     r.getLong(4) shouldBe 3105L // (0*31+97)*31+98 mod 1e9+7
     r.getInt(5) shouldBe 2
+    r.getString(6) shouldBe "example.co.uk"
+    r.isNullAt(7) shouldBe true // a public suffix has no registrable domain
   }
 
   test("st_utm_* SQL functions agree bit-for-bit with the scalar Krüger series") {
