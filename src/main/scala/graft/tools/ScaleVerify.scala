@@ -147,7 +147,7 @@ object ScaleVerify {
     // corpus (9N/5), so cap binding survives fixture replication, and
     // both engines are one corpus count + dimension-sized waterfall CTEs.
     "x93_epoch_mix" -> None,
-    // x94 output is registrable-domain-sized (~22 rows at any scale —
+    // x94 output is registrable-domain-sized (~63 rows at any scale —
     // domains are a catalog); both engines are map-only URL algebra +
     // the two-level (domain, canon) -> (domain) aggregation, linear
     // everywhere (the x73 oracle shape plus one more hash agg).
