@@ -4235,6 +4235,38 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shards for the x99 epoch plan — a fixed fan-out stand-in for the
+    * writer parallelism a real export chooses per corpus size.
+    */
+  private val PlanShards = 8
+
+  /** Epoch/shard training plan (x99): the final step of the mix chain
+    * (x63 weights -> x93 caps -> x97 picks + repeat factors -> THIS) —
+    * explode each selected doc's n_repeats into per-epoch rows and
+    * assign each (doc, epoch) copy a deterministic shard by content
+    * hash, producing the exact budget-sized plan a shard writer
+    * materializes. Epoch semantics: a doc with n_repeats = r appears in
+    * epochs 0..r-1, so epoch e's corpus is precisely the docs with
+    * n_repeats > e — repeats are spread ACROSS epochs, never duplicated
+    * within one (the data-constrained training loop's contract).
+    *
+    * Scale shape: everything after x97's dimension-sized allocation is
+    * map-only (explode fan-out <= EpochCap per doc, hash shard
+    * assignment fused into the scan); output is budget-sized (~1.8x the
+    * corpus row COUNT, ids only — never text). The final ORDER BY is
+    * the determinism contract; a real export would write
+    * partitionBy(epoch, shard) instead.
+    */
+  private def x99(s: SparkSession, dir: String): DataFrame =
+    x97(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_repeats") - 1)).as("epoch"))
+      .select(col("doc_id"), col("source"), col("epoch"),
+        pmod(TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#"),
+          col("epoch").cast("string"))), lit(PlanShards.toLong))
+          .cast("int").as("shard"))
+      .orderBy(col("doc_id"), col("epoch"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -4335,7 +4367,8 @@ object ExtensionQueries {
     "x95_fuzzy_decontamination" -> (x95 _),
     "x96_contamination_spans" -> (x96 _),
     "x97_epoch_mix_materialize" -> (x97 _),
-    "x98_decontamination_scrub" -> (x98 _))
+    "x98_decontamination_scrub" -> (x98 _),
+    "x99_epoch_shard_plan" -> (x99 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -6251,5 +6284,20 @@ object ExtensionQueries {
          | CAST(SUM(CASE WHEN m.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tokens_removed,
          | coalesce(string_agg(CASE WHEN m.s IS NULL THEN m.tok END, ' ' ORDER BY m.tpos), '') AS clean_text
          |FROM mk98 m JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sp98 GROUP BY doc_id) ns ON ns.doc_id = m.doc_id
-         |GROUP BY m.doc_id, ns.n_spans ORDER BY m.doc_id""".stripMargin)
+         |GROUP BY m.doc_id, ns.n_spans ORDER BY m.doc_id""".stripMargin,
+    "x99_epoch_shard_plan" ->
+      // x97's chain + per-repeat unnest + the same polynomial hash over
+      // 'doc_id#epoch' folded into PlanShards
+      s"""WITH ${cappedMixCtesSql(CapMixRounds)},
+         |d97 AS (SELECT doc_id, source, ${polySql("'mix#' || text")} AS h FROM documents),
+         |r97 AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS pick_rank FROM d97),
+         |m97 AS (SELECT r.doc_id, r.source,
+         |  CAST(a.alloc // a.u + CASE WHEN r.pick_rank <= a.alloc % a.u THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         | FROM r97 r JOIN allc a USING (source) WHERE r.pick_rank <= a.u),
+         |e99 AS (SELECT doc_id, source, unnest(range(0, n_repeats)) AS epoch
+         | FROM m97 WHERE n_repeats > 0)
+         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+         | CAST(${polySql("CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)")} % $PlanShards AS INT) AS shard
+         |FROM e99 ORDER BY doc_id, epoch""".stripMargin)
 }

@@ -172,7 +172,10 @@ object ScaleVerify {
     "x97_epoch_mix_materialize" -> Some("doc_id % 97 = 0"),
     // x98 output is one row per implicated train doc — slice; oracle is
     // the x95/x96 winnow shape plus a token unnest of the train slice.
-    "x98_decontamination_scrub" -> Some("doc_id % 97 = 0"))
+    "x98_decontamination_scrub" -> Some("doc_id % 97 = 0"),
+    // x99 output is budget-sized (1.8x corpus rows, ids only) — slice;
+    // both engines are x97's chain plus a map-only unnest + hash.
+    "x99_epoch_shard_plan" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

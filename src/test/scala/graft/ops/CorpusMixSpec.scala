@@ -218,4 +218,27 @@ class CorpusMixSpec extends AnyFunSuite with Matchers with SparkTest {
     val zeroU = alloc.collect { case (s, (0L, _)) => s }.toSet
     mat.map(_.getAs[String]("source")).toSet.intersect(zeroU) shouldBe Set.empty
   }
+
+  test("x99 plan: epoch e holds exactly the docs with n_repeats > e; shards in range") {
+    val dir = "/root/testdata/sf0.001"
+    val mat = graft.ExtensionQueries.queries("x97_epoch_mix_materialize")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_repeats")).toMap
+    val plan = graft.ExtensionQueries.queries("x99_epoch_shard_plan")(spark, dir)
+      .collect()
+    // budget-sized, no (doc, epoch) duplicate — a repeat spreads ACROSS
+    // epochs, never lands twice in one
+    plan.length.toLong shouldBe mat.values.sum
+    plan.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+      .distinct.length shouldBe plan.length
+    // per-epoch membership is exactly the repeat-factor threshold
+    plan.groupBy(_.getAs[Long]("epoch")).foreach { case (e, rows) =>
+      withClue(s"epoch $e: ") {
+        rows.map(_.getAs[Long]("doc_id")).toSet shouldBe
+          mat.collect { case (d, r) if r > e => d }.toSet
+      }
+    }
+    all(plan.map(_.getAs[Int]("shard"))) should (be >= 0 and be < 8)
+    // the hash spread actually fans out across shards
+    plan.map(_.getAs[Int]("shard")).distinct.length should be >= 6
+  }
 }
