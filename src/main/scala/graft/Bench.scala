@@ -12,6 +12,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // One resolved core count shared by the session master string and the
+    // parallel sentinel: a non-numeric SPARK_GRAFT_CPUS (e.g. "*") must
+    // not make the sentinel spin a hardcoded 32 threads while the suite
+    // runs at the box's real width — that skews the 1.25x par-flag
+    // baseline by exactly the mismatch. Fall back to the physical count,
+    // which is what local[*] resolves to.
+    val coreCount = scala.util.Try(cpus.toInt).toOption.filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     // Partition-count sensitivity knob: a real cluster runs 200+ shuffle
     // partitions, not local[32]'s 32 — the cluster-conf probe (see SURVEY
     // "partition-count sensitivity") re-times the suite at 200 to catch
@@ -124,7 +132,7 @@ object Bench {
     // with exactly that — whole-machine multi-core throughput — because
     // it demands every core at once, like the suite does.
     def parallelSpin(): Double = {
-      val n = math.max(1, scala.util.Try(cpus.toInt).getOrElse(32))
+      val n = coreCount
       val t0 = System.nanoTime()
       val threads = (0 until n).map { tid =>
         val th = new Thread(() => {

@@ -4218,9 +4218,15 @@ object ExtensionQueries {
     * index is MBs and AQE broadcasts it on its own, but nothing breaks
     * if it doesn't); token marking is a doc_id-keyed equi-join with a
     * BETWEEN residual against the doc's own (non-overlapping) spans;
-    * the rebuild aggregates tokens per implicated doc only. Consecutive
-    * islands are > mergeGap >= n apart, so spans never overlap and the
-    * BETWEEN mark is unambiguous.
+    * the rebuild aggregates tokens per implicated doc only —
+    * [[graft.ops.Dedup.scrubSpans]] left_semi-joins the corpus against
+    * the span doc ids BEFORE tokenizing, so the posexplode/mark/rebuild
+    * run over the implicated slice and the full corpus token stream
+    * never shuffles (the final inner join cannot be pushed below the
+    * groupBy by Catalyst; the prune does it by construction).
+    * Consecutive islands are > mergeGap >= n apart, so spans never
+    * overlap and the BETWEEN mark is unambiguous — and scrubSpans now
+    * asserts that invariant rather than assuming it.
     */
   private def x98(s: SparkSession, dir: String): DataFrame = {
     val (train, bench) = decontFrames(s, dir)

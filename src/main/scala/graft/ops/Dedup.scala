@@ -541,16 +541,44 @@ object Dedup {
     * inside the aggregate, so the output is deterministic under any
     * partitioning.
     *
+    * Scale shape: the output is implicated-docs-only, so the INPUT is
+    * pruned to match BEFORE anything text-bearing explodes — a
+    * left_semi join of `docs` against the span doc ids. Catalyst
+    * cannot push the final inner join below the rebuild groupBy, so
+    * without this prune the posexplode/mark/collect_list pipeline
+    * shuffles the FULL corpus token stream to rebuild a sliver of it
+    * (measured at sf100: 2.7B token rows for 41k implicated docs out
+    * of 50M). The fingerprint sweep that PRODUCES `spans` is
+    * inherently corpus-wide; the rebuild never is.
+    *
+    * The non-overlap precondition is enforced, not assumed: a
+    * windowed `assert_true` over `spans` (ordered by start per doc)
+    * fails the job if any span starts at or before its predecessor's
+    * end — overlapping intervals (e.g. raw per-(bench,train)
+    * [[fingerprintSpans]] output not collapsed per doc) would
+    * double-count `n_spans` silently otherwise. The check rides the
+    * id-partitioned shuffle `spans` already needs for the mark join.
+    *
     * @return (id, n_spans, n_tokens, tokens_removed, clean_text)
     */
   def scrubSpans(
       docs: DataFrame, spans: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    val byS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s"))
+    val checked = spans
+      .withColumn("_pe", lag(col("e"), 1).over(byS))
+      .withColumn("_ok", assert_true(col("_pe").isNull || col("s") > col("_pe"),
+        lit("scrubSpans: spans must be non-overlapping per doc " +
+          "(collapse fingerprintSpans output per doc first)")))
+      .filter(col("_ok").isNull)
+      .select(col("id"), col("s"), col("e"))
     val toks = docs
+      .join(checked.select(col("id").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t"))
       .select(col("id"), posexplode(col("_t")).as(Seq("tpos", "tok")))
     val marked = toks
-      .join(spans, toks("id") === spans("id") &&
+      .join(checked, toks("id") === checked("id") &&
         col("tpos") >= col("s") && col("tpos") <= col("e"), "left_semi")
       .select(col("id"), col("tpos"))
     toks
@@ -562,7 +590,7 @@ object Dedup {
           array_sort(collect_list(when(col("_rm").isNull,
             struct(col("tpos"), col("tok"))))),
           p => p.getField("tok")), " ").as("clean_text"))
-      .join(spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans")), "id")
+      .join(checked.groupBy(col("id")).agg(count(lit(1)).as("n_spans")), "id")
       .select(col("id"), col("n_spans"), col("n_tokens"),
         col("tokens_removed"), col("clean_text"))
   }

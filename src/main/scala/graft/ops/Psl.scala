@@ -110,16 +110,34 @@ object PslCode {
     if (exc >= 0) exc - 1 else best
   }
 
-  /** Registrable domain of a lowercased host, or null when the host is
-    * itself a public suffix (or empty). The UTF8String boundary form
+  /** Registrable domain of a host, or null when the host is itself a
+    * public suffix, empty, or malformed. The UTF8String boundary form
     * the Catalyst expression calls.
+    *
+    * Canonicalizes here — not at the SQL boundary — so every caller of
+    * `registrable_domain` gets the same contract: the host is
+    * lowercased (PSL rules are stored lowercase, so 'EXAMPLE.CO.UK'
+    * must not fall through to the implicit `*` default), one trailing
+    * dot (the FQDN root marker) strips, and a host with any EMPTY
+    * label ('.com', 'a..b', '.') is malformed and resolves to null
+    * rather than a nonsense 'com.'-style answer.
     */
   def registrable(
       host: org.apache.spark.unsafe.types.UTF8String,
       rules: PslRules): org.apache.spark.unsafe.types.UTF8String = {
-    val h = host.toString
-    if (h.isEmpty) return null
+    val h0 = host.toString
+    if (h0.isEmpty) return null
+    val h1 =
+      if (h0.charAt(h0.length - 1) == '.') h0.substring(0, h0.length - 1)
+      else h0
+    if (h1.isEmpty) return null
+    val h = h1.toLowerCase(java.util.Locale.ROOT)
     val parts = h.split("\\.", -1)
+    var pi = 0
+    while (pi < parts.length) {
+      if (parts(pi).isEmpty) return null
+      pi += 1
+    }
     val ps = publicSuffixLabels(parts, rules)
     if (parts.length < ps + 1) null
     else {

@@ -290,21 +290,30 @@ object DocStreams {
       docs: DataFrame, benchFingerprints: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 5, w: Int = 4): DataFrame = {
+    // n_fp/n_hit/containment are OUTPUT columns; an input frame already
+    // carrying one would make the post-join references ambiguous (or
+    // silently shadow), so reject it up front. The aggregate rides
+    // through the join under _fz_ temporaries as extra insurance.
+    val reserved = Seq("n_fp", "n_hit", "containment").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"fuzzyDecontaminationScores: input already carries reserved output " +
+        s"column(s) ${reserved.mkString(", ")}")
     val docFp = Dedup.winnowFingerprints(docs, idCol, textCol, n, w)
       .select(col("id").as(idCol), col("gh")).distinct()
     val scores = docFp
       .join(broadcast(benchFingerprints.select(col("gh")).distinct())
         .withColumn("hit", lit(1)), Seq("gh"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_fp"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .agg(count(lit(1)).as("_fz_n_fp"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("_fz_n_hit"))
     docs.join(scores, Seq(idCol), "left")
-      .withColumn("n_fp", coalesce(col("n_fp"), lit(0L)))
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("n_fp", coalesce(col("_fz_n_fp"), lit(0L)))
+      .withColumn("n_hit", coalesce(col("_fz_n_hit"), lit(0L)))
       .withColumn("containment",
         when(col("n_fp") > 0,
           round(col("n_hit").cast("double") / col("n_fp").cast("double"), 6))
           .otherwise(lit(0.0)))
+      .drop("_fz_n_fp", "_fz_n_hit")
   }
 
   /** Streaming fuzzy-decontamination gate — the admission-time twin of

@@ -35,4 +35,27 @@ class DecontScrubSpec extends AnyFunSuite with Matchers with SparkTest {
     respans.count() shouldBe 0L
     scrubbed.unpersist()
   }
+
+  test("scrubSpans enforces its non-overlap precondition") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    // overlapping intervals — the raw per-(bench,train) fingerprintSpans
+    // shape a caller might pass by mistake; must fail loudly, not
+    // double-count n_spans silently
+    val bad = Seq((1L, 1L, 4L), (1L, 3L, 6L)).toDF("id", "s", "e")
+    val ex = intercept[Exception] {
+      ops.Dedup.scrubSpans(docs, bad, "doc_id", "text").collect()
+    }
+    // the assert_true message may sit anywhere in the cause chain
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    msgs should include("non-overlapping")
+    // adjacent-but-disjoint intervals are fine
+    val ok = Seq((1L, 1L, 2L), (1L, 3L, 4L)).toDF("id", "s", "e")
+    val row = ops.Dedup.scrubSpans(docs, ok, "doc_id", "text").collect().head
+    row.getAs[Long]("n_spans") shouldBe 2L
+    row.getAs[Long]("tokens_removed") shouldBe 4L
+    row.getAs[String]("clean_text") shouldBe "a f g h"
+  }
 }

@@ -269,6 +269,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     val p = plan("x98_decontamination_scrub")
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
+    // The rebuild is implicated-docs-only: scrubSpans prunes the corpus
+    // with a left_semi against the span ids BEFORE tokenizing, so the
+    // plan carries TWO LeftSemi joins (prune + token mark). One would
+    // mean the prune regressed and the collect_list aggregate is back
+    // to shuffling the full corpus token stream (the r15 scale defect).
+    val semis = p.linesIterator.count(_.contains("LeftSemi"))
+    semis should be >= 2
   }
 
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {

@@ -55,6 +55,26 @@ class PslSpec extends AnyFunSuite with Matchers with SparkTest {
     reg("uk") shouldBe null
   }
 
+  test("host canonicalization: case, FQDN trailing dot, empty labels") {
+    // publicsuffix.org's checkPublicSuffix vectors include mixed-case
+    // forms; rules are stored lowercase, so an uncanonicalized
+    // 'EXAMPLE.CO.UK' would miss every rule and fall through to the
+    // implicit * default ('CO.UK' — wrong). The resolver lowercases.
+    reg("EXAMPLE.CO.UK") shouldBe "example.co.uk"
+    reg("Example.COM") shouldBe "example.com"
+    reg("COM") shouldBe null
+    // one trailing dot is the FQDN root marker and strips
+    reg("example.com.") shouldBe "example.com"
+    reg("b.example.co.uk.") shouldBe "example.co.uk"
+    reg("com.") shouldBe null
+    // empty labels are malformed, never a mangled 'com.'-style answer
+    reg(".com") shouldBe null
+    reg("a..b.com") shouldBe null
+    reg(".") shouldBe null
+    reg("..") shouldBe null
+    reg("") shouldBe null
+  }
+
   test("longest matching rule prevails (uk vs co.uk)") {
     // host under uk but not under any 2-label uk suffix: uk (1 label)
     // is the longest match -> registrable = 2 labels
@@ -126,13 +146,18 @@ class PslSpec extends AnyFunSuite with Matchers with SparkTest {
       val host = (if (rnd.nextInt(10) == 0) "." else "") + host0 +
         (if (rnd.nextInt(10) == 0) "." else "")
       val r1 = reg(host); val r2 = reg(host)
+      // the resolver canonicalizes (lowercase, one trailing dot strips),
+      // so the whole-label-suffix invariant holds against the CANONICAL
+      // host, not the raw input
+      val canon = (if (host.nonEmpty && host.last == '.') host.dropRight(1)
+        else host).toLowerCase(java.util.Locale.ROOT)
       withClue(s"host '$host': ") {
         r2 shouldBe r1 // deterministic
         if (r1 != null) {
-          host should endWith(r1)
+          canon should endWith(r1)
           // whole-label: the char before the suffix (if any) is a dot
-          val cut = host.length - r1.length
-          if (cut > 0) host.charAt(cut - 1) shouldBe '.'
+          val cut = canon.length - r1.length
+          if (cut > 0) canon.charAt(cut - 1) shouldBe '.'
         }
       }
     }
