@@ -124,6 +124,50 @@ object ExtensionQueries {
        | UNION ALL SELECT doc_id, text, class FROM vb
        | UNION ALL SELECT doc_id, text, class FROM mu)""".stripMargin
 
+  /** Shared x98/x100/x101 oracle sweep (the mirror of
+    * [[decontTrainSpans]]): train + bench winnow fingerprints, the
+    * bench fingerprint SET, matched train positions, gaps-and-islands
+    * merge — emits `sp$pfx`(doc_id, s, e). One generator so the three
+    * scrub-family oracles can never desync on the sweep.
+    */
+  private def scrubSpanCtesSql(pfx: String): String =
+    s"""${fastGramCtesSql("tr", "doc_id", s"t$pfx", DupNgramN)},
+       |${winnowSelCtesSql("doc_id", s"t$pfx", WinnowW)},
+       |${fastGramCtesSql("bench", "doc_id", s"b$pfx", DupNgramN)},
+       |${winnowSelCtesSql("doc_id", s"b$pfx", WinnowW)},
+       |bfp$pfx AS (SELECT DISTINCT gh FROM b${pfx}sel),
+       |mt$pfx AS (SELECT DISTINCT t.doc_id, t.pos
+       | FROM (SELECT DISTINCT doc_id, pos, gh FROM t${pfx}sel) t JOIN bfp$pfx b ON b.gh = t.gh),
+       |i$pfx AS (SELECT doc_id, pos,
+       |  SUM(CASE WHEN prev IS NOT NULL AND pos - prev > $SpanMergeGap THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       | FROM (SELECT *, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mt$pfx)),
+       |sp$pfx AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+       |  CAST(max(pos) + ${DupNgramN - 1} AS BIGINT) AS e
+       | FROM i$pfx GROUP BY doc_id, island HAVING count(*) >= $SpanMinFp)""".stripMargin
+
+  /** Byte-preserving segment view of the IMPLICATED train docs (the
+    * oracle mirror of [[graft.ops.Dedup.segments]] after the left_semi
+    * prune): `imp$pfx`(doc_id, text) the implicated slice,
+    * `sg$pfx`(doc_id, si, seg, is_tok, tcnt, coff) its whitespace/token
+    * runs with running token count and char offset. Patterns embed
+    * [[TextOps.SegmentRe]]/[[TextOps.WsClass]] — the same five-char
+    * class in Java and RE2 — so both engines segment identically.
+    */
+  private def segCtesSql(pfx: String): String =
+    s"""imp$pfx AS (SELECT t.doc_id, t.text
+       | FROM tr t JOIN (SELECT DISTINCT doc_id FROM sp$pfx) d ON d.doc_id = t.doc_id),
+       |seg$pfx AS (SELECT doc_id, CAST(u.si AS BIGINT) AS si, u.seg FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+       |    i -> struct_pack(si := i - 1, seg := l[i]))) AS u
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '${TextOps.SegmentRe}') AS l FROM imp$pfx))),
+       |sg$pfx AS (SELECT doc_id, si, seg,
+       |  CASE WHEN NOT regexp_matches(seg, '^${TextOps.WsClass}') THEN 1 ELSE 0 END AS is_tok,
+       |  SUM(CASE WHEN NOT regexp_matches(seg, '^${TextOps.WsClass}') THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY si) AS tcnt,
+       |  SUM(length(seg)) OVER (PARTITION BY doc_id ORDER BY si) - length(seg) AS coff
+       | FROM seg$pfx)""".stripMargin
+
   /** DuckDB mirror of Public-Suffix-List resolution over `$src`'s
     * DISTINCT hosts — emits `${pfx}dom`(host, domain) where domain is
     * the registrable domain (NULL when the host IS a public suffix).
@@ -4228,13 +4272,25 @@ object ExtensionQueries {
     * overlap and the BETWEEN mark is unambiguous — and scrubSpans now
     * asserts that invariant rather than assuming it.
     */
-  private def x98(s: SparkSession, dir: String): DataFrame = {
+  /** Shared x98/x100/x101 front half: the train corpus and its merged
+    * matched-token intervals against the benchmark fingerprint SET (no
+    * pair key — removal doesn't care which benchmark item leaked). One
+    * definition so the three scrub-family queries can never desync on
+    * the sweep.
+    */
+  private def decontTrainSpans(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (train, bench) = decontFrames(s, dir)
     val benchFp = Dedup.winnowFingerprints(
         bench.select(col("doc_id"), col("text")), "doc_id", "text", DupNgramN, WinnowW)
       .select(col("gh")).distinct()
     val spans = Dedup.fingerprintSpansAgainst(
       train, benchFp, "doc_id", "text", DupNgramN, WinnowW, SpanMergeGap, SpanMinFp)
+    (train, spans)
+  }
+
+  private def x98(s: SparkSession, dir: String): DataFrame = {
+    val (train, spans) = decontTrainSpans(s, dir)
     Dedup.scrubSpans(train, spans, "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_spans"), col("n_tokens"),
         col("tokens_removed"), col("clean_text"))
@@ -4272,6 +4328,60 @@ object ExtensionQueries {
           col("epoch").cast("string"))), lit(PlanShards.toLong))
           .cast("int").as("shard"))
       .orderBy(col("doc_id"), col("epoch"))
+
+  /** Byte-original decontamination scrub (x100): x98's removal with the
+    * ORIGINAL bytes preserved — a real pipeline scrubbing a corpus must
+    * cut spans from the original text (casing, punctuation, newlines
+    * intact) or every downstream dedup/quality signal shifts on every
+    * implicated doc. Same sweep as x98 ([[decontTrainSpans]], one
+    * definition); the rebuild is [[graft.ops.Dedup.scrubSpansBytes]]:
+    * byte-preserving whitespace/token segmentation, the removed span
+    * taking its tokens plus the whitespace run after each (the seam
+    * rule, documented there), everything kept byte-identical.
+    *
+    * Scale shape: identical to x98 — corpus prunes to implicated docs
+    * via left_semi BEFORE the segment explode; the mark is a doc-keyed
+    * equi-join with a BETWEEN residual; the rebuild aggregate sorts
+    * inside collect_list. chars_removed audits the byte-level cut the
+    * token count can't see.
+    */
+  private def x100(s: SparkSession, dir: String): DataFrame = {
+    val (train, spans) = decontTrainSpans(s, dir)
+    Dedup.scrubSpansBytes(train, spans, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_tokens"),
+        col("tokens_removed"), col("chars_removed"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Contamination span character offsets (x101): each merged leaked
+    * span of x98/x100 located in the ORIGINAL string —
+    * (char_start, char_end) 0-based inclusive plus the span's original
+    * bytes, the audit record a human (or a downstream byte-level
+    * scrubber) needs to SEE what leaked without re-deriving token
+    * arithmetic. span_text is `substr(text, char_start + 1, len)`, so
+    * the oracle cross-checks the offsets against the actual bytes, not
+    * just against its own offset arithmetic.
+    *
+    * Scale shape: [[graft.ops.Dedup.spanCharOffsets]] — prune-then-
+    * segment, two id+token-index equi-joins over the implicated slice's
+    * token segments, then one doc-keyed join back to the implicated
+    * docs for the substring; output is span-count-sized.
+    */
+  private def x101(s: SparkSession, dir: String): DataFrame = {
+    val (train, spans) = decontTrainSpans(s, dir)
+    val offs = Dedup.spanCharOffsets(train, spans, "doc_id", "text")
+    val implicated = train
+      .join(offs.select(col("id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("_tid"), col("text"))
+    offs
+      .join(implicated, col("id") === col("_tid"))
+      .select(col("id").as("doc_id"), col("s"), col("e"),
+        col("char_start"), col("char_end"),
+        col("text").substr(
+          (col("char_start") + 1).cast("int"),
+          (col("char_end") - col("char_start") + 1).cast("int")).as("span_text"))
+      .orderBy(col("doc_id"), col("s"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
@@ -4374,7 +4484,9 @@ object ExtensionQueries {
     "x96_contamination_spans" -> (x96 _),
     "x97_epoch_mix_materialize" -> (x97 _),
     "x98_decontamination_scrub" -> (x98 _),
-    "x99_epoch_shard_plan" -> (x99 _))
+    "x99_epoch_shard_plan" -> (x99 _),
+    "x100_byte_scrub" -> (x100 _),
+    "x101_span_offsets" -> (x101 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -6266,20 +6378,7 @@ object ExtensionQueries {
       // removed (NULL) tokens and coalesces to '' for a fully-removed
       // doc, mirroring array_join over an empty array
       s"""WITH $decontBaseCtesSql,
-         |${fastGramCtesSql("tr", "doc_id", "t98", DupNgramN)},
-         |${winnowSelCtesSql("doc_id", "t98", WinnowW)},
-         |${fastGramCtesSql("bench", "doc_id", "b98", DupNgramN)},
-         |${winnowSelCtesSql("doc_id", "b98", WinnowW)},
-         |bfp98 AS (SELECT DISTINCT gh FROM b98sel),
-         |mt98 AS (SELECT DISTINCT t.doc_id, t.pos
-         | FROM (SELECT DISTINCT doc_id, pos, gh FROM t98sel) t JOIN bfp98 b ON b.gh = t.gh),
-         |i98 AS (SELECT doc_id, pos,
-         |  SUM(CASE WHEN prev IS NOT NULL AND pos - prev > $SpanMergeGap THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         | FROM (SELECT *, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mt98)),
-         |sp98 AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
-         |  CAST(max(pos) + ${DupNgramN - 1} AS BIGINT) AS e
-         | FROM i98 GROUP BY doc_id, island HAVING count(*) >= $SpanMinFp),
+         |${scrubSpanCtesSql("98")},
          |tk98 AS (SELECT doc_id, u.tpos, u.tok FROM (
          |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
          |    i -> struct_pack(tpos := CAST(i - 1 AS BIGINT), tok := t[i]))) AS u
@@ -6305,5 +6404,43 @@ object ExtensionQueries {
          | FROM m97 WHERE n_repeats > 0)
          |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
          | CAST(${polySql("CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)")} % $PlanShards AS INT) AS shard
-         |FROM e99 ORDER BY doc_id, epoch""".stripMargin)
+         |FROM e99 ORDER BY doc_id, epoch""".stripMargin,
+    "x100_byte_scrub" ->
+      // x98's sweep (shared generator), then the byte-preserving rebuild:
+      // segment the implicated ORIGINAL text into ws/token runs, mark a
+      // segment removed iff its governing token (nearest at-or-before,
+      // tcnt - 1) falls in a span — one rule covers span tokens, their
+      // interior whitespace, and the seam whitespace after the last
+      // token; leading whitespace (tcnt = 0) never matches. string_agg
+      // over kept segments with '' separator = the engine's array_join.
+      s"""WITH $decontBaseCtesSql,
+         |${scrubSpanCtesSql("100")},
+         |${segCtesSql("100")},
+         |mk100 AS (SELECT g.doc_id, g.si, g.seg, g.is_tok, g.tcnt, s.s
+         | FROM sg100 g LEFT JOIN sp100 s ON s.doc_id = g.doc_id
+         |   AND g.tcnt >= 1 AND g.tcnt - 1 BETWEEN s.s AND s.e)
+         |SELECT m.doc_id, ns.n_spans, CAST(max(m.tcnt) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CASE WHEN m.s IS NOT NULL AND m.is_tok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tokens_removed,
+         | CAST(SUM(CASE WHEN m.s IS NOT NULL THEN length(m.seg) ELSE 0 END) AS BIGINT) AS chars_removed,
+         | coalesce(string_agg(CASE WHEN m.s IS NULL THEN m.seg END, '' ORDER BY m.si), '') AS clean_text
+         |FROM mk100 m JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sp100 GROUP BY doc_id) ns ON ns.doc_id = m.doc_id
+         |GROUP BY m.doc_id, ns.n_spans ORDER BY m.doc_id""".stripMargin,
+    "x101_span_offsets" ->
+      // same sweep + segment view; per-span char offsets via two
+      // id+token-index joins against the token segments, and span_text
+      // cut from the ORIGINAL text so the compare checks the offsets
+      // against actual bytes, not just offset arithmetic
+      s"""WITH $decontBaseCtesSql,
+         |${scrubSpanCtesSql("101")},
+         |${segCtesSql("101")},
+         |ts101 AS (SELECT doc_id, tcnt - 1 AS tix, coff, length(seg) AS len
+         | FROM sg101 WHERE is_tok = 1)
+         |SELECT s.doc_id, s.s, s.e, CAST(a.coff AS BIGINT) AS char_start,
+         | CAST(b.coff + b.len - 1 AS BIGINT) AS char_end,
+         | substr(t.text, CAST(a.coff + 1 AS INT), CAST(b.coff + b.len - a.coff AS INT)) AS span_text
+         |FROM sp101 s
+         |JOIN ts101 a ON a.doc_id = s.doc_id AND a.tix = s.s
+         |JOIN ts101 b ON b.doc_id = s.doc_id AND b.tix = s.e
+         |JOIN imp101 t ON t.doc_id = s.doc_id
+         |ORDER BY s.doc_id, s.s""".stripMargin)
 }

@@ -561,18 +561,27 @@ object Dedup {
     *
     * @return (id, n_spans, n_tokens, tokens_removed, clean_text)
     */
-  def scrubSpans(
-      docs: DataFrame, spans: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+  /** `spans` (id, s, e) with the non-overlap precondition ENFORCED: a
+    * windowed assert_true fails the job if any span starts at or before
+    * its predecessor's end within a doc. The check rides the
+    * id-partitioned shuffle the scrub's mark join needs anyway.
+    */
+  private def checkedSpans(spans: DataFrame): DataFrame = {
     val byS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("s"))
-    val checked = spans
+    spans
       .withColumn("_pe", lag(col("e"), 1).over(byS))
       .withColumn("_ok", assert_true(col("_pe").isNull || col("s") > col("_pe"),
         lit("scrubSpans: spans must be non-overlapping per doc " +
           "(collapse fingerprintSpans output per doc first)")))
       .filter(col("_ok").isNull)
       .select(col("id"), col("s"), col("e"))
+  }
+
+  def scrubSpans(
+      docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val checked = checkedSpans(spans)
     val toks = docs
       .join(checked.select(col("id").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t"))
@@ -593,6 +602,130 @@ object Dedup {
       .join(checked.groupBy(col("id")).agg(count(lit(1)).as("n_spans")), "id")
       .select(col("id"), col("n_spans"), col("n_tokens"),
         col("tokens_removed"), col("clean_text"))
+  }
+
+  /** Byte-preserving segment view of `docs`: one row per maximal
+    * whitespace OR token run ([[TextOps.SegmentRe]] — concatenating
+    * segments in order reproduces the original string byte-for-byte).
+    * Columns: id, si (0-based segment ordinal), seg (the run's original
+    * bytes), is_tok, tcnt (running count of token segments up to and
+    * INCLUDING this one — a token segment's 0-based token index is
+    * tcnt - 1, matching [[TextOps.tokens]] order exactly since both
+    * split on the same whitespace class), coff (0-based char offset of
+    * the segment in the original string, from a running length sum).
+    *
+    * Scale shape: the explode is map-only; the two running sums share
+    * one id-partitioned window — callers prune `docs` to the implicated
+    * slice BEFORE calling, so the window never sees the full corpus.
+    */
+  private def segments(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bySi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("si"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(regexp_extract_all(col(textCol), lit(TextOps.SegmentRe), lit(0)))
+          .as(Seq("si", "seg")))
+      .withColumn("is_tok", not(col("seg").rlike("^" + TextOps.WsClass)))
+      .withColumn("tcnt",
+        sum(when(col("is_tok"), 1L).otherwise(0L)).over(bySi))
+      .withColumn("coff",
+        (sum(length(col("seg")).cast("long")).over(bySi) -
+          length(col("seg"))).cast("long"))
+  }
+
+  /** Byte-original scrub: cut `spans` (id, s, e — non-overlapping
+    * inclusive TOKEN intervals) out of `docs` while preserving the
+    * original bytes (casing, punctuation, newlines) of everything kept
+    * — the production form of [[scrubSpans]], whose output is the
+    * lowercased token stream. Removal rule, deterministic and
+    * byte-exact: a removed span takes its tokens AND the whitespace run
+    * immediately following each removed token (interior whitespace of
+    * the span, plus the seam after its last token); whitespace BEFORE
+    * the span's first token survives, as does all leading whitespace.
+    * Equivalently: a segment is cut iff the nearest token at-or-before
+    * it falls inside a span. Unscrubbed regions are byte-identical to
+    * the original by the [[TextOps.SegmentRe]] reconstruction property.
+    *
+    * Scale shape: same as [[scrubSpans]] — the corpus prunes to
+    * implicated docs with a left_semi BEFORE the segment explode, the
+    * mark is a doc-keyed equi-join with a BETWEEN residual on the
+    * governing token index, and the rebuild aggregate sorts inside
+    * collect_list, deterministic under any partitioning.
+    *
+    * @return (id, n_spans, n_tokens, tokens_removed, chars_removed,
+    *         clean_text)
+    */
+  def scrubSpansBytes(
+      docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val checked = checkedSpans(spans)
+    val sg = segments(
+      docs.join(checked.select(col("id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"),
+      idCol, textCol)
+    val marked = sg
+      .join(checked,
+        sg("id") === checked("id") && col("tcnt") >= 1 &&
+          col("tcnt") - 1 >= col("s") && col("tcnt") - 1 <= col("e"),
+        "left_semi")
+      .select(col("id"), col("si"))
+    sg
+      .join(marked.withColumn("_rm", lit(1)), Seq("id", "si"), "left")
+      .groupBy(col("id"))
+      .agg(max(col("tcnt")).cast("long").as("n_tokens"),
+        sum(when(col("_rm").isNotNull && col("is_tok"), 1L).otherwise(0L))
+          .cast("long").as("tokens_removed"),
+        sum(when(col("_rm").isNotNull, length(col("seg")).cast("long"))
+          .otherwise(0L)).cast("long").as("chars_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_rm").isNull,
+            struct(col("si"), col("seg"))))),
+          p => p.getField("seg")), "").as("clean_text"))
+      .join(checked.groupBy(col("id")).agg(count(lit(1)).as("n_spans")), "id")
+      .select(col("id"), col("n_spans"), col("n_tokens"),
+        col("tokens_removed"), col("chars_removed"), col("clean_text"))
+  }
+
+  /** Character offsets of token `spans` (id, s, e — inclusive token
+    * intervals) in the ORIGINAL string: char_start = offset of span's
+    * first token's first char, char_end = offset of its last token's
+    * last char (both 0-based inclusive), so
+    * `substring(text, char_start + 1, char_end - char_start + 1)` is the
+    * span's original bytes. Spans whose token indices fall outside the
+    * doc's token range drop (inner joins) — [[fingerprintSpansAgainst]]
+    * output never does by construction (e = last gram start + n - 1
+    * <= token count - 1).
+    *
+    * Scale shape: prune-then-segment as [[scrubSpansBytes]]; the two
+    * lookups are id+token-index equi-joins against the implicated
+    * slice's token segments only.
+    *
+    * @return (id, s, e, char_start, char_end)
+    */
+  def spanCharOffsets(
+      docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val checked = checkedSpans(spans)
+    val tokSegs = segments(
+      docs.join(checked.select(col("id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"),
+      idCol, textCol)
+      .filter(col("is_tok"))
+      .select(col("id"), (col("tcnt") - 1).as("tix"), col("coff"),
+        length(col("seg")).cast("long").as("len"))
+    val a = tokSegs.select(col("id").as("_ida"), col("tix").as("_tixa"),
+      col("coff").as("char_start"))
+    val b = tokSegs.select(col("id").as("_idb"), col("tix").as("_tixb"),
+      (col("coff") + col("len") - 1).as("char_end"))
+    checked
+      .join(a, col("id") === col("_ida") && col("s") === col("_tixa"))
+      .join(b, col("id") === col("_idb") && col("e") === col("_tixb"))
+      .select(col("id"), col("s"), col("e"),
+        col("char_start"), col("char_end"))
   }
 
   def fingerprintSpans(

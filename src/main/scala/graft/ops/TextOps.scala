@@ -160,6 +160,20 @@ object TextOps {
     */
   val WsClassRe = "[ \\t\\n\\r\\f\\x0B]+"
 
+  /** The single-char form of [[WsClassRe]] (no quantifier) for building
+    * derived patterns.
+    */
+  val WsClass = "[ \\t\\n\\r\\f\\x0B]"
+
+  /** Byte-preserving segmentation: every char of a document falls in
+    * exactly one maximal whitespace run or one maximal token run, so
+    * `regexp_extract_all(text, SegmentRe)` concatenates back to the
+    * original string byte-for-byte, and its non-whitespace members are
+    * exactly [[tokens]] (pre-lowercase) in order. Same five-char class
+    * both dialects, so the DuckDB oracle segments identically.
+    */
+  val SegmentRe = WsClassRe + "|[^ \\t\\n\\r\\f\\x0B]+"
+
   /** Anchor elements; group 1 is the link's inner markup. */
   val HtmlLinkRe = "(?is)<a[^>]*>(.*?)</a>"
 

@@ -19,6 +19,26 @@ object GenScale {
     // sf100 needs offsetScale=100; the x32 key-collision bug at sf1 was
     // exactly this class).
     val offsetScale = args.lift(3).map(_.toLong).getOrElse(1L)
+    // "verbatim" (default) clones text unchanged — right for volume
+    // scaling, but df-capped fingerprint operators (x74/x96/x100 class)
+    // go DEGENERATE on it above ~10 copies: every content hash's
+    // document frequency multiplies by k, blows the boilerplate cap,
+    // and both engines agree on an empty result (0 = 0 certifies
+    // nothing). "mutate" salts every MutStride-th token of each copy
+    // i > 0 with a copy-index suffix: every n-gram window (n >=
+    // MutStride) then contains a copy-specific token, so fingerprints
+    // stay at the SOURCE corpus's document frequency while equal texts
+    // remain equal WITHIN a copy (the salt depends only on copy index
+    // and position, never on doc id) — dup structure per copy intact,
+    // cross-copy df flat. Copy 0 is always the source verbatim.
+    // Chained mutate runs compose: a stage-2 copy j re-salts the same
+    // positions, so suffixes accumulate ("...zc3zc7") and every
+    // (i, j) lineage stays distinct.
+    val mode = args.lift(4).getOrElse("verbatim")
+    require(mode == "verbatim" || mode == "mutate", s"bad mode $mode")
+    // <= the scrub family's n-gram width (5), so a mutated token lands
+    // in every fingerprint window
+    val MutStride = 5
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,10 +47,24 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String, idCols: Seq[String], offset: Long): Unit = {
+    def replicate(name: String, idCols: Seq[String], offset: Long,
+        saltTextCol: Option[String] = None): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val copies = (0 until k).map { i =>
-        idCols.foldLeft(base) { (df, c) => df.withColumn(c, col(c) + lit(i * offset)) }
+        val shifted = idCols.foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(i * offset))
+        }
+        saltTextCol.filter(_ => mode == "mutate" && i > 0) match {
+          case Some(tc) =>
+            shifted.withColumn(tc,
+              array_join(
+                transform(split(col(tc), " "),
+                  (t, p) => when(t =!= "" &&
+                      pmod(p, lit(MutStride)) === lit(MutStride - 1),
+                    concat(t, lit("zc"), lit(i))).otherwise(t)),
+                " "))
+          case None => shifted
+        }
       }
       copies.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -39,7 +73,8 @@ object GenScale {
     // Facts replicated; dimension tables copied as-is.
     replicate("lineitem", Seq("l_orderkey"), 100000000L * offsetScale)
     replicate("orders", Seq("o_orderkey"), 100000000L * offsetScale)
-    replicate("documents", Seq("doc_id"), 10000000L * offsetScale)
+    replicate("documents", Seq("doc_id"), 10000000L * offsetScale,
+      saltTextCol = Some("text"))
     replicate("embeddings", Seq("vec_id"), 10000000L * offsetScale)
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")

@@ -175,7 +175,12 @@ object ScaleVerify {
     "x98_decontamination_scrub" -> Some("doc_id % 97 = 0"),
     // x99 output is budget-sized (1.8x corpus rows, ids only) — slice;
     // both engines are x97's chain plus a map-only unnest + hash.
-    "x99_epoch_shard_plan" -> Some("doc_id % 97 = 0"))
+    "x99_epoch_shard_plan" -> Some("doc_id % 97 = 0"),
+    // x100/x101 ride x98's sweep; the byte rebuild/offsets add one
+    // segment unnest + window over the implicated slice — same
+    // implicated-doc-sized output, same slice.
+    "x100_byte_scrub" -> Some("doc_id % 97 = 0"),
+    "x101_span_offsets" -> Some("doc_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

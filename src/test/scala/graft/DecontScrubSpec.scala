@@ -36,6 +36,59 @@ class DecontScrubSpec extends AnyFunSuite with Matchers with SparkTest {
     scrubbed.unpersist()
   }
 
+  test("x100 byte scrub: re-sweeps clean AND non-span bytes are byte-identical") {
+    val scrubbed = ExtensionQueries
+      .queries("x100_byte_scrub")(spark, dir).cache()
+    val rows = scrubbed.collect()
+    rows.length should be > 5
+    all(rows.map(_.getAs[Long]("tokens_removed"))) should be > 0L
+    all(rows.map(_.getAs[Long]("chars_removed"))) should be > 0L
+    // re-sweep: the byte-original scrubbed docs against the SAME
+    // benchmark, same knobs — zero spans (tokenization lowercases, so
+    // preserved casing can't hide a leaked passage)
+    val (_, bench) = ExtensionQueries.decontFrames(spark, dir)
+    val respans = ops.Dedup.fingerprintSpans(
+      scrubbed.select(col("doc_id"), col("clean_text").as("text")),
+      bench.select(col("doc_id"), col("text")),
+      "doc_id", "text", n = 5, w = 4, mergeGap = 11, minFp = 2L, dfCap = 64L)
+    respans.count() shouldBe 0L
+    // byte identity: clean_text equals the ORIGINAL text with exactly
+    // [char_start .. char_end + following-whitespace-run] cut per span
+    // (the documented seam rule), independently reconstructed here from
+    // x101's char offsets with plain string code
+    val offs = ExtensionQueries.queries("x101_span_offsets")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Long]("char_start").toInt, r.getAs[Long]("char_end").toInt))
+        .sortBy(_._1)).toMap
+    val (train, _) = ExtensionQueries.decontFrames(spark, dir)
+    val originals = train.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.length shouldBe offs.size
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = originals(id)
+      val expected = offs(id).reverse.foldLeft(text) { case (acc, (cs, ce)) =>
+        var cut = ce + 1
+        while (cut < acc.length && " \t\n\r\f\u000B".indexOf(acc.charAt(cut)) >= 0)
+          cut += 1
+        acc.substring(0, cs) + acc.substring(cut)
+      }
+      withClue(s"doc $id: ") {
+        r.getAs[String]("clean_text") shouldBe expected
+      }
+      // and every span's bytes really were in the original where x101
+      // says (substr proven by the oracle too; this is the Scala-side
+      // anchor)
+      offs(id).foreach { case (cs, ce) =>
+        ce should be < text.length
+        text.charAt(cs) should not be ' '
+      }
+    }
+    scrubbed.unpersist()
+  }
+
   test("scrubSpans enforces its non-overlap precondition") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")

@@ -278,6 +278,24 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     semis should be >= 2
   }
 
+  test("x100: byte scrub keeps the implicated-only prune and equi-join discipline") {
+    // Same contract as x98 plus the byte path: the segment explode and
+    // rebuild run over the left_semi-pruned implicated slice (two
+    // LeftSemi joins: prune + segment mark), and nothing in the
+    // sweep/mark/rebuild goes nested-loop or cartesian.
+    val p = plan("x100_byte_scrub")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p.linesIterator.count(_.contains("LeftSemi")) should be >= 2
+  }
+
+  test("x101: span char offsets are equi-joins over the pruned slice") {
+    val p = plan("x101_span_offsets")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p.linesIterator.count(_.contains("LeftSemi")) should be >= 2
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group

@@ -425,4 +425,50 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
       n, w, n + 2 * (w - 1), minFp = 2L, dfCap = 4L).collect()
     spans.map(_.getAs[Long]("train_id")).toSet shouldBe Set(9L)
   }
+
+  test("scrubSpansBytes preserves original bytes outside the cut spans") {
+    // mixed case, punctuation, multi-space runs — everything the
+    // lowercased-token rebuild (scrubSpans) cannot preserve
+    val docs = Seq(
+      (1L, "Aa  BB!  cc dd EE"), // span (1,2) cuts 'BB!  cc ' (seam ws)
+      (2L, "  Lead ws kept"),    // no span rows -> not implicated, absent
+      (3L, "One two three")      // span (0,2) cuts everything
+    ).toDF("doc_id", "text")
+    val spans = Seq((1L, 1L, 2L), (3L, 0L, 2L)).toDF("id", "s", "e")
+    val out = Dedup.scrubSpansBytes(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    out.keySet shouldBe Set(1L, 3L) // implicated only
+    val r1 = out(1L)
+    r1.getAs[String]("clean_text") shouldBe "Aa  dd EE"
+    r1.getAs[Long]("n_tokens") shouldBe 5L
+    r1.getAs[Long]("tokens_removed") shouldBe 2L
+    // 'BB!' (3) + '  ' (2) + 'cc' (2) + ' ' (1)
+    r1.getAs[Long]("chars_removed") shouldBe 8L
+    r1.getAs[Long]("n_spans") shouldBe 1L
+    val r3 = out(3L)
+    r3.getAs[String]("clean_text") shouldBe ""
+    r3.getAs[Long]("tokens_removed") shouldBe 3L
+    r3.getAs[Long]("chars_removed") shouldBe 13L
+  }
+
+  test("scrubSpansBytes keeps whitespace BEFORE a span and leading whitespace") {
+    val docs = Seq((1L, "  aa \t bb  cc")).toDF("doc_id", "text")
+    // span (1,1): cut 'bb' and its following ws run only
+    val spans = Seq((1L, 1L, 1L)).toDF("id", "s", "e")
+    val r = Dedup.scrubSpansBytes(docs, spans, "doc_id", "text").collect().head
+    r.getAs[String]("clean_text") shouldBe "  aa \t cc"
+    r.getAs[Long]("chars_removed") shouldBe 4L // 'bb' + '  '
+  }
+
+  test("spanCharOffsets locates spans in the original string") {
+    val docs = Seq((1L, "Aa  BB!  cc dd EE")).toDF("doc_id", "text")
+    val spans = Seq((1L, 1L, 2L), (1L, 4L, 4L)).toDF("id", "s", "e")
+    val out = Dedup.spanCharOffsets(docs, spans, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("s"),
+        r.getAs[Long]("char_start"), r.getAs[Long]("char_end"))).sorted
+    out shouldBe Array((1L, 4L, 10L), (4L, 15L, 16L))
+    // the offsets really address the span bytes
+    "Aa  BB!  cc dd EE".substring(4, 11) shouldBe "BB!  cc"
+    "Aa  BB!  cc dd EE".substring(15, 17) shouldBe "EE"
+  }
 }
