@@ -367,9 +367,12 @@ object DocStreams {
     * exactly-once discipline.
     *
     * Output columns: idCol, text (original or scrubbed), n_spans,
-    * n_tokens, tokens_removed. NOTE scrubbed text is the lowercased
-    * token stream (the fingerprint tokenization); clean docs keep their
-    * byte-original text.
+    * n_tokens, tokens_removed. Scrubbed text is the lowercased token
+    * stream (the fingerprint tokenization) by default; pass
+    * `byteOriginal = true` for the x100 kernel
+    * ([[graft.ops.Dedup.scrubSpansBytes]]), which preserves the
+    * original bytes of everything kept. Clean docs keep their
+    * byte-original text in both modes.
     */
   def scrubIngest(
       docs: DataFrame,
@@ -382,13 +385,15 @@ object DocStreams {
       w: Int = 4,
       mergeGap: Int = 11,
       minFp: Long = 2L,
+      byteOriginal: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val scrubbed = scrubBatch(
-          batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp)
+          batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp,
+          byteOriginal)
         scrubbed.write.mode("overwrite")
           .parquet(new Path(sinkPath, s"batch_id=$batchId").toString)
         ()
@@ -401,10 +406,16 @@ object DocStreams {
   def scrubBatch(
       batch: DataFrame, benchFingerprints: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 5, w: Int = 4, mergeGap: Int = 11, minFp: Long = 2L): DataFrame = {
+      n: Int = 5, w: Int = 4, mergeGap: Int = 11, minFp: Long = 2L,
+      byteOriginal: Boolean = false): DataFrame = {
     val spans = Dedup.fingerprintSpansAgainst(
       batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp)
-    val scrubbed = Dedup.scrubSpans(batch, spans, idCol, textCol)
+    // byteOriginal = the x100 kernel (casing/punctuation/whitespace of
+    // kept bytes preserved); default = the x98 lowercased token stream
+    val rebuilt =
+      if (byteOriginal) Dedup.scrubSpansBytes(batch, spans, idCol, textCol)
+      else Dedup.scrubSpans(batch, spans, idCol, textCol)
+    val scrubbed = rebuilt
       .select(col("id").as(idCol), col("clean_text"),
         col("n_spans"), col("tokens_removed"))
     batch

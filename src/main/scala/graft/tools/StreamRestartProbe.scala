@@ -397,6 +397,69 @@ object StreamRestartProbe {
       java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
   }
 
+  /** Kill-replay for the decontamination-scrub ingest (byte-original
+    * kernel): same drill as nearDup — feed a batch, drain with
+    * AvailableNow, drop the newest commit at the kill point so the
+    * restart replays it — under the batch_id=N overwrite discipline a
+    * replayed batch overwrites its own partial output, so the killed
+    * run's sink must equal the uninterrupted twin's row-for-row
+    * (admission is a pure function of document + benchmark fingerprint
+    * set: no state store, nothing to roll back). Every 4th doc embeds a
+    * verbatim benchmark passage, so the replayed window contains real
+    * scrub work, not just pass-throughs.
+    */
+  def runScrub(spark: SparkSession, batches: Int, perBatch: Int, killAt: Int): Result = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("restart-scrub").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+    val benchPassage = "the benchmark answer is forty two and the question " +
+      "remains unknown to every deep thought instance ever built"
+    val benchFp = graft.ops.Dedup.winnowFingerprints(
+        Seq((1L, benchPassage)).toDF("doc_id", "text"), "doc_id", "text", 5, 4)
+      .select(col("gh")).distinct().cache()
+    benchFp.count()
+
+    def writeFeed(srcDir: String, b: Int): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/b$b.json")
+      (0 until perBatch).foreach { i =>
+        val id = b.toLong * perBatch + i
+        val filler = s"ordinary corpus document $id talks about topic ${id % 23} " +
+          s"with detail ${id * 31 % 101} and more detail ${id * 17 % 89}"
+        val text =
+          if (i % 4 == 0) s"Intro for doc $id. $benchPassage Outro ${id % 11}."
+          else filler
+        w.println(s"""{"doc_id": $id, "text": "$text"}""")
+      }
+      w.close()
+    }
+
+    def drive(name: String, injectKill: Boolean): Array[String] = {
+      val srcDir = s"$root/$name/src"
+      new java.io.File(srcDir).mkdirs()
+      (0 until batches).foreach { b =>
+        writeFeed(srcDir, b)
+        val q = DocStreams.scrubIngest(
+          spark.readStream.schema(schema).json(srcDir),
+          benchFp, s"$root/$name/sink", s"$root/$name/chk",
+          byteOriginal = true)
+        require(q.awaitTermination(120000), s"scrub batch $b exceeded 120 s")
+        if (injectKill && b == killAt - 1) dropCommit(s"$root/$name/chk", b.toLong)
+      }
+      sortedRows(spark.read.parquet(s"$root/$name/sink"))
+    }
+
+    val twin = drive("twin", injectKill = false)
+    val killed = drive("killed", injectKill = true)
+    val scrubbedDocs = spark.read.parquet(s"$root/killed/sink")
+      .filter(col("tokens_removed") > 0).count()
+    Result("scrubIngest/batch-dir-overwrite", batches, killAt, killed.length.toLong,
+      scrubbedDocs > 0 &&
+        java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -411,7 +474,8 @@ object StreamRestartProbe {
       runTopUsers(spark, batches, perBatch, killAt),
       runNearDup(spark, batches, perBatch / 10, killAt),
       runMix(spark, batches, perBatch, killAt),
-      runDomainGate(spark, batches, perBatch / 10, killAt))
+      runDomainGate(spark, batches, perBatch / 10, killAt),
+      runScrub(spark, batches, perBatch / 10, killAt))
     println(f"${"probe"}%-36s ${"batches"}%7s ${"killAt"}%6s ${"rows"}%8s ${"agree"}%6s")
     results.foreach(r =>
       println(f"${r.probe}%-36s ${r.batches}%7d ${r.killAt}%6d ${r.rows}%8d ${r.agree}%6s"))

@@ -483,6 +483,41 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
       .collect().map(_.toString).sorted shouldBe batch
   }
 
+  test("scrubIngest byteOriginal: kept bytes survive with casing/punctuation intact") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scrubbytes").toString
+    val n = 5; val w = 4
+    val prompt = (0 until 30).map(i => s"evaltok$i").mkString(" ")
+    val benchFp = graft.ops.Dedup.winnowFingerprints(
+      Seq((1L, prompt)).toDF("bench_id", "text"), "bench_id", "text", n, w)
+    // MixedCase, punctuation, and a double space in the kept flanks —
+    // exactly what the lowercased-token kernel cannot preserve
+    val leaky = s"Intro, with CASE!  kept bytes aa bb cc dd $prompt Outro; done."
+    val feed = Seq((1L, leaky))
+    val in = MemoryStream[(Long, String)]
+    val q = DocStreams.scrubIngest(
+      in.toDF().toDF("doc_id", "text"), benchFp,
+      s"$root/sink", s"$root/chk", n = n, w = w, byteOriginal = true)
+    in.addData(feed)
+    q.processAllAvailable(); q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$root/sink").collect().head
+    val scrubbed = out.getAs[String]("text")
+    scrubbed should startWith("Intro, with CASE!  kept bytes")
+    scrubbed should not include "evaltok5"
+    scrubbed should endWith("done.")
+    // common-selection floor: interior windows agree on both sides, so
+    // the span covers at least tokens [p+w-1, p+22+n-1] of the 30-token
+    // prompt
+    out.getAs[Long]("tokens_removed") should be >= 24L
+    // stream == batch kernel in byte mode too
+    val batch = DocStreams.scrubBatch(
+        feed.toDF("doc_id", "text"), benchFp, n = n, w = w, byteOriginal = true)
+      .collect().map(_.toString).sorted
+    spark.read.parquet(s"$root/sink").drop("batch_id")
+      .collect().map(_.toString).sorted shouldBe batch
+  }
+
   test("withCuration matches the batch scoring exactly (same expressions, stream or batch)") {
     val batch = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
     val out = DocStreams.withCuration(batch).orderBy("doc_id").collect()
