@@ -4383,6 +4383,147 @@ object ExtensionQueries {
       .orderBy(col("doc_id"), col("s"))
   }
 
+  /** Certification-sample size and truth depth for the x102 recall audit:
+    * the sample is a FIXED count (never corpus-proportional — the brute
+    * pass must stay one broadcast-sample scan at any corpus size).
+    */
+  private val RecallQ = 50
+  private val RecallK = 10
+
+  /** ANN recall certification (x102): measured recall@k of the trained
+    * IVF index — the x13/x25 production retrieval path — against exact
+    * brute-force ground truth on a fixed query sample, at nprobe = 1 AND
+    * nprobe = 2, so the recall/cost curve of the probing knob is a
+    * MEASURED artifact, not an assumption. This is the quality gate an
+    * approximate index must pass before it serves a corpus-scale
+    * retrieval pass: a 100 TB dedup/search built on an index with
+    * unmeasured recall is silently lossy.
+    *
+    * Scale shape: ground truth is the standard certification cost — one
+    * corpus scan against the BROADCAST fixed-size sample (x08's shape,
+    * never corpus x corpus); the approx side is exactly x13/x25's
+    * broadcast cell equi-join over the assignment (computed once, cut,
+    * shared by both nprobe arms); the hit join is an 8-byte (qid,
+    * vec_id) equi-join between two k*|Q|-row frames. Nothing here grows
+    * faster than one corpus scan per arm.
+    */
+  private def x102(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < RecallQ)
+    val truth = Similarity.bruteForceTopK(e, q, RecallK, dim = EmbDim)
+      .select(col("qid"), col("vec_id"))
+    val trained = AnnModels.ivfCentroids(s, dir, e, IvfCells, KmIters, EmbDim)
+    val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    // the corpus assignment feeds both nprobe arms — cut so it computes once
+    val assigned = Checkpoints.cut(Similarity.ivfAssign(e, cents, EmbDim))
+    def approxTopK(nprobe: Int): DataFrame = {
+      val probed = Similarity.ivfProbe(q, cents, EmbDim, nprobe)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell_id").as("qcell"))
+      val scored = assigned.join(broadcast(probed),
+          col("cell_id") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosineStatic(col("qv"), col("v"),
+            Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim), EmbDim), 6).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= RecallK)
+        .select(lit(nprobe.toLong).as("nprobe"), col("qid"), col("vec_id"))
+    }
+    val hits = approxTopK(1).union(approxTopK(2))
+      .join(truth, Seq("qid", "vec_id"))
+      .groupBy(col("nprobe"), col("qid"))
+      .agg(count(lit(1)).as("n_hit"))
+    // left-join the full (nprobe x sample) universe so a query whose
+    // probed cells hold NO truth member still reports recall 0, not a
+    // silently missing row
+    q.select(col("vec_id").as("qid"))
+      .withColumn("nprobe", explode(array(lit(1L), lit(2L))))
+      .join(hits, Seq("nprobe", "qid"), "left")
+      .select(col("nprobe"), col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(RecallK.toDouble), 4).as("recall"))
+      .orderBy(col("nprobe"), col("qid"))
+  }
+
+  /** MinHash estimator calibration (x103): for every LSH candidate pair,
+    * the signature-agreement Jaccard ESTIMATE (matching components / K)
+    * next to the EXACT shingle-set Jaccard — the measured-error audit of
+    * the x05/x06/x26 near-dup family. x102 certifies the ANN index;
+    * this certifies the sketch the text dedup threshold sits on: with
+    * K = 8 components the estimate is ±1/8-granular, and the per-pair
+    * abs_err column is exactly the evidence needed to size K before a
+    * 100 TB dedup commits to a 0.5 cutoff.
+    *
+    * Scale shape: candidates come from the banded equi-join (never
+    * all-pairs); the component-match count is K codegen'd integer
+    * comparisons per candidate row (no HOF in the hot path); exact
+    * Jaccard joins the shingle sets back by id — the same two
+    * broadcast-able id joins x06 already does.
+    */
+  private def x103(s: SparkSession, dir: String): DataFrame = {
+    val sh = Checkpoints.cut(
+      plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s")))
+    val sigs = sh.select(
+      (col("doc_id") +:
+        (0 until Dedup.MinHashK).map(i =>
+          Dedup.minhashComponent(transform(col("s"), x => TextOps.polyHash(x)), i).as(s"mh$i"))): _*)
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+    val a = sigs.select(
+      col("doc_id").as("id1") +: (0 until Dedup.MinHashK).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = sigs.select(
+      col("doc_id").as("id2") +: (0 until Dedup.MinHashK).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val withSigs = cands.join(a, "id1").join(b, "id2")
+    val matches = (0 until Dedup.MinHashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withSets = withSigs
+      .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("s", "s1"), "id1")
+      .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("s", "s2"), "id2")
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val union = (size(col("s1")) + size(col("s2"))).cast("double") - inter
+    val est = matches.cast("double") / lit(Dedup.MinHashK.toDouble)
+    withSets
+      .select(col("id1"), col("id2"), est.as("est_j"), (inter / union).as("jac"),
+        round(abs(est - inter / union), 6).as("abs_err"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Soft dedup via cluster-multiplicity weights (x104): instead of
+    * DROPPING near-duplicates (x26/x66's hard dedup), keep each
+    * cluster's best copy ONCE carrying weight = cluster size — the
+    * reweighting form of dedup used when duplication frequency is
+    * itself signal (loss weighting, sampling temperature) and the
+    * corpus must shrink without losing the multiplicity distribution.
+    * Output per representative: its weight, its own token count, and
+    * weight * tokens (the effective token mass the rep stands in for).
+    *
+    * Scale shape: inherits x26/x66's cluster machinery wholesale
+    * (banded LSH equi-joins, O(diameter) label propagation); the
+    * additions are two primitive hash aggregates on the cluster key
+    * (size, then the x66 two-phase argmax) and one id equi-join to pull
+    * the rep's token count. No window over members, no text shuffle.
+    */
+  private def x104(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir)
+      .withColumn("quality", TextOps.quality(col("text")))
+      .withColumn("n_tokens", TextOps.wsTokenCount(col("text"))))
+    // labels feed the size agg, the argmax, and the rep-token join — cut
+    val labeled = Checkpoints.cut(corpus
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"), col("quality"), col("n_tokens")))
+    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
+    val best = labeled.groupBy(col("cluster")).agg(max(col("quality")).as("bq"))
+    val reps = labeled.join(best, "cluster")
+      .filter(col("quality") === col("bq"))
+      .groupBy(col("cluster")).agg(min(col("doc_id")).as("rep_id"))
+    reps.join(sizes, "cluster")
+      .join(labeled.select(col("doc_id").as("rep_id"), col("n_tokens")), "rep_id")
+      .select(col("rep_id"), col("weight"), col("n_tokens"),
+        (col("weight") * col("n_tokens")).as("weighted_tokens"))
+      .orderBy(col("rep_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -4486,7 +4627,10 @@ object ExtensionQueries {
     "x98_decontamination_scrub" -> (x98 _),
     "x99_epoch_shard_plan" -> (x99 _),
     "x100_byte_scrub" -> (x100 _),
-    "x101_span_offsets" -> (x101 _))
+    "x101_span_offsets" -> (x101 _),
+    "x102_ann_recall" -> (x102 _),
+    "x103_minhash_calibration" -> (x103 _),
+    "x104_soft_dedup_weights" -> (x104 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -6442,5 +6586,90 @@ object ExtensionQueries {
          |JOIN ts101 a ON a.doc_id = s.doc_id AND a.tix = s.s
          |JOIN ts101 b ON b.doc_id = s.doc_id AND b.tix = s.e
          |JOIN imp101 t ON t.doc_id = s.doc_id
-         |ORDER BY s.doc_id, s.s""".stripMargin)
+         |ORDER BY s.doc_id, s.s""".stripMargin,
+    "x102_ann_recall" ->
+      // identical trained IVF index to x13/x25 (the unrolled-k-means
+      // trick); truth = x08's brute-force rank arithmetic at depth k;
+      // query cells ranked once, the nprobe dimension joined in via
+      // arnk <= nprobe; hits counted per (nprobe, qid) and left-joined
+      // onto the full universe so recall-0 queries keep their row
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfUpdateSql("a2", "c2")},
+         |${ivfAssignSql("c2", "assigned")},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $RecallQ),
+         |tp AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos
+         | FROM e, q WHERE vec_id <> qid),
+         |truth AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM tp) WHERE rnk <= $RecallK),
+         |qc AS (SELECT qid, qv, cell_id, arnk FROM (
+         | SELECT q.qid, q.qv, c2.cell_id,
+         |  row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(list_cosine_similarity(q.qv, c2.cv), 6) DESC, c2.cell_id) AS arnk
+         | FROM q CROSS JOIN c2) WHERE arnk <= 2),
+         |nps AS (SELECT unnest([1, 2]) AS nprobe),
+         |cand AS (SELECT n.nprobe, qc.qid, a.vec_id,
+         |  round(list_cosine_similarity(qc.qv, a.v), 6) AS cos
+         | FROM qc JOIN nps n ON qc.arnk <= n.nprobe
+         | JOIN assigned a ON a.cell_id = qc.cell_id AND a.vec_id <> qc.qid),
+         |ak AS (SELECT nprobe, qid, vec_id FROM (
+         |  SELECT nprobe, qid, vec_id,
+         |   row_number() OVER (PARTITION BY nprobe, qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM cand) WHERE rnk <= $RecallK),
+         |h AS (SELECT nprobe, qid, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM ak JOIN truth USING (qid, vec_id) GROUP BY nprobe, qid)
+         |SELECT CAST(n.nprobe AS BIGINT) AS nprobe, q.qid,
+         | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $RecallK.0, 4) AS recall
+         |FROM q CROSS JOIN nps n
+         |LEFT JOIN h ON h.nprobe = n.nprobe AND h.qid = q.qid
+         |ORDER BY 1, 2""".stripMargin,
+    "x103_minhash_calibration" ->
+      // x06's candidate machinery verbatim (sig, bands, df cap), then per
+      // pair: matching components counted as K CASE sums (the SQL mirror
+      // of the engine's K codegen'd comparisons), estimate = m/K, exact
+      // Jaccard from the full shingle lists — no threshold: calibration
+      // wants the whole candidate set, not just the passers
+      s"""WITH $PlantedDocsSql,
+         |$ShinglesSql,
+         |hh AS (SELECT doc_id, s, list_transform(s, x -> ${polySql("x")}) AS hs FROM sh),
+         |sig AS (SELECT doc_id, s, ${(0 until Dedup.MinHashK).map(i => minhashSql(i, "hs") + s" AS mh$i").mkString(",\n ")} FROM hh),
+         |banded AS (SELECT doc_id, unnest([${(0 until Dedup.LshBands).map(b => s"'$b:' || mh${2 * b} || ':' || mh${2 * b + 1}").mkString(", ")}]) AS band FROM sig),
+         |cool AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= ${Dedup.ShingleDfCap}),
+         |capped AS (SELECT banded.* FROM banded JOIN cool USING (band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         | FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |pr AS (SELECT id1, id2,
+         |  (${(0 until Dedup.MinHashK).map(i => s"CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) AS m,
+         |  CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS inter,
+         |  CAST(len(s1.s) + len(s2.s) AS DOUBLE) AS szsum
+         | FROM cand JOIN sig s1 ON s1.doc_id = id1 JOIN sig s2 ON s2.doc_id = id2)
+         |SELECT id1, id2,
+         | CAST(m AS DOUBLE) / ${Dedup.MinHashK}.0 AS est_j,
+         | inter / (szsum - inter) AS jac,
+         | round(abs(CAST(m AS DOUBLE) / ${Dedup.MinHashK}.0 - inter / (szsum - inter)), 6) AS abs_err
+         |FROM pr ORDER BY id1, id2""".stripMargin,
+    "x104_soft_dedup_weights" ->
+      // same cluster CTEs + quality/argmax tail as x66, plus the cluster
+      // size aggregate; the rep's token count is hq's ws re-joined by id
+      s"""WITH $DupClusterCtesSql,
+         |hq AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM corpus),
+         |qq AS (SELECT doc_id, $QualitySql AS quality FROM hq),
+         |allq AS (SELECT c.doc_id, CAST(coalesce(l.label, c.doc_id) AS BIGINT) AS cluster, q.quality
+         | FROM corpus c LEFT JOIN lab4 l ON l.id = c.doc_id JOIN qq q ON q.doc_id = c.doc_id),
+         |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS weight FROM allq GROUP BY cluster),
+         |reps AS (SELECT cluster, doc_id AS rep_id FROM (
+         |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM allq)
+         | WHERE rn = 1)
+         |SELECT r.rep_id, z.weight, h.ws AS n_tokens, z.weight * h.ws AS weighted_tokens
+         |FROM reps r JOIN sizes z USING (cluster) JOIN hq h ON h.doc_id = r.rep_id
+         |ORDER BY r.rep_id""".stripMargin)
 }

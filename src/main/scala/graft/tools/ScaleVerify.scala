@@ -180,7 +180,20 @@ object ScaleVerify {
     // segment unnest + window over the implicated slice — same
     // implicated-doc-sized output, same slice.
     "x100_byte_scrub" -> Some("doc_id % 97 = 0"),
-    "x101_span_offsets" -> Some("doc_id % 97 = 0"))
+    "x101_span_offsets" -> Some("doc_id % 97 = 0"),
+    // x102 output is fixed-size (2 x 50 sample rows at ANY scale — the
+    // point of a fixed certification sample); the oracle's brute truth
+    // is (corpus x 50), the same x08 cost class, and the IVF chain is
+    // x13's. No slice needed: 100 rows always compare.
+    "x102_ann_recall" -> None,
+    // x103 output is candidate-pair-sized (the x06 class: planted pairs
+    // + band collisions); the oracle is x06's CTE chain plus K CASE
+    // sums. Slice like the other pair queries.
+    "x103_minhash_calibration" -> Some("id1 % 97 = 0"),
+    // x104 output is one row per cluster representative (~corpus-sized
+    // in the worst all-singletons case) — slice; the oracle is x66's
+    // label-propagation chain plus two dimension-keyed aggregates.
+    "x104_soft_dedup_weights" -> Some("rep_id % 97 = 0"))
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Semantics of the round-16 quality-certification operators: the ANN
+  * recall audit (x102), the MinHash calibration audit (x103), and soft
+  * dedup reweighting (x104). The oracle gate pins exact values; these
+  * pin the INVARIANTS that make the outputs meaningful as audits.
+  */
+class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x102: widening nprobe never lowers recall, and recall is a valid fraction") {
+    val rows = SparkEntry.queries("x102_ann_recall")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows should not be empty
+    // full universe: every sampled query appears once per nprobe arm
+    val byProbe = rows.groupBy(_._1).map { case (np, rs) => np -> rs.map(_._2).sorted.toSeq }
+    byProbe.keySet shouldBe Set(1L, 2L)
+    byProbe(1L) shouldBe byProbe(2L)
+    rows.foreach { case (_, _, nHit, recall) =>
+      nHit should be >= 0L
+      nHit should be <= 10L
+      recall shouldBe (nHit.toDouble / 10.0) +- 1e-9
+    }
+    // monotonicity: probing 2 cells searches a superset of 1 cell's
+    // candidates, so per-query recall cannot drop
+    val r1 = rows.filter(_._1 == 1L).map(r => r._2 -> r._4).toMap
+    rows.filter(_._1 == 2L).foreach { case (_, qid, _, rec2) =>
+      rec2 should be >= r1(qid)
+    }
+    // the audit must be non-degenerate on the fixture: nprobe=1 finds
+    // most true neighbours (cells are cosine-coherent) but not all
+    val mean1 = rows.filter(_._1 == 1L).map(_._4).sum / r1.size
+    mean1 should be > 0.3
+  }
+
+  test("x103: estimate is K-granular, exact Jaccard is exact, and planted dups calibrate high") {
+    val rows = SparkEntry.queries("x103_minhash_calibration")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    rows should not be empty
+    rows.foreach { case (id1, id2, est, jac, err) =>
+      id1 should be < id2
+      // estimate is m/8 for integer m in [0, 8]
+      val m = est * 8.0
+      m shouldBe math.rint(m) +- 1e-9
+      est should (be >= 0.0 and be <= 1.0)
+      jac should (be > 0.0 and be <= 1.0) // candidates share a band => share content
+      err shouldBe math.abs(est - jac) +- 1e-6
+    }
+    // planted near-dups (id2 = id1 + 100000, mutated tail) must be in the
+    // candidate set with BOTH high estimate and high exact Jaccard
+    val planted = rows.filter { case (id1, id2, _, _, _) => id2 == id1 + 100000 }
+    planted should not be empty
+    planted.foreach { case (_, _, est, jac, _) =>
+      est should be >= 0.5
+      jac should be >= 0.5
+    }
+  }
+
+  test("x104: weights conserve the corpus and reps are their clusters' best members") {
+    val out = SparkEntry.queries("x104_soft_dedup_weights")(spark, dir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows should not be empty
+    // one row per representative, weights >= 1, mass = weight * tokens
+    rows.map(_._1).distinct.length shouldBe rows.length
+    rows.foreach { case (_, w, nt, wt) =>
+      w should be >= 1L
+      wt shouldBe w * nt
+    }
+    // conservation: total weight == corpus size (soft dedup drops no mass).
+    // The engineered corpus is |base| + 3 extra copies of every 3rd doc.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 120).select("doc_id")
+    val base = docs.count()
+    val third = docs.filter(col("doc_id") % 3 === 0).count()
+    rows.map(_._2).sum shouldBe base + 3 * third
+    // non-degenerate: the planted copies form real multi-member clusters
+    rows.count(_._2 >= 2) should be >= 1
+  }
+}

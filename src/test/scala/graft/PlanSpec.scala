@@ -296,6 +296,34 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p.linesIterator.count(_.contains("LeftSemi")) should be >= 2
   }
 
+  test("x102: recall audit — truth is broadcast-sample brute force, no cartesian") {
+    // The certification sample must ride as the BROADCAST side of both
+    // the truth scan and the probe join; the hit join is an equi-join.
+    // A CartesianProduct here means the sample stopped broadcasting and
+    // the audit became corpus x corpus.
+    val p = finalPlan("x102_ann_recall")
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // the brute truth scan (corpus x broadcast sample)
+    p should include("WindowGroupLimit")        // top-k windows are rank-limited, never full sorts
+  }
+
+  test("x103: calibration pairs come from the banded equi-join, never all-pairs") {
+    val p = plan("x103_minhash_calibration")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x104: soft-dedup weights are hash aggregates on the cluster key") {
+    // The size agg and the two-phase argmax must stay codegen'd hash
+    // aggregation (a struct-typed min/max silently plans a SortAggregate
+    // — the x66 trap); the cluster machinery stays equi-join only.
+    val p = plan("x104_soft_dedup_weights")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "SortAggregate"
+    p should include("HashAggregate")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group
