@@ -1030,7 +1030,11 @@ object ExtensionQueries {
   private val Bm25Terms = Seq("join", "vector", "stream")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
-  private def x31(s: SparkSession, dir: String): DataFrame = {
+  /** BM25 scoring shared by x31 (lexical top-k) and x105 (the lexical
+    * arm of hybrid fusion): per-doc (n_terms, score) over the fixed
+    * query terms — unordered; callers rank/limit.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
     val dl = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
     val tf = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
@@ -1051,9 +1055,12 @@ object ExtensionQueries {
       .agg(
         count(lit(1)).as("n_terms"),
         round(graft.util.Exact.dsum(col("contrib"), 8), 6).as("score"))
+  }
+
+  private def x31(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
-  }
 
   /** CDC merge / upsert: apply a change batch (updates + inserts, derived
     * deterministically from the snapshot so both engines see identical
@@ -4524,6 +4531,53 @@ object ExtensionQueries {
       .orderBy(col("rep_id"))
   }
 
+  /** RRF constant and per-arm candidate depth for hybrid fusion. */
+  private val RrfK = 60.0
+  private val RrfDepth = 50
+
+  /** Hybrid retrieval via reciprocal-rank fusion (x105): the standard
+    * production shape for combining a LEXICAL ranking (x31's BM25 over
+    * the fixed query terms) with a SEMANTIC ranking (exact cosine to a
+    * fixed query vector) — each arm contributes 1/(k + rank) with
+    * k = 60, so neither arm's raw score scale matters and a document
+    * ranked well by BOTH arms dominates either alone. Arms are
+    * depth-capped at 50 (the re-rank window), fused with a full-outer
+    * id join (a doc in one list only still scores), top-20 out.
+    *
+    * Scale shape: the lexical arm is x31's (term-filtered explode,
+    * broadcast df/totals — the posting-list slice of the query terms,
+    * never the full corpus index); the semantic arm is one broadcast
+    * scalar-vector scan (x08's certification shape with |Q| = 1); each
+    * arm ends in a TakeOrdered top-50 (never a full sort), and the
+    * fusion join is two 50-row frames. Rank-window work after the
+    * depth cap is constant-size at any corpus scale.
+    */
+  private def x105(s: SparkSession, dir: String): DataFrame = {
+    val lexTop = bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val semTop = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosineStatic(col("qv"), col("v"),
+          Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim), EmbDim), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("sem_rank"))
+    lexTop.join(semTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -4630,7 +4684,8 @@ object ExtensionQueries {
     "x101_span_offsets" -> (x101 _),
     "x102_ann_recall" -> (x102 _),
     "x103_minhash_calibration" -> (x103 _),
-    "x104_soft_dedup_weights" -> (x104 _))
+    "x104_soft_dedup_weights" -> (x104 _),
+    "x105_rrf_fusion" -> (x105 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -6671,5 +6726,36 @@ object ExtensionQueries {
          | WHERE rn = 1)
          |SELECT r.rep_id, z.weight, h.ws AS n_tokens, z.weight * h.ws AS weighted_tokens
          |FROM reps r JOIN sizes z USING (cluster) JOIN hq h ON h.doc_id = r.rep_id
-         |ORDER BY r.rep_id""".stripMargin)
+         |ORDER BY r.rep_id""".stripMargin,
+    "x105_rrf_fusion" ->
+      // lexical arm = x31's BM25 CTEs verbatim (depth 50); semantic arm
+      // = exact cosine to vec 0 (depth 50); both ranked on (score DESC,
+      // doc_id), fused full-outer with 1/(k + rank) contributions
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         | FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+         | WHERE tok IN (${Bm25Terms.map(w => s"'$w'").mkString(", ")}) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |c AS (SELECT tf.doc_id,
+         |  (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |   * ((CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         |      / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib
+         | FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot),
+         |lexs AS (SELECT doc_id, round(CAST(SUM(CAST(contrib AS DECIMAL(18,8))) AS DOUBLE), 6) AS score
+         | FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $RrfDepth),
+         |lex AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM lexs),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         |sems AS (SELECT vec_id AS doc_id, round(list_cosine_similarity(q, v), 6) AS cos
+         | FROM e CROSS JOIN qv WHERE vec_id <> 0 ORDER BY cos DESC, doc_id LIMIT $RrfDepth),
+         |sem AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank FROM sems)
+         |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+         | round(coalesce(1.0 / ($RrfK + lex_rank), 0.0)
+         |      + coalesce(1.0 / ($RrfK + sem_rank), 0.0), 6) AS rrf
+         |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
 }

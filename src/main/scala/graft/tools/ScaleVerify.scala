@@ -191,7 +191,11 @@ object ScaleVerify {
     // run corpus-wide), so their outputs are ~44/158 rows at ANY scale:
     // compare whole, no slice.
     "x103_minhash_calibration" -> None,
-    "x104_soft_dedup_weights" -> None)
+    "x104_soft_dedup_weights" -> None,
+    // x105 output is LIMIT-bounded (top-20): compare whole. Both engines
+    // pay one term-filtered pass + one scalar-vector pass; the fusion
+    // tail is two 50-row frames at any scale.
+    "x105_rrf_fusion" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

