@@ -180,21 +180,30 @@ object ExtensionQueries {
     * labels) equi-join the rule table; exception prevails (minus its
     * left-most label), else most labels (wildcard tail k matches as
     * k + 1 when a label precedes it), else the implicit `*` default.
+    * Hosts canonicalize EXACTLY as [[graft.ops.Psl.registrable]] does
+    * (ASCII lowercase, one trailing FQDN dot stripped, any empty label
+    * -> NULL domain) so the two sides agree on non-canonical input,
+    * not just on well-formed hosts.
     */
   private def pslDomainCtesSql(src: String, pfx: String): String = {
     val rules = graft.ops.Psl.default
     val vals = rules.rows.map { case (n, t) => s"('$n', $t)" }.mkString(", ")
-    s"""${pfx}h AS (SELECT host, string_split(host, '.') AS sp, len(string_split(host, '.')) AS nl FROM (SELECT DISTINCT host FROM $src)),
+    s"""${pfx}h0 AS (SELECT host,
+       |    lower(CASE WHEN host LIKE '%.' THEN host[1:len(host) - 1] ELSE host END) AS ch
+       |  FROM (SELECT DISTINCT host FROM $src)),
+       |${pfx}h AS (SELECT host, sp, len(sp) AS nl,
+       |    CASE WHEN length(ch) = 0 OR list_contains(sp, '') THEN 0 ELSE 1 END AS ok
+       |  FROM (SELECT host, ch, string_split(ch, '.') AS sp FROM ${pfx}h0)),
        |${pfx}r(name, typ) AS (SELECT * FROM (VALUES $vals)),
        |${pfx}c AS (SELECT host, nl, k, array_to_string(sp[nl - k + 1:nl], '.') AS suffix
-       |  FROM (SELECT host, sp, nl, unnest(range(1, least(nl, ${rules.maxLabels}) + 1)) AS k FROM ${pfx}h)),
+       |  FROM (SELECT host, sp, nl, unnest(range(1, least(nl, ${rules.maxLabels}) + 1)) AS k FROM ${pfx}h WHERE ok = 1)),
        |${pfx}m AS (SELECT c.host,
        |    max(CASE WHEN r.typ = 2 THEN c.k END) AS exc,
        |    max(CASE WHEN r.typ = 0 THEN c.k WHEN r.typ = 1 AND c.nl >= c.k + 1 THEN c.k + 1 END) AS best
        |  FROM ${pfx}c c JOIN ${pfx}r r ON r.name = c.suffix GROUP BY c.host),
        |${pfx}dom AS (SELECT host,
-       |    CASE WHEN nl >= ps + 1 THEN array_to_string(sp[nl - ps:nl], '.') END AS domain
-       |  FROM (SELECT h.host, h.sp, h.nl,
+       |    CASE WHEN ok = 1 AND nl >= ps + 1 THEN array_to_string(sp[nl - ps:nl], '.') END AS domain
+       |  FROM (SELECT h.host, h.sp, h.nl, h.ok,
        |      CASE WHEN m.exc IS NOT NULL THEN m.exc - 1 ELSE coalesce(m.best, 1) END AS ps
        |    FROM ${pfx}h h LEFT JOIN ${pfx}m m ON m.host = h.host))""".stripMargin
   }
@@ -4044,6 +4053,10 @@ object ExtensionQueries {
         .when(id % 31 === 0, concat(lit("m."), col("source"), lit(".ck")))
         .when(id % 37 === 0, lit("city.kawasaki.jp"))
         .when(id % 41 === 0, concat(col("source"), lit(".github.io")))
+        // trailing-dot FQDN form (plus case noise): must canonicalize
+        // into the SAME registrable domain as the plain '.com' arm —
+        // pins the Psl/oracle host-canonicalization parity in the gate
+        .when(id % 43 === 0, concat(col("source"), lit(".COM.")))
         .otherwise(concat(col("source"),
           when(id % 5 === 0, lit(".co.uk")).otherwise(lit(".com")))),
       lit("/docs/"), (id % 50).cast("string"),
@@ -4474,6 +4487,14 @@ object ExtensionQueries {
       (col("doc_id") +:
         (0 until Dedup.MinHashK).map(i =>
           Dedup.minhashComponent(transform(col("s"), x => TextOps.polyHash(x)), i).as(s"mh$i"))): _*)
+      // shingle-less docs (< 3 tokens) have all-null signatures; without
+      // this guard concat_ws-built band keys collapse them into ONE
+      // shared band and they weld into candidate pairs with NaN Jaccard
+      // (0/0) — x06 is shielded by its jac >= 0.5 cut (NaN compares
+      // false), but calibration keeps the WHOLE candidate set, and the
+      // oracle's NULL band never equi-joins, so the engine must drop
+      // them the same way
+      .filter(col("mh0").isNotNull)
     val cands = Dedup.lshCandidates(sigs, "doc_id")
     val a = sigs.select(
       col("doc_id").as("id1") +: (0 until Dedup.MinHashK).map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -6468,6 +6489,7 @@ object ExtensionQueries {
          |       WHEN doc_id % 31 = 0 THEN 'm.' || source || '.ck'
          |       WHEN doc_id % 37 = 0 THEN 'city.kawasaki.jp'
          |       WHEN doc_id % 41 = 0 THEN source || '.github.io'
+         |       WHEN doc_id % 43 = 0 THEN source || '.COM.'
          |       ELSE source || CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END END ||
          |  '/docs/' || CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 20 AS VARCHAR) ||
          |  CASE WHEN doc_id % 9 = 0 THEN '&utm_source=feed' ELSE '' END AS url,

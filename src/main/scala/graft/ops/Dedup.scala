@@ -563,19 +563,23 @@ object Dedup {
     */
   /** `spans` (id, s, e) with the non-overlap precondition ENFORCED: a
     * windowed assert_true fails the job if any span starts at or before
-    * its predecessor's end within a doc. The check rides the
-    * id-partitioned shuffle the scrub's mark join needs anyway.
+    * its predecessor's end within a doc. Materialized with a
+    * [[Checkpoints.cut]] because every caller reads the result from
+    * THREE plan branches (the prune semi-join, the mark join, the
+    * n_spans aggregate) — without the cut each branch re-evaluates the
+    * spans lineage, which for the scrub queries is the corpus-wide
+    * fingerprint sweep, and the assert window with it.
     */
   private def checkedSpans(spans: DataFrame): DataFrame = {
     val byS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("s"))
-    spans
+    Checkpoints.cut(spans
       .withColumn("_pe", lag(col("e"), 1).over(byS))
       .withColumn("_ok", assert_true(col("_pe").isNull || col("s") > col("_pe"),
         lit("scrubSpans: spans must be non-overlapping per doc " +
           "(collapse fingerprintSpans output per doc first)")))
       .filter(col("_ok").isNull)
-      .select(col("id"), col("s"), col("e"))
+      .select(col("id"), col("s"), col("e")))
   }
 
   def scrubSpans(

@@ -50,6 +50,20 @@ object GenScale {
     def replicate(name: String, idCols: Seq[String], offset: Long,
         saltTextCol: Option[String] = None): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
+      // Mutate mode's every-MutStride-th-token guarantee counts
+      // single-space slots, so it holds only when slots == fingerprint
+      // tokens: consecutive spaces, tabs, newlines, or edge spaces would
+      // desynchronize the stride and silently re-open the df-cap
+      // degeneracy this mode exists to close. Fail loudly instead
+      // (fixture tool; the driver corpora are single-space word text).
+      saltTextCol.filter(_ => mode == "mutate").foreach { tc =>
+        val bad = base.filter(
+          col(tc).rlike("  |[\\t\\n\\r]|^ | $")).count()
+        require(bad == 0L,
+          s"GenScale mutate: $bad $name rows have consecutive/non-space " +
+            "whitespace or edge spaces; the stride-salt guarantee needs " +
+            "single-space token text — use verbatim mode or pre-normalize")
+      }
       val copies = (0 until k).map { i =>
         val shifted = idCols.foldLeft(base) { (df, c) =>
           df.withColumn(c, col(c) + lit(i * offset))
