@@ -154,6 +154,28 @@ object Bench {
     val loadStart = loadAvg()
     val sentinels = scala.collection.mutable.ListBuffer[Double]()
     val parSentinels = scala.collection.mutable.ListBuffer[Double]()
+    // Cross-round normalization control (round-16 verdict residual #1):
+    // a FROZEN Spark-primitive query — scan + shuffle join + hash agg on
+    // lineitem x orders, not one graft operator anywhere — timed once
+    // per rep round through the same noop sink as the suite. Its
+    // min-of-reps rides in the output as `control_sec`, so every bench
+    // JSON carries its own normalization denominator: cross-round
+    // comparisons divide by the control ratio instead of hand-rerunning
+    // a pinned suite query on both boxes. FROZEN BY CONTRACT — the
+    // control is only a denominator while it never changes; engine work
+    // must not touch it (it uses no graft code that could speed up).
+    def controlRun(): Double = {
+      val t0 = System.nanoTime()
+      Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("sq"),
+          org.apache.spark.sql.functions.avg(col("l_extendedprice")).as("ap"),
+          org.apache.spark.sql.functions.count(col("o_orderkey")).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val controls = scala.collection.mutable.ListBuffer[Double]()
     // Untimed JIT warmup for both spins: rep 0's parallel spin otherwise
     // runs interpreter/OSR-cold and reads ~1.3x rep 1's on a QUIET box —
     // exactly the false positive the 1.25x flag must not fire on. Two
@@ -163,6 +185,8 @@ object Bench {
     (0 until reps).foreach { _ =>
       sentinels += sentinelSpin()
       parSentinels += parallelSpin()
+      controls += (try controlRun() catch { case _: Throwable => Double.NaN })
+      graft.util.CacheHygiene.clear(spark)
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -226,6 +250,10 @@ object Bench {
     val parSentinelJson = parSentinels.map(ms).mkString("[", ",", "]")
     val parFlaggedJson = parFlagged.mkString("[", ",", "]")
     val loadJson = s"[${ms(loadStart)},${ms(loadEnd)}]"
+    val controlOk = controls.filterNot(_.isNaN)
+    val controlJson = if (controlOk.nonEmpty) ms(controlOk.min) else "null"
+    val controlPerRepJson =
+      controls.map(c => if (c.isNaN) "null" else ms(c)).mkString("[", ",", "]")
     // Headline fields LAST: with 100+ queries the map alone overflows the
     // driver's tail window, and a tail keeps the END of the line — so the
     // totals/errors/sf summary must sit after the map to survive. The
@@ -233,7 +261,7 @@ object Bench {
     // cwd), the judge's full per-query artifact since round 8, which also
     // carries the per-rep timings the stdout line can't afford.
     val line =
-      s"""{"queries":$qs,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
+      s"""{"queries":$qs,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"control_sec":$controlJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("logs")
@@ -246,7 +274,7 @@ object Bench {
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full =
-        s"""{"queries":$qs,"per_rep":$perRep,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+        s"""{"queries":$qs,"per_rep":$perRep,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"control_sec":$controlJson,"control_per_rep":$controlPerRepJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
       java.nio.file.Files.writeString(out.resolve("BENCH_local.json"), full + "\n")
     } catch {
       case e: Throwable =>

@@ -339,7 +339,7 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
 
   /** Embedding dimension of the driver fixture (64-dim float vectors). */
-  private val EmbDim = 64
+  private[graft] val EmbDim = 64
 
   private def x08(s: SparkSession, dir: String): DataFrame = {
     // Raw float arrays straight into the static-dot path: no HOF conversion
@@ -458,10 +458,10 @@ object ExtensionQueries {
     * so both engines train identical centroids — see
     * [[Similarity.kmeansCentroids]]).
     */
-  private val KmIters = 2
+  private[graft] val KmIters = 2
 
   /** IVF cell count (seed = vec_id < 16). */
-  private val IvfCells = 16
+  private[graft] val IvfCells = 16
 
   /** IVF-ANN with TRAINED centroids: deterministic k-means (seeded from
     * vec_id < 16, [[KmIters]] iterations, decimal-quantized means) then
@@ -2636,10 +2636,9 @@ object ExtensionQueries {
       .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"), col("quality")))
-    val best = labeled.groupBy(col("cluster")).agg(max(col("quality")).as("bq"))
-    val reps = labeled.join(best, "cluster")
-      .filter(col("quality") === col("bq"))
-      .groupBy(col("cluster")).agg(min(col("doc_id")).as("rep_id"))
+    // the two-phase argmax lives in Dedup.clusterReps (null-safe tie
+    // filter — an all-null-quality cluster still elects a rep)
+    val reps = Dedup.clusterReps(labeled.withColumnRenamed("doc_id", "id"))
     labeled.join(reps, "cluster")
       .select(col("doc_id"), col("rep_id"), col("quality"),
         (col("doc_id") === col("rep_id")).cast("int").as("keep"))
@@ -4407,8 +4406,8 @@ object ExtensionQueries {
     * the sample is a FIXED count (never corpus-proportional — the brute
     * pass must stay one broadcast-sample scan at any corpus size).
     */
-  private val RecallQ = 50
-  private val RecallK = 10
+  private[graft] val RecallQ = 50
+  private[graft] val RecallK = 10
 
   /** ANN recall certification (x102): measured recall@k of the trained
     * IVF index — the x13/x25 production retrieval path — against exact
@@ -4541,10 +4540,10 @@ object ExtensionQueries {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"), col("quality"), col("n_tokens")))
     val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
-    val best = labeled.groupBy(col("cluster")).agg(max(col("quality")).as("bq"))
-    val reps = labeled.join(best, "cluster")
-      .filter(col("quality") === col("bq"))
-      .groupBy(col("cluster")).agg(min(col("doc_id")).as("rep_id"))
+    // null-safe two-phase argmax (Dedup.clusterReps): an all-null-quality
+    // cluster still elects a rep, matching the oracle's row_number form
+    val reps = Dedup.clusterReps(
+      labeled.select(col("doc_id").as("id"), col("cluster"), col("quality")))
     reps.join(sizes, "cluster")
       .join(labeled.select(col("doc_id").as("rep_id"), col("n_tokens")), "rep_id")
       .select(col("rep_id"), col("weight"), col("n_tokens"),

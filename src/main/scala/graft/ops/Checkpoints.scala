@@ -38,6 +38,23 @@ object Checkpoints {
     */
   def cutLazy(df: DataFrame): DataFrame = cut(df, eager = false)
 
+  /** Best-effort release of a cut frame's materialized blocks, for
+    * callers whose lifetime outlives any between-query hygiene sweep —
+    * the streaming foreachBatch loop being the canonical case: each
+    * micro-batch cuts a fresh spans frame, and without an explicit
+    * unpersist those blocks are reclaimed only when driver GC happens to
+    * collect the RDD handle (ContextCleaner), so a long-running stream
+    * accumulates storage. Walks the analyzed plan's leaves and
+    * unpersists every scan-of-checkpoint RDD it finds; a frame that was
+    * never cut is a no-op.
+    */
+  def unpersist(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private def cut(df: DataFrame, eager: Boolean): DataFrame = {
     val s = df.sparkSession
     val reliable = s.conf.getOption(ReliableKey).exists(_.trim.equalsIgnoreCase("true"))

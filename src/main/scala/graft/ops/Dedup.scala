@@ -297,6 +297,30 @@ object Dedup {
     labels
   }
 
+  /** Per-cluster representative selection over `labeled` (id, cluster,
+    * quality): the member with the highest quality, ties to the lowest
+    * id — the x66/x104 "keep the best copy" argmax as two hash
+    * aggregates + one cluster-key equi-join (no window over members).
+    *
+    * NULL-SAFE by construction: `max(quality)` ignores nulls, so the
+    * per-cluster best is null only when EVERY member's quality is null —
+    * the null-safe equality (<=>) then keeps those all-null rows and
+    * the min(id) tie-break still elects exactly one rep, matching an
+    * oracle's total row_number ordering (nulls sort after non-nulls,
+    * ties fall to the id). A plain === here would DROP an all-null
+    * cluster entirely (null === null is null, filtered out) — a latent
+    * engine/oracle divergence if the quality column ever becomes
+    * nullable.
+    *
+    * @return (cluster, rep_id)
+    */
+  def clusterReps(labeled: DataFrame): DataFrame = {
+    val best = labeled.groupBy(col("cluster")).agg(max(col("quality")).as("bq"))
+    labeled.join(best, "cluster")
+      .filter(col("quality") <=> col("bq"))
+      .groupBy(col("cluster")).agg(min(col("id")).as("rep_id"))
+  }
+
   /** Exact substring (shared-passage) dedup: find maximal runs of >=
     * `windowTokens` consecutive tokens shared verbatim between two
     * documents — the passage-level complement to document-level MinHash
@@ -564,16 +588,26 @@ object Dedup {
   /** `spans` (id, s, e) with the non-overlap precondition ENFORCED: a
     * windowed assert_true fails the job if any span starts at or before
     * its predecessor's end within a doc. Materialized with a
-    * [[Checkpoints.cut]] because every caller reads the result from
+    * [[Checkpoints.cutLazy]] because every caller reads the result from
     * THREE plan branches (the prune semi-join, the mark join, the
     * n_spans aggregate) — without the cut each branch re-evaluates the
     * spans lineage, which for the scrub queries is the corpus-wide
-    * fingerprint sweep, and the assert window with it.
+    * fingerprint sweep, and the assert window with it. The cut is LAZY
+    * (materializes at the consumer's first action, then serves all
+    * three branches from the persisted generation): an eager cut would
+    * run the full spans computation at DataFrame-CONSTRUCTION time,
+    * charging plan-only consumers (explain, plan pins) the whole sweep.
+    * Exposed private[graft] so the streaming per-batch kernel
+    * ([[graft.streaming.DocStreams.scrubBatch]]) can hold the handle
+    * and [[Checkpoints.unpersist]] it once the batch is written —
+    * foreachBatch outlives every between-query hygiene sweep, so
+    * without the explicit release a long-running scrub stream
+    * accumulates one generation of checkpoint blocks per micro-batch.
     */
-  private def checkedSpans(spans: DataFrame): DataFrame = {
+  private[graft] def checkSpans(spans: DataFrame): DataFrame = {
     val byS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("s"))
-    Checkpoints.cut(spans
+    Checkpoints.cutLazy(spans
       .withColumn("_pe", lag(col("e"), 1).over(byS))
       .withColumn("_ok", assert_true(col("_pe").isNull || col("s") > col("_pe"),
         lit("scrubSpans: spans must be non-overlapping per doc " +
@@ -584,8 +618,16 @@ object Dedup {
 
   def scrubSpans(
       docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    scrubSpansChecked(docs, checkSpans(spans), idCol, textCol)
+
+  /** [[scrubSpans]] body over an ALREADY-checked spans frame (the
+    * [[checkSpans]] output) — callers that manage the cut frame's
+    * lifetime themselves (streaming) enter here.
+    */
+  private[graft] def scrubSpansChecked(
+      docs: DataFrame, checked: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val checked = checkedSpans(spans)
     val toks = docs
       .join(checked.select(col("id").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t"))
@@ -665,8 +707,15 @@ object Dedup {
     */
   def scrubSpansBytes(
       docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    scrubSpansBytesChecked(docs, checkSpans(spans), idCol, textCol)
+
+  /** [[scrubSpansBytes]] body over an ALREADY-checked spans frame — see
+    * [[scrubSpansChecked]].
+    */
+  private[graft] def scrubSpansBytesChecked(
+      docs: DataFrame, checked: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val checked = checkedSpans(spans)
     val sg = segments(
       docs.join(checked.select(col("id").as(idCol)).distinct(),
         Seq(idCol), "left_semi"),
@@ -713,7 +762,7 @@ object Dedup {
   def spanCharOffsets(
       docs: DataFrame, spans: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val checked = checkedSpans(spans)
+    val checked = checkSpans(spans)
     val tokSegs = segments(
       docs.join(checked.select(col("id").as(idCol)).distinct(),
         Seq(idCol), "left_semi"),

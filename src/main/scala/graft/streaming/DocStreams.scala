@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Checkpoints, Dedup, TextOps}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -391,11 +391,17 @@ object DocStreams {
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val scrubbed = scrubBatch(
+        val (scrubbed, checked) = scrubBatchTracked(
           batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp,
           byteOriginal)
         scrubbed.write.mode("overwrite")
           .parquet(new Path(sinkPath, s"batch_id=$batchId").toString)
+        // Release this batch's checked-spans generation NOW: foreachBatch
+        // outlives every between-query hygiene sweep, so without the
+        // explicit unpersist a long-running scrub stream accumulates one
+        // cut's worth of checkpoint blocks per micro-batch until driver
+        // GC happens to collect the handles.
+        Checkpoints.unpersist(checked)
         ()
       }
       .start()
@@ -407,18 +413,34 @@ object DocStreams {
       batch: DataFrame, benchFingerprints: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 5, w: Int = 4, mergeGap: Int = 11, minFp: Long = 2L,
-      byteOriginal: Boolean = false): DataFrame = {
+      byteOriginal: Boolean = false): DataFrame =
+    scrubBatchTracked(
+      batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp,
+      byteOriginal)._1
+
+  /** [[scrubBatch]] plus the handle of the batch's lineage-cut checked
+    * spans, so [[scrubIngest]]'s foreachBatch can
+    * [[Checkpoints.unpersist]] the generation once the batch is written
+    * (plain [[scrubBatch]] callers — specs, one-shot batch twins — let
+    * session-level hygiene reclaim it instead).
+    */
+  private[graft] def scrubBatchTracked(
+      batch: DataFrame, benchFingerprints: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5, w: Int = 4, mergeGap: Int = 11, minFp: Long = 2L,
+      byteOriginal: Boolean = false): (DataFrame, DataFrame) = {
     val spans = Dedup.fingerprintSpansAgainst(
       batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp)
+    val checked = Dedup.checkSpans(spans)
     // byteOriginal = the x100 kernel (casing/punctuation/whitespace of
     // kept bytes preserved); default = the x98 lowercased token stream
     val rebuilt =
-      if (byteOriginal) Dedup.scrubSpansBytes(batch, spans, idCol, textCol)
-      else Dedup.scrubSpans(batch, spans, idCol, textCol)
+      if (byteOriginal) Dedup.scrubSpansBytesChecked(batch, checked, idCol, textCol)
+      else Dedup.scrubSpansChecked(batch, checked, idCol, textCol)
     val scrubbed = rebuilt
       .select(col("id").as(idCol), col("clean_text"),
         col("n_spans"), col("tokens_removed"))
-    batch
+    val out = batch
       .select(col(idCol), col(textCol).as("_orig"),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(scrubbed, Seq(idCol), "left")
@@ -427,6 +449,7 @@ object DocStreams {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         col("n_tokens"),
         coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+    (out, checked)
   }
 
   /** Quality-histogram resolution of [[qualityCalibrationMonitor]]:

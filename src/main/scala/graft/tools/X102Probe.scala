@@ -13,21 +13,30 @@ import org.apache.spark.sql.functions._
   * scored scale ~linearly with nprobe, so the curve shows what each
   * recall point costs).
   *
-  * Same trained index as x102/x13/x25 (IvfCells=16, KmIters=2, the
+  * Same trained index as x102/x13/x25 (IvfCells/KmIters, the
   * persisted-model path), same tie-break discipline, so the probe's
-  * nprobe<=2 points must agree with the oracle-checked query exactly.
+  * nprobe<=2 points must agree with the oracle-checked query exactly —
+  * the hyperparameters are therefore REFERENCED from
+  * [[graft.ExtensionQueries]] rather than redeclared, so a constant
+  * change there cannot leave this probe silently certifying a different
+  * index configuration.
   *
   * PASS = recall non-decreasing in nprobe (each arm's candidate set is a
-  * superset of the previous), candidate volume strictly increasing, and
-  * the curve non-degenerate (recall@4 > recall@1 — widening the probe
-  * must actually buy recall on this fixture, else the audit is vacuous).
+  * superset of the previous), candidate volume non-decreasing (a tie is
+  * legitimate when the extra probed cell is EMPTY in the final
+  * assignment — a trained centroid can attract zero corpus vectors on
+  * small or skewed fixtures — so ties print a tolerated note instead of
+  * failing; full degeneracy, a flat volume curve end to end, still
+  * fails), and the curve non-degenerate (recall@4 > recall@1 — widening
+  * the probe must actually buy recall on this fixture, else the audit
+  * is vacuous).
   */
 object X102Probe {
-  private val EmbDim = 64
-  private val IvfCells = 16
-  private val KmIters = 2
-  private val RecallQ = 50
-  private val RecallK = 10
+  private val EmbDim = graft.ExtensionQueries.EmbDim
+  private val IvfCells = graft.ExtensionQueries.IvfCells
+  private val KmIters = graft.ExtensionQueries.KmIters
+  private val RecallQ = graft.ExtensionQueries.RecallQ
+  private val RecallK = graft.ExtensionQueries.RecallK
   private val MaxNprobe = 4
 
   def main(args: Array[String]): Unit = {
@@ -83,11 +92,20 @@ object X102Probe {
     // axis still certify; the non-degeneracy check only binds when the
     // fixture leaves recall headroom.
     val saturated = means.head >= 1.0 - 1e-9
+    // Cost axis: non-DECREASING, not strictly increasing — the
+    // (nprobe+1)-th probed cell can be empty in the final assignment
+    // (a trained centroid that attracted zero corpus vectors), which
+    // ties adjacent arms at equal volume on a healthy index. A fully
+    // flat curve end to end IS degenerate (no probe widening bought any
+    // candidates anywhere) and still fails.
+    val volumeTies = cands.zip(cands.tail).count { case (a, b) => b == a }
     val ok = means.zip(means.tail).forall { case (a, b) => b >= a - 1e-9 } &&
-      cands.zip(cands.tail).forall { case (a, b) => b > a } &&
+      cands.zip(cands.tail).forall { case (a, b) => b >= a } &&
+      cands.last > cands.head &&
       (saturated || means.last > means.head)
-    val note = if (saturated) " [saturated: replicated fixture co-locates exact clones]" else ""
-    println(s"[x102-probe] ${if (ok) "PASS" else "FAIL"} recall monotone in nprobe, candidate volume increasing, curve non-degenerate$note")
+    val note = (if (saturated) " [saturated: replicated fixture co-locates exact clones]" else "") +
+      (if (volumeTies > 0) s" [tolerated: $volumeTies empty-probed-cell volume tie(s)]" else "")
+    println(s"[x102-probe] ${if (ok) "PASS" else "FAIL"} recall monotone in nprobe, candidate volume non-decreasing and non-flat, curve non-degenerate$note")
     require(ok)
     spark.stop()
   }

@@ -471,4 +471,20 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
     "Aa  BB!  cc dd EE".substring(4, 11) shouldBe "BB!  cc"
     "Aa  BB!  cc dd EE".substring(15, 17) shouldBe "EE"
   }
+
+  test("clusterReps: null-safe argmax — all-null cluster still elects a rep") {
+    // cluster 10: mixed null/non-null -> non-null max wins, nulls ignored;
+    // cluster 20: ALL quality null -> the min-id member must still be
+    // elected (a plain === tie filter drops the whole cluster, the latent
+    // engine/oracle divergence this guards);
+    // cluster 30: tie at the max -> lower id wins.
+    val labeled = Seq(
+      (1L, 10L, Some(0.5)), (2L, 10L, None), (3L, 10L, Some(0.9)),
+      (7L, 20L, Option.empty[Double]), (5L, 20L, Option.empty[Double]),
+      (8L, 30L, Some(0.7)), (9L, 30L, Some(0.7))
+    ).toDF("id", "cluster", "quality")
+    val reps = Dedup.clusterReps(labeled).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("rep_id"))).sorted
+    reps shouldBe Array((10L, 3L), (20L, 5L), (30L, 8L))
+  }
 }

@@ -446,8 +446,14 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     val q = DocStreams.scrubIngest(
       in.toDF().toDF("doc_id", "text"), benchFp,
       s"$root/sink", s"$root/chk", n = n, w = w)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     in.addData(feed)
     q.processAllAvailable(); q.awaitTermination(60000)
+    // storage hygiene: foreachBatch unpersists each batch's checked-spans
+    // cut once written, so the stream leaves NO new persisted RDDs behind
+    // (a long-running scrub stream must not accumulate one generation per
+    // micro-batch until driver GC)
+    (spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore) shouldBe empty
     val out = spark.read.parquet(s"$root/sink").drop("batch_id")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     out.keySet shouldBe Set(1L, 2L)
