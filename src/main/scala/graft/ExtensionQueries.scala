@@ -4598,6 +4598,178 @@ object ExtensionQueries {
       .limit(20)
   }
 
+  /** Production IVF profile certified by x106: corpus vectors spill into
+    * their [[ProdSpill]] nearest cells, queries probe the arms in
+    * [[ProdNprobes]] (both measured; the larger is the >= 0.9 operating
+    * point on the isotropic fixture — see tools.AnnSweep).
+    */
+  private[graft] val ProdSpill = 2
+  private[graft] val ProdNprobes = Seq(2, 4)
+
+  /** Production-profile ANN recall certification (x106): round 16's x102
+    * measured the FIXED 16-cell index honestly at recall@10 = 0.49
+    * (nprobe 2) on the unreplicated fixture; this query certifies the
+    * PRODUCTION profile chosen from the tools.AnnSweep measurement
+    * table: cells = ceil(sqrt(N)) (the standard IVF sizing — candidate
+    * fraction per probe shrinks as 1/sqrt(N)), corpus vectors
+    * multi-assigned ("spilled") to their 2 nearest cells (the measured
+    * dominant lever: at EQUAL candidate volume spill-2 beats every
+    * single-assignment arm — it converts Voronoi-boundary misses, which
+    * is where isotropic data loses its neighbors), queries probing 2
+    * and 4 cells. Measured on this worst-case fixture (isotropic
+    * embeddings — within-label and cross-label cosine both ~0, no
+    * cluster structure to exploit): recall@10 = 0.93 mean at ~17% of
+    * corpus scanned (nprobe 4, sf0.1), 0.90 at ~9% (nprobe 2). The
+    * per-query candidate count rides in the output as n_cands, so the
+    * recall/COST trade is the certified artifact itself, not a claim.
+    *
+    * Scale shape: identical to x102 — truth is one corpus scan against
+    * the broadcast fixed sample; training cost is the k-means build
+    * (persisted via AnnModels, amortized across queries); the serve
+    * join is a cell-keyed equi-join whose volume is
+    * spill * nprobe * N / sqrt(N) rows per query — sublinear fraction,
+    * measured in-artifact. Nothing is ever corpus x corpus.
+    */
+  private def x106(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < RecallQ)
+    val truth = Similarity.bruteForceTopK(e, q, RecallK, dim = EmbDim)
+      .select(col("qid"), col("vec_id"))
+    // index-BUILD step (one count + persisted k-means training): cell
+    // count is a function of corpus size, so the profile tracks growth
+    val cells = Similarity.sqrtCells(e.count())
+    val trained = AnnModels.ivfCentroids(s, dir, e, cells, KmIters, EmbDim)
+    val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    // spill assignment: each corpus vector lives in its 2 nearest cells
+    val assigned = Checkpoints.cut(Similarity.ivfProbe(e, cents, EmbDim, ProdSpill))
+    def arm(nprobe: Int): DataFrame = {
+      val probed = Similarity.ivfProbe(q, cents, EmbDim, nprobe)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell_id").as("qcell"))
+      val scored = assigned.join(broadcast(probed),
+          col("cell_id") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosineStatic(col("qv"), col("v"),
+            Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim),
+            EmbDim), 6).as("cos"))
+        // spill x probe can surface one (query, candidate) pair through
+        // two shared cells — dedup before the cost count and the rank
+        .dropDuplicates("qid", "vec_id")
+      val nc = scored.groupBy(col("qid")).agg(count(lit(1)).as("n_cands"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val hits = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= RecallK)
+        .join(truth, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("qid"))
+        .join(nc, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(lit(nprobe.toLong).as("nprobe"), col("qid"),
+          coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            lit(RecallK.toDouble), 4).as("recall"))
+    }
+    ProdNprobes.map(arm).reduce(_.union(_)).orderBy(col("nprobe"), col("qid"))
+  }
+
+  /** Query-sample size, per-query term budget, and fused output depth
+    * for the x107 multi-query fusion certification. The sample is a
+    * FIXED count (x102's discipline — the per-query frames must stay
+    * broadcast-able at any corpus size); the term budget bounds the
+    * posting-list slice each lexical query drags in.
+    */
+  private[graft] val RrfQ = 25
+  private[graft] val RrfQTerms = 8
+  private[graft] val RrfOut = 10
+
+  /** Multi-query RRF certification (x107): the x102 discipline — a fixed
+    * query sample, per-query measurement, engine-reproducible output —
+    * applied to x105's hybrid fusion, which certifies RRF at ONE point
+    * (query vec 0 + a fixed term set). Here every sample doc is a query:
+    * its lexical arm is BM25 over its own [[RrfQTerms]] RAREST distinct
+    * tokens (rarest-first term selection is the standard bounded-cost
+    * query form — it minimizes the dragged posting lists; ties break on
+    * the token), its semantic arm is exact cosine from its embedding,
+    * both arms depth-[[RrfDepth]], fused per query with 1/(k + rank)
+    * and the top [[RrfOut]] kept. Self-retrieval is excluded in both
+    * arms. This certifies fusion over a query DISTRIBUTION instead of a
+    * point: 25 queries x 10 fused rows, each carrying both arm ranks.
+    *
+    * Scale shape: document frequency is one distinct+count aggregate
+    * (vocabulary-sized output, broadcast); the posting slice is
+    * semi-joined to the <= RrfQ * RrfQTerms selected terms BEFORE the tf
+    * shuffle (O(matching postings), never the corpus token stream); the
+    * semantic arm is one corpus scan against the broadcast sample
+    * (x08's certification shape). Every rank window partitions by qid
+    * over candidate-bounded sets only — the groupBy-qid form that keeps
+    * per-query top-k scale-safe — and the fusion join holds at most
+    * 2 * RrfDepth rows per query.
+    */
+  private def x107(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    // one exploded token stream feeds df, the query-term selection, and
+    // the postings slice — cut so the tokenize runs once
+    val docToks = Checkpoints.cut(
+      docs.select(col("doc_id"), explode(col("tk")).as("tok")))
+    val dl = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val dft = docToks.distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val byRarity = Window.partitionBy(col("qid")).orderBy(col("df"), col("tok"))
+    val qterms = docToks.filter(col("doc_id") < RrfQ)
+      .select(col("doc_id").as("qid"), col("tok")).distinct()
+      .join(broadcast(dft), "tok")
+      .withColumn("trnk", row_number().over(byRarity))
+      .filter(col("trnk") <= RrfQTerms)
+      .select(col("qid"), col("tok"), col("df"))
+    val tf = docToks
+      .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"), "left_semi")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val num = col("tf").cast("double") * lit(Bm25K1 + 1.0)
+    val den = col("tf").cast("double") +
+      lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl)
+    val lexScore = tf
+      .join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("qid"), col("doc_id"), (idf * (num / den)).as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(graft.util.Exact.dsum(col("contrib"), 8), 6).as("score"))
+    val byLex = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val lexTop = lexScore
+      .withColumn("lex_rank", row_number().over(byLex).cast("long"))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select(col("qid"), col("doc_id"), col("lex_rank"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val qv = e.filter(col("vec_id") < RrfQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val bySem = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
+    val semTop = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        round(Similarity.cosineStatic(col("qv"), col("v"),
+          Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim),
+          EmbDim), 6).as("cos"))
+      .withColumn("sem_rank", row_number().over(bySem).cast("long"))
+      .filter(col("sem_rank") <= RrfDepth)
+      .select(col("qid"), col("doc_id"), col("sem_rank"))
+    val byRrf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+    lexTop.join(semTop, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)), 6).as("rrf"))
+      .withColumn("frnk", row_number().over(byRrf).cast("long"))
+      .filter(col("frnk") <= RrfOut)
+      .orderBy(col("qid"), col("frnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -4705,7 +4877,9 @@ object ExtensionQueries {
     "x102_ann_recall" -> (x102 _),
     "x103_minhash_calibration" -> (x103 _),
     "x104_soft_dedup_weights" -> (x104 _),
-    "x105_rrf_fusion" -> (x105 _))
+    "x105_rrf_fusion" -> (x105 _),
+    "x106_ann_recall_prod" -> (x106 _),
+    "x107_rrf_multiquery" -> (x107 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -4875,6 +5049,19 @@ object ExtensionQueries {
        |  row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY round(list_cosine_similarity(e.v, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
        | FROM e CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
+
+  /** Spill (multi-assignment) variant of [[ivfAssignSql]] for the x106
+    * production profile: each corpus vector keeps its `spill` nearest
+    * cells in the FINAL serve assignment (training iterations stay
+    * single-assignment — spill is a serve-time recall lever, not a
+    * training semantic).
+    */
+  private def ivfSpillAssignSql(cent: String, out: String, spill: Int): String =
+    s"""$out AS (SELECT vec_id, v, cell_id FROM (
+       | SELECT e.vec_id, e.v, $cent.cell_id,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(list_cosine_similarity(e.v, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
+       | FROM e CROSS JOIN $cent) WHERE arnk <= $spill)""".stripMargin
 
   /** x45/x46 shared oracle CTE chain: the per-round pair count + argmax +
     * merge over s0..sN, mirroring [[bpeTrainRounds]] structurally round
@@ -6778,5 +6965,100 @@ object ExtensionQueries {
          | round(coalesce(1.0 / ($RrfK + lex_rank), 0.0)
          |      + coalesce(1.0 / ($RrfK + sem_rank), 0.0), 6) AS rrf
          |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "x106_ann_recall_prod" ->
+      // the production profile: cells = ceil(sqrt(N)) seeded and trained
+      // by the same unrolled k-means as x102, corpus SPILLED into its 2
+      // nearest cells for serving (training assignments stay arnk = 1),
+      // query cells ranked once to the max probe depth, the nprobe
+      // dimension joined in via arnk <= nprobe; per-(nprobe, qid)
+      // candidate count rides as the cost axis, and the full universe
+      // left-join keeps recall-0 queries visible
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cells FROM e),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < (SELECT cells FROM cl)),
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfUpdateSql("a2", "c2")},
+         |${ivfSpillAssignSql("c2", "assigned", ProdSpill)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $RecallQ),
+         |tp AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos
+         | FROM e, q WHERE vec_id <> qid),
+         |truth AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM tp) WHERE rnk <= $RecallK),
+         |qc AS (SELECT qid, qv, cell_id, arnk FROM (
+         | SELECT q.qid, q.qv, c2.cell_id,
+         |  row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(list_cosine_similarity(q.qv, c2.cv), 6) DESC, c2.cell_id) AS arnk
+         | FROM q CROSS JOIN c2) WHERE arnk <= ${ProdNprobes.max}),
+         |nps AS (SELECT unnest([${ProdNprobes.mkString(", ")}]) AS nprobe),
+         |cand AS (SELECT DISTINCT n.nprobe, qc.qid, a.vec_id,
+         |  round(list_cosine_similarity(qc.qv, a.v), 6) AS cos
+         | FROM qc JOIN nps n ON qc.arnk <= n.nprobe
+         | JOIN assigned a ON a.cell_id = qc.cell_id AND a.vec_id <> qc.qid),
+         |nc AS (SELECT nprobe, qid, CAST(count(*) AS BIGINT) AS n_cands
+         | FROM cand GROUP BY nprobe, qid),
+         |ak AS (SELECT nprobe, qid, vec_id FROM (
+         |  SELECT nprobe, qid, vec_id,
+         |   row_number() OVER (PARTITION BY nprobe, qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM cand) WHERE rnk <= $RecallK),
+         |h AS (SELECT nprobe, qid, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM ak JOIN truth USING (qid, vec_id) GROUP BY nprobe, qid)
+         |SELECT CAST(n.nprobe AS BIGINT) AS nprobe, q.qid,
+         | CAST(coalesce(nc.n_cands, 0) AS BIGINT) AS n_cands,
+         | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $RecallK.0, 4) AS recall
+         |FROM q CROSS JOIN nps n
+         |LEFT JOIN nc ON nc.nprobe = n.nprobe AND nc.qid = q.qid
+         |LEFT JOIN h ON h.nprobe = n.nprobe AND h.qid = q.qid
+         |ORDER BY 1, 2""".stripMargin,
+    "x107_rrf_multiquery" ->
+      // per-query BM25 over each sample doc's 8 rarest distinct tokens
+      // (df asc, token asc), postings sliced to the selected terms, x31's
+      // decimal contribution sum; semantic arm = exact cosine from the
+      // query embedding; both arms per-qid depth-50, fused with
+      // 1/(60 + rank), fused top-10 per query
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |dt AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         |dfx AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM dt GROUP BY tok),
+         |qt AS (SELECT qid, tok, df FROM (
+         |  SELECT d.doc_id AS qid, d.tok, f.df,
+         |   row_number() OVER (PARTITION BY d.doc_id ORDER BY f.df, d.tok) AS trnk
+         |  FROM (SELECT DISTINCT doc_id, tok FROM dt WHERE doc_id < $RrfQ) d
+         |  JOIN dfx f USING (tok)) WHERE trnk <= $RrfQTerms),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM dt
+         | WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY doc_id, tok),
+         |c AS (SELECT q.qid, tf.doc_id,
+         |  (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+         |   * ((CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         |      / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib
+         | FROM tf JOIN qt q USING (tok) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot
+         | WHERE tf.doc_id <> q.qid),
+         |ls AS (SELECT qid, doc_id, round(CAST(SUM(CAST(contrib AS DECIMAL(18,8))) AS DOUBLE), 6) AS score
+         | FROM c GROUP BY qid, doc_id),
+         |lex AS (SELECT qid, doc_id, lex_rank FROM (
+         |  SELECT qid, doc_id,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM ls) WHERE lex_rank <= $RrfDepth),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $RrfQ),
+         |sc AS (SELECT q.qid, e.vec_id AS doc_id, round(list_cosine_similarity(q.qv, e.v), 6) AS cos
+         | FROM e CROSS JOIN qv q WHERE e.vec_id <> q.qid),
+         |sem AS (SELECT qid, doc_id, sem_rank FROM (
+         |  SELECT qid, doc_id,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+         |  FROM sc) WHERE sem_rank <= $RrfDepth),
+         |fu AS (SELECT coalesce(lex.qid, sem.qid) AS qid,
+         |  coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+         |  round(coalesce(1.0 / ($RrfK + lex_rank), 0.0)
+         |       + coalesce(1.0 / ($RrfK + sem_rank), 0.0), 6) AS rrf
+         | FROM lex FULL OUTER JOIN sem ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
+         |SELECT qid, doc_id, lex_rank, sem_rank, rrf, frnk FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS frnk
+         | FROM fu) WHERE frnk <= $RrfOut
+         |ORDER BY qid, frnk""".stripMargin)
 }

@@ -48,9 +48,11 @@ object AnnSweep {
 
     val cellChoices = Seq(16, 32, math.max(8, math.sqrt(corpusN.toDouble).round.toInt))
       .distinct.sorted
+    val iterChoices =
+      if (sys.env.contains("SPARK_GRAFT_SWEEP_FAST")) Seq(2) else Seq(2, 5)
     for {
       cells <- cellChoices
-      iters <- Seq(2, 5)
+      iters <- iterChoices
     } {
       val cents = Checkpoints.cut(Similarity.kmeansCentroids(
         e, e.filter(col("vec_id") < cells), iters, EmbDim))
@@ -59,7 +61,7 @@ object AnnSweep {
         val assigned = Checkpoints.cut(
           Similarity.ivfProbe(e, cents.select(col("cell_id").as("vec_id"), col("cv").as("v")),
             EmbDim, spill))
-        for (nprobe <- Seq(1, 2, 4, 8).filter(_ <= liveCells)) {
+        for (nprobe <- Seq(1, 2, 4, 8, 12, 16).filter(_ <= liveCells)) {
           val probed = Similarity.ivfProbe(
             q, cents.select(col("cell_id").as("vec_id"), col("cv").as("v")), EmbDim, nprobe)
             .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell_id").as("qcell"))

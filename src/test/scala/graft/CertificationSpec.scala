@@ -106,4 +106,71 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     rows.count(_._2.isDefined) should be >= 1
     rows.count(_._3.isDefined) should be >= 1
   }
+
+  test("x106: production profile audit — universe, cost axis, and a measured win over x102") {
+    val rows = SparkEntry.queries("x106_ann_recall_prod")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    rows should not be empty
+    val byProbe = rows.groupBy(_._1)
+    byProbe.keySet shouldBe Set(2L, 4L)
+    byProbe(2L).map(_._2).sorted shouldBe byProbe(4L).map(_._2).sorted
+    rows.foreach { case (_, _, nCands, nHit, recall) =>
+      nHit should be >= 0L
+      nHit should be <= 10L
+      recall shouldBe (nHit.toDouble / 10.0) +- 1e-9
+      // the cost axis is real: candidates are a strict subset of the corpus
+      nCands should be < 500L
+    }
+    // widening the probe searches a superset per query: recall and
+    // candidate volume both monotone
+    val at2 = byProbe(2L).map(r => r._2 -> r).toMap
+    byProbe(4L).foreach { case (_, qid, nc4, _, rec4) =>
+      rec4 should be >= at2(qid)._5
+      nc4 should be >= at2(qid)._3
+    }
+    // the profile must BEAT the r16 fixed index it replaces, like for
+    // like (nprobe 2 arm of each): sqrt(N) cells + spill-2 assignment
+    // bought measurable recall on the same fixture
+    val x102at2 = SparkEntry.queries("x102_ann_recall")(spark, dir)
+      .collect().collect { case r if r.getLong(0) == 2L => r.getDouble(3) }
+    val meanProd = byProbe(2L).map(_._5).sum / byProbe(2L).size
+    val meanFixed = x102at2.sum / x102at2.length
+    meanProd should be > meanFixed
+  }
+
+  test("x107: per-query fusion — universe, rank caps, RRF arithmetic, self-exclusion") {
+    val rows = SparkEntry.queries("x107_rrf_multiquery")(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4), r.getLong(5))
+    }
+    // full universe: every sample query contributes exactly RrfOut rows
+    val byQ = rows.groupBy(_._1)
+    byQ.keySet shouldBe (0L until 25L).toSet
+    byQ.values.foreach(_.length shouldBe 10)
+    rows.foreach { case (qid, doc, lex, sem, rrf, frnk) =>
+      doc should not be qid // self-retrieval excluded in both arms
+      (lex.isDefined || sem.isDefined) shouldBe true
+      lex.foreach(r => r should (be >= 1L and be <= 50L))
+      sem.foreach(r => r should (be >= 1L and be <= 50L))
+      frnk should (be >= 1L and be <= 10L)
+      val expect = lex.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        sem.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      rrf shouldBe expect +- 1e-6
+    }
+    // per-query descending fused order, frnk consecutive from 1
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_._6)
+      sorted.map(_._6) shouldBe (1L to 10L)
+      sorted.map(_._5).sliding(2).foreach {
+        case Array(a, b) => b should be <= a + 1e-12; case _ =>
+      }
+    }
+    // fusion is non-degenerate across the distribution: both arms
+    // contribute somewhere, and some doc is ranked by both
+    rows.count(_._3.isDefined) should be >= 1
+    rows.count(_._4.isDefined) should be >= 1
+    rows.count(r => r._3.isDefined && r._4.isDefined) should be >= 1
+  }
 }

@@ -333,6 +333,29 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("TakeOrderedAndProject")
   }
 
+  test("x106: production ANN profile keeps x102's audit shape with spill assignment") {
+    // Same discipline as x102 — the sample broadcasts into the truth scan
+    // and the probe join (the only nested-loop joins allowed), candidate
+    // generation is the cell-keyed equi-join, and every top-k window is
+    // rank-limited. A CartesianProduct means corpus x corpus.
+    val p = finalPlan("x106_ann_recall_prod")
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // brute truth: corpus x broadcast sample
+    p should include("WindowGroupLimit")
+  }
+
+  test("x107: multi-query fusion — postings sliced semi-join, rank-limited windows") {
+    // The lexical arm must slice postings to the selected terms BEFORE
+    // the tf shuffle (LeftSemi against the broadcast term set), every
+    // per-qid top-k window must be rank-limited, and the only
+    // nested-loop joins are the broadcast scalar totals / query sample.
+    val p = plan("x107_rrf_multiquery")
+    p should not include "CartesianProduct"
+    p should include("LeftSemi")
+    p should include("WindowGroupLimit")
+    p should include("HashAggregate")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group

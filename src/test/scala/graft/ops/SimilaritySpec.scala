@@ -230,4 +230,20 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
       }
     }
   }
+
+  test("sqrtCells and suggestIvf encode the measured profile") {
+    Similarity.sqrtCells(1L) shouldBe 1
+    Similarity.sqrtCells(500L) shouldBe 23
+    Similarity.sqrtCells(2000L) shouldBe 45
+    Similarity.sqrtCells(1000000L) shouldBe 1000
+    an[IllegalArgumentException] should be thrownBy Similarity.sqrtCells(0L)
+    // nprobe climbs with the recall target along the measured sweep rows;
+    // spill-2 is unconditional (dominates single assignment everywhere)
+    Similarity.suggestIvf(2000L, 0.85) shouldBe ((45, 2, 1))
+    Similarity.suggestIvf(2000L, 0.88) shouldBe ((45, 2, 2))
+    Similarity.suggestIvf(2000L) shouldBe ((45, 2, 4))
+    Similarity.suggestIvf(2000L, 0.95) shouldBe ((45, 2, 8))
+    Similarity.suggestIvf(2000L, 0.98) shouldBe ((45, 2, 12))
+    an[IllegalArgumentException] should be thrownBy Similarity.suggestIvf(100L, 1.5)
+  }
 }
