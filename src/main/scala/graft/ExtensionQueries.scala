@@ -4770,6 +4770,82 @@ object ExtensionQueries {
       .orderBy(col("qid"), col("frnk"))
   }
 
+  /** Signature widths measured by the x108 calibration (nested-prefix
+    * family: width k uses components 0..k-1, so one 16-wide signature
+    * computation calibrates every row).
+    */
+  private[graft] val CalibKs = Seq(4, 8, 16)
+
+  /** Calibrated width selection (x108): closes the x103 loop — x103
+    * MEASURES per-pair signature error at the default width; this query
+    * turns the measurement into the WIDTH DECISION. For k in
+    * [[CalibKs]] (nested prefixes of one 16-component signature), every
+    * LSH candidate pair's |estimate - exact Jaccard| is aggregated to
+    * (n_pairs, mean_err, p99_err) — the p99 TAIL is the deciding
+    * statistic, because a single band collision can hand a
+    * near-zero-Jaccard pair a high estimate and the mean hides exactly
+    * that pair (x103's measured max_err = 0.86 outlier). chosen_k =
+    * the narrowest width whose p99 meets [[Dedup.CalibTargetP99]]
+    * (sketch cost is linear in k), else the widest measured.
+    * [[Dedup.suggestWidthsMeasured]] is the same decision as a function
+    * — the certification spec pins the two agreeing on this table.
+    *
+    * Scale shape: candidates from the banded equi-join (never
+    * all-pairs, df-capped); per pair the three estimates are <= 16
+    * codegen'd integer comparisons; the p99 is a DISCRETE rank statistic
+    * (row ceil(0.99 n) of the (abs_err, id1, id2) order — deterministic
+    * on any engine, no interpolated percentile), one rank window per k
+    * over the candidate-bounded error table.
+    */
+  private def x108(s: SparkSession, dir: String): DataFrame = {
+    val sh = Checkpoints.cut(
+      plantedDocs(s, dir).select(col("doc_id"), Dedup.shingles(col("text")).as("s")))
+    val wide = CalibKs.max
+    val sigs = sh.select(
+      (col("doc_id") +:
+        (0 until wide).map(i =>
+          Dedup.minhashComponent(transform(col("s"), x => TextOps.polyHash(x)), i).as(s"mh$i"))): _*)
+      // shingle-less docs drop before banding (x103's NaN-Jaccard weld)
+      .filter(col("mh0").isNotNull)
+    // candidates from the DEFAULT production banding (first 8 components,
+    // 4 bands x 2 rows) — one fixed pair set so the per-k error columns
+    // are measured on identical pairs
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+    val a = sigs.select(
+      col("doc_id").as("id1") +: (0 until wide).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = sigs.select(
+      col("doc_id").as("id2") +: (0 until wide).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val withSets = cands.join(a, "id1").join(b, "id2")
+      .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("s", "s1"), "id1")
+      .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("s", "s2"), "id2")
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val union = (size(col("s1")) + size(col("s2"))).cast("double") - inter
+    val jac = inter / union
+    val perK = CalibKs.map { k =>
+      val m = (0 until k)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      struct(lit(k.toLong).as("k"),
+        round(abs(m.cast("double") / lit(k.toDouble) - jac), 6).as("abs_err"))
+    }
+    val errs = Checkpoints.cut(withSets
+      .select(col("id1"), col("id2"), explode(array(perK: _*)).as("e"))
+      .select(col("e.k").as("k"), col("id1"), col("id2"), col("e.abs_err").as("abs_err")))
+    val st = errs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(graft.util.Exact.dsum(col("abs_err"), 8) / count(lit(1)), 6).as("mean_err"))
+    val byErr = Window.partitionBy(col("k")).orderBy(col("abs_err"), col("id1"), col("id2"))
+    val p99 = errs.withColumn("rn", row_number().over(byErr).cast("long"))
+      .join(st.select(col("k"), col("n_pairs")), "k")
+      .filter(col("rn") === ceil(lit(0.99) * col("n_pairs")).cast("long"))
+      .select(col("k"), col("abs_err").as("p99_err"))
+    val table = st.join(p99, "k")
+    val chosen = table.agg(coalesce(
+      min(when(col("p99_err") <= Dedup.CalibTargetP99, col("k"))),
+      max(col("k"))).as("chosen_k"))
+    table.crossJoin(broadcast(chosen)).orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -4879,7 +4955,8 @@ object ExtensionQueries {
     "x104_soft_dedup_weights" -> (x104 _),
     "x105_rrf_fusion" -> (x105 _),
     "x106_ann_recall_prod" -> (x106 _),
-    "x107_rrf_multiquery" -> (x107 _))
+    "x107_rrf_multiquery" -> (x107 _),
+    "x108_calibrated_widths" -> (x108 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -4894,7 +4971,10 @@ object ExtensionQueries {
       | + (1.0 - CAST(pu AS DOUBLE)/(CAST(ws AS DOUBLE)+1.0))*0.2, 6)""".stripMargin
 
   private def minhashSql(i: Int, hs: String): String =
-    s"list_min(list_transform($hs, h -> (${Dedup.MinHashA(i)} * h + ${Dedup.MinHashB(i)}) % ${Dedup.MinHashP}))"
+    // coefficient FUNCTIONS, not the MinHashK-wide cached vectors — the
+    // x108 calibration widens to 16 components (same family: widening k
+    // never re-keys existing components)
+    s"list_min(list_transform($hs, h -> (${Dedup.minHashA(i)} * h + ${Dedup.minHashB(i)}) % ${Dedup.MinHashP}))"
 
   /** Shared x26/x66 oracle CTE prefix: the engineered corpus through the
     * propagated cluster labels (`corpus`, `sh`, ..., `lab4`). Label
@@ -7060,5 +7140,40 @@ object ExtensionQueries {
          |SELECT qid, doc_id, lex_rank, sem_rank, rrf, frnk FROM (
          | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS frnk
          | FROM fu) WHERE frnk <= $RrfOut
-         |ORDER BY qid, frnk""".stripMargin)
+         |ORDER BY qid, frnk""".stripMargin,
+    "x108_calibrated_widths" ->
+      // x103's candidate machinery (default 8-component banding, df cap)
+      // widened to a 16-component signature; per k in {4,8,16} the error
+      // table aggregates over the SAME pair set; p99 is the discrete rank
+      // statistic at row ceil(0.99 n) of (abs_err, id1, id2); chosen_k =
+      // narrowest width meeting the p99 budget, else widest
+      s"""WITH $PlantedDocsSql,
+         |$ShinglesSql,
+         |hh AS (SELECT doc_id, s, list_transform(s, x -> ${polySql("x")}) AS hs FROM sh),
+         |sig AS (SELECT doc_id, s, ${(0 until CalibKs.max).map(i => minhashSql(i, "hs") + s" AS mh$i").mkString(",\n ")} FROM hh),
+         |nz AS (SELECT * FROM sig WHERE mh0 IS NOT NULL),
+         |banded AS (SELECT doc_id, unnest([${(0 until Dedup.LshBands).map(b => s"'$b:' || mh${2 * b} || ':' || mh${2 * b + 1}").mkString(", ")}]) AS band FROM nz),
+         |cool AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= ${Dedup.ShingleDfCap}),
+         |capped AS (SELECT banded.* FROM banded JOIN cool USING (band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         | FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |pr AS (SELECT id1, id2,
+         |  ${CalibKs.map(k => "(" + (0 until k).map(i => s"CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END").mkString(" + ") + s") AS m$k").mkString(",\n  ")},
+         |  CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS inter,
+         |  CAST(len(s1.s) + len(s2.s) AS DOUBLE) AS szsum
+         | FROM cand JOIN nz s1 ON s1.doc_id = id1 JOIN nz s2 ON s2.doc_id = id2),
+         |pk AS (${CalibKs.map(k =>
+           s"SELECT CAST($k AS BIGINT) AS k, id1, id2, round(abs(CAST(m$k AS DOUBLE) / $k.0 - inter / (szsum - inter)), 6) AS abs_err FROM pr")
+           .mkString("\n UNION ALL ")}),
+         |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(SUM(CAST(abs_err AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS mean_err
+         | FROM pk GROUP BY k),
+         |rk AS (SELECT k, abs_err,
+         |  row_number() OVER (PARTITION BY k ORDER BY abs_err, id1, id2) AS rn FROM pk),
+         |p9 AS (SELECT rk.k, rk.abs_err AS p99_err FROM rk JOIN st USING (k)
+         | WHERE rn = CAST(ceil(0.99 * n_pairs) AS BIGINT)),
+         |js AS (SELECT st.k, n_pairs, mean_err, p99_err FROM st JOIN p9 USING (k)),
+         |ch AS (SELECT CAST(coalesce(min(CASE WHEN p99_err <= ${Dedup.CalibTargetP99} THEN k END), max(k)) AS BIGINT) AS chosen_k FROM js)
+         |SELECT k, n_pairs, mean_err, p99_err, chosen_k
+         |FROM js CROSS JOIN ch ORDER BY k""".stripMargin)
 }

@@ -112,6 +112,46 @@ object Dedup {
     else (MinHashK, LshBands, 2)
   }
 
+  /** One row of the x108 measured calibration table: for signature width
+    * k, the p99 of |signature estimate - exact Jaccard| over the LSH
+    * candidate set (the TAIL, not the mean — a single band collision can
+    * put a near-zero-Jaccard pair in the candidate set with a high
+    * estimate, and the mean hides exactly that pair).
+    */
+  final case class WidthCalibration(k: Int, p99Err: Double)
+
+  /** Default p99 error budget at the 0.5 near-dup cutoff: with p99 <= this
+    * bound, at most 1% of candidate pairs can carry an estimate further
+    * than the bound from their true Jaccard — the misclassification band
+    * a corpus-scale dedup tolerates around its threshold before the
+    * sketch, not the threshold, decides what survives.
+    */
+  val CalibTargetP99 = 0.25
+
+  /** Width selection driven by the MEASURED calibration (x108's table)
+    * instead of the static probe rows: the narrowest signature whose
+    * measured p99 abs_err meets the budget wins (sketch cost is linear
+    * in k — hash, shuffle bytes, and comparison work all scale with it);
+    * if no measured width meets the budget the widest measured one is
+    * taken (the least-wrong option — callers wanting a hard guarantee
+    * check the returned width's calibration row). Bands follow the
+    * [[suggestWidths]] size precedence: at >= 100k docs rows-per-band 4
+    * (precision-leaning — candidate volume is what melts the shuffle),
+    * else 2 (recall-leaning).
+    */
+  def suggestWidthsMeasured(
+      stats: CorpusStats,
+      calib: Seq[WidthCalibration],
+      targetP99: Double = CalibTargetP99): (Int, Int, Int) = {
+    require(stats.nDocs >= 0, "nDocs must be >= 0")
+    require(calib.nonEmpty, "calibration table must be non-empty")
+    require(targetP99 > 0.0, "targetP99 must be positive")
+    val meeting = calib.filter(_.p99Err <= targetP99).map(_.k)
+    val k = if (meeting.nonEmpty) meeting.min else calib.map(_.k).max
+    val rowsPerBand = if (stats.nDocs >= 100000L) 4 else 2
+    (k, math.max(1, k / rowsPerBand), rowsPerBand)
+  }
+
   def minHashA(i: Int): Long = (2654435761L * (i + 1)) % MinHashP
   def minHashB(i: Int): Long = (40503L * (i + 1) * 9973L) % MinHashP
 

@@ -173,4 +173,33 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     rows.count(_._4.isDefined) should be >= 1
     rows.count(r => r._3.isDefined && r._4.isDefined) should be >= 1
   }
+
+  test("x108: calibration table drives the width decision, and the function agrees") {
+    val rows = SparkEntry.queries("x108_calibrated_widths")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    rows.map(_._1) shouldBe Array(4L, 8L, 16L)
+    // same fixed candidate set under every width
+    rows.map(_._2).distinct should have length 1
+    rows.foreach { case (_, n, meanErr, p99, _) =>
+      n should be > 0L
+      meanErr should (be >= 0.0 and be <= 1.0)
+      p99 should (be >= 0.0 and be <= 1.0)
+      // the tail is the deciding statistic BECAUSE it exceeds the mean:
+      // band-collision outliers live past the p99, never below it
+      p99 should be >= meanErr
+    }
+    // widening the signature tightens the mean at ~1/sqrt(k)
+    rows.map(_._3).sliding(2).foreach {
+      case Array(a, b) => b should be < a; case _ =>
+    }
+    // the in-query decision and the engine function make the SAME choice
+    // from the same measured table — the calibration is load-bearing
+    val calib = rows.map { case (k, _, _, p99, _) =>
+      ops.Dedup.WidthCalibration(k.toInt, p99) }.toSeq
+    val (k, bands, rpb) = ops.Dedup.suggestWidthsMeasured(
+      ops.Dedup.CorpusStats(nDocs = 160L, dupRate = 0.25), calib)
+    rows.map(_._5).distinct shouldBe Array(k.toLong)
+    bands * rpb shouldBe k
+  }
 }

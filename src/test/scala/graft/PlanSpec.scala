@@ -356,6 +356,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("HashAggregate")
   }
 
+  test("x108: calibration pairs from the banded equi-join; scalar-only nested loops") {
+    // Candidates must come from x06's banded machinery (equi-join on
+    // band keys, never all-pairs); the only nested-loop join is the
+    // 1-row chosen_k broadcast onto the 3-row table.
+    val p = plan("x108_calibrated_widths")
+    p should not include "CartesianProduct"
+    p should include("HashAggregate")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group

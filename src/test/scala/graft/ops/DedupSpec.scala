@@ -487,4 +487,23 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
       .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("rep_id"))).sorted
     reps shouldBe Array((10L, 3L), (20L, 5L), (30L, 8L))
   }
+
+  test("suggestWidthsMeasured: narrowest width meeting the p99 budget wins; widest as fallback") {
+    val stats = Dedup.CorpusStats(nDocs = 50000L, dupRate = 0.1)
+    val calib = Seq(
+      Dedup.WidthCalibration(4, 0.40),
+      Dedup.WidthCalibration(8, 0.20),
+      Dedup.WidthCalibration(16, 0.10))
+    // 8 meets the 0.25 default budget and is narrower than 16
+    Dedup.suggestWidthsMeasured(stats, calib) shouldBe ((8, 4, 2))
+    // tighter budget: only 16 qualifies
+    Dedup.suggestWidthsMeasured(stats, calib, targetP99 = 0.12) shouldBe ((16, 8, 2))
+    // nothing qualifies -> widest measured (least-wrong fallback)
+    Dedup.suggestWidthsMeasured(stats, calib, targetP99 = 0.05) shouldBe ((16, 8, 2))
+    // size precedence carries over from suggestWidths: big corpora take
+    // the precision-leaning 4-rows-per-band split of the same width
+    Dedup.suggestWidthsMeasured(stats.copy(nDocs = 200000L), calib) shouldBe ((8, 2, 4))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.suggestWidthsMeasured(stats, Seq.empty)
+  }
 }
