@@ -4643,17 +4643,9 @@ object ExtensionQueries {
     // spill assignment: each corpus vector lives in its 2 nearest cells
     val assigned = Checkpoints.cut(Similarity.ivfProbe(e, cents, EmbDim, ProdSpill))
     def arm(nprobe: Int): DataFrame = {
-      val probed = Similarity.ivfProbe(q, cents, EmbDim, nprobe)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell_id").as("qcell"))
-      val scored = assigned.join(broadcast(probed),
-          col("cell_id") === col("qcell") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Similarity.cosineStatic(col("qv"), col("v"),
-            Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim),
-            EmbDim), 6).as("cos"))
-        // spill x probe can surface one (query, candidate) pair through
-        // two shared cells — dedup before the cost count and the rank
-        .dropDuplicates("qid", "vec_id")
+      // the certified surface IS the serve API: the same ivfCandidates
+      // frame feeds production ivfSearchTopK and this audit
+      val scored = Similarity.ivfCandidates(assigned, q, cents, EmbDim, nprobe)
       val nc = scored.groupBy(col("qid")).agg(count(lit(1)).as("n_cands"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       val hits = scored.withColumn("rnk", row_number().over(w))

@@ -226,6 +226,50 @@ object Similarity {
     (sqrtCells(nCorpus), 2, nprobe)
   }
 
+  /** Candidate set of the production IVF serve path: `queries` probe
+    * their `nprobe` nearest cells and meet the (already spill-)
+    * `assigned` corpus — (vec_id, v, cell_id), from [[ivfProbe]] with
+    * the profile's spill — in a cell-keyed equi-join; each surviving
+    * pair is scored with exact cosine and deduped (a spilled corpus
+    * vector can meet a query through two shared cells). Output:
+    * (qid, vec_id, cos), the frame both the top-k serve and the x106
+    * recall/cost certification read. Self-pairs are excluded.
+    *
+    * Scale: the probe side is sample-sized and broadcasts; the join
+    * carries spill * nprobe * |corpus| / cells rows per query —
+    * with [[sqrtCells]] sizing, an O(sqrt(corpus)) fraction.
+    */
+  def ivfCandidates(
+      assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
+      dim: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val probed = ivfProbe(queries, centroids, dim, nprobe, idCol, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("cell_id").as("qcell"))
+    assigned.join(broadcast(probed),
+        col("cell_id") === col("qcell") && col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(cosineStatic(col("qv"), col(vecCol),
+          norm(col("qv"), dim), norm(col(vecCol), dim), dim), 6).as("cos"))
+      .dropDuplicates("qid", idCol)
+  }
+
+  /** Production ANN top-k: exact-cosine re-rank of [[ivfCandidates]],
+    * ties to the lower id — the approximate twin of [[bruteForceTopK]]
+    * (identical output schema: qid, vec_id, cos, rnk). When the probe
+    * covers every cell the candidate set is the full corpus and this
+    * EQUALS brute force (spec-pinned); narrower probes trade the
+    * x106-measured recall for the measured candidate fraction.
+    */
+  def ivfSearchTopK(
+      assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, dim: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    ivfCandidates(assigned, queries, centroids, dim, nprobe, idCol, vecCol)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic k-means training for IVF centroids: fixed iteration
     * count, deterministic seed set (caller-provided init vectors), and
     * decimal-quantized means, so the trained centroids — and therefore the

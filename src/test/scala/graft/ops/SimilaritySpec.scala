@@ -231,6 +231,34 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("ivfSearchTopK with a full-cell probe equals brute force exactly") {
+    // When nprobe covers every cell, the candidate set is the whole
+    // corpus (any spill) and the approximate serve path must reproduce
+    // bruteForceTopK row for row — the exactness anchor under which the
+    // x106-measured narrower probes trade recall for cost.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .filter(col("vec_id") < 60)
+    val cents = Similarity.kmeansCentroids(
+      emb, emb.filter(col("vec_id") < 5), iters = 2, dim = 64)
+      .select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val nCells = cents.count().toInt
+    val assigned = Similarity.ivfProbe(emb, cents, 64, nprobe = 2)
+    val q = emb.filter(col("vec_id") < 4)
+    val approx = Similarity.ivfSearchTopK(assigned, q, cents, k = 5, dim = 64, nprobe = nCells)
+      .select("qid", "vec_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val brute = Similarity.bruteForceTopK(emb, q, k = 5, dim = 64)
+      .select("qid", "vec_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    approx shouldBe brute
+    // narrower probe: a strict candidate subset, never a superset
+    val narrow = Similarity.ivfCandidates(assigned, q, cents, 64, nprobe = 1)
+    val full = Similarity.ivfCandidates(assigned, q, cents, 64, nprobe = nCells)
+    narrow.count() should be < full.count()
+    full.count() shouldBe q.count() * (emb.count() - 1)
+  }
+
   test("sqrtCells and suggestIvf encode the measured profile") {
     Similarity.sqrtCells(1L) shouldBe 1
     Similarity.sqrtCells(500L) shouldBe 23
