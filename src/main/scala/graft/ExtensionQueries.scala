@@ -4838,6 +4838,57 @@ object ExtensionQueries {
     table.crossJoin(broadcast(chosen)).orderBy(col("k"))
   }
 
+  /** Index-feasibility audit (x109): measures whether the embedding
+    * corpus has the cluster structure an ANN index needs to be
+    * SUBLINEAR — the decision a 100 TB pipeline must make BEFORE paying
+    * for an index build. This round's own ANN work is the motivation:
+    * the fixture measured isotropic (within-label and cross-label cosine
+    * both ~0), which is exactly the regime where recall/cost goes
+    * near-linear for ANY partitioning index, and that fact should be an
+    * operator's measured output, not a post-hoc diagnosis.
+    *
+    * Per sample query (the fixed [[RecallQ]] ids): its top-1 and mean
+    * top-10 exact cosine to the corpus. Next to them, the ISOTROPIC
+    * BASELINE E[max cos] ~ sqrt(2 ln N / d) (the extreme-value estimate
+    * for N random directions in d dims — what "nearest neighbour"
+    * scores when there are no real neighbours), the sample's DISCRETE
+    * median top-1 (rank statistic, engine-reproducible), and the
+    * verdict: indexable = median top-1 >= 2x baseline (real cluster
+    * structure puts nearest neighbours far above the random-match
+    * line; a corpus failing this gate should budget for the measured
+    * x106 linear-fraction costs instead of assuming index speedups).
+    *
+    * Scale shape: one corpus scan against the broadcast sample (x08's
+    * certification cost), one RecallK-deep rank window per query, and
+    * sample-sized aggregates. Output is sample-sized at any corpus
+    * scale.
+    */
+  private def x109(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < RecallQ)
+    val top = Similarity.bruteForceTopK(e, q, RecallK, dim = EmbDim)
+    val perQ = Checkpoints.cut(top.groupBy(col("qid")).agg(
+      max(when(col("rnk") === 1L, col("cos"))).as("top1_cos"),
+      round(graft.util.Exact.dsum(col("cos"), 8) / count(lit(1)), 6).as("mean10_cos")))
+    val n = e.agg(count(lit(1)).as("n_corpus"))
+    val byTop1 = Window.orderBy(col("top1_cos"), col("qid"))
+    val med = perQ
+      .withColumn("rn", row_number().over(byTop1).cast("long"))
+      .crossJoin(broadcast(perQ.agg(count(lit(1)).as("n_q"))))
+      .filter(col("rn") === ceil(lit(0.5) * col("n_q")).cast("long"))
+      .select(col("top1_cos").as("median_top1"))
+    perQ
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(med))
+      .select(col("qid"), col("top1_cos"), col("mean10_cos"), col("n_corpus"),
+        round(sqrt(lit(2.0) * log(col("n_corpus").cast("double")) / lit(EmbDim.toDouble)), 6)
+          .as("iso_baseline"),
+        col("median_top1"))
+      .withColumn("indexable",
+        (col("median_top1") >= lit(2.0) * col("iso_baseline")).cast("int"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -4948,7 +4999,8 @@ object ExtensionQueries {
     "x105_rrf_fusion" -> (x105 _),
     "x106_ann_recall_prod" -> (x106 _),
     "x107_rrf_multiquery" -> (x107 _),
-    "x108_calibrated_widths" -> (x108 _))
+    "x108_calibrated_widths" -> (x108 _),
+    "x109_index_feasibility" -> (x109 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -7167,5 +7219,29 @@ object ExtensionQueries {
          |js AS (SELECT st.k, n_pairs, mean_err, p99_err FROM st JOIN p9 USING (k)),
          |ch AS (SELECT CAST(coalesce(min(CASE WHEN p99_err <= ${Dedup.CalibTargetP99} THEN k END), max(k)) AS BIGINT) AS chosen_k FROM js)
          |SELECT k, n_pairs, mean_err, p99_err, chosen_k
-         |FROM js CROSS JOIN ch ORDER BY k""".stripMargin)
+         |FROM js CROSS JOIN ch ORDER BY k""".stripMargin,
+    "x109_index_feasibility" ->
+      // x08's brute rank arithmetic at depth 10; per-query top-1 and
+      // decimal-exact mean-of-10; the median top-1 is the discrete rank
+      // statistic at row ceil(0.5 n) of (top1_cos, qid); the isotropic
+      // baseline is the closed-form sqrt(2 ln N / d) random-match line
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $RecallQ),
+         |tp AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos
+         | FROM e, q WHERE vec_id <> qid),
+         |tk AS (SELECT qid, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM tp),
+         |pq AS (SELECT qid, max(CASE WHEN rnk = 1 THEN cos END) AS top1_cos,
+         |  round(CAST(SUM(CAST(cos AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS mean10_cos
+         | FROM tk WHERE rnk <= $RecallK GROUP BY qid),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM pq),
+         |md AS (SELECT top1_cos AS median_top1 FROM (
+         |  SELECT top1_cos, row_number() OVER (ORDER BY top1_cos, qid) AS rn FROM pq)
+         | CROSS JOIN nq WHERE rn = CAST(ceil(0.5 * n_q) AS BIGINT))
+         |SELECT qid, top1_cos, mean10_cos, n_corpus,
+         | round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) AS iso_baseline,
+         | median_top1,
+         | CAST(median_top1 >= 2.0 * round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) AS INT) AS indexable
+         |FROM pq CROSS JOIN nn CROSS JOIN md ORDER BY qid""".stripMargin)
 }

@@ -195,7 +195,20 @@ object ScaleVerify {
     // x105 output is LIMIT-bounded (top-20): compare whole. Both engines
     // pay one term-filtered pass + one scalar-vector pass; the fusion
     // tail is two 50-row frames at any scale.
-    "x105_rrf_fusion" -> None)
+    "x105_rrf_fusion" -> None,
+    // x106 output is the fixed certification universe (2 nprobe arms x
+    // 50 sample queries) at ANY scale; the oracle's training unroll is
+    // x102's with sqrt(N) cells — feasible to ~sf1, engine-only above.
+    "x106_ann_recall_prod" -> None,
+    // x107 output is RrfQ x RrfOut (250 rows) at any scale; both engines
+    // pay the postings slice + one scalar-vector corpus pass.
+    "x107_rrf_multiquery" -> None,
+    // x108 corpus is audit-fixture-bounded (plantedDocs caps at
+    // doc_id < 120), 3 aggregate rows: compare whole.
+    "x108_calibrated_widths" -> None,
+    // x109 output is the fixed 50-query sample at any scale; both
+    // engines pay one corpus scan against the broadcast sample.
+    "x109_index_feasibility" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -202,4 +202,29 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     rows.map(_._5).distinct shouldBe Array(k.toLong)
     bands * rpb shouldBe k
   }
+
+  test("x109: feasibility audit measures the fixture as isotropic, coherently") {
+    val rows = SparkEntry.queries("x109_index_feasibility")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getInt(6)))
+    rows.map(_._1).sorted shouldBe (0L until 50L).toArray
+    val medians = rows.map(_._6).distinct
+    val baselines = rows.map(_._5).distinct
+    medians should have length 1
+    baselines should have length 1
+    rows.foreach { case (_, top1, mean10, n, _, _, _) =>
+      n shouldBe 500L
+      // top-1 bounds its own top-10 mean; cosines are valid
+      top1 should (be >= mean10 and be <= 1.0)
+      mean10 should be >= -1.0
+    }
+    // the median is a real member of the sample (discrete rank statistic)
+    rows.map(_._2) should contain(medians.head)
+    // the audit's verdict on THIS fixture: isotropic — median top-1 sits
+    // near the random-match line, nowhere near 2x it. This is the
+    // ground truth the round's ANN measurements rest on.
+    val verdicts = rows.map(_._7).distinct
+    verdicts shouldBe Array(0)
+    medians.head should be < 2.0 * baselines.head
+  }
 }

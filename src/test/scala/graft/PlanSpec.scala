@@ -365,6 +365,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("HashAggregate")
   }
 
+  test("x109: feasibility audit is one broadcast-sample corpus scan") {
+    // The per-query stats frame is lineage-cut (three consumers), so the
+    // final plan shows only the tail: every join there must be a 1-row
+    // scalar broadcast (n_corpus, n_q, the median row), never a
+    // cartesian. The brute scan's own shape (broadcast sample +
+    // rank-limited window) is pinned by x102's finalPlan and the
+    // ivfProbe isolation test below — same operator.
+    val p = finalPlan("x109_index_feasibility")
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group
