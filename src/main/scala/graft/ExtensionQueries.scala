@@ -4636,9 +4636,16 @@ object ExtensionQueries {
     val truth = Similarity.bruteForceTopK(e, q, RecallK, dim = EmbDim)
       .select(col("qid"), col("vec_id"))
     // index-BUILD step (one count + persisted k-means training): cell
-    // count is a function of corpus size, so the profile tracks growth
-    val cells = Similarity.sqrtCells(e.count())
-    val trained = AnnModels.ivfCentroids(s, dir, e, cells, KmIters, EmbDim)
+    // count is a function of corpus size, so the profile tracks growth;
+    // training runs on the deterministic ~50-per-cell sample (mod 1 =
+    // full corpus at fixture scales, 28x fewer training vectors at sf100
+    // — the standard train-on-sample / assign-everything IVF build)
+    val nCorpus = e.count()
+    val cells = Similarity.sqrtCells(nCorpus)
+    val trainMod = Similarity.trainSampleMod(nCorpus, cells)
+    val train = e.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+    val trained = AnnModels.ivfCentroids(
+      s, dir, e, cells, KmIters, EmbDim, train = Some(train))
     val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
     // spill assignment: each corpus vector lives in its 2 nearest cells
     val assigned = Checkpoints.cut(Similarity.ivfProbe(e, cents, EmbDim, ProdSpill))
@@ -4700,22 +4707,27 @@ object ExtensionQueries {
   private def x107(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-    // one exploded token stream feeds df, the query-term selection, and
-    // the postings slice — cut so the tokenize runs once
-    val docToks = Checkpoints.cut(
-      docs.select(col("doc_id"), explode(col("tk")).as("tok")))
     val dl = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
-    val dft = docToks.distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // document frequency with the dedup MAP-SIDE: array_distinct inside
+    // each row before the explode guarantees (doc, tok) uniqueness
+    // without shuffling the token stream, and the groupBy(tok) then
+    // partial-aggregates to vocabulary size per partition — a
+    // corpus-wide `.distinct()` here instead shuffles every (doc, tok)
+    // pair at full width (measured 126 s at 500k docs, ~5x this shape)
+    val distinctToks = docs
+      .select(col("doc_id"), explode(array_distinct(col("tk"))).as("tok"))
+    val dft = distinctToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val byRarity = Window.partitionBy(col("qid")).orderBy(col("df"), col("tok"))
-    val qterms = docToks.filter(col("doc_id") < RrfQ)
-      .select(col("doc_id").as("qid"), col("tok")).distinct()
+    val qterms = distinctToks.filter(col("doc_id") < RrfQ)
+      .select(col("doc_id").as("qid"), col("tok"))
       .join(broadcast(dft), "tok")
       .withColumn("trnk", row_number().over(byRarity))
       .filter(col("trnk") <= RrfQTerms)
       .select(col("qid"), col("tok"), col("df"))
-    val tf = docToks
+    // postings slice: the explode is map-side and the broadcast semi-join
+    // drops non-query tokens BEFORE the (doc, tok) tf shuffle
+    val tf = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
       .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"), "left_semi")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
@@ -5167,12 +5179,12 @@ object ExtensionQueries {
     * nearest centroid, then per-(cell, dim) decimal-exact mean reassembled
     * into centroid arrays — the SQL mirror of Similarity.kmeansCentroids.
     */
-  private def ivfAssignSql(cent: String, out: String): String =
+  private def ivfAssignSql(cent: String, out: String, src: String = "e"): String =
     s"""$out AS (SELECT vec_id, v, cell_id FROM (
-       | SELECT e.vec_id, e.v, $cent.cell_id,
-       |  row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY round(list_cosine_similarity(e.v, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
-       | FROM e CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
+       | SELECT $src.vec_id, $src.v, $cent.cell_id,
+       |  row_number() OVER (PARTITION BY $src.vec_id
+       |    ORDER BY round(list_cosine_similarity($src.v, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
+       | FROM $src CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
 
   /** Spill (multi-assignment) variant of [[ivfAssignSql]] for the x106
     * production profile: each corpus vector keeps its `spill` nearest
@@ -7099,11 +7111,13 @@ object ExtensionQueries {
       // candidate count rides as the cost axis, and the full universe
       // left-join keeps recall-0 queries visible
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cells FROM e),
+         |cl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cells,
+         |  greatest(1, CAST(count(*) AS BIGINT) // (50 * CAST(ceil(sqrt(count(*))) AS BIGINT))) AS tmod FROM e),
          |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < (SELECT cells FROM cl)),
-         |${ivfAssignSql("c0", "a1")},
+         |es AS (SELECT vec_id, v FROM e WHERE vec_id % (SELECT tmod FROM cl) = 0),
+         |${ivfAssignSql("c0", "a1", "es")},
          |${ivfUpdateSql("a1", "c1")},
-         |${ivfAssignSql("c1", "a2")},
+         |${ivfAssignSql("c1", "a2", "es")},
          |${ivfUpdateSql("a2", "c2")},
          |${ivfSpillAssignSql("c2", "assigned", ProdSpill)},
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $RecallQ),

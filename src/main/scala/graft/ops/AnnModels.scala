@@ -148,14 +148,24 @@ object AnnModels {
 
   /** Trained IVF centroids for the embeddings table at `dir` (seeded from
     * vec_id < k, `iters` deterministic k-means rounds). Columns:
-    * (cell_id, cv).
+    * (cell_id, cv). `train` optionally restricts the k-means TRAINING
+    * corpus (the x106 bounded-sample build — see
+    * [[Similarity.trainSampleMod]]); seeds always come from the full
+    * `corpus` so the init is sample-independent. The model name folds in
+    * BOTH frames' descriptors: a different training slice is a different
+    * artifact.
     */
   def ivfCentroids(
-      s: SparkSession, dir: String, corpus: DataFrame, k: Int, iters: Int, dim: Int): DataFrame =
-    trainOrLoad(s, dir, "embeddings", s"ivf_k${k}_i${iters}_c${corpusDescriptor(corpus)}") {
-      import org.apache.spark.sql.functions.col
-      Similarity.kmeansCentroids(corpus, corpus.filter(col("vec_id") < k), iters, dim)
+      s: SparkSession, dir: String, corpus: DataFrame, k: Int, iters: Int, dim: Int,
+      train: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val trainCorpus = train.getOrElse(corpus)
+    val tdesc = train.map(t => s"_t${corpusDescriptor(t)}").getOrElse("")
+    trainOrLoad(s, dir, "embeddings",
+      s"ivf_k${k}_i${iters}_c${corpusDescriptor(corpus)}$tdesc") {
+      Similarity.kmeansCentroids(trainCorpus, corpus.filter(col("vec_id") < k), iters, dim)
     }
+  }
 
   /** Trained PQ codebooks for the embeddings table at `dir`. Columns:
     * (subspace, cell_id, cv).

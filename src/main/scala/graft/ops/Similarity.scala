@@ -202,6 +202,21 @@ object Similarity {
     math.ceil(math.sqrt(n.toDouble)).toInt
   }
 
+  /** Deterministic training-sample modulus for the IVF k-means build:
+    * keep vectors with vec_id % m == 0, sized so roughly `perCell`
+    * training points land on each centroid (the standard IVF build
+    * trains on a bounded sample and assigns the full corpus — training
+    * on all N costs O(iters * N * cells) for no centroid-quality gain
+    * once the per-cell sample is statistically enough). m == 1 (full
+    * corpus) whenever the corpus is small enough that the sample target
+    * exceeds it — so fixture-scale results are bit-identical to a
+    * full-corpus train, and the sampling only engages where it pays.
+    */
+  def trainSampleMod(n: Long, cells: Int, perCell: Int = 50): Long = {
+    require(n >= 1 && cells >= 1 && perCell >= 1, "n, cells, perCell must be >= 1")
+    math.max(1L, n / (perCell.toLong * cells))
+  }
+
   /** (cells, spill, nprobe) for a target recall@10, sized from the
     * measured sweep table (tools.AnnSweep, sf0.1 / N=2000, ISOTROPIC
     * fixture — the worst case: within-label and cross-label cosine both

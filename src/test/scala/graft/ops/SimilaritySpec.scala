@@ -273,5 +273,11 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
     Similarity.suggestIvf(2000L, 0.95) shouldBe ((45, 2, 8))
     Similarity.suggestIvf(2000L, 0.98) shouldBe ((45, 2, 12))
     an[IllegalArgumentException] should be thrownBy Similarity.suggestIvf(100L, 1.5)
+    // training sample: full corpus until ~50 points/cell fits, then the
+    // deterministic modulus grows with sqrt(N)
+    Similarity.trainSampleMod(2000L, 45) shouldBe 1L
+    Similarity.trainSampleMod(20000L, 142) shouldBe 2L
+    Similarity.trainSampleMod(2000000L, 1415) shouldBe 28L
+    an[IllegalArgumentException] should be thrownBy Similarity.trainSampleMod(0L, 16)
   }
 }
