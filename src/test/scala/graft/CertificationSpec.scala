@@ -136,6 +136,16 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     val meanProd = byProbe(2L).map(_._5).sum / byProbe(2L).size
     val meanFixed = x102at2.sum / x102at2.length
     meanProd should be > meanFixed
+    // the sizing FUNCTION and the certified config are the same profile:
+    // what suggestIvf recommends at the default 0.9 target is exactly
+    // what this query certifies (cells/spill implicitly, nprobe arms =
+    // the 0.88 and 0.90 operating points)
+    val (cells, spill, np90) = ops.Similarity.suggestIvf(500L)
+    cells shouldBe ops.Similarity.sqrtCells(500L)
+    spill shouldBe graft.ExtensionQueries.ProdSpill
+    np90 shouldBe graft.ExtensionQueries.ProdNprobes.max
+    ops.Similarity.suggestIvf(500L, 0.88)._3 shouldBe
+      graft.ExtensionQueries.ProdNprobes.min
   }
 
   test("x107: per-query fusion — universe, rank caps, RRF arithmetic, self-exclusion") {
