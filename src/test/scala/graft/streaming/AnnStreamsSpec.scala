@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkTest
+import graft.ops.{Checkpoints, Similarity}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** ANN serving stream: the x106-certified index profile served under
+  * Structured Streaming — stream answers must be row-identical to the
+  * batch [[Similarity.ivfSearchTopK]] over the same queries, and replay
+  * from the checkpoint must be idempotent.
+  */
+class AnnStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  private val dim = 64
+
+  private def corpus = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").as("v"))
+    .filter(col("vec_id") < 200)
+
+  test("annServeIngest: stream == batch serve row-identically; replay idempotent") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("annserve").toString
+    val c = Checkpoints.cut(corpus)
+    // two micro-batches of queries: corpus members (self excluded by the
+    // serve path) and ids outside the corpus range
+    val batch1 = (300L to 303L)
+    val batch2 = (304L to 305L)
+    val qVecs = c.filter(col("vec_id") < 6)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def qdf(ids: Seq[Long]) =
+      ids.map(qid => (qid, qVecs((qid - 300L).toInt)._2))
+    def serve(src: DataFrame) = AnnStreams.annServeIngest(
+      src, c, s"$root/sink", s"$root/chk", k = 5, dim = dim, nprobe = 3,
+      spill = 2, cells = 8)
+    // batch 0, then STOP (AvailableNow), then a RESTART picks up batch 1
+    // from the checkpointed offset — the serve path rebuilds its index
+    // artifact deterministically across restarts
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(qdf(batch1))
+    val q = serve(in.toDF().toDF("vec_id", "v"))
+    q.processAllAvailable(); q.awaitTermination(60000)
+    val in1 = MemoryStream[(Long, Seq[Float])]
+    in1.addData(qdf(batch1)); in1.addData(qdf(batch2))
+    val q1 = serve(in1.toDF().toDF("vec_id", "v"))
+    q1.processAllAvailable(); q1.awaitTermination(60000)
+
+    val out = spark.read.parquet(s"$root/sink")
+      .select("qid", "vec_id", "cos", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted
+    // batch twin: the same index profile over the same queries, built
+    // through the same API
+    val cents = Checkpoints.cut(Similarity.kmeansCentroids(
+      c, c.filter(col("vec_id") < 8), iters = 2, dim = dim)
+      .select(col("cell_id").as("vec_id"), col("cv").as("v")))
+    val assigned = Similarity.ivfProbe(c, cents, dim, 2)
+    val twinQ = qdf(batch1 ++ batch2).toDF("vec_id", "v")
+    val twin = Similarity.ivfSearchTopK(assigned, twinQ, cents, k = 5, dim = dim, nprobe = 3)
+      .select("qid", "vec_id", "cos", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted
+    out shouldBe twin
+    out.map(_._1).distinct.sorted shouldBe (300L to 305L).toArray
+    out.foreach { case (_, _, _, rnk) => rnk should (be >= 1L and be <= 5L) }
+
+    // replay: a fresh stream on the same checkpoint re-processes nothing
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    in2.addData(qdf(batch1)); in2.addData(qdf(batch2))
+    val q2 = serve(in2.toDF().toDF("vec_id", "v"))
+    q2.processAllAvailable(); q2.awaitTermination(60000)
+    spark.read.parquet(s"$root/sink").count() shouldBe out.length.toLong
+  }
+
+  test("annServeIngest: full-cell probe serves exact brute-force answers") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("annserve2").toString
+    val c = Checkpoints.cut(corpus)
+    val qVec = c.filter(col("vec_id") === 3).collect().head.getSeq[Float](1)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStreams.annServeIngest(
+      in.toDF().toDF("vec_id", "v"), c,
+      s"$root/sink", s"$root/chk", k = 4, dim = dim, nprobe = 8,
+      spill = 1, cells = 8)
+    in.addData(Seq((500L, qVec)))
+    q.processAllAvailable(); q.awaitTermination(60000)
+    val served = spark.read.parquet(s"$root/sink")
+      .select("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val brute = Similarity.bruteForceTopK(
+      c, Seq((500L, qVec)).toDF("vec_id", "v"), k = 4, dim = dim)
+      .select("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    served shouldBe brute
+  }
+}
