@@ -4901,6 +4901,81 @@ object ExtensionQueries {
       .orderBy(col("qid"))
   }
 
+  /** PQ geometry and re-rank depths for the x110 compressed-serving
+    * certification: 16 subspaces x 16 codewords = 64 bits per vector
+    * against 64 float32 dims = 256 bytes — a 32x candidate-scan
+    * compression. Depths are the knob being certified: how much exact
+    * re-rank buys back the quantization loss.
+    */
+  private[graft] val Pq2M = 16
+  private[graft] val Pq2SubDim = EmbDim / Pq2M
+  private[graft] val Pq2K = 16
+  private[graft] val RerankRs = Seq(30, 100)
+
+  /** PQ-shortlist + exact re-rank certification (x110): the compressed
+    * serving form behind billion-vector indexes — candidates are scored
+    * against PRODUCT-QUANTIZED reconstructions (64 bits/vector here,
+    * 32x less scan bandwidth than raw float32), the top R survive, and
+    * only those R get exact-cosine re-ranked for the final top-k. x28
+    * certifies the PQ approximation in isolation; this certifies the
+    * full trade a serving deployment actually makes: recall@10 vs the
+    * re-rank depth R, measured against exact brute-force truth on the
+    * fixed query sample. On the isotropic fixture (the floor), R = 30
+    * recovers ~0.5 and R = 100 ~0.9 — the measured rule for sizing R
+    * before shipping a compressed index.
+    *
+    * Scale shape: the approx pass is one corpus scan of model-sized
+    * reconstructions against the broadcast sample (at deployment the
+    * scan reads 8-byte codes + a 256-entry lookup table instead of raw
+    * vectors — the 32x); the exact pass touches only R * |Q| rows (the
+    * re-rank join is id-keyed against the corpus); every window is
+    * rank-limited per qid. Output is sample-sized at any corpus scale.
+    */
+  private def x110(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val truth = Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < RecallQ), RecallK, dim = EmbDim)
+      .select(col("qid"), col("vec_id"))
+    val cb = AnnModels.pqCodebooks(s, dir, e, Pq2M, Pq2SubDim, Pq2K, KmIters)
+    val recon = Similarity.pqReconstruct(Similarity.pqEncode(e, cb, Pq2SubDim), cb)
+    // one approx pass feeds both depth arms — cut so the PQ scan runs once
+    val approx = Checkpoints.cut(recon.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosineStatic(col("qv"), col("rv"),
+          Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("rv"), EmbDim),
+          EmbDim), 6).as("acos")))
+    val byApprox = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("vec_id"))
+    val byExact = Window.partitionBy(col("qid")).orderBy(col("ecos").desc, col("vec_id"))
+    def arm(r: Int): DataFrame = {
+      val shortlist = approx
+        .withColumn("prk", row_number().over(byApprox))
+        .filter(col("prk") <= r)
+        .select(col("qid"), col("vec_id"))
+      val hits = shortlist
+        .join(e, "vec_id")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosineStatic(col("qv"), col("v"),
+            Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim),
+            EmbDim), 6).as("ecos"))
+        .withColumn("rnk", row_number().over(byExact))
+        .filter(col("rnk") <= RecallK)
+        .join(truth, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      q.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(lit(r.toLong).as("rerank_r"), col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            lit(RecallK.toDouble), 4).as("recall"))
+    }
+    RerankRs.map(arm).reduce(_.union(_)).orderBy(col("rerank_r"), col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -5012,7 +5087,8 @@ object ExtensionQueries {
     "x106_ann_recall_prod" -> (x106 _),
     "x107_rrf_multiquery" -> (x107 _),
     "x108_calibrated_widths" -> (x108 _),
-    "x109_index_feasibility" -> (x109 _))
+    "x109_index_feasibility" -> (x109 _),
+    "x110_pq_rerank_recall" -> (x110 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -7257,5 +7333,70 @@ object ExtensionQueries {
          | round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) AS iso_baseline,
          | median_top1,
          | CAST(median_top1 >= 2.0 * round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) AS INT) AS indexable
-         |FROM pq CROSS JOIN nn CROSS JOIN md ORDER BY qid""".stripMargin)
+         |FROM pq CROSS JOIN nn CROSS JOIN md ORDER BY qid""".stripMargin,
+    "x110_pq_rerank_recall" -> {
+      // x28's per-subspace unrolled k-means at the x110 geometry (16
+      // subspaces x 16 codewords), then: PQ-approx scores against the
+      // reconstructions, per-depth shortlist via the rank join, exact
+      // re-rank of the shortlist against the ORIGINAL vectors, recall
+      // vs the x102-style brute truth; full universe left-joined
+      def aSql(tbl: String, cent: String, out: String): String =
+        s"""$out AS (SELECT vec_id, sv, cell_id FROM (
+           | SELECT t.vec_id, t.sv, $cent.cell_id,
+           |  row_number() OVER (PARTITION BY t.vec_id
+           |    ORDER BY round(list_cosine_similarity(t.sv, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
+           | FROM $tbl t CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
+      def uSql(assigned: String, out: String): String =
+        s"""${out}_m AS (
+           | SELECT cell_id, CAST(s.pos AS BIGINT) AS pos,
+           |  CAST(SUM(CAST(s.xv AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS m
+           | FROM (SELECT cell_id,
+           |   unnest(list_transform(range(1, len(sv)+1), i -> {'pos': i-1, 'xv': sv[i]})) AS s
+           |  FROM $assigned)
+           | GROUP BY cell_id, s.pos),
+           |$out AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell_id)""".stripMargin
+      val subs = (0 until Pq2M).map { sub =>
+        val lo = sub * Pq2SubDim + 1
+        val hi = (sub + 1) * Pq2SubDim
+        s"""s$sub AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+           |c${sub}_0 AS (SELECT vec_id AS cell_id, sv AS cv FROM s$sub WHERE vec_id < $Pq2K),
+           |${aSql(s"s$sub", s"c${sub}_0", s"a${sub}_1")},
+           |${uSql(s"a${sub}_1", s"c${sub}_1")},
+           |${aSql(s"s$sub", s"c${sub}_1", s"a${sub}_2")},
+           |${uSql(s"a${sub}_2", s"c${sub}_2")},
+           |${aSql(s"s$sub", s"c${sub}_2", s"f$sub")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$subs,
+         |recon AS (SELECT f0.vec_id, ${(0 until Pq2M).map(i => s"cb$i.cv").mkString(" || ")} AS rv
+         | FROM f0 ${(1 until Pq2M).map(i => s"JOIN f$i ON f$i.vec_id = f0.vec_id").mkString(" ")}
+         | ${(0 until Pq2M).map(i => s"JOIN c${i}_2 cb$i ON cb$i.cell_id = f$i.cell_id").mkString(" ")}),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $RecallQ),
+         |tp AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos
+         | FROM e, q WHERE vec_id <> qid),
+         |truth AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM tp) WHERE rnk <= $RecallK),
+         |p AS (SELECT qid, r.vec_id, round(list_cosine_similarity(qv, rv), 6) AS acos
+         | FROM recon r, q WHERE r.vec_id <> qid),
+         |pr AS (SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY acos DESC, vec_id) AS prk FROM p),
+         |rr AS (SELECT unnest([${RerankRs.mkString(", ")}]) AS rerank_r),
+         |sl AS (SELECT rr.rerank_r, pr.qid, pr.vec_id FROM pr JOIN rr ON pr.prk <= rr.rerank_r),
+         |ex AS (SELECT sl.rerank_r, sl.qid, sl.vec_id,
+         |  round(list_cosine_similarity(q.qv, ev.v), 6) AS ecos
+         | FROM sl JOIN e ev ON ev.vec_id = sl.vec_id JOIN q ON q.qid = sl.qid),
+         |fk AS (SELECT rerank_r, qid, vec_id FROM (
+         |  SELECT rerank_r, qid, vec_id,
+         |   row_number() OVER (PARTITION BY rerank_r, qid ORDER BY ecos DESC, vec_id) AS rnk
+         |  FROM ex) WHERE rnk <= $RecallK),
+         |h AS (SELECT rerank_r, qid, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM fk JOIN truth USING (qid, vec_id) GROUP BY rerank_r, qid)
+         |SELECT CAST(rr.rerank_r AS BIGINT) AS rerank_r, q.qid,
+         | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $RecallK.0, 4) AS recall
+         |FROM q CROSS JOIN rr
+         |LEFT JOIN h ON h.rerank_r = rr.rerank_r AND h.qid = q.qid
+         |ORDER BY 1, 2""".stripMargin
+    })
 }

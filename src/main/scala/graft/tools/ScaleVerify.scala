@@ -208,7 +208,10 @@ object ScaleVerify {
     "x108_calibrated_widths" -> None,
     // x109 output is the fixed 50-query sample at any scale; both
     // engines pay one corpus scan against the broadcast sample.
-    "x109_index_feasibility" -> None)
+    "x109_index_feasibility" -> None,
+    // x110 output is the fixed (2 depth arms x 50 queries) universe; the
+    // oracle's per-subspace k-means unroll is feasible to ~sf1.
+    "x110_pq_rerank_recall" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -377,6 +377,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("BroadcastNestedLoopJoin")
   }
 
+  test("x110: shortlist and re-rank windows are rank-limited; no cartesian") {
+    // The PQ-approx frame is lineage-cut (feeds both depth arms); the
+    // visible tail must keep the per-qid shortlist/re-rank windows
+    // rank-limited and join the shortlist back to the corpus by id.
+    val p = finalPlan("x110_pq_rerank_recall")
+    p should not include "CartesianProduct"
+    p should include("WindowGroupLimit")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group
