@@ -47,6 +47,14 @@ object Checkpoints {
     * accumulates storage. Walks the analyzed plan's leaves and
     * unpersists every scan-of-checkpoint RDD it finds; a frame that was
     * never cut is a no-op.
+    *
+    * Reliable-mode caveat: under `spark.graft.checkpoint.reliable=true`
+    * this releases the executor BLOCK storage only — the checkpoint
+    * FILES under the checkpoint dir are cleaned by Spark's
+    * ReferenceTracking cleaner when the RDD is collected (or by the
+    * deployment's checkpoint-dir retention policy), so a long-running
+    * reliable-mode stream should point `spark.graft.checkpoint.dir` at
+    * a location with lifecycle rules.
     */
   def unpersist(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
