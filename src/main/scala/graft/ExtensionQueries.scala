@@ -4643,9 +4643,14 @@ object ExtensionQueries {
     val nCorpus = e.count()
     val cells = Similarity.sqrtCells(nCorpus)
     val trainMod = Similarity.trainSampleMod(nCorpus, cells)
-    val train = e.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+    // mod 1 = the full corpus: pass train = None so the model artifact is
+    // SHARED with full-train callers instead of persisting a bit-identical
+    // duplicate under a _t descriptor (r17 ADVICE)
+    val train =
+      if (trainMod == 1L) None
+      else Some(e.filter(pmod(col("vec_id"), lit(trainMod)) === 0))
     val trained = AnnModels.ivfCentroids(
-      s, dir, e, cells, KmIters, EmbDim, train = Some(train))
+      s, dir, e, cells, KmIters, EmbDim, train = train)
     val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
     // spill assignment: each corpus vector lives in its 2 nearest cells
     val assigned = Checkpoints.cut(Similarity.ivfProbe(e, cents, EmbDim, ProdSpill))
@@ -4976,6 +4981,180 @@ object ExtensionQueries {
     RerankRs.map(arm).reduce(_.union(_)).orderBy(col("rerank_r"), col("qid"))
   }
 
+  /** x111 epoch budget: fixed (the x63 MixBudget discipline) and ~2x the
+    * audit corpus's rep count, so repeat factors land in the 1-10 range
+    * where proportionality is visible and the div/mod spread exercises
+    * both branches.
+    */
+  private[graft] val WMixBudget = 500L
+
+  /** Weighted epoch materialization (x111): makes x104's soft-dedup
+    * weights LOAD-BEARING — the round-16/17 open loop. x104 shrinks the
+    * corpus to one representative per duplicate cluster carrying
+    * weight = cluster size; this query materializes a training epoch
+    * whose per-rep repeat counts are apportioned FROM those weights, so
+    * a rep that stood in for 5 duplicates is sampled ~5x as often as a
+    * singleton — hard dedup's storage shrink with the original
+    * multiplicity distribution preserved in the training stream, which
+    * is the entire point of computing soft-dedup weights.
+    *
+    * Apportionment is exact and hierarchical (every stage integer, the
+    * x63/x93 discipline): reps group into WEIGHT STRATA (distinct
+    * cluster sizes — a catalog: at most max-cluster-size rows); the
+    * budget splits over strata by largest-remainder on stratum mass
+    * (weight x rep count, i.e. the original doc mass the stratum stands
+    * for), so cross-stratum allocation is proportional to duplication
+    * frequency; within a stratum every rep carries the SAME weight, so
+    * the stratum's allocation spreads uniformly by deterministic pick
+    * rank (x97's div/mod form). Sum over the output of n_repeats ==
+    * the budget EXACTLY (CertificationSpec pins the conservation).
+    *
+    * Scale shape: x104's cluster machinery wholesale; after it, one
+    * dimension-sized largest-remainder window (strata are a catalog)
+    * and one bucket-decomposed per-stratum rank
+    * ([[graft.ops.Ranks.groupRowNumber]] — no per-stratum sort, no
+    * single-partition corpus window). Nothing corpus-sized moves after
+    * the rep frame.
+    */
+  private def x111(s: SparkSession, dir: String): DataFrame = {
+    // x104's chain verbatim (same corpus, labels, sizes, null-safe reps)
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir)
+      .withColumn("quality", TextOps.quality(col("text"))))
+    val labeled = Checkpoints.cut(corpus
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"), col("quality")))
+    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
+    val reps = Dedup.clusterReps(
+      labeled.select(col("doc_id").as("id"), col("cluster"), col("quality")))
+    // (rep_id, weight): the x104 surface this query consumes — cut, it
+    // feeds the strata aggregate AND the pick-rank materialization
+    val repW = Checkpoints.cut(
+      reps.join(sizes, "cluster").select(col("rep_id"), col("weight")))
+    // weight strata (a catalog); mass = the original doc count the
+    // stratum's reps stand in for
+    val strata = repW.groupBy(col("weight")).agg(count(lit(1)).as("n_reps"))
+    // exact largest-remainder over stratum mass (the shared integer
+    // quota kernel; tie-break key = the stringified weight). Cut like
+    // x93/x97's allocation rounds: the quota windows run once over the
+    // catalog-sized generation, and the served plan stays a broadcast
+    // hash join of a materialized table.
+    val alloc = Checkpoints.cut(CorpusMix.remainderAllocation(
+      strata.select(col("weight").cast("string").as("source"),
+        col("weight"), col("n_reps"),
+        (col("weight") * col("n_reps")).as("w")), WMixBudget)
+      .select(col("weight"), col("n_reps"), col("alloc")))
+    val ranked = Ranks.groupRowNumber(
+      repW.withColumn("hd",
+        TextOps.polyHash(concat(lit("wmix#"), col("rep_id").cast("string")))),
+      "weight", "hd", "rep_id")
+    ranked.join(broadcast(alloc), "weight")
+      .select(col("rep_id"), col("weight"), col("row_num").as("pick_rank"),
+        (expr("alloc div n_reps") +
+          when(col("row_num") <= expr("alloc % n_reps"), 1L).otherwise(0L))
+          .cast("long").as("n_repeats"))
+      .filter(col("n_repeats") > 0)
+      .orderBy(col("rep_id"))
+  }
+
+  /** Composed IVF-PQ serving certification (x112): the production
+    * billion-vector layout — x106 certifies IVF with EXACT candidate
+    * scoring, x110 certifies PQ scanned over the FULL corpus; real
+    * compressed serving composes them: probe the query's nearest cells,
+    * PQ-score ONLY those cells' members (the inverted lists store 64-bit
+    * codes, not raw vectors — x110's 32x scan-bandwidth compression now
+    * applied to x106's sublinear candidate fraction), exact-re-rank the
+    * top R survivors. Measured here: recall@10 against brute-force
+    * truth per re-rank depth R, with the per-query IVF candidate count
+    * riding as n_cands — by construction IDENTICAL to x106's nprobe-4
+    * candidate volume (CertificationSpec pins the equality), so the
+    * composed cost point reads directly off the two parent
+    * certifications: x106's candidate fraction at x110's scan
+    * bandwidth, with only quantization loss (bought back by R) in
+    * between.
+    *
+    * Scale shape: both model builds are persisted artifacts (AnnModels —
+    * shared bit-identical with x106's IVF and x110's codebooks); the
+    * serve join is the cell-keyed equi-join over lists that carry
+    * model-reconstructed vectors (at deployment: 8-byte codes + a
+    * 256-entry table); the PQ scoring pass therefore touches
+    * spill * nprobe * N / sqrt(N) rows per query, NEVER the corpus; the
+    * exact pass touches R * |Q| rows. Windows are rank-limited per qid.
+    */
+  private def x112(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val ed = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val truth = Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < RecallQ), RecallK, dim = EmbDim)
+      .select(col("qid"), col("vec_id"))
+    // IVF build — x106's profile verbatim, so the persisted model is the
+    // SAME artifact (float corpus frame, sampled train, sqrt cells)
+    val nCorpus = e.count()
+    val cells = Similarity.sqrtCells(nCorpus)
+    val trainMod = Similarity.trainSampleMod(nCorpus, cells)
+    val train =
+      if (trainMod == 1L) None
+      else Some(e.filter(pmod(col("vec_id"), lit(trainMod)) === 0))
+    val trained = AnnModels.ivfCentroids(
+      s, dir, e, cells, KmIters, EmbDim, train = train)
+    val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    // PQ build — x110's geometry on x110's double-cast corpus frame, so
+    // the persisted codebooks are that query's same artifact
+    val cb = AnnModels.pqCodebooks(s, dir, ed, Pq2M, Pq2SubDim, Pq2K, KmIters)
+    val recon = Similarity.pqReconstruct(Similarity.pqEncode(ed, cb, Pq2SubDim), cb)
+    // the composed index: inverted lists carrying PQ reconstructions,
+    // NOT raw vectors (cell-partitioned codes — the deployment layout)
+    val lists = Checkpoints.cut(
+      Similarity.ivfProbe(e, cents, EmbDim, ProdSpill)
+        .select(col("vec_id"), col("cell_id"))
+        .join(recon, "vec_id"))
+    val nprobe = ProdNprobes.max
+    val probed = Similarity.ivfProbe(
+      q.select(col("qid").as("vec_id"), col("qv").as("v")), cents, EmbDim, nprobe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell_id").as("qcell"))
+    // candidate generation + PQ scoring in one cell-keyed equi-join;
+    // cut: both depth arms and the cost axis read it
+    val scored = Checkpoints.cut(lists.join(broadcast(probed),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosineStatic(col("qv"), col("rv"),
+          Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("rv"), EmbDim),
+          EmbDim), 6).as("acos"))
+      .dropDuplicates("qid", "vec_id"))
+    val nc = scored.groupBy(col("qid")).agg(count(lit(1)).as("n_cands"))
+    val byApprox = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("vec_id"))
+    val byExact = Window.partitionBy(col("qid")).orderBy(col("ecos").desc, col("vec_id"))
+    def arm(r: Int): DataFrame = {
+      val shortlist = scored
+        .withColumn("prk", row_number().over(byApprox))
+        .filter(col("prk") <= r)
+        .select(col("qid"), col("vec_id"))
+      val hits = shortlist
+        .join(e, "vec_id")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosineStatic(col("qv"), col("v"),
+            Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim),
+            EmbDim), 6).as("ecos"))
+        .withColumn("rnk", row_number().over(byExact))
+        .filter(col("rnk") <= RecallK)
+        .join(truth, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      q.select(col("qid"))
+        .join(nc, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(lit(r.toLong).as("rerank_r"), col("qid"),
+          coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            lit(RecallK.toDouble), 4).as("recall"))
+    }
+    RerankRs.map(arm).reduce(_.union(_)).orderBy(col("rerank_r"), col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -5088,7 +5267,9 @@ object ExtensionQueries {
     "x107_rrf_multiquery" -> (x107 _),
     "x108_calibrated_widths" -> (x108 _),
     "x109_index_feasibility" -> (x109 _),
-    "x110_pq_rerank_recall" -> (x110 _))
+    "x110_pq_rerank_recall" -> (x110 _),
+    "x111_weighted_epoch_mix" -> (x111 _),
+    "x112_ivfpq_rerank" -> (x112 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5290,6 +5471,45 @@ object ExtensionQueries {
          |s$r AS (SELECT ${carry}replace(sym, ' ' || t$r.pair || ' ', ' ' || replace(t$r.pair, ' ', '') || ' ') AS sym, n
          |  FROM s${r - 1}, t$r)""".stripMargin
     (1 to BpeRounds).map(pairsCte).mkString(",\n")
+  }
+
+  /** x110/x112 shared PQ oracle chain at the Pq2 geometry: per-subspace
+    * unrolled k-means over CTE `e` (s0..s15 slices, two assign/update
+    * rounds each, final assignments f0..f15), ending in the `recon` CTE —
+    * every vector's codeword-concatenated reconstruction. One definition
+    * so the two certifications can never desync on the codebooks.
+    */
+  private def pqOracleCtesSql: String = {
+    def aSql(tbl: String, cent: String, out: String): String =
+      s"""$out AS (SELECT vec_id, sv, cell_id FROM (
+         | SELECT t.vec_id, t.sv, $cent.cell_id,
+         |  row_number() OVER (PARTITION BY t.vec_id
+         |    ORDER BY round(list_cosine_similarity(t.sv, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
+         | FROM $tbl t CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
+    def uSql(assigned: String, out: String): String =
+      s"""${out}_m AS (
+         | SELECT cell_id, CAST(s.pos AS BIGINT) AS pos,
+         |  CAST(SUM(CAST(s.xv AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS m
+         | FROM (SELECT cell_id,
+         |   unnest(list_transform(range(1, len(sv)+1), i -> {'pos': i-1, 'xv': sv[i]})) AS s
+         |  FROM $assigned)
+         | GROUP BY cell_id, s.pos),
+         |$out AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell_id)""".stripMargin
+    val subs = (0 until Pq2M).map { sub =>
+      val lo = sub * Pq2SubDim + 1
+      val hi = (sub + 1) * Pq2SubDim
+      s"""s$sub AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+         |c${sub}_0 AS (SELECT vec_id AS cell_id, sv AS cv FROM s$sub WHERE vec_id < $Pq2K),
+         |${aSql(s"s$sub", s"c${sub}_0", s"a${sub}_1")},
+         |${uSql(s"a${sub}_1", s"c${sub}_1")},
+         |${aSql(s"s$sub", s"c${sub}_1", s"a${sub}_2")},
+         |${uSql(s"a${sub}_2", s"c${sub}_2")},
+         |${aSql(s"s$sub", s"c${sub}_2", s"f$sub")}""".stripMargin
+    }.mkString(",\n")
+    s"""$subs,
+       |recon AS (SELECT f0.vec_id, ${(0 until Pq2M).map(i => s"cb$i.cv").mkString(" || ")} AS rv
+       | FROM f0 ${(1 until Pq2M).map(i => s"JOIN f$i ON f$i.vec_id = f0.vec_id").mkString(" ")}
+       | ${(0 until Pq2M).map(i => s"JOIN c${i}_2 cb$i ON cb$i.cell_id = f$i.cell_id").mkString(" ")})""".stripMargin
   }
 
   private def ivfUpdateSql(assigned: String, out: String): String =
@@ -7334,43 +7554,15 @@ object ExtensionQueries {
          | median_top1,
          | CAST(median_top1 >= 2.0 * round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) AS INT) AS indexable
          |FROM pq CROSS JOIN nn CROSS JOIN md ORDER BY qid""".stripMargin,
-    "x110_pq_rerank_recall" -> {
+    "x110_pq_rerank_recall" ->
       // x28's per-subspace unrolled k-means at the x110 geometry (16
-      // subspaces x 16 codewords), then: PQ-approx scores against the
-      // reconstructions, per-depth shortlist via the rank join, exact
-      // re-rank of the shortlist against the ORIGINAL vectors, recall
-      // vs the x102-style brute truth; full universe left-joined
-      def aSql(tbl: String, cent: String, out: String): String =
-        s"""$out AS (SELECT vec_id, sv, cell_id FROM (
-           | SELECT t.vec_id, t.sv, $cent.cell_id,
-           |  row_number() OVER (PARTITION BY t.vec_id
-           |    ORDER BY round(list_cosine_similarity(t.sv, $cent.cv), 6) DESC, $cent.cell_id) AS arnk
-           | FROM $tbl t CROSS JOIN $cent) WHERE arnk = 1)""".stripMargin
-      def uSql(assigned: String, out: String): String =
-        s"""${out}_m AS (
-           | SELECT cell_id, CAST(s.pos AS BIGINT) AS pos,
-           |  CAST(SUM(CAST(s.xv AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS m
-           | FROM (SELECT cell_id,
-           |   unnest(list_transform(range(1, len(sv)+1), i -> {'pos': i-1, 'xv': sv[i]})) AS s
-           |  FROM $assigned)
-           | GROUP BY cell_id, s.pos),
-           |$out AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell_id)""".stripMargin
-      val subs = (0 until Pq2M).map { sub =>
-        val lo = sub * Pq2SubDim + 1
-        val hi = (sub + 1) * Pq2SubDim
-        s"""s$sub AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
-           |c${sub}_0 AS (SELECT vec_id AS cell_id, sv AS cv FROM s$sub WHERE vec_id < $Pq2K),
-           |${aSql(s"s$sub", s"c${sub}_0", s"a${sub}_1")},
-           |${uSql(s"a${sub}_1", s"c${sub}_1")},
-           |${aSql(s"s$sub", s"c${sub}_1", s"a${sub}_2")},
-           |${uSql(s"a${sub}_2", s"c${sub}_2")},
-           |${aSql(s"s$sub", s"c${sub}_2", s"f$sub")}""".stripMargin
-      }.mkString(",\n")
+      // subspaces x 16 codewords — the shared pqOracleCtesSql, identical
+      // in x112), then: PQ-approx scores against the reconstructions,
+      // per-depth shortlist via the rank join, exact re-rank of the
+      // shortlist against the ORIGINAL vectors, recall vs the
+      // x102-style brute truth; full universe left-joined
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |$subs,
-         |recon AS (SELECT f0.vec_id, ${(0 until Pq2M).map(i => s"cb$i.cv").mkString(" || ")} AS rv
-         | FROM f0 ${(1 until Pq2M).map(i => s"JOIN f$i ON f$i.vec_id = f0.vec_id").mkString(" ")}
-         | ${(0 until Pq2M).map(i => s"JOIN c${i}_2 cb$i ON cb$i.cell_id = f$i.cell_id").mkString(" ")}),
+         |$pqOracleCtesSql,
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $RecallQ),
          |tp AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos
          | FROM e, q WHERE vec_id <> qid),
@@ -7397,6 +7589,102 @@ object ExtensionQueries {
          | round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $RecallK.0, 4) AS recall
          |FROM q CROSS JOIN rr
          |LEFT JOIN h ON h.rerank_r = rr.rerank_r AND h.qid = q.qid
-         |ORDER BY 1, 2""".stripMargin
-    })
+         |ORDER BY 1, 2""".stripMargin,
+    "x111_weighted_epoch_mix" ->
+      // x104's cluster/sizes/reps CTEs verbatim, then the hierarchical
+      // integer apportionment: weight strata with HUGEINT largest-
+      // remainder on mass (the engine's decimal(38,0) mirror; tie-break
+      // on the stringified weight = the engine's source key), and the
+      // x97 div/mod spread by per-stratum pick rank over the same
+      // polynomial hash
+      s"""WITH $DupClusterCtesSql,
+         |hq AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM corpus),
+         |qq AS (SELECT doc_id, $QualitySql AS quality FROM hq),
+         |allq AS (SELECT c.doc_id, CAST(coalesce(l.label, c.doc_id) AS BIGINT) AS cluster, q.quality
+         | FROM corpus c LEFT JOIN lab4 l ON l.id = c.doc_id JOIN qq q ON q.doc_id = c.doc_id),
+         |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS weight FROM allq GROUP BY cluster),
+         |reps AS (SELECT cluster, doc_id AS rep_id FROM (
+         |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM allq)
+         | WHERE rn = 1),
+         |rw AS (SELECT r.rep_id, z.weight FROM reps r JOIN sizes z USING (cluster)),
+         |st AS (SELECT weight, CAST(count(*) AS BIGINT) AS n_reps FROM rw GROUP BY weight),
+         |twt AS (SELECT SUM(CAST(weight * n_reps AS HUGEINT)) AS tw FROM st),
+         |qa AS (SELECT weight, n_reps,
+         |  (CAST($WMixBudget AS HUGEINT) * (weight * n_reps)) // tw AS base,
+         |  (CAST($WMixBudget AS HUGEINT) * (weight * n_reps)) % tw AS rem
+         | FROM st CROSS JOIN twt),
+         |alc AS (SELECT weight, n_reps,
+         |  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         | FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, CAST(weight AS VARCHAR)) AS rk,
+         |   $WMixBudget - SUM(base) OVER () AS short FROM qa)),
+         |rr AS (SELECT rep_id, weight,
+         |  CAST(row_number() OVER (PARTITION BY weight
+         |    ORDER BY ${polySql("'wmix#' || CAST(rep_id AS VARCHAR)")}, rep_id) AS BIGINT) AS pick_rank
+         | FROM rw),
+         |fin AS (SELECT rr.rep_id, rr.weight, rr.pick_rank,
+         |  CAST(a.alloc // a.n_reps +
+         |    CASE WHEN rr.pick_rank <= a.alloc % a.n_reps THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         | FROM rr JOIN alc a USING (weight))
+         |SELECT rep_id, weight, pick_rank, n_repeats
+         |FROM fin WHERE n_repeats > 0 ORDER BY rep_id""".stripMargin,
+    "x112_ivfpq_rerank" ->
+      // x106's IVF chain verbatim (sqrt cells, sampled train, spill
+      // serve assignment) + x110's PQ chain verbatim (the shared
+      // pqOracleCtesSql), composed: candidates from the probed-cell
+      // equi-join are scored against the PQ reconstructions ONLY, the
+      // top R survivors exact-re-ranked against the original vectors;
+      // per-query DISTINCT candidate count rides as the cost axis and
+      // the full (R x sample) universe stays left-joined
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cells,
+         |  greatest(1, CAST(count(*) AS BIGINT) // (50 * CAST(ceil(sqrt(count(*))) AS BIGINT))) AS tmod FROM e),
+         |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < (SELECT cells FROM cl)),
+         |es AS (SELECT vec_id, v FROM e WHERE vec_id % (SELECT tmod FROM cl) = 0),
+         |${ivfAssignSql("c0", "a1", "es")},
+         |${ivfUpdateSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2", "es")},
+         |${ivfUpdateSql("a2", "c2")},
+         |${ivfSpillAssignSql("c2", "assigned", ProdSpill)},
+         |$pqOracleCtesSql,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $RecallQ),
+         |tp AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos
+         | FROM e, q WHERE vec_id <> qid),
+         |truth AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM tp) WHERE rnk <= $RecallK),
+         |qc AS (SELECT qid, qv, cell_id FROM (
+         | SELECT q.qid, q.qv, c2.cell_id,
+         |  row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(list_cosine_similarity(q.qv, c2.cv), 6) DESC, c2.cell_id) AS arnk
+         | FROM q CROSS JOIN c2) WHERE arnk <= ${ProdNprobes.max}),
+         |cand AS (SELECT DISTINCT qc.qid, a.vec_id
+         | FROM qc JOIN assigned a ON a.cell_id = qc.cell_id AND a.vec_id <> qc.qid),
+         |nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cands FROM cand GROUP BY qid),
+         |ap AS (SELECT c.qid, c.vec_id, round(list_cosine_similarity(q.qv, r.rv), 6) AS acos
+         | FROM cand c JOIN recon r ON r.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+         |pr AS (SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY acos DESC, vec_id) AS prk FROM ap),
+         |rr AS (SELECT unnest([${RerankRs.mkString(", ")}]) AS rerank_r),
+         |sl AS (SELECT rr.rerank_r, pr.qid, pr.vec_id FROM pr JOIN rr ON pr.prk <= rr.rerank_r),
+         |ex AS (SELECT sl.rerank_r, sl.qid, sl.vec_id,
+         |  round(list_cosine_similarity(q.qv, ev.v), 6) AS ecos
+         | FROM sl JOIN e ev ON ev.vec_id = sl.vec_id JOIN q ON q.qid = sl.qid),
+         |fk AS (SELECT rerank_r, qid, vec_id FROM (
+         |  SELECT rerank_r, qid, vec_id,
+         |   row_number() OVER (PARTITION BY rerank_r, qid ORDER BY ecos DESC, vec_id) AS rnk
+         |  FROM ex) WHERE rnk <= $RecallK),
+         |h AS (SELECT rerank_r, qid, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM fk JOIN truth USING (qid, vec_id) GROUP BY rerank_r, qid)
+         |SELECT CAST(rr.rerank_r AS BIGINT) AS rerank_r, q.qid,
+         | CAST(coalesce(nc.n_cands, 0) AS BIGINT) AS n_cands,
+         | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $RecallK.0, 4) AS recall
+         |FROM q CROSS JOIN rr
+         |LEFT JOIN nc ON nc.qid = q.qid
+         |LEFT JOIN h ON h.rerank_r = rr.rerank_r AND h.qid = q.qid
+         |ORDER BY 1, 2""".stripMargin)
 }

@@ -96,7 +96,12 @@ object AnnModels {
     if (!committed()) {
       val tmp = new org.apache.hadoop.fs.Path(
         path.getParent, s".${path.getName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      train.write.mode("overwrite").parquet(tmp.toString)
+      val trained = train
+      trained.write.mode("overwrite").parquet(tmp.toString)
+      // the trained frame is committed to parquet and will be served by
+      // the read-back below — release its final-generation blocks (a
+      // no-op for trainers that return un-cut frames)
+      Checkpoints.unpersist(trained)
       fs.mkdirs(path.getParent)
       val nested = new org.apache.hadoop.fs.Path(path, tmp.getName)
       var attempts = 0
@@ -165,6 +170,64 @@ object AnnModels {
       s"ivf_k${k}_i${iters}_c${corpusDescriptor(corpus)}$tdesc") {
       Similarity.kmeansCentroids(trainCorpus, corpus.filter(col("vec_id") < k), iters, dim)
     }
+  }
+
+  /** Measured index-feasibility verdict for a corpus (see
+    * [[Similarity.indexFeasibilitySummary]] / the x109 audit).
+    * `indexable` = the sample's median exact top-1 cosine clears 2x the
+    * isotropic random-match line — the regime where a partitioning
+    * index buys sublinear serve cost; below it, recall/cost goes
+    * near-linear for ANY such index and the certified x106 numbers are
+    * floors to budget against, not speedups to assume.
+    */
+  final case class IndexFeasibility(
+      nCorpus: Long, medianTop1: Double, isoBaseline: Double, indexable: Boolean)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Measure (once) and persist the feasibility verdict for `corpus` —
+    * the same store discipline as the models themselves: the one-row
+    * summary is a build artifact keyed by (dataset fingerprint, corpus
+    * descriptor), so the corpus-scan cost is paid once per corpus, and
+    * every later build consults a table read.
+    */
+  def indexFeasibility(
+      s: SparkSession, dir: String, corpus: DataFrame, dim: Int,
+      sampleQ: Int = 50): IndexFeasibility = {
+    val f = trainOrLoad(s, dir, "embeddings",
+      s"feas_q${sampleQ}_d${dim}_c${corpusDescriptor(corpus)}") {
+      Similarity.indexFeasibilitySummary(corpus, dim, sampleQ)
+    }
+    val r = f.head()
+    IndexFeasibility(
+      r.getAs[Long]("n_corpus"), r.getAs[Double]("median_top1"),
+      r.getAs[Double]("iso_baseline"), r.getAs[Int]("indexable") == 1)
+  }
+
+  /** [[ivfCentroids]] behind the feasibility gate: measure (or load) the
+    * x109 verdict FIRST, surface it (log line + returned metadata), and
+    * only then pay for the k-means build. With `requireIndexable = true`
+    * a corpus measured non-indexable refuses the build — the
+    * measure-before-you-build discipline as a hard gate; the default
+    * builds anyway (the x106-certified floors still hold) but the
+    * caller gets the verdict to budget with.
+    */
+  def ivfCentroidsGated(
+      s: SparkSession, dir: String, corpus: DataFrame, k: Int, iters: Int, dim: Int,
+      train: Option[DataFrame] = None,
+      requireIndexable: Boolean = false): (DataFrame, IndexFeasibility) = {
+    val feas = indexFeasibility(s, dir, corpus, dim)
+    log.info(
+      s"IVF build feasibility for $dir (N=${feas.nCorpus}): median top-1 cosine " +
+        s"${feas.medianTop1} vs isotropic line ${feas.isoBaseline} -> " +
+        (if (feas.indexable) "indexable (cluster structure present; certified recalls are lower bounds)"
+         else "NOT indexable (isotropic regime; serve cost is the measured linear fraction, x106)"))
+    require(!requireIndexable || feas.indexable,
+      s"corpus at $dir measured NOT indexable (median top-1 ${feas.medianTop1} < " +
+        s"2 x isotropic line ${feas.isoBaseline}, N=${feas.nCorpus}): an IVF index cannot " +
+        "be sublinear at production recall here — budget for the measured x106 " +
+        "candidate fractions, or pass requireIndexable = false to build anyway")
+    (ivfCentroids(s, dir, corpus, k, iters, dim, train), feas)
   }
 
   /** Trained PQ codebooks for the embeddings table at `dir`. Columns:

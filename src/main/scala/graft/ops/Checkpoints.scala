@@ -55,6 +55,15 @@ object Checkpoints {
     * deployment's checkpoint-dir retention policy), so a long-running
     * reliable-mode stream should point `spark.graft.checkpoint.dir` at
     * a location with lifecycle rules.
+    *
+    * CONTRACT: the frame is DEAD after release. Local checkpoints are
+    * exempt from lineage recovery, so once the blocks are dropped the
+    * frame (and anything derived from it that was not itself
+    * materialized) cannot be recomputed — a consumer added after the
+    * release point fails with a missing-block error rather than
+    * recomputing. Keep the unpersist as the LAST statement of a
+    * foreachBatch body / per-iteration scope, after every consumer of
+    * the generation has run.
     */
   def unpersist(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {

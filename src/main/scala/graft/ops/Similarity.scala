@@ -230,15 +230,25 @@ object Similarity {
     * 2-round build stands. The serve cost implied by the choice is
     * spill * nprobe * sqrt(n) candidates per query.
     */
+  /** Highest recall the measured table covers; targets above it return
+    * the FULL-PROBE configuration (nprobe = cells), which is the
+    * exact-equals-brute-force anchor ([[ivfSearchTopK]]'s spec-pinned
+    * identity) — the only configuration that can honestly promise
+    * recall 1.0.
+    */
+  val SuggestTableMaxRecall = 0.984
+
   def suggestIvf(nCorpus: Long, targetRecall: Double = 0.9): (Int, Int, Int) = {
     require(targetRecall > 0.0 && targetRecall <= 1.0, "targetRecall must be in (0, 1]")
+    val cells = sqrtCells(nCorpus)
     val nprobe =
-      if (targetRecall <= 0.86) 1
+      if (targetRecall > SuggestTableMaxRecall) cells
+      else if (targetRecall <= 0.86) 1
       else if (targetRecall <= 0.89) 2
       else if (targetRecall <= 0.93) 4
       else if (targetRecall <= 0.96) 8
       else 12
-    (sqrtCells(nCorpus), 2, nprobe)
+    (cells, 2, math.min(nprobe, cells).max(1))
   }
 
   /** Candidate set of the production IVF serve path: `queries` probe
@@ -285,6 +295,49 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** One-row summary of the x109 index-feasibility audit: does this
+    * embedding corpus have the cluster structure an ANN index needs to
+    * be sublinear? Measures the fixed sample's exact top-1 cosine
+    * median (a DISCRETE rank statistic — engine-reproducible) against
+    * the closed-form isotropic random-match line sqrt(2 ln N / d);
+    * `indexable` = median >= 2x line. The per-query form is the x109
+    * query; this summary is the BUILD-PATH consumer
+    * ([[AnnModels.ivfCentroidsGated]]): the measurement becomes the
+    * decision, the x103 -> x108 pattern applied to index builds.
+    *
+    * Scale: one corpus scan against the broadcast fixed sample plus
+    * sample-sized aggregates — the standard certification cost, paid
+    * once per corpus (the caller persists the row as a model artifact).
+    * Unlike x109's per-query form, the stats frame here has a SINGLE
+    * consumer (the median rank window; the sample count comes from the
+    * query frame itself), so no lineage cut is held — the summary
+    * leaves no persisted blocks behind, which lets stream starts that
+    * consult it pin zero-leak storage hygiene. Corpus must have >= 2
+    * vectors (each sample query needs a non-self neighbour).
+    */
+  def indexFeasibilitySummary(
+      corpus: DataFrame, dim: Int, sampleQ: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val q = corpus.filter(col(idCol) < sampleQ)
+    val top = bruteForceTopK(corpus, q, 10, idCol, vecCol, dim)
+    val perQ = top.groupBy(col("qid")).agg(
+      max(when(col("rnk") === 1L, col("cos"))).as("top1_cos"))
+    val nq = q.agg(count(lit(1)).as("n_q"))
+    val n = corpus.agg(count(lit(1)).as("n_corpus"))
+    val byTop1 = Window.orderBy(col("top1_cos"), col("qid"))
+    perQ
+      .withColumn("rn", row_number().over(byTop1).cast("long"))
+      .crossJoin(broadcast(nq))
+      .filter(col("rn") === ceil(lit(0.5) * col("n_q")).cast("long"))
+      .select(col("top1_cos").as("median_top1"))
+      .crossJoin(broadcast(n))
+      .select(col("n_corpus"), col("median_top1"),
+        round(sqrt(lit(2.0) * log(col("n_corpus").cast("double")) / lit(dim.toDouble)), 6)
+          .as("iso_baseline"))
+      .withColumn("indexable",
+        (col("median_top1") >= lit(2.0) * col("iso_baseline")).cast("int"))
+  }
+
   /** Deterministic k-means training for IVF centroids: fixed iteration
     * count, deterministic seed set (caller-provided init vectors), and
     * decimal-quantized means, so the trained centroids — and therefore the
@@ -304,6 +357,13 @@ object Similarity {
       corpus: DataFrame, init: DataFrame, iters: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     var cents = init.select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("cv"))
+    // rolling release (the MLlib iteration pattern): once generation i+1
+    // is eagerly materialized, generation i's blocks are dead weight —
+    // without this a training loop leaves iters-1 stale model frames
+    // persisted until driver GC. Only the loop's OWN cuts are released
+    // (never the caller's init/corpus frames, whose lineage the first
+    // generation still shares).
+    var prevOwn: DataFrame = null
     for (_ <- 0 until iters) {
       val assigned = ivfAssign(
         corpus, cents.select(col("cell_id").as(idCol), col("cv").as(vecCol)), dim, idCol, vecCol)
@@ -322,6 +382,8 @@ object Similarity {
         // replays the entire training history. The frame is k*dim values —
         // at any corpus scale this is a fixed-size model, not data.
         .transform(Checkpoints.cut)
+      if (prevOwn != null) Checkpoints.unpersist(prevOwn)
+      prevOwn = cents
     }
     cents
   }
@@ -358,6 +420,9 @@ object Similarity {
       .select(col(idCol), col("s.subspace").as("subspace"), col("s.sv").as("sv"))
     var cents = sliced.filter(col(idCol) < k)
       .select(col("subspace"), col(idCol).as("cell_id"), toDouble(col("sv")).as("cv"))
+    // rolling release of the loop's own cut generations (see
+    // kmeansCentroids — same pattern, same caller-frame safety rule)
+    var prevOwn: DataFrame = null
     for (_ <- 0 until iters) {
       val scored = sliced.join(broadcast(cents), "subspace")
         .select(
@@ -381,6 +446,8 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("cv"))
         .transform(Checkpoints.cut)
+      if (prevOwn != null) Checkpoints.unpersist(prevOwn)
+      prevOwn = cents
     }
     cents.select(col("subspace"), col("cell_id"), col("cv"))
   }

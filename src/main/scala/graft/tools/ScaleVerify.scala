@@ -211,7 +211,16 @@ object ScaleVerify {
     "x109_index_feasibility" -> None,
     // x110 output is the fixed (2 depth arms x 50 queries) universe; the
     // oracle's per-subspace k-means unroll is feasible to ~sf1.
-    "x110_pq_rerank_recall" -> None)
+    "x110_pq_rerank_recall" -> None,
+    // x111 rides x104's audit-fixture-bounded corpus (dedupCorpus caps
+    // at doc_id < 120), so the output is ~150 rows at any scale:
+    // compare whole — the conservation sum is part of the row-exact
+    // compare.
+    "x111_weighted_epoch_mix" -> None,
+    // x112 output is the fixed (2 depth arms x 50 queries) universe; the
+    // oracle composes x106's IVF unroll with x110's PQ unroll — feasible
+    // to ~sf1 like its parents, engine-only above.
+    "x112_ivfpq_rerank" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

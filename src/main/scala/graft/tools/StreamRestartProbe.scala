@@ -460,6 +460,62 @@ object StreamRestartProbe {
         java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
   }
 
+  /** Kill-replay for the ANN serving stream (annServeIngest): queries
+    * arrive as a file feed, one AvailableNow run per batch file (the
+    * nearDupIngest drive pattern — every run is already a checkpoint
+    * restart, so this also soaks the index-artifact reload path:
+    * centroids train ONCE into the AnnModels store and every subsequent
+    * run serves the persisted table). The kill drops the newest commit
+    * so the next run replays that batch's serve against its
+    * `batch_id=N` overwrite dir; the final sink must be row-identical
+    * to the uninterrupted twin — top-k answers are a pure function of
+    * (index artifact, query batch), and the artifact is pinned by the
+    * store.
+    */
+  def runAnnServe(
+      spark: SparkSession, sfDir: String, batches: Int, perBatch: Int, killAt: Int): Result = {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("restart-annserve").toString
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1).map(_._2)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType))))
+
+    def writeFeed(srcDir: String, b: Int): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/b$b.json")
+      (0 until perBatch).foreach { i =>
+        val qid = 1000000L + b.toLong * perBatch + i
+        val v = vecs(((b * perBatch + i) % vecs.length).toInt)
+        w.println(s"""{"vec_id": $qid, "v": [${v.mkString(", ")}]}""")
+      }
+      w.close()
+    }
+
+    def drive(name: String, injectKill: Boolean): Array[String] = {
+      val srcDir = s"$root/$name/src"
+      new java.io.File(srcDir).mkdirs()
+      (0 until batches).foreach { b =>
+        writeFeed(srcDir, b)
+        val q = graft.streaming.AnnStreams.annServeIngest(
+          spark.readStream.schema(schema).json(srcDir), corpus, sfDir,
+          s"$root/$name/sink", s"$root/$name/chk",
+          k = 10, dim = 64, nprobe = 3)
+        require(q.awaitTermination(120000), s"annServe batch $b exceeded 120 s")
+        if (injectKill && b == killAt - 1) dropCommit(s"$root/$name/chk", b.toLong)
+      }
+      sortedRows(spark.read.parquet(s"$root/$name/sink"))
+    }
+
+    val twin = drive("twin", injectKill = false)
+    val killed = drive("killed", injectKill = true)
+    Result("annServeIngest/store-reload", batches, killAt, killed.length.toLong,
+      twin.nonEmpty &&
+        java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -475,7 +531,9 @@ object StreamRestartProbe {
       runNearDup(spark, batches, perBatch / 10, killAt),
       runMix(spark, batches, perBatch, killAt),
       runDomainGate(spark, batches, perBatch / 10, killAt),
-      runScrub(spark, batches, perBatch / 10, killAt))
+      runScrub(spark, batches, perBatch / 10, killAt),
+      runAnnServe(spark, args.lift(3).getOrElse("/root/testdata/sf0.1"),
+        batches, perBatch / 100, killAt))
     println(f"${"probe"}%-36s ${"batches"}%7s ${"killAt"}%6s ${"rows"}%8s ${"agree"}%6s")
     results.foreach(r =>
       println(f"${r.probe}%-36s ${r.batches}%7d ${r.killAt}%6d ${r.rows}%8d ${r.agree}%6s"))

@@ -263,4 +263,78 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     verdicts shouldBe Array(0)
     medians.head should be < 2.0 * baselines.head
   }
+
+  test("x111: weighted materialization conserves the budget and is driven by x104's weights") {
+    val rows = SparkEntry.queries("x111_weighted_epoch_mix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows should not be empty
+    // CONSERVATION: the epoch is exactly the budget — integer
+    // apportionment end to end, nothing rounds away
+    rows.map(_._4).sum shouldBe graft.ExtensionQueries.WMixBudget
+    // the weights are x104's, verbatim: every materialized rep appears
+    // in the soft-dedup output with the SAME weight (the loop is closed
+    // on the actual surface, not a re-derivation)
+    val x104 = SparkEntry.queries("x104_soft_dedup_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (repId, weight, _, _) =>
+      x104(repId) shouldBe weight
+    }
+    // hierarchical exactness: each weight stratum's total is within 1 of
+    // its exact proportional share of the budget (largest remainder
+    // allocates floor(q) or floor(q)+1, never more drift), with stratum
+    // mass = weight * reps — i.e. duplication frequency IS the sampling
+    // weight
+    val byW = rows.groupBy(_._2)
+    val massOf = x104.values.groupBy(identity).map { case (w, ws) => w -> w * ws.size }
+    val totalMass = massOf.values.sum
+    byW.foreach { case (w, rs) =>
+      val exact = graft.ExtensionQueries.WMixBudget.toDouble * massOf(w) / totalMass
+      math.abs(rs.map(_._4).sum - exact) should be <= 1.0
+      // within a stratum the spread is uniform: repeats differ by <= 1
+      (rs.map(_._4).max - rs.map(_._4).min) should be <= 1L
+    }
+    // the multiplicity distribution survives: per-rep repeats are
+    // ordered by weight across strata (a rep standing for more
+    // duplicates is sampled more often)
+    val perRep = byW.map { case (w, rs) => w -> rs.map(_._4).sum.toDouble / rs.size }
+      .toSeq.sortBy(_._1)
+    perRep.size should be >= 2
+    perRep.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => b should be > a; case _ =>
+    }
+  }
+
+  test("x112: composed IVF-PQ — candidate volume is x106's, depth buys recall back") {
+    val rows = SparkEntry.queries("x112_ivfpq_rerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val byR = rows.groupBy(_._1)
+    byR.keySet shouldBe Set(30L, 100L)
+    byR(30L).map(_._2).sorted shouldBe byR(100L).map(_._2).sorted
+    rows.foreach { case (_, _, nCands, nHit, recall) =>
+      nHit should (be >= 0L and be <= 10L)
+      recall shouldBe (nHit.toDouble / 10.0) +- 1e-9
+      nCands should be < 500L // strict subset of the corpus
+    }
+    // the COMPOSITION pin: per query, the candidate set PQ-scored here
+    // is exactly x106's nprobe-4 candidate set (same index, same probe)
+    // — so x106's measured candidate fraction is this query's scan cost,
+    // at x110's per-candidate bandwidth
+    val x106nc = SparkEntry.queries("x106_ann_recall_prod")(spark, dir)
+      .collect().collect { case r if r.getLong(0) == graft.ExtensionQueries.ProdNprobes.max.toLong =>
+        r.getLong(1) -> r.getLong(2) }.toMap
+    byR(30L).foreach { case (_, qid, nc, _, _) =>
+      nc shouldBe x106nc(qid)
+    }
+    // per-query depth monotonicity (provable: the R=100 shortlist
+    // contains the R=30 one, and under exact re-rank a non-truth item
+    // outranking a truth member would itself be truth)
+    val at30 = byR(30L).map(r => r._2 -> r._5).toMap
+    byR(100L).foreach { case (_, qid, _, _, rec100) =>
+      rec100 should be >= at30(qid)
+    }
+    // non-degenerate on the fixture: depth buys back quantization loss
+    val mean30 = byR(30L).map(_._5).sum / byR(30L).size
+    val mean100 = byR(100L).map(_._5).sum / byR(100L).size
+    mean100 should be > mean30
+  }
 }

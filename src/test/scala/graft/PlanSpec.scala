@@ -386,6 +386,31 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("WindowGroupLimit")
   }
 
+  test("x111: weighted materialization serves broadcast allocation joins, no corpus sort") {
+    // x97's discipline applied to the soft-dedup consumer: the
+    // catalog-sized stratum allocation reaches the ranked rep frame via
+    // broadcast hash join (the quota windows ran once inside the cut
+    // generation), and the rank decomposition never degenerates to a
+    // cross product or a single-partition corpus window.
+    val p = finalPlan("x111_weighted_epoch_mix")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x112: composed serving scores PQ reconstructions over the cell equi-join only") {
+    // The composition's scale contract: candidates come from the
+    // broadcast-probe cell equi-join over the cut lists (which carry
+    // reconstructions, not raw vectors); shortlist and re-rank windows
+    // stay rank-limited; the only nested-loop join is the brute truth
+    // scan (corpus x broadcast sample). A CartesianProduct means the PQ
+    // scan went corpus-wide.
+    val p = finalPlan("x112_ivfpq_rerank")
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // brute truth only
+    p should include("WindowGroupLimit")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group

@@ -36,8 +36,8 @@ class AnnStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     def qdf(ids: Seq[Long]) =
       ids.map(qid => (qid, qVecs((qid - 300L).toInt)._2))
     def serve(src: DataFrame) = AnnStreams.annServeIngest(
-      src, c, s"$root/sink", s"$root/chk", k = 5, dim = dim, nprobe = 3,
-      spill = 2, cells = 8)
+      src, c, "/root/testdata/sf0.001", s"$root/sink", s"$root/chk",
+      k = 5, dim = dim, nprobe = 3, spill = 2, cells = 8)
     // batch 0, then STOP (AvailableNow), then a RESTART picks up batch 1
     // from the checkpointed offset — the serve path rebuilds its index
     // artifact deterministically across restarts
@@ -83,12 +83,21 @@ class AnnStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     val c = Checkpoints.cut(corpus)
     val qVec = c.filter(col("vec_id") === 3).collect().head.getSeq[Float](1)
     val in = MemoryStream[(Long, Seq[Float])]
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val q = AnnStreams.annServeIngest(
-      in.toDF().toDF("vec_id", "v"), c,
+      in.toDF().toDF("vec_id", "v"), c, "/root/testdata/sf0.001",
       s"$root/sink", s"$root/chk", k = 4, dim = dim, nprobe = 8,
       spill = 1, cells = 8)
     in.addData(Seq((500L, qVec)))
     q.processAllAvailable(); q.awaitTermination(60000)
+    // storage hygiene: the index's cut frames (centroids + spill
+    // assignment) are released once the query terminates — a session
+    // starting and stopping serve streams must not accumulate
+    // corpus-sized blocks (release rides a daemon thread, so poll)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while ((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).nonEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    (spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore) shouldBe empty
     val served = spark.read.parquet(s"$root/sink")
       .select("vec_id", "rnk").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
