@@ -4870,10 +4870,18 @@ object ExtensionQueries {
     * for N random directions in d dims — what "nearest neighbour"
     * scores when there are no real neighbours), the sample's DISCRETE
     * median top-1 (rank statistic, engine-reproducible), and the
-    * verdict: indexable = median top-1 >= 2x baseline (real cluster
-    * structure puts nearest neighbours far above the random-match
-    * line; a corpus failing this gate should budget for the measured
-    * x106 linear-fraction costs instead of assuming index speedups).
+    * verdict: indexable = median top-1 >= baseline +
+    * [[graft.ops.Similarity.FeasibilityExcess]] (real cluster
+    * structure puts nearest neighbours above the random-match line; a
+    * corpus failing this gate should budget for the measured x106
+    * linear-fraction costs instead of assuming index speedups). The
+    * threshold is additive and itself measured — the line grows as
+    * sqrt(ln N) while cluster top-1 cosine is N-independent, so a
+    * ratio gate drifts with scale; 0.15 separates the isotropic
+    * fixtures (excess -0.07 to -0.08 at N=500, 2k, and 20k) from the
+    * r18 planted-cluster fixture (+0.29 at N=2k, +0.23 at N=20k, both
+    * served at recall 1.000) — see the constant's doc for the full
+    * calibration table.
     *
     * Scale shape: one corpus scan against the broadcast sample (x08's
     * certification cost), one RecallK-deep rank window per query, and
@@ -4902,7 +4910,8 @@ object ExtensionQueries {
           .as("iso_baseline"),
         col("median_top1"))
       .withColumn("indexable",
-        (col("median_top1") >= lit(2.0) * col("iso_baseline")).cast("int"))
+        (col("median_top1") >= col("iso_baseline") + lit(Similarity.FeasibilityExcess))
+          .cast("int"))
       .orderBy(col("qid"))
   }
 
@@ -7552,7 +7561,7 @@ object ExtensionQueries {
          |SELECT qid, top1_cos, mean10_cos, n_corpus,
          | round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) AS iso_baseline,
          | median_top1,
-         | CAST(median_top1 >= 2.0 * round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) AS INT) AS indexable
+         | CAST(median_top1 >= round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) + ${Similarity.FeasibilityExcess} AS INT) AS indexable
          |FROM pq CROSS JOIN nn CROSS JOIN md ORDER BY qid""".stripMargin,
     "x110_pq_rerank_recall" ->
       // x28's per-subspace unrolled k-means at the x110 geometry (16

@@ -194,8 +194,11 @@ object AnnModels {
   def indexFeasibility(
       s: SparkSession, dir: String, corpus: DataFrame, dim: Int,
       sampleQ: Int = 50): IndexFeasibility = {
+    // the gate threshold is part of the artifact name: a recalibrated
+    // FeasibilityExcess must re-measure, never serve a stale verdict
+    val eTag = math.round(Similarity.FeasibilityExcess * 100)
     val f = trainOrLoad(s, dir, "embeddings",
-      s"feas_q${sampleQ}_d${dim}_c${corpusDescriptor(corpus)}") {
+      s"feas_q${sampleQ}_d${dim}_e${eTag}_c${corpusDescriptor(corpus)}") {
       Similarity.indexFeasibilitySummary(corpus, dim, sampleQ)
     }
     val r = f.head()
@@ -224,9 +227,10 @@ object AnnModels {
          else "NOT indexable (isotropic regime; serve cost is the measured linear fraction, x106)"))
     require(!requireIndexable || feas.indexable,
       s"corpus at $dir measured NOT indexable (median top-1 ${feas.medianTop1} < " +
-        s"2 x isotropic line ${feas.isoBaseline}, N=${feas.nCorpus}): an IVF index cannot " +
-        "be sublinear at production recall here — budget for the measured x106 " +
-        "candidate fractions, or pass requireIndexable = false to build anyway")
+        s"isotropic line ${feas.isoBaseline} + ${Similarity.FeasibilityExcess}, " +
+        s"N=${feas.nCorpus}): an IVF index cannot be sublinear at production recall " +
+        "here — budget for the measured x106 candidate fractions, or pass " +
+        "requireIndexable = false to build anyway")
     (ivfCentroids(s, dir, corpus, k, iters, dim, train), feas)
   }
 

@@ -211,6 +211,16 @@ object Similarity {
     * corpus) whenever the corpus is small enough that the sample target
     * exceeds it — so fixture-scale results are bit-identical to a
     * full-corpus train, and the sampling only engages where it pays.
+    *
+    * BIAS CAVEAT (measured, r18): `id % m` sampling assumes row ids
+    * are uncorrelated with cluster structure. On a fixture whose
+    * labels were `id mod 140`, the m = 2 sample contained ONLY the
+    * even-label clusters and sampled-train recall collapsed
+    * 1.000 -> 0.896 (odd-cluster queries probed centroids that had
+    * never seen their cluster). If your ids carry structure (sorted by
+    * source, sharded by class), pass an explicitly hashed or shuffled
+    * `train` frame to [[AnnModels.ivfCentroids]] instead of relying on
+    * the modulus.
     */
   def trainSampleMod(n: Long, cells: Int, perCell: Int = 50): Long = {
     require(n >= 1 && cells >= 1 && perCell >= 1, "n, cells, perCell must be >= 1")
@@ -229,6 +239,24 @@ object Similarity {
     * iterations measured as noise (2 vs 5 within +-0.02), so the cheap
     * 2-round build stands. The serve cost implied by the choice is
     * spill * nprobe * sqrt(n) candidates per query.
+    *
+    * SCALE TRANSFER (r17 ADVICE, measured r18 —
+    * logs/ANNSWEEP_r18_*.log): the table is a FLOOR as N grows, not a
+    * point estimate. At cells = sqrt(N) each probe's candidate count
+    * grows as sqrt(N), so recall at fixed nprobe RISES with corpus
+    * size on the same geometry — measured isotropic at N=20k:
+    * nprobe 1 -> 0.982, 2 -> 0.986, 4 -> 0.990, 8 -> 0.994,
+    * 12 -> 0.998, every row above its N=2k twin (1 -> 0.826,
+    * 2 -> 0.862, 4 -> 0.916, 8 -> 0.956, 12 -> 0.976). On the
+    * planted-cluster fixture (the realistic regime, x109
+    * indexable = 1) every (N, nprobe) point dominates its isotropic
+    * twin, saturating to 1.000 (nprobe 4 at 2k; from nprobe 1 at 20k,
+    * 1.4% scanned — structure pays more at scale). The returned nprobe
+    * therefore meets targetRecall at any N >= 2k on
+    * isotropic-or-better geometry; the
+    * one regime it cannot promise is a corpus measured BELOW the
+    * isotropic line, which [[indexFeasibilitySummary]] /
+    * [[AnnModels.ivfCentroidsGated]] exist to catch before the build.
     */
   /** Highest recall the measured table covers; targets above it return
     * the FULL-PROBE configuration (nprobe = cells), which is the
@@ -295,13 +323,36 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Feasibility-gate threshold: a corpus is `indexable` when the
+    * sample's median exact top-1 cosine EXCEEDS the isotropic
+    * random-match line by at least this much. The excess is ADDITIVE
+    * (not a ratio) and MEASURED, not a priori: cluster-structure top-1
+    * cosine is a property of the geometry and N-independent, while the
+    * line grows as sqrt(ln N) — so any fixed RATIO gate drifts with
+    * corpus size (a 2x ratio gate read the r18 planted-cluster fixture
+    * as non-indexable while the sqrt(N)/spill-2 index served it at
+    * recall 1.000 from the narrowest probe). Measured excesses
+    * (logs/ANNSWEEP_r18_*.log): isotropic -0.08 at BOTH N=2k and
+    * N=20k (the median sits slightly below the extreme-value line, and
+    * the deficit is scale-stable); planted clusters (within-cluster
+    * cosine 0.67) +0.29 at N=2k and +0.23 at N=20k, served at recall
+    * 1.000 (nprobe 4 / 11.9% scanned at 2k; nprobe 1 / 1.4% at 20k —
+    * structure pays MORE at scale); the replicated sf1 fixture
+    * +0.44 — and its duplicate groups ARE servable structure (measured
+    * recall 0.992 at 1.5% scanned), so the positive verdict there is
+    * correct, not an artifact. 0.15 sits between the isotropic and
+    * every structured regime with headroom both ways.
+    */
+  val FeasibilityExcess = 0.15
+
   /** One-row summary of the x109 index-feasibility audit: does this
     * embedding corpus have the cluster structure an ANN index needs to
     * be sublinear? Measures the fixed sample's exact top-1 cosine
     * median (a DISCRETE rank statistic — engine-reproducible) against
     * the closed-form isotropic random-match line sqrt(2 ln N / d);
-    * `indexable` = median >= 2x line. The per-query form is the x109
-    * query; this summary is the BUILD-PATH consumer
+    * `indexable` = median >= line + [[FeasibilityExcess]]. The
+    * per-query form is the x109 query; this summary is the BUILD-PATH
+    * consumer
     * ([[AnnModels.ivfCentroidsGated]]): the measurement becomes the
     * decision, the x103 -> x108 pattern applied to index builds.
     *
@@ -335,7 +386,7 @@ object Similarity {
         round(sqrt(lit(2.0) * log(col("n_corpus").cast("double")) / lit(dim.toDouble)), 6)
           .as("iso_baseline"))
       .withColumn("indexable",
-        (col("median_top1") >= lit(2.0) * col("iso_baseline")).cast("int"))
+        (col("median_top1") >= col("iso_baseline") + lit(FeasibilityExcess)).cast("int"))
   }
 
   /** Deterministic k-means training for IVF centroids: fixed iteration

@@ -41,6 +41,13 @@ object AnnSweep {
     val e = Checkpoints.cut(spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").as("v")))
     val corpusN = e.count()
+    // x109 verdict first: every sweep table is self-documenting about
+    // which regime (isotropic floor vs clustered) its recalls measure
+    val feas = Similarity.indexFeasibilitySummary(e, EmbDim, RecallQ).head()
+    println(s"[ann-sweep] $sfDir feasibility: N=${feas.getAs[Long]("n_corpus")} " +
+      s"median_top1=${feas.getAs[Double]("median_top1")} " +
+      s"iso_baseline=${feas.getAs[Double]("iso_baseline")} " +
+      s"indexable=${feas.getAs[Int]("indexable")}")
     val q = e.filter(col("vec_id") < RecallQ)
     val truth = Checkpoints.cut(
       Similarity.bruteForceTopK(e, q, RecallK, dim = EmbDim)

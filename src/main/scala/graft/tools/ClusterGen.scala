@@ -51,32 +51,60 @@ object ClusterGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // unit centers, built once on the driver (kClusters x dim doubles)
-    val centers = (0 until kClusters).map { c =>
-      val raw = (0 until dim).map(d => mix(c.toLong + 1L, d.toLong)).toArray
-      val n = math.sqrt(raw.map(x => x * x).sum)
-      raw.map(_ / n)
+    // Everything is computed IN-EXPRESSION from the hash mix (center
+    // components included): a literal center table at k x dim blows the
+    // expression tree past what codegen folds in reasonable time once
+    // k reaches the sqrt(N) regime. Staged columns keep each tree small.
+    // The mix must be a REAL hash in (stream, i): an affine-mod map
+    // makes every vector a wrapped linear ramp in i (measured median
+    // top-1 cosine 0.99997 — near-parallel rows), and a quadratic-
+    // residue scramble of it still carries LCG lattice structure
+    // (measured: vec_id deltas of 60 produced cosine-0.99 pairs). Two
+    // multiply-mod rounds with an xor-fold between them break the
+    // affine lattice; every intermediate stays below 2^63 so the
+    // arithmetic is exact under ANSI mode.
+    def hashMix(z: org.apache.spark.sql.Column) = {
+      val M = 4294967311L // prime just above 2^32
+      val h1 = (z * lit(2654435761L)) % lit(M)
+      val f1 = h1.bitwiseXOR(shiftrightunsigned(h1, 16))
+      val h2 = (f1 * lit(1099087573L)) % lit(M)
+      h2.bitwiseXOR(shiftrightunsigned(h2, 13))
     }
-    val centerLit = array(centers.map(cv => array(cv.map(lit): _*)): _*)
+    def mixCol(stream: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (hashMix(stream * lit(64L) + i + lit(1L)) % lit(1048576L))
+        .cast("double") / lit(524288.0) - lit(1.0)
+    val dims = sequence(lit(0L), lit(dim.toLong - 1L))
 
-    val label = pmod(col("id"), lit(kClusters.toLong)).cast("int")
-    // per-vector unit noise from the (vec_id offset) mix streams
-    val noise = transform(sequence(lit(0), lit(dim - 1)),
-      d => {
-        // mix(nVec + 1 + vec_id, d): an independent stream per vector
-        val h = (((col("id") + lit(kClusters.toLong + 1L)) * lit(976369L) +
-          d.cast("long") * lit(354313L) + lit(77377L)) % lit(1000003L))
-        h.cast("double") / lit(1000003.0) * lit(2.0) - lit(1.0)
-      })
-    val nNorm = sqrt(aggregate(noise, lit(0.0), (a, x) => a + x * x))
-    val rawVec = zip_with(element_at(centerLit, label + 1), noise,
-      (c, x) => c + lit(noiseScale) * x / nNorm)
-    val vNorm = sqrt(aggregate(rawVec, lit(0.0), (a, x) => a + x * x))
-
+    // Labels are HASH-assigned, never `id mod k`: a label that encodes
+    // row-id arithmetic correlates with any deterministic modulus
+    // downstream — measured: with labels = id mod 140, the x106 build's
+    // vec_id % 2 training sample contained only the even-label clusters
+    // and sampled-train recall collapsed 1.000 -> 0.896. Real corpora
+    // don't encode cluster membership in row parity; the fixture must
+    // not either.
     spark.range(nVec)
       .select(col("id").as("vec_id"),
-        transform(rawVec, x => (x / vNorm).cast("float")).as("embedding"),
-        label.as("label"))
+        (if (kClusters >= 1) pmod(hashMix(col("id") + lit(1000000007L)), lit(kClusters.toLong))
+         else lit(0L)).cast("int").as("label"))
+      // raw center (stream = label + 1) and raw noise (an independent
+      // stream per vector, offset past the center streams)
+      .withColumn("craw", transform(dims, d => mixCol(col("label").cast("long") + 1L, d)))
+      .withColumn("nraw", transform(dims,
+        d => mixCol(col("vec_id") + lit(kClusters.toLong + 1L), d)))
+      .withColumn("cnorm", sqrt(aggregate(col("craw"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nnorm", sqrt(aggregate(col("nraw"), lit(0.0), (a, x) => a + x * x)))
+      // kClusters = 0 -> pure-noise ISOTROPIC corpus (the control arm:
+      // a true random-direction fixture at any N, for measuring recall
+      // floors at scale without the driver fixture's replication)
+      .withColumn("raw",
+        if (kClusters >= 1)
+          zip_with(col("craw"), col("nraw"),
+            (c, x) => c / col("cnorm") + lit(noiseScale) * x / col("nnorm"))
+        else col("nraw"))
+      .withColumn("vnorm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"), x => (x / col("vnorm")).cast("float")).as("embedding"),
+        col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     println(s"[cluster-gen] wrote $nVec vectors, dim=$dim, k=$kClusters, " +

@@ -257,11 +257,12 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     // the median is a real member of the sample (discrete rank statistic)
     rows.map(_._2) should contain(medians.head)
     // the audit's verdict on THIS fixture: isotropic — median top-1 sits
-    // near the random-match line, nowhere near 2x it. This is the
-    // ground truth the round's ANN measurements rest on.
+    // slightly BELOW the random-match line (measured excess -0.07),
+    // under the calibrated +0.15 additive gate. This is the ground
+    // truth the ANN measurements rest on.
     val verdicts = rows.map(_._7).distinct
     verdicts shouldBe Array(0)
-    medians.head should be < 2.0 * baselines.head
+    medians.head should be < baselines.head + ops.Similarity.FeasibilityExcess
   }
 
   test("x111: weighted materialization conserves the budget and is driven by x104's weights") {

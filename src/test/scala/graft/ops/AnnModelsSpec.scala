@@ -130,6 +130,57 @@ class AnnModelsSpec extends AnyFunSuite with Matchers with SparkTest {
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
   }
 
+  test("feasibility gate: isotropic corpus refuses a strict build, clustered corpus passes") {
+    val d64 = 64
+    def writeVecs(dir: java.io.File, rows: Seq[(Long, Seq[Double])]): Unit =
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(new java.io.File(dir, "embeddings.parquet").getPath)
+    def load(dir: java.io.File) =
+      spark.read.parquet(new java.io.File(dir, "embeddings.parquet").getPath)
+        .select(col("vec_id"), col("embedding").as("v"))
+
+    // isotropic: uniform random directions — nearest "neighbours" sit on
+    // the random-match line, the regime where an IVF index cannot be
+    // sublinear at production recall
+    val isoDir = java.nio.file.Files.createTempDirectory("feas-iso").toFile
+    val rnd = new scala.util.Random(11)
+    writeVecs(isoDir, (0 until 120).map(i =>
+      (i.toLong, Seq.fill(d64)(rnd.nextDouble() * 2 - 1))))
+    val iso = load(isoDir)
+    val feasIso = AnnModels.indexFeasibility(spark, isoDir.getPath, iso, d64)
+    feasIso.indexable shouldBe false
+    feasIso.medianTop1 should be < feasIso.isoBaseline + Similarity.FeasibilityExcess
+    an[IllegalArgumentException] should be thrownBy
+      AnnModels.ivfCentroidsGated(spark, isoDir.getPath, iso, k = 8, iters = 1, dim = d64,
+        requireIndexable = true)
+    // the default build proceeds but carries the verdict as metadata
+    val (model, feas2) = AnnModels.ivfCentroidsGated(
+      spark, isoDir.getPath, iso, k = 8, iters = 1, dim = d64)
+    feas2 shouldBe feasIso // served from the persisted measurement, not remeasured
+    model.count() should be > 0L
+
+    // clustered: 8 orthogonal centers + bounded noise — median top-1
+    // cosine sits far above the line, the regime an index exists for
+    val cluDir = java.nio.file.Files.createTempDirectory("feas-clu").toFile
+    val rnd2 = new scala.util.Random(13)
+    writeVecs(cluDir, (0 until 120).map { i =>
+      val c = i % 8
+      val noise = Seq.fill(d64)(rnd2.nextDouble() * 2 - 1)
+      val nn = math.sqrt(noise.map(x => x * x).sum)
+      val raw = noise.zipWithIndex.map { case (x, d) =>
+        (if (d == c) 1.0 else 0.0) + 0.3 * x / nn }
+      val vn = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(_ / vn))
+    })
+    val clu = load(cluDir)
+    val (modelC, feasClu) = AnnModels.ivfCentroidsGated(
+      spark, cluDir.getPath, clu, k = 8, iters = 1, dim = d64,
+      requireIndexable = true)
+    feasClu.indexable shouldBe true
+    feasClu.medianTop1 should be >= feasClu.isoBaseline + Similarity.FeasibilityExcess
+    modelC.count() should be > 0L
+  }
+
   test("pqCodebooks round-trips through the store unchanged") {
     val dataDir = java.nio.file.Files.createTempDirectory("annmodels-data3").toFile
     writeCorpus(dataDir, seed = 3, n = 24)
