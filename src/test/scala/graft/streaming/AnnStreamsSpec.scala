@@ -83,12 +83,15 @@ class AnnStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     val c = Checkpoints.cut(corpus)
     val qVec = c.filter(col("vec_id") === 3).collect().head.getSeq[Float](1)
     val in = MemoryStream[(Long, Seq[Float])]
+    // enqueue BEFORE start: AvailableNow snapshots offsets at start, so
+    // data added after can lose the race and the one-shot query
+    // terminates having processed nothing
+    in.addData(Seq((500L, qVec)))
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val q = AnnStreams.annServeIngest(
       in.toDF().toDF("vec_id", "v"), c, "/root/testdata/sf0.001",
       s"$root/sink", s"$root/chk", k = 4, dim = dim, nprobe = 8,
       spill = 1, cells = 8)
-    in.addData(Seq((500L, qVec)))
     q.processAllAvailable(); q.awaitTermination(60000)
     // storage hygiene: the index's cut frames (centroids + spill
     // assignment) are released once the query terminates — a session

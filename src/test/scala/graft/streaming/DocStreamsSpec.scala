@@ -338,10 +338,13 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
       (3L, "too short"),
       (4L, prose + " extra tail tokens here"))
     val in = MemoryStream[(Long, String)]
+    // enqueue BEFORE start: AvailableNow snapshots offsets at start, so
+    // data added after can lose the race and the one-shot query
+    // terminates having processed nothing (observed ~1/60 suite runs)
+    in.addData(feed)
     val q = DocStreams.decontaminateIngest(
       in.toDF().toDF("doc_id", "text"), bench,
       s"$root/sink", s"$root/quarantine", s"$root/chk")
-    in.addData(feed)
     q.processAllAvailable(); q.awaitTermination(60000)
     def ids(p: String): Set[Long] =
       spark.read.parquet(p).select("doc_id").collect().map(_.getLong(0)).toSet
@@ -354,10 +357,10 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     // replay idempotence: a second run over the same feed (fresh
     // checkpoint, same batch ids) overwrites to the identical output
     val in2 = MemoryStream[(Long, String)]
+    in2.addData(feed)
     val q2 = DocStreams.decontaminateIngest(
       in2.toDF().toDF("doc_id", "text"), bench,
       s"$root/sink", s"$root/quarantine", s"$root/chk2")
-    in2.addData(feed)
     q2.processAllAvailable(); q2.awaitTermination(60000)
     ids(s"$root/sink") shouldBe Set(1L, 3L, 4L)
     ids(s"$root/quarantine") shouldBe Set(2L)
@@ -383,10 +386,10 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     val verbatim = "intro words here " + prompt + " tail words here"
     val feed = Seq((1L, prose), (2L, verbatim), (3L, mutated), (4L, "too short"))
     val in = MemoryStream[(Long, String)]
+    in.addData(feed) // before start — the AvailableNow snapshot race
     val q = DocStreams.fuzzyDecontaminateIngest(
       in.toDF().toDF("doc_id", "text"), benchFp,
       s"$root/sink", s"$root/quarantine", s"$root/chk", n = n, w = w)
-    in.addData(feed)
     q.processAllAvailable(); q.awaitTermination(60000)
     def ids(p: String): Set[Long] =
       spark.read.parquet(p).select("doc_id").collect().map(_.getLong(0)).toSet
@@ -417,10 +420,10 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     streamed shouldBe batch
     // replay idempotence (fresh checkpoint, same batch ids)
     val in2 = MemoryStream[(Long, String)]
+    in2.addData(feed)
     val q2 = DocStreams.fuzzyDecontaminateIngest(
       in2.toDF().toDF("doc_id", "text"), benchFp,
       s"$root/sink", s"$root/quarantine", s"$root/chk2", n = n, w = w)
-    in2.addData(feed)
     q2.processAllAvailable(); q2.awaitTermination(60000)
     ids(s"$root/sink") shouldBe Set(1L, 4L)
     ids(s"$root/quarantine") shouldBe Set(2L, 3L)
@@ -443,11 +446,11 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     val cleanOrig = "The Quick Brown Fox kept ITS case intact here today"
     val feed = Seq((1L, cleanOrig), (2L, leaky))
     val in = MemoryStream[(Long, String)]
+    in.addData(feed) // before start — the AvailableNow snapshot race
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val q = DocStreams.scrubIngest(
       in.toDF().toDF("doc_id", "text"), benchFp,
       s"$root/sink", s"$root/chk", n = n, w = w)
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    in.addData(feed)
     q.processAllAvailable(); q.awaitTermination(60000)
     // storage hygiene: foreachBatch unpersists each batch's checked-spans
     // cut once written, so the stream leaves NO new persisted RDDs behind
@@ -480,10 +483,10 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
       .collect().map(_.toString).sorted shouldBe batch
     // replay idempotence
     val in2 = MemoryStream[(Long, String)]
+    in2.addData(feed)
     val q2 = DocStreams.scrubIngest(
       in2.toDF().toDF("doc_id", "text"), benchFp,
       s"$root/sink", s"$root/chk2", n = n, w = w)
-    in2.addData(feed)
     q2.processAllAvailable(); q2.awaitTermination(60000)
     spark.read.parquet(s"$root/sink").drop("batch_id")
       .collect().map(_.toString).sorted shouldBe batch
@@ -502,10 +505,10 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     val leaky = s"Intro, with CASE!  kept bytes aa bb cc dd $prompt Outro; done."
     val feed = Seq((1L, leaky))
     val in = MemoryStream[(Long, String)]
+    in.addData(feed) // before start — the AvailableNow snapshot race
     val q = DocStreams.scrubIngest(
       in.toDF().toDF("doc_id", "text"), benchFp,
       s"$root/sink", s"$root/chk", n = n, w = w, byteOriginal = true)
-    in.addData(feed)
     q.processAllAvailable(); q.awaitTermination(60000)
     val out = spark.read.parquet(s"$root/sink").collect().head
     val scrubbed = out.getAs[String]("text")
