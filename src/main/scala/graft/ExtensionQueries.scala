@@ -5025,7 +5025,14 @@ object ExtensionQueries {
     * single-partition corpus window). Nothing corpus-sized moves after
     * the rep frame.
     */
-  private def x111(s: SparkSession, dir: String): DataFrame = {
+  private def x111(s: SparkSession, dir: String): DataFrame =
+    weightedEpochPicks(s, dir).orderBy(col("rep_id"))
+
+  /** Shared x111/x113 weighted materialization: x104's cluster chain to
+    * (rep_id, weight, pick_rank, n_repeats > 0). One definition so the
+    * pick set and the shard plan can never desync.
+    */
+  private def weightedEpochPicks(s: SparkSession, dir: String): DataFrame = {
     // x104's chain verbatim (same corpus, labels, sizes, null-safe reps)
     val corpus = Checkpoints.cut(dedupCorpus(s, dir)
       .withColumn("quality", TextOps.quality(col("text"))))
@@ -5063,8 +5070,35 @@ object ExtensionQueries {
           when(col("row_num") <= expr("alloc % n_reps"), 1L).otherwise(0L))
           .cast("long").as("n_repeats"))
       .filter(col("n_repeats") > 0)
-      .orderBy(col("rep_id"))
   }
+
+  /** Weighted epoch/shard plan (x113): x99's terminal export step
+    * applied to the SOFT-DEDUP chain — x104 weights -> x111 repeat
+    * counts -> THIS: explode each rep's n_repeats into per-epoch rows
+    * (a rep with r repeats appears in epochs 0..r-1, so epoch e's
+    * corpus is exactly the reps with n_repeats > e — repeats spread
+    * ACROSS epochs, never duplicated within one) and assign each
+    * (rep, epoch) copy a deterministic shard by content hash. The
+    * output is the budget MATERIALIZED: exactly [[WMixBudget]] rows
+    * (CertificationSpec pins the count — conservation carried through
+    * the explode), each a write instruction for a shard writer. With
+    * x113 the soft-dedup loop runs weights -> allocation -> repeats ->
+    * physical plan end to end, the same completeness x97 -> x99 gives
+    * the hard-mix chain.
+    *
+    * Scale shape: everything after x111's dimension-sized allocation
+    * is map-only (explode fan-out = the per-rep repeat count, shard
+    * hash fused into the scan); output is budget-sized, ids only.
+    */
+  private def x113(s: SparkSession, dir: String): DataFrame =
+    weightedEpochPicks(s, dir)
+      .select(col("rep_id"), col("weight"),
+        explode(sequence(lit(0L), col("n_repeats") - 1)).as("epoch"))
+      .select(col("rep_id"), col("weight"), col("epoch"),
+        pmod(TextOps.polyHash(concat(col("rep_id").cast("string"), lit("#"),
+          col("epoch").cast("string"))), lit(PlanShards.toLong))
+          .cast("int").as("shard"))
+      .orderBy(col("rep_id"), col("epoch"))
 
   /** Composed IVF-PQ serving certification (x112): the production
     * billion-vector layout — x106 certifies IVF with EXACT candidate
@@ -5162,6 +5196,84 @@ object ExtensionQueries {
             lit(RecallK.toDouble), 4).as("recall"))
     }
     RerankRs.map(arm).reduce(_.union(_)).orderBy(col("rerank_r"), col("qid"))
+  }
+
+  /** Arrival modulus for the x114 staleness audit: vec_id % 5 == 0 rows
+    * are "arrivals" — vectors that did not exist when the stale index
+    * was trained (20% of the corpus, deterministic, oracle-mirrorable).
+    */
+  private[graft] val StaleArrivalMod = 5L
+
+  /** Stale-index recall (x114): the incremental-maintenance question
+    * every production vector index faces — new vectors arrive
+    * continuously; ASSIGNING them into existing cells is one cheap scan,
+    * RETRAINING centroids is the expensive rebuild. When is the rebuild
+    * due? This query measures the cost of not rebuilding: centroids
+    * trained on the 80% BASE corpus only (the pre-arrival era — seeds
+    * and training both exclude arrivals), the FULL corpus spill-assigned
+    * into those stale cells, vs the fresh x106 index trained on
+    * everything (the shared persisted artifact), both serving the fixed
+    * query sample at the production profile. Output per (arm, query):
+    * candidate count and recall@10 against full-corpus brute truth —
+    * recall_stale vs recall_fresh (read NEXT TO the cost axis) is the
+    * measured staleness drift, the rebuild trigger's input. Measured on
+    * same-distribution arrivals (this fixture): the stale index loses
+    * NO recall (0.824 vs 0.786 at sf0.01) — it has ~20% fewer live
+    * cells (arrival-era seeds don't exist), so each probe sweeps
+    * coarser cells and ~27% MORE candidates (197 vs 155): staleness
+    * shows up as serve COST here, not recall. Recall drift appears
+    * only when arrivals come from a SHIFTED distribution (clusters the
+    * stale centroids never saw); that asymmetry — rebuild for cost on
+    * stationary data, for recall on shift — is what the per-arm
+    * (n_cands, recall) pair measures.
+    *
+    * Scale shape: two x106-shaped arms (each: persisted model build,
+    * one corpus spill assignment, cell-keyed candidate equi-join,
+    * rank-limited windows, broadcast-sample truth scan). Nothing is
+    * ever corpus x corpus; output is 2 x sample-sized.
+    */
+  private def x114(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val base = e.filter(pmod(col("vec_id"), lit(StaleArrivalMod)) =!= 0)
+    val q = e.filter(col("vec_id") < RecallQ)
+    val truth = Similarity.bruteForceTopK(e, q, RecallK, dim = EmbDim)
+      .select(col("qid"), col("vec_id"))
+    val nCorpus = e.count()
+    val cells = Similarity.sqrtCells(nCorpus)
+    val trainMod = Similarity.trainSampleMod(nCorpus, cells)
+    val train =
+      if (trainMod == 1L) None
+      else Some(e.filter(pmod(col("vec_id"), lit(trainMod)) === 0))
+    // fresh = x106's exact build (bit-shared persisted artifact);
+    // stale = trained when only the base existed (seeds and training
+    // corpus both base-only), cells sized for the FULL corpus so the
+    // two indexes are like-for-like in candidate volume
+    val freshModel = AnnModels.ivfCentroids(
+      s, dir, e, cells, KmIters, EmbDim, train = train)
+    val staleModel = AnnModels.ivfCentroids(s, dir, base, cells, KmIters, EmbDim)
+    def arm(name: String, trained: DataFrame): DataFrame = {
+      val cents = trained.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+      // the full corpus — arrivals included — assigns into the arm's
+      // cells: for the stale arm this IS the cheap incremental insert
+      val assigned = Checkpoints.cut(Similarity.ivfProbe(e, cents, EmbDim, ProdSpill))
+      val scored = Similarity.ivfCandidates(assigned, q, cents, EmbDim, ProdNprobes.max)
+      val nc = scored.groupBy(col("qid")).agg(count(lit(1)).as("n_cands"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val hits = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= RecallK)
+        .join(truth, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("qid"))
+        .join(nc, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(lit(name).as("arm"), col("qid"),
+          coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            lit(RecallK.toDouble), 4).as("recall"))
+    }
+    arm("fresh", freshModel).union(arm("stale", staleModel))
+      .orderBy(col("arm"), col("qid"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -5278,7 +5390,9 @@ object ExtensionQueries {
     "x109_index_feasibility" -> (x109 _),
     "x110_pq_rerank_recall" -> (x110 _),
     "x111_weighted_epoch_mix" -> (x111 _),
-    "x112_ivfpq_rerank" -> (x112 _))
+    "x112_ivfpq_rerank" -> (x112 _),
+    "x113_weighted_shard_plan" -> (x113 _),
+    "x114_stale_index_recall" -> (x114 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5481,6 +5595,45 @@ object ExtensionQueries {
          |  FROM s${r - 1}, t$r)""".stripMargin
     (1 to BpeRounds).map(pairsCte).mkString(",\n")
   }
+
+  /** x111/x113 shared oracle chain: x104's cluster CTEs to the `fin`
+    * frame (rep_id, weight, pick_rank, n_repeats) under the hierarchical
+    * HUGEINT largest-remainder apportionment. One definition so the
+    * pick set and the shard plan can never desync.
+    */
+  private def weightedPicksCtesSql: String =
+    s"""$DupClusterCtesSql,
+       |hq AS (SELECT doc_id,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+       |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+       |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+       | FROM corpus),
+       |qq AS (SELECT doc_id, $QualitySql AS quality FROM hq),
+       |allq AS (SELECT c.doc_id, CAST(coalesce(l.label, c.doc_id) AS BIGINT) AS cluster, q.quality
+       | FROM corpus c LEFT JOIN lab4 l ON l.id = c.doc_id JOIN qq q ON q.doc_id = c.doc_id),
+       |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS weight FROM allq GROUP BY cluster),
+       |reps AS (SELECT cluster, doc_id AS rep_id FROM (
+       |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM allq)
+       | WHERE rn = 1),
+       |rw AS (SELECT r.rep_id, z.weight FROM reps r JOIN sizes z USING (cluster)),
+       |st AS (SELECT weight, CAST(count(*) AS BIGINT) AS n_reps FROM rw GROUP BY weight),
+       |twt AS (SELECT SUM(CAST(weight * n_reps AS HUGEINT)) AS tw FROM st),
+       |qa AS (SELECT weight, n_reps,
+       |  (CAST($WMixBudget AS HUGEINT) * (weight * n_reps)) // tw AS base,
+       |  (CAST($WMixBudget AS HUGEINT) * (weight * n_reps)) % tw AS rem
+       | FROM st CROSS JOIN twt),
+       |alc AS (SELECT weight, n_reps,
+       |  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       | FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, CAST(weight AS VARCHAR)) AS rk,
+       |   $WMixBudget - SUM(base) OVER () AS short FROM qa)),
+       |rr AS (SELECT rep_id, weight,
+       |  CAST(row_number() OVER (PARTITION BY weight
+       |    ORDER BY ${polySql("'wmix#' || CAST(rep_id AS VARCHAR)")}, rep_id) AS BIGINT) AS pick_rank
+       | FROM rw),
+       |fin AS (SELECT rr.rep_id, rr.weight, rr.pick_rank,
+       |  CAST(a.alloc // a.n_reps +
+       |    CASE WHEN rr.pick_rank <= a.alloc % a.n_reps THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+       | FROM rr JOIN alc a USING (weight))""".stripMargin
 
   /** x110/x112 shared PQ oracle chain at the Pq2 geometry: per-subspace
     * unrolled k-means over CTE `e` (s0..s15 slices, two assign/update
@@ -7605,39 +7758,9 @@ object ExtensionQueries {
       // remainder on mass (the engine's decimal(38,0) mirror; tie-break
       // on the stringified weight = the engine's source key), and the
       // x97 div/mod spread by per-stratum pick rank over the same
-      // polynomial hash
-      s"""WITH $DupClusterCtesSql,
-         |hq AS (SELECT doc_id,
-         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
-         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
-         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
-         | FROM corpus),
-         |qq AS (SELECT doc_id, $QualitySql AS quality FROM hq),
-         |allq AS (SELECT c.doc_id, CAST(coalesce(l.label, c.doc_id) AS BIGINT) AS cluster, q.quality
-         | FROM corpus c LEFT JOIN lab4 l ON l.id = c.doc_id JOIN qq q ON q.doc_id = c.doc_id),
-         |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS weight FROM allq GROUP BY cluster),
-         |reps AS (SELECT cluster, doc_id AS rep_id FROM (
-         |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM allq)
-         | WHERE rn = 1),
-         |rw AS (SELECT r.rep_id, z.weight FROM reps r JOIN sizes z USING (cluster)),
-         |st AS (SELECT weight, CAST(count(*) AS BIGINT) AS n_reps FROM rw GROUP BY weight),
-         |twt AS (SELECT SUM(CAST(weight * n_reps AS HUGEINT)) AS tw FROM st),
-         |qa AS (SELECT weight, n_reps,
-         |  (CAST($WMixBudget AS HUGEINT) * (weight * n_reps)) // tw AS base,
-         |  (CAST($WMixBudget AS HUGEINT) * (weight * n_reps)) % tw AS rem
-         | FROM st CROSS JOIN twt),
-         |alc AS (SELECT weight, n_reps,
-         |  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
-         | FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, CAST(weight AS VARCHAR)) AS rk,
-         |   $WMixBudget - SUM(base) OVER () AS short FROM qa)),
-         |rr AS (SELECT rep_id, weight,
-         |  CAST(row_number() OVER (PARTITION BY weight
-         |    ORDER BY ${polySql("'wmix#' || CAST(rep_id AS VARCHAR)")}, rep_id) AS BIGINT) AS pick_rank
-         | FROM rw),
-         |fin AS (SELECT rr.rep_id, rr.weight, rr.pick_rank,
-         |  CAST(a.alloc // a.n_reps +
-         |    CASE WHEN rr.pick_rank <= a.alloc % a.n_reps THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
-         | FROM rr JOIN alc a USING (weight))
+      // polynomial hash (the shared weightedPicksCtesSql, identical in
+      // x113)
+      s"""WITH $weightedPicksCtesSql
          |SELECT rep_id, weight, pick_rank, n_repeats
          |FROM fin WHERE n_repeats > 0 ORDER BY rep_id""".stripMargin,
     "x112_ivfpq_rerank" ->
@@ -7695,5 +7818,81 @@ object ExtensionQueries {
          |FROM q CROSS JOIN rr
          |LEFT JOIN nc ON nc.qid = q.qid
          |LEFT JOIN h ON h.rerank_r = rr.rerank_r AND h.qid = q.qid
+         |ORDER BY 1, 2""".stripMargin,
+    "x113_weighted_shard_plan" ->
+      // x111's chain (shared CTEs) + x99's tail: per-repeat unnest and
+      // the same polynomial hash over 'rep_id#epoch' folded into
+      // PlanShards
+      s"""WITH $weightedPicksCtesSql,
+         |e113 AS (SELECT rep_id, weight, unnest(range(0, n_repeats)) AS epoch
+         | FROM fin WHERE n_repeats > 0)
+         |SELECT rep_id, weight, CAST(epoch AS BIGINT) AS epoch,
+         | CAST(${polySql("CAST(rep_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)")} % $PlanShards AS INT) AS shard
+         |FROM e113 ORDER BY rep_id, epoch""".stripMargin,
+    "x114_stale_index_recall" ->
+      // two x106 chains over the same corpus: FRESH = x106's verbatim
+      // (sqrt cells, sampled train es, spill serve assignment); STALE =
+      // seeds and training both restricted to the pre-arrival base
+      // (vec_id % 5 <> 0, trained on the FULL base — the engine passes
+      // train = None for the stale build), cells sized for the full
+      // corpus, and the full corpus (arrivals included) spill-assigned
+      // into the stale cells. Same per-(arm, qid) recall tail as x106.
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cells,
+         |  greatest(1, CAST(count(*) AS BIGINT) // (50 * CAST(ceil(sqrt(count(*))) AS BIGINT))) AS tmod FROM e),
+         |eb AS (SELECT vec_id, v FROM e WHERE vec_id % $StaleArrivalMod <> 0),
+         |fc0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < (SELECT cells FROM cl)),
+         |es AS (SELECT vec_id, v FROM e WHERE vec_id % (SELECT tmod FROM cl) = 0),
+         |${ivfAssignSql("fc0", "fa1", "es")},
+         |${ivfUpdateSql("fa1", "fc1")},
+         |${ivfAssignSql("fc1", "fa2", "es")},
+         |${ivfUpdateSql("fa2", "fc2")},
+         |${ivfSpillAssignSql("fc2", "fassigned", ProdSpill)},
+         |sc0 AS (SELECT vec_id AS cell_id, v AS cv FROM eb WHERE vec_id < (SELECT cells FROM cl)),
+         |${ivfAssignSql("sc0", "sa1", "eb")},
+         |${ivfUpdateSql("sa1", "sc1")},
+         |${ivfAssignSql("sc1", "sa2", "eb")},
+         |${ivfUpdateSql("sa2", "sc2")},
+         |${ivfSpillAssignSql("sc2", "sassigned", ProdSpill)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $RecallQ),
+         |tp AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos
+         | FROM e, q WHERE vec_id <> qid),
+         |truth AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM tp) WHERE rnk <= $RecallK),
+         |fqc AS (SELECT qid, qv, cell_id FROM (
+         | SELECT q.qid, q.qv, fc2.cell_id,
+         |  row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(list_cosine_similarity(q.qv, fc2.cv), 6) DESC, fc2.cell_id) AS arnk
+         | FROM q CROSS JOIN fc2) WHERE arnk <= ${ProdNprobes.max}),
+         |sqc AS (SELECT qid, qv, cell_id FROM (
+         | SELECT q.qid, q.qv, sc2.cell_id,
+         |  row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(list_cosine_similarity(q.qv, sc2.cv), 6) DESC, sc2.cell_id) AS arnk
+         | FROM q CROSS JOIN sc2) WHERE arnk <= ${ProdNprobes.max}),
+         |cand AS (
+         | SELECT 'fresh' AS arm, c.qid, a.vec_id,
+         |  round(list_cosine_similarity(c.qv, a.v), 6) AS cos
+         | FROM fqc c JOIN fassigned a ON a.cell_id = c.cell_id AND a.vec_id <> c.qid
+         | UNION ALL
+         | SELECT 'stale' AS arm, c.qid, a.vec_id,
+         |  round(list_cosine_similarity(c.qv, a.v), 6) AS cos
+         | FROM sqc c JOIN sassigned a ON a.cell_id = c.cell_id AND a.vec_id <> c.qid),
+         |cd AS (SELECT DISTINCT arm, qid, vec_id, cos FROM cand),
+         |nc AS (SELECT arm, qid, CAST(count(*) AS BIGINT) AS n_cands FROM cd GROUP BY arm, qid),
+         |ak AS (SELECT arm, qid, vec_id FROM (
+         |  SELECT arm, qid, vec_id,
+         |   row_number() OVER (PARTITION BY arm, qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM cd) WHERE rnk <= $RecallK),
+         |h AS (SELECT arm, qid, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM ak JOIN truth USING (qid, vec_id) GROUP BY arm, qid),
+         |arms AS (SELECT unnest(['fresh', 'stale']) AS arm)
+         |SELECT a.arm, q.qid,
+         | CAST(coalesce(nc.n_cands, 0) AS BIGINT) AS n_cands,
+         | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $RecallK.0, 4) AS recall
+         |FROM q CROSS JOIN arms a
+         |LEFT JOIN nc ON nc.arm = a.arm AND nc.qid = q.qid
+         |LEFT JOIN h ON h.arm = a.arm AND h.qid = q.qid
          |ORDER BY 1, 2""".stripMargin)
 }

@@ -44,6 +44,13 @@ object ClusterGen {
     val dim = args.lift(2).map(_.toInt).getOrElse(64)
     val kClusters = args.lift(3).map(_.toInt).getOrElse(20)
     val noiseScale = args.lift(4).map(_.toDouble).getOrElse(0.7)
+    // shiftArrivals = 1: rows with vec_id % 5 == 0 (x114's arrival
+    // modulus) draw from a DISJOINT label space [k, 2k) — clusters that
+    // did not exist in the base era. The x114 staleness audit on this
+    // fixture measures real recall drift (a stale index scatters the
+    // new clusters); on the unshifted fixture it measures the
+    // cost-not-recall regime.
+    val shiftArrivals = args.lift(5).exists(_ == "1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -82,10 +89,15 @@ object ClusterGen {
     // and sampled-train recall collapsed 1.000 -> 0.896. Real corpora
     // don't encode cluster membership in row parity; the fixture must
     // not either.
+    val baseLabel =
+      if (kClusters >= 1) pmod(hashMix(col("id") + lit(1000000007L)), lit(kClusters.toLong))
+      else lit(0L)
+    val label =
+      if (shiftArrivals)
+        when(col("id") % 5 === 0, baseLabel + lit(kClusters.toLong)).otherwise(baseLabel)
+      else baseLabel
     spark.range(nVec)
-      .select(col("id").as("vec_id"),
-        (if (kClusters >= 1) pmod(hashMix(col("id") + lit(1000000007L)), lit(kClusters.toLong))
-         else lit(0L)).cast("int").as("label"))
+      .select(col("id").as("vec_id"), label.cast("int").as("label"))
       // raw center (stream = label + 1) and raw noise (an independent
       // stream per vector, offset past the center streams)
       .withColumn("craw", transform(dims, d => mixCol(col("label").cast("long") + 1L, d)))

@@ -220,7 +220,15 @@ object ScaleVerify {
     // x112 output is the fixed (2 depth arms x 50 queries) universe; the
     // oracle composes x106's IVF unroll with x110's PQ unroll — feasible
     // to ~sf1 like its parents, engine-only above.
-    "x112_ivfpq_rerank" -> None)
+    "x112_ivfpq_rerank" -> None,
+    // x113 output is budget-bounded (exactly WMixBudget = 500 rows at
+    // any scale — the conservation sum materialized); oracle rides
+    // x111's fixture-bounded cluster CTEs.
+    "x113_weighted_shard_plan" -> None,
+    // x114 output is the fixed (2 arms x 50 queries) universe; the
+    // oracle is two x106-class IVF unrolls — feasible to ~sf1,
+    // engine-only above.
+    "x114_stale_index_recall" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -305,6 +305,57 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("x113: the shard plan IS the budget materialized, epochs spread repeats exactly") {
+    val plan = SparkEntry.queries("x113_weighted_shard_plan")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // conservation carried through the explode: one row per budget unit
+    plan.length shouldBe graft.ExtensionQueries.WMixBudget.toInt
+    plan.foreach { case (_, _, _, shard) => shard should (be >= 0 and be <= 7) }
+    // epoch semantics: a rep with r repeats appears in epochs 0..r-1,
+    // consecutively — epoch e's corpus is exactly {reps with repeats > e}
+    val picks = SparkEntry.queries("x111_weighted_epoch_mix")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    plan.groupBy(_._1).foreach { case (repId, rows) =>
+      rows.map(_._3).sorted shouldBe (0L until picks(repId))
+    }
+    // the fan-out is non-trivial on the fixture: multiple shards hit,
+    // multiple epochs exist
+    plan.map(_._4).distinct.length should be > 1
+    plan.map(_._3).max should be > 0L
+  }
+
+  test("x114: staleness audit — fresh arm equals x106's serve exactly, stale arm full universe") {
+    val rows = SparkEntry.queries("x114_stale_index_recall")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val byArm = rows.groupBy(_._1)
+    byArm.keySet shouldBe Set("fresh", "stale")
+    byArm("fresh").map(_._2).sorted shouldBe byArm("stale").map(_._2).sorted
+    rows.foreach { case (_, _, nCands, nHit, recall) =>
+      nHit should (be >= 0L and be <= 10L)
+      recall shouldBe (nHit.toDouble / 10.0) +- 1e-9
+      nCands should be < 500L
+    }
+    // the fresh arm IS x106's nprobe-4 serve (same persisted index, same
+    // probe, same dedup): per-query candidate count AND hits identical —
+    // the staleness delta is measured against the certified baseline,
+    // not a re-derivation
+    val x106 = SparkEntry.queries("x106_ann_recall_prod")(spark, dir)
+      .collect().collect { case r if r.getLong(0) == graft.ExtensionQueries.ProdNprobes.max.toLong =>
+        r.getLong(1) -> (r.getLong(2), r.getLong(3)) }.toMap
+    byArm("fresh").foreach { case (_, qid, nc, nh, _) =>
+      (nc, nh) shouldBe x106(qid)
+    }
+    // measured regime pin (same-distribution arrivals): the stale index
+    // serves MORE candidates through FEWER live cells (arrival-era seeds
+    // absent), and recall does not collapse — staleness here is a cost
+    // story, not a recall story
+    val meanCandsF = byArm("fresh").map(_._3).sum.toDouble / byArm("fresh").size
+    val meanCandsS = byArm("stale").map(_._3).sum.toDouble / byArm("stale").size
+    meanCandsS should be > meanCandsF
+    val meanRecS = byArm("stale").map(_._5).sum / byArm("stale").size
+    meanRecS should be > 0.5
+  }
+
   test("x112: composed IVF-PQ — candidate volume is x106's, depth buys recall back") {
     val rows = SparkEntry.queries("x112_ivfpq_rerank")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

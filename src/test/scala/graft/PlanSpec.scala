@@ -411,6 +411,26 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("WindowGroupLimit")
   }
 
+  test("x113: the shard plan stays map-only past the broadcast allocation join") {
+    // x99's discipline on the weighted chain: after the catalog-sized
+    // allocation broadcast, the epoch explode and shard hash fuse into
+    // the scan — no new shuffle, no cartesian, no corpus sort.
+    val p = finalPlan("x113_weighted_shard_plan")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x114: both staleness arms keep the x106 audit shape") {
+    // Two index arms, one discipline: candidates from cell-keyed
+    // equi-joins over the cut assignments, rank-limited windows, the
+    // broadcast-sample truth scan as the only nested-loop join.
+    val p = finalPlan("x114_stale_index_recall")
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // brute truth only
+    p should include("WindowGroupLimit")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group
