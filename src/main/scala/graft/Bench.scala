@@ -274,7 +274,7 @@ object Bench {
     // cwd), the judge's full per-query artifact since round 8, which also
     // carries the per-rep timings the stdout line can't afford.
     val line =
-      s"""{"queries":$qs,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"control_sec":$controlJson,"value_control_normalized":$normJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
+      s"""{"queries":$qs,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"control_sec":$controlJson,"reference_control_sec":${ms(ReferenceControlSec)},"value_control_normalized":$normJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("logs")
@@ -287,7 +287,7 @@ object Bench {
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full =
-        s"""{"queries":$qs,"per_rep":$perRep,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"control_sec":$controlJson,"control_per_rep":$controlPerRepJson,"value_control_normalized":$normJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+        s"""{"queries":$qs,"per_rep":$perRep,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"control_sec":$controlJson,"control_per_rep":$controlPerRepJson,"reference_control_sec":${ms(ReferenceControlSec)},"value_control_normalized":$normJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
       java.nio.file.Files.writeString(out.resolve("BENCH_local.json"), full + "\n")
     } catch {
       case e: Throwable =>

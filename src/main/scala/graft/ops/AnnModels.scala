@@ -86,22 +86,39 @@ object AnnModels {
     * the stale husk, and RETRY the rename, so the store self-repairs
     * instead of failing on an opaque parquet schema error forever.
     */
+  private[ops] def modelPath(
+      s: SparkSession, dir: String, table: String, name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$modelRoot/${fingerprint(s, dir, table)}/$name")
+
   def trainOrLoad(s: SparkSession, dir: String, table: String, name: String)(
       train: => DataFrame): DataFrame = {
     val conf = hadoopConf(s)
-    val path = new org.apache.hadoop.fs.Path(
-      s"$modelRoot/${fingerprint(s, dir, table)}/$name")
+    val path = modelPath(s, dir, table, name)
     val fs = path.getFileSystem(conf)
     def committed(): Boolean = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
     if (!committed()) {
       val tmp = new org.apache.hadoop.fs.Path(
         path.getParent, s".${path.getName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      // Snapshot persisted RDD ids BEFORE the train block runs: the
+      // release below must free ONLY blocks the training itself created.
+      // A blanket Checkpoints.unpersist(trained) walks the trained
+      // frame's full lineage — when a trainer returns an UN-CUT frame
+      // (indexFeasibilitySummary), that lineage still contains the
+      // CALLER's lineage-cut corpus, and unpersisting those local-
+      // checkpoint blocks kills every later consumer of the corpus with
+      // an unrecoverable missing-block error (local checkpoints are
+      // exempt from lineage recovery). Diffing against the pre-train
+      // snapshot releases a cut trainer's final generation (kmeans/PQ
+      // models) while leaving caller-owned blocks untouched.
+      val preTrainRddIds = s.sparkContext.getPersistentRDDs.keySet
       val trained = train
       trained.write.mode("overwrite").parquet(tmp.toString)
-      // the trained frame is committed to parquet and will be served by
-      // the read-back below — release its final-generation blocks (a
-      // no-op for trainers that return un-cut frames)
-      Checkpoints.unpersist(trained)
+      trained.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD
+            if !preTrainRddIds.contains(l.rdd.id) =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
       fs.mkdirs(path.getParent)
       val nested = new org.apache.hadoop.fs.Path(path, tmp.getName)
       var attempts = 0
@@ -145,8 +162,33 @@ object AnnModels {
     * full-table plan) still shares a single artifact.
     */
   private[ops] def corpusDescriptor(corpus: DataFrame): String = {
+    val analyzed = corpus.queryExecution.analyzed
+    // A lineage-cut frame's canonicalized plan is a schema-only
+    // LogicalRDD scan — every cut corpus with the same schema would
+    // collapse to ONE descriptor, and two different cut corpora under
+    // the same table fingerprint would silently share a persisted model
+    // (wrong centroids, silent recall loss). When the plan contains a
+    // LogicalRDD leaf, fold a CONTENT hash into the descriptor: row
+    // count plus an order-independent XOR of per-row xxhash64 over all
+    // columns — stable across restarts of identical data, different for
+    // different rows. Cost: one scan of the (already materialized)
+    // blocks, paid once per model-name construction; plans without cut
+    // leaves (the parquet-scan common case) keep the zero-cost
+    // plan-only descriptor.
+    val content =
+      if (!analyzed.collectLeaves().exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])) ""
+      else {
+        import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+        val r = corpus
+          .select(xxhash64(corpus.columns.map(col): _*).as("h"))
+          .agg(count(lit(1)).as("n"),
+            org.apache.spark.sql.functions.expr("bit_xor(h)").as("x"))
+          .head()
+        s"|rows=${r.getAs[Long]("n")}|xor=${r.getAs[Long]("x")}"
+      }
     val desc = corpus.schema.catalogString + "|" +
-      corpus.queryExecution.analyzed.canonicalized.toString
+      analyzed.canonicalized.toString + content
     val md = java.security.MessageDigest.getInstance("MD5").digest(desc.getBytes("UTF-8"))
     md.take(4).map(b => f"$b%02x").mkString
   }
@@ -197,14 +239,28 @@ object AnnModels {
     // the gate threshold is part of the artifact name: a recalibrated
     // FeasibilityExcess must re-measure, never serve a stale verdict
     val eTag = math.round(Similarity.FeasibilityExcess * 100)
-    val f = trainOrLoad(s, dir, "embeddings",
-      s"feas_q${sampleQ}_d${dim}_e${eTag}_c${corpusDescriptor(corpus)}") {
+    val name = s"feas_q${sampleQ}_d${dim}_e${eTag}_c${corpusDescriptor(corpus)}"
+    val f = trainOrLoad(s, dir, "embeddings", name) {
       Similarity.indexFeasibilitySummary(corpus, dim, sampleQ)
     }
-    val r = f.head()
-    IndexFeasibility(
-      r.getAs[Long]("n_corpus"), r.getAs[Double]("median_top1"),
-      r.getAs[Double]("iso_baseline"), r.getAs[Int]("indexable") == 1)
+    f.limit(1).collect().headOption match {
+      case Some(r) =>
+        IndexFeasibility(
+          r.getAs[Long]("n_corpus"), r.getAs[Double]("median_top1"),
+          r.getAs[Double]("iso_baseline"), r.getAs[Int]("indexable") == 1)
+      case None =>
+        // A degenerate corpus (< 2 rows, or no ids in [0, sampleQ) — the
+        // sample-query window) measures to an EMPTY summary; if that
+        // were left committed, every retry for this fingerprint would
+        // serve the poisoned empty artifact. Delete it and fail with the
+        // actionable cause instead of a bare NoSuchElementException.
+        val p = modelPath(s, dir, "embeddings", name)
+        p.getFileSystem(hadoopConf(s)).delete(p, true)
+        throw new IllegalArgumentException(
+          s"index feasibility summary for $dir came back empty: the corpus needs >= 2 " +
+            s"vectors and ids intersecting [0, $sampleQ) (the fixed sample-query window). " +
+            "The empty artifact was removed; fix the corpus (or re-id it zero-based) and retry.")
+    }
   }
 
   /** [[ivfCentroids]] behind the feasibility gate: measure (or load) the
@@ -232,6 +288,145 @@ object AnnModels {
         "here — budget for the measured x106 candidate fractions, or pass " +
         "requireIndexable = false to build anyway")
     (ivfCentroids(s, dir, corpus, k, iters, dim, train), feas)
+  }
+
+  /** Measured staleness verdict for a served IVF model (the x114 audit
+    * made load-bearing — the x109 -> [[ivfCentroidsGated]] pattern
+    * applied to index maintenance): is a REBUILD due, or can arrivals
+    * keep spill-assigning into the existing cells?
+    *
+    *  - `recallArrivals`: recall@`k` of the stale serve (this model, the
+    *    production probe profile) ON THE ARRIVAL SAMPLE, against exact
+    *    brute-force truth over the full corpus. x114 measured drift
+    *    concentrating exactly there: shifted arrivals lose recall
+    *    (0.760 vs 0.970 on the shifted population) while base queries
+    *    hold — so the arrival sample is where a trigger must look.
+    *  - `candFraction`: measured mean candidate fraction per query vs
+    *    `designFraction` (spill * nprobe / ceil(sqrt N) — the profile's
+    *    sizing point). On STATIONARY arrivals staleness shows up as
+    *    cost, not recall (x114: +28 % candidates at zero recall loss);
+    *    the fraction axis catches that regime.
+    *
+    * `rebuildDue` = recall below the floor OR fraction above the cap.
+    */
+  final case class RebuildVerdict(
+      nCorpus: Long, nArrivals: Long, nSample: Long,
+      recallArrivals: Double, candFraction: Double, designFraction: Double,
+      recallFloor: Double, candFractionMax: Double, rebuildDue: Boolean)
+
+  /** One-row staleness measurement (threshold-free — thresholds are
+    * applied by [[rebuildDue]] at read time, so recalibrating a floor
+    * never forces a re-measure): serve the `sampleQ` lowest-id arrival
+    * vectors through the model at (nprobe, spill), score against
+    * brute-force truth on the full corpus. Columns: n_corpus,
+    * n_arrivals, n_sample, sum_hits, sum_cands. All counts — a DISCRETE
+    * summary, engine-reproducible like the feasibility audit's.
+    *
+    * Scale: truth + assignment are the standard certification cost
+    * (corpus scans against a broadcast bounded sample), paid once per
+    * (corpus, arrivals, model) state because [[rebuildDue]] persists
+    * this row as a store artifact. No lineage cut is held — stream
+    * starts consulting the verdict keep zero-leak storage hygiene.
+    */
+  private[ops] def rebuildSummary(
+      corpus: DataFrame, arrivals: DataFrame, model: DataFrame,
+      dim: Int, nprobe: Int, spill: Int, sampleQ: Int, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cents = model.select(col("cell_id").as(idCol), col("cv").as(vecCol))
+    val qs = arrivals.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleQ)
+    val truth = Similarity.bruteForceTopK(corpus, qs, k, idCol, vecCol, dim)
+      .select(col("qid"), col(idCol))
+    val assigned = Similarity.ivfProbe(corpus, cents, dim, spill, idCol, vecCol)
+    val scored = Similarity.ivfCandidates(assigned, qs, cents, dim, nprobe, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    val hits = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .join(truth, Seq("qid", idCol))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val nc = scored.groupBy(col("qid")).agg(count(lit(1)).as("n_cands"))
+    val perQ = qs.select(col(idCol).as("qid"))
+      .join(nc, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+    perQ
+      .agg(
+        count(lit(1)).as("n_sample"),
+        coalesce(sum(col("n_hit")), lit(0L)).cast("long").as("sum_hits"),
+        coalesce(sum(col("n_cands")), lit(0L)).cast("long").as("sum_cands"))
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_corpus"))))
+      .crossJoin(broadcast(arrivals.agg(count(lit(1)).as("n_arrivals"))))
+      .select(col("n_corpus"), col("n_arrivals"), col("n_sample"),
+        col("sum_hits"), col("sum_cands"))
+  }
+
+  /** Measure (once, persisted) and decide: is a rebuild of `model` due
+    * for `corpus` given `arrivals` (the rows that did not exist when
+    * the model was trained)? `recallFloor` should be the profile's
+    * recall target ON AN INDEXABLE corpus ([[Similarity.suggestIvf]]'s
+    * targetRecall — on a corpus the feasibility gate already measured
+    * non-indexable, absolute recall is the certified x106 floor and
+    * this trigger is not the right tool). `candFractionMax < 0` means
+    * 2x the profile's design fraction. No arrivals = nothing stale:
+    * the verdict is quiet by construction.
+    */
+  def rebuildDue(
+      s: SparkSession, dir: String, corpus: DataFrame, arrivals: DataFrame,
+      model: DataFrame, dim: Int, nprobe: Int, spill: Int,
+      sampleQ: Int = 50, k: Int = 10,
+      recallFloor: Double = 0.9, candFractionMax: Double = -1.0,
+      idCol: String = "vec_id", vecCol: String = "v"): RebuildVerdict = {
+    val name = s"rebuild_q${sampleQ}_k${k}_np${nprobe}_sp${spill}_d${dim}" +
+      s"_c${corpusDescriptor(corpus)}_a${corpusDescriptor(arrivals)}_m${corpusDescriptor(model)}"
+    val f = trainOrLoad(s, dir, "embeddings", name) {
+      rebuildSummary(corpus, arrivals, model, dim, nprobe, spill, sampleQ, k, idCol, vecCol)
+    }
+    val r = f.head()
+    val nCorpus = r.getAs[Long]("n_corpus")
+    val nSample = r.getAs[Long]("n_sample")
+    val recall =
+      if (nSample == 0L) 1.0
+      else r.getAs[Long]("sum_hits").toDouble / (k.toDouble * nSample)
+    val candFraction =
+      if (nSample == 0L || nCorpus == 0L) 0.0
+      else r.getAs[Long]("sum_cands").toDouble / (nSample.toDouble * nCorpus)
+    val designFraction =
+      if (nCorpus == 0L) 1.0
+      else spill.toDouble * nprobe / Similarity.sqrtCells(nCorpus)
+    val cap = if (candFractionMax > 0) candFractionMax else 2.0 * designFraction
+    val due = recall < recallFloor || candFraction > cap
+    val v = RebuildVerdict(nCorpus, r.getAs[Long]("n_arrivals"), nSample,
+      recall, candFraction, designFraction, recallFloor, cap, due)
+    log.info(
+      s"index staleness for $dir (N=${v.nCorpus}, arrivals=${v.nArrivals}): recall@$k on the " +
+        s"arrival sample ${v.recallArrivals} vs floor ${v.recallFloor}; candidate fraction " +
+        s"${v.candFraction} vs cap ${v.candFractionMax} (design ${v.designFraction}) -> " +
+        (if (due) "REBUILD DUE" else "serving within profile; keep assigning arrivals in"))
+    v
+  }
+
+  /** The incremental-maintenance discipline end to end (x114's
+    * measurement as the decision): serve the BASE-era model — arrivals
+    * spill-assign into its cells, the cheap path — until the measured
+    * [[rebuildDue]] verdict fires, then train the fresh full-corpus
+    * model (a NEW store artifact: the corpus descriptor differs, so the
+    * stale model is never overwritten and a rollback is a table read).
+    * `cells` should be sized for the FULL corpus in both eras
+    * (like-for-like candidate volume — the x114 arms' rule). Returns
+    * the model to serve plus the verdict that chose it.
+    */
+  def ivfCentroidsMaintained(
+      s: SparkSession, dir: String, corpus: DataFrame, base: DataFrame,
+      arrivals: DataFrame, cells: Int, iters: Int, dim: Int,
+      nprobe: Int, spill: Int,
+      train: Option[DataFrame] = None,
+      sampleQ: Int = 50, k: Int = 10,
+      recallFloor: Double = 0.9, candFractionMax: Double = -1.0): (DataFrame, RebuildVerdict) = {
+    val baseModel = ivfCentroids(s, dir, base, cells, iters, dim)
+    val verdict = rebuildDue(s, dir, corpus, arrivals, baseModel, dim, nprobe, spill,
+      sampleQ, k, recallFloor, candFractionMax)
+    if (!verdict.rebuildDue) (baseModel, verdict)
+    else (ivfCentroids(s, dir, corpus, cells, iters, dim, train), verdict)
   }
 
   /** Trained PQ codebooks for the embeddings table at `dir`. Columns:

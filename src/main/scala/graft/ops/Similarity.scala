@@ -323,6 +323,81 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Inverted lists of the composed IVF-PQ layout (the x112-certified
+    * deployment format): the corpus spill-assigns into its cells and
+    * each list entry carries the vector's PQ RECONSTRUCTION — at
+    * deployment, m small codes plus a broadcast codebook table (the
+    * 32x scan-bandwidth compression x110 certified), never the raw
+    * vectors. Output: (idCol, cell_id, rv). Build once, serve many —
+    * the lists are the serving index [[pqSearchTopK]] scans.
+    *
+    * Scale: the probe is the broadcast centroid join (map-side); the
+    * encode is one broadcast codebook pass; the final join is id-keyed
+    * between two corpus-sized frames that were both derived map-side.
+    */
+  def pqLists(
+      corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      dim: Int, subDim: Int, spill: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
+    ivfProbe(corpus, centroids, dim, spill, idCol, vecCol)
+      .select(col(idCol), col("cell_id"))
+      .join(pqReconstruct(pqEncode(corpus, codebooks, subDim, idCol, vecCol), codebooks, idCol),
+        idCol)
+
+  /** Composed IVF-PQ top-k serve — the first-class API of the x112
+    * certification: probe the query's `nprobe` nearest cells, PQ-score
+    * ONLY those cells' list entries (approximate cosine against the
+    * reconstruction — candidate-bounded scan at compressed bandwidth),
+    * keep the top `rerankR` per query, then re-rank those R survivors
+    * with EXACT cosine against the raw `corpus` vectors. Output schema
+    * is identical to [[ivfSearchTopK]] (qid, vec_id, cos, rnk) — `cos`
+    * is the exact score, so a consumer can swap serve paths without a
+    * schema change.
+    *
+    * Identity anchor (spec-pinned, the property x112 demonstrates at
+    * R = 100): when `rerankR` covers every candidate the probe
+    * generates, the shortlist IS the candidate set and the result is
+    * row-identical to the exact IVF serve over the same `lists`
+    * assignment — quantization then costs nothing and R is purely the
+    * recall/bandwidth knob downward.
+    *
+    * Scale: the PQ pass touches spill * nprobe * N / cells rows per
+    * query at code bandwidth; the exact pass touches rerankR * |Q|
+    * rows of raw vectors (an id-keyed join — at 1B vectors this is
+    * the only stage that reads float data, and it reads R rows per
+    * query). Windows are rank-limited per qid (WindowGroupLimit —
+    * nothing corpus-sized sorts).
+    */
+  def pqSearchTopK(
+      lists: DataFrame, corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, rerankR: Int, dim: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    require(rerankR >= k, s"rerankR ($rerankR) must be >= k ($k): the exact pass can only return ids the shortlist kept")
+    val probed = ivfProbe(queries, centroids, dim, nprobe, idCol, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("cell_id").as("qcell"))
+    val scored = lists.join(broadcast(probed),
+        col("cell_id") === col("qcell") && col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(cosineStatic(col("qv"), col("rv"),
+          norm(col("qv"), dim), norm(col("rv"), dim), dim), 6).as("acos"))
+      .dropDuplicates("qid", idCol)
+    val byApprox = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col(idCol))
+    val shortlist = scored
+      .withColumn("prk", row_number().over(byApprox))
+      .filter(col("prk") <= rerankR)
+      .select(col("qid"), col(idCol))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val byExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    shortlist
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col(idCol),
+        round(cosineStatic(col("qv"), col(vecCol),
+          norm(col("qv"), dim), norm(col(vecCol), dim), dim), 6).as("cos"))
+      .withColumn("rnk", row_number().over(byExact).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Feasibility-gate threshold: a corpus is `indexable` when the
     * sample's median exact top-1 cosine EXCEEDS the isotropic
     * random-match line by at least this much. The excess is ADDITIVE

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Planted-cluster embedding fixture generator — the vector analog of
@@ -29,35 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object ClusterGen {
 
-  /** Deterministic pseudo-random in [-1, 1] for (stream, index) — the
-    * planeComponent mix with a different prime so fixture noise never
-    * correlates with the engine's LSH planes.
+  /** The fixture as a frame (callable from specs/probes — `main` writes
+    * exactly this). Parameters:
+    *
+    *  - `shiftArrivals`: rows with vec_id % 5 == 0 (x114's arrival
+    *    modulus) draw from a DISJOINT label space [k, 2k) — clusters
+    *    that did not exist in the base era. The staleness audit on this
+    *    fixture measures real recall drift (a stale index scatters the
+    *    new clusters); on the unshifted fixture it measures the
+    *    cost-not-recall regime.
+    *  - `noiseFrac` (the r18 verdict's gray-zone knob): this hash-chosen
+    *    fraction of rows is PURE NOISE (label -1, no center term) — a
+    *    mixture between the clean-cluster regime (0.0) and the isotropic
+    *    control (1.0), for measuring where the feasibility excess
+    *    threshold actually sits between the two calibration extremes.
     */
-  private def mix(stream: Long, i: Long): Double = {
-    val h = (stream * 976369L + i * 354313L + 77377L) % 1000003L
-    (h.toDouble / 1000003.0) * 2.0 - 1.0
-  }
-
-  def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("/tmp/ann_clustered")
-    val nVec = args.lift(1).map(_.toLong).getOrElse(2000L)
-    val dim = args.lift(2).map(_.toInt).getOrElse(64)
-    val kClusters = args.lift(3).map(_.toInt).getOrElse(20)
-    val noiseScale = args.lift(4).map(_.toDouble).getOrElse(0.7)
-    // shiftArrivals = 1: rows with vec_id % 5 == 0 (x114's arrival
-    // modulus) draw from a DISJOINT label space [k, 2k) — clusters that
-    // did not exist in the base era. The x114 staleness audit on this
-    // fixture measures real recall drift (a stale index scatters the
-    // new clusters); on the unshifted fixture it measures the
-    // cost-not-recall regime.
-    val shiftArrivals = args.lift(5).exists(_ == "1")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  def frame(
+      spark: SparkSession, nVec: Long, dim: Int, kClusters: Int,
+      noiseScale: Double, shiftArrivals: Boolean = false,
+      noiseFrac: Double = 0.0): DataFrame = {
+    require(noiseFrac >= 0.0 && noiseFrac <= 1.0, s"noiseFrac must be in [0,1], got $noiseFrac")
     // Everything is computed IN-EXPRESSION from the hash mix (center
     // components included): a literal center table at k x dim blows the
     // expression tree past what codegen folds in reasonable time once
@@ -88,14 +79,20 @@ object ClusterGen {
     // vec_id % 2 training sample contained only the even-label clusters
     // and sampled-train recall collapsed 1.000 -> 0.896. Real corpora
     // don't encode cluster membership in row parity; the fixture must
-    // not either.
+    // not either. The noise-row coin is a SEPARATE hash stream for the
+    // same reason.
     val baseLabel =
       if (kClusters >= 1) pmod(hashMix(col("id") + lit(1000000007L)), lit(kClusters.toLong))
       else lit(0L)
-    val label =
+    val shifted =
       if (shiftArrivals)
         when(col("id") % 5 === 0, baseLabel + lit(kClusters.toLong)).otherwise(baseLabel)
       else baseLabel
+    val noiseRow =
+      if (noiseFrac <= 0.0 || kClusters < 1) lit(false)
+      else pmod(hashMix(col("id") + lit(998244353L)), lit(1000000L)) <
+        lit(math.round(noiseFrac * 1000000.0))
+    val label = when(noiseRow, lit(-1L)).otherwise(shifted)
     spark.range(nVec)
       .select(col("id").as("vec_id"), label.cast("int").as("label"))
       // raw center (stream = label + 1) and raw noise (an independent
@@ -107,20 +104,41 @@ object ClusterGen {
       .withColumn("nnorm", sqrt(aggregate(col("nraw"), lit(0.0), (a, x) => a + x * x)))
       // kClusters = 0 -> pure-noise ISOTROPIC corpus (the control arm:
       // a true random-direction fixture at any N, for measuring recall
-      // floors at scale without the driver fixture's replication)
+      // floors at scale without the driver fixture's replication);
+      // label -1 rows (noiseFrac) are per-row isotropic inside a
+      // clustered corpus
       .withColumn("raw",
         if (kClusters >= 1)
-          zip_with(col("craw"), col("nraw"),
-            (c, x) => c / col("cnorm") + lit(noiseScale) * x / col("nnorm"))
+          when(col("label") < 0, col("nraw")).otherwise(
+            zip_with(col("craw"), col("nraw"),
+              (c, x) => c / col("cnorm") + lit(noiseScale) * x / col("nnorm")))
         else col("nraw"))
       .withColumn("vnorm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
       .select(col("vec_id"),
         transform(col("raw"), x => (x / col("vnorm")).cast("float")).as("embedding"),
         col("label"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/ann_clustered")
+    val nVec = args.lift(1).map(_.toLong).getOrElse(2000L)
+    val dim = args.lift(2).map(_.toInt).getOrElse(64)
+    val kClusters = args.lift(3).map(_.toInt).getOrElse(20)
+    val noiseScale = args.lift(4).map(_.toDouble).getOrElse(0.7)
+    val shiftArrivals = args.lift(5).exists(_ == "1")
+    val noiseFrac = args.lift(6).map(_.toDouble).getOrElse(0.0)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    frame(spark, nVec, dim, kClusters, noiseScale, shiftArrivals, noiseFrac)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     println(s"[cluster-gen] wrote $nVec vectors, dim=$dim, k=$kClusters, " +
-      s"noise=$noiseScale -> $outDir/embeddings.parquet")
+      s"noise=$noiseScale, shift=$shiftArrivals, noiseFrac=$noiseFrac -> " +
+      s"$outDir/embeddings.parquet")
     spark.stop()
   }
 }

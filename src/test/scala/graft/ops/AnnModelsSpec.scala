@@ -181,6 +181,79 @@ class AnnModelsSpec extends AnyFunSuite with Matchers with SparkTest {
     modelC.count() should be > 0L
   }
 
+  test("rebuildDue fires on shifted arrivals, stays quiet on stationary; maintained build serves accordingly") {
+    // The x114 measurement as the decision (r18 verdict #1): base-era
+    // index, arrivals spill-assigned in. Stationary arrivals (same
+    // clusters) keep recall at the ceiling -> verdict quiet, the maintained
+    // build KEEPS serving the stale model. Shifted arrivals (clusters the
+    // stale centroids never saw) lose recall on the arrival sample ->
+    // verdict fires, the maintained build trains and serves the fresh
+    // full-corpus model. Probe-measured at this geometry (RebuildProbe,
+    // N=600/k=10/nprobe=4): stationary recall 1.000, shifted 0.834 vs the
+    // 0.9 floor — wide margins on both sides of the pin.
+    val d64 = 64
+    val cells = Similarity.sqrtCells(600L)
+    def fixture(shift: Boolean): (String, org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"rebuild-${if (shift) "shift" else "stat"}").toFile
+      graft.tools.ClusterGen.frame(spark, 600L, d64, 10, 0.7, shiftArrivals = shift)
+        .coalesce(2).write.mode("overwrite")
+        .parquet(new java.io.File(dir, "embeddings.parquet").getPath)
+      (dir.getPath,
+        spark.read.parquet(new java.io.File(dir, "embeddings.parquet").getPath)
+          .select(col("vec_id"), col("embedding").as("v")))
+    }
+    def modelRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cell_id"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+    // stationary: quiet, base model keeps serving
+    val (statDir, stat) = fixture(shift = false)
+    val statBase = stat.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
+    val statArr = stat.filter(pmod(col("vec_id"), lit(5L)) === 0)
+    val (statModel, statV) = AnnModels.ivfCentroidsMaintained(
+      spark, statDir, stat, statBase, statArr, cells, 2, d64, nprobe = 4, spill = 2)
+    statV.rebuildDue shouldBe false
+    statV.nArrivals shouldBe 120L
+    statV.recallArrivals should be >= statV.recallFloor
+    statV.candFraction should be <= statV.candFractionMax
+    modelRows(statModel) shouldBe modelRows(
+      AnnModels.ivfCentroids(spark, statDir, statBase, cells, 2, d64))
+    // the OR's cost arm: an absurdly tight candidate cap fires the trigger
+    // even at perfect recall
+    AnnModels.rebuildDue(spark, statDir, stat, statArr,
+      AnnModels.ivfCentroids(spark, statDir, statBase, cells, 2, d64),
+      d64, nprobe = 4, spill = 2, candFractionMax = 1e-4).rebuildDue shouldBe true
+    // no arrivals = nothing stale: quiet by construction
+    AnnModels.rebuildDue(spark, statDir, stat, statArr.filter(lit(false)),
+      AnnModels.ivfCentroids(spark, statDir, statBase, cells, 2, d64),
+      d64, nprobe = 4, spill = 2).rebuildDue shouldBe false
+
+    // shifted: fires, the fresh full-corpus model is served
+    val (shiftDir, shifted) = fixture(shift = true)
+    val shiftBase = shifted.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
+    val shiftArr = shifted.filter(pmod(col("vec_id"), lit(5L)) === 0)
+    val (shiftModel, shiftV) = AnnModels.ivfCentroidsMaintained(
+      spark, shiftDir, shifted, shiftBase, shiftArr, cells, 2, d64, nprobe = 4, spill = 2)
+    shiftV.rebuildDue shouldBe true
+    shiftV.recallArrivals should be < shiftV.recallFloor
+    val freshRows = modelRows(AnnModels.ivfCentroids(spark, shiftDir, shifted, cells, 2, d64))
+    modelRows(shiftModel) shouldBe freshRows
+    modelRows(shiftModel) should not be modelRows(
+      AnnModels.ivfCentroids(spark, shiftDir, shiftBase, cells, 2, d64))
+
+    // the verdict is a persisted artifact: a second consult serves the
+    // stored measurement without touching the store files
+    val fp = AnnModels.fingerprint(spark, shiftDir, "embeddings")
+    val store = new java.io.File(AnnModels.modelRoot, fp)
+    val before = modelFiles(store)
+    val again = AnnModels.rebuildDue(spark, shiftDir, shifted, shiftArr,
+      AnnModels.ivfCentroids(spark, shiftDir, shiftBase, cells, 2, d64),
+      d64, nprobe = 4, spill = 2)
+    again shouldBe shiftV
+    modelFiles(store) shouldBe before
+  }
+
   test("pqCodebooks round-trips through the store unchanged") {
     val dataDir = java.nio.file.Files.createTempDirectory("annmodels-data3").toFile
     writeCorpus(dataDir, seed = 3, n = 24)

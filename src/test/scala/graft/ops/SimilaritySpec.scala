@@ -259,6 +259,48 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
     full.count() shouldBe q.count() * (emb.count() - 1)
   }
 
+  test("pqSearchTopK: rerankR covering the candidate set is row-identical to the exact IVF serve") {
+    // The x112 identity as the serve API's contract: the PQ pass only
+    // REORDERS candidates before the cut at rerankR, so once R covers
+    // every candidate the exact re-rank sees exactly the ivfCandidates
+    // set and the composed serve must equal ivfSearchTopK row for row —
+    // same schema, same scores, same ranks. Below that R the shortlist
+    // is a candidate subset and output stays rank-limited at k.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .filter(col("vec_id") < 60)
+    val cents = Similarity.kmeansCentroids(
+      emb, emb.filter(col("vec_id") < 6), iters = 2, dim = 64)
+      .select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val cb = Similarity.pqCodebooks(
+      emb.select(col("vec_id"), col("v").cast("array<double>").as("v")),
+      m = 4, subDim = 16, k = 8, iters = 1)
+    val lists = Similarity.pqLists(emb, cents, cb, dim = 64, subDim = 16, spill = 2)
+    val assigned = Similarity.ivfProbe(emb, cents, 64, nprobe = 2)
+    val q = emb.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "cos", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    // R = corpus size >= any per-query candidate count
+    val composed = rows(Similarity.pqSearchTopK(
+      lists, emb, q, cents, k = 5, rerankR = 60, dim = 64, nprobe = 3))
+    val exact = rows(Similarity.ivfSearchTopK(assigned, q, cents, k = 5, dim = 64, nprobe = 3))
+    composed shouldBe exact
+    // narrow R: output still rank-limited at k, ranks dense from 1, and
+    // every returned id is an IVF candidate of the same probe
+    val narrow = Similarity.pqSearchTopK(
+      lists, emb, q, cents, k = 5, rerankR = 8, dim = 64, nprobe = 3)
+    val byQ = narrow.select("qid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    byQ.values.foreach { rs => rs.map(_._2).sorted shouldBe (1L to rs.length.toLong).toArray }
+    val candIds = Similarity.ivfCandidates(assigned, q, cents, 64, nprobe = 3)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    narrow.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).foreach(p => candIds should contain(p))
+    an[IllegalArgumentException] should be thrownBy Similarity.pqSearchTopK(
+      lists, emb, q, cents, k = 5, rerankR = 4, dim = 64, nprobe = 3)
+  }
+
   test("sqrtCells and suggestIvf encode the measured profile") {
     Similarity.sqrtCells(1L) shouldBe 1
     Similarity.sqrtCells(500L) shouldBe 23

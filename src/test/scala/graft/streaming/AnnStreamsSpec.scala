@@ -77,6 +77,83 @@ class AnnStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     spark.read.parquet(s"$root/sink").count() shouldBe out.length.toLong
   }
 
+  test("annServeIngest PqRerank profile: stream equals the exact IVF serve when rerankR covers the candidates") {
+    // The x112 identity carried into the serve stream (r18 verdict #2):
+    // with rerankR >= every per-query candidate count, the composed
+    // PQ-score -> exact-re-rank path must serve answers row-identical to
+    // the EXACT IVF serve over the same cells/spill/probe profile — the
+    // compression is free at full re-rank depth, and R is purely the
+    // downward bandwidth knob.
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("annservepq").toString
+    val c = Checkpoints.cut(corpus)
+    val qVecs = c.filter(col("vec_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(qVecs.map { case (i, v) => (700L + i, v) }.toSeq)
+    val q = AnnStreams.annServeIngest(
+      in.toDF().toDF("vec_id", "v"), c, "/root/testdata/sf0.001",
+      s"$root/sink", s"$root/chk", k = 5, dim = dim, nprobe = 3,
+      spill = 2, cells = 8,
+      profile = AnnStreams.PqRerank(m = 4, subDim = 16, codebookK = 8, rerankR = 200))
+    q.processAllAvailable(); q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$root/sink")
+      .select("qid", "vec_id", "cos", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted
+    val cents = Checkpoints.cut(Similarity.kmeansCentroids(
+      c, c.filter(col("vec_id") < 8), iters = 2, dim = dim)
+      .select(col("cell_id").as("vec_id"), col("cv").as("v")))
+    val assigned = Similarity.ivfProbe(c, cents, dim, 2)
+    val twinQ = qVecs.map { case (i, v) => (700L + i, v) }.toSeq.toDF("vec_id", "v")
+    val exact = Similarity.ivfSearchTopK(assigned, twinQ, cents, k = 5, dim = dim, nprobe = 3)
+      .select("qid", "vec_id", "cos", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted
+    out shouldBe exact
+  }
+
+  test("annServeIngest with baseCorpus: the measured rebuild verdict picks the served model") {
+    // The maintenance discipline wired into the stream (r18 verdict #1):
+    // on SHIFTED arrivals the persisted rebuildDue verdict fires at serve
+    // start, so the stream trains-and-serves the FRESH full-corpus model —
+    // its answers must equal the batch serve built from that fresh model.
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("annservemaint").toString
+    val dataDir = java.nio.file.Files.createTempDirectory("annservemaint-data").toFile
+    graft.tools.ClusterGen.frame(spark, 600L, dim, 10, 0.7, shiftArrivals = true)
+      .coalesce(2).write.mode("overwrite")
+      .parquet(new java.io.File(dataDir, "embeddings.parquet").getPath)
+    val e = spark.read.parquet(new java.io.File(dataDir, "embeddings.parquet").getPath)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val base = e.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
+    val arrivals = e.filter(pmod(col("vec_id"), lit(5L)) === 0)
+    val qVecs = arrivals.filter(col("vec_id") < 20)
+      .collect().map(r => (9000L + r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(qVecs.toSeq)
+    val q = AnnStreams.annServeIngest(
+      in.toDF().toDF("vec_id", "v"), e, dataDir.getPath,
+      s"$root/sink", s"$root/chk", k = 5, dim = dim, nprobe = 4, spill = 2,
+      baseCorpus = Some(base), arrivals = Some(arrivals))
+    q.processAllAvailable(); q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$root/sink")
+      .select("qid", "vec_id", "cos", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted
+    // batch twin over the FRESH full-corpus model — the verdict-fired arm
+    val cells = Similarity.sqrtCells(600L)
+    val fresh = graft.ops.AnnModels.ivfCentroids(spark, dataDir.getPath, e, cells, 2, dim)
+      .select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val assigned = Similarity.ivfProbe(e, fresh, dim, 2)
+    val twin = Similarity.ivfSearchTopK(
+      assigned, qVecs.toSeq.toDF("vec_id", "v"), fresh, k = 5, dim = dim, nprobe = 4)
+      .select("qid", "vec_id", "cos", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted
+    out shouldBe twin
+  }
+
   test("annServeIngest: full-cell probe serves exact brute-force answers") {
     implicit val sq = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("annserve2").toString

@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--json <path>]
 
 Mimics the driver: registers each <sfDir>/*.parquet as a view named by file
 stem, runs every SQL in <outDir>/oracle_sql.json, reads the Spark result
 parquet from <outDir>/<name>/, sorts columns by name, and compares values.
+
+--json writes a per-query verdict artifact (the builder-side redundancy the
+r18 verdict asked for after the driver's CORRECTNESS_r18.json came back
+empty): {"sf": ..., "n_pass": N, "n_fail": N, "queries": {name: "pass" |
+"FAIL: reason"}} — commit it as logs/ORACLE_r<N>.json with the gate run so
+the round's correctness claim stays auditable even if the driver artifact
+is lost.
 """
 import sys, os, glob, json
 import duckdb
@@ -34,6 +41,9 @@ def norm(df):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
     con = duckdb.connect()
     # resource caps (check_each.py sets these so one pathological oracle
     # can't thrash the whole box); no-ops when unset
@@ -60,21 +70,24 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    verdicts = {}
+    def fail(name, reason):
+        nonlocal n_fail
+        print(f"FAIL {name}: {reason}")
+        verdicts[name] = f"FAIL: {reason}"
+        n_fail += 1
     for name in sorted(oracle):
         try:
             spark_df = norm(load_spark(outdir, name))
             duck_df = norm(con.sql(oracle[name]).df())
         except Exception as e:
-            print(f"FAIL {name}: load/exec error: {e}")
-            n_fail += 1
+            fail(name, f"load/exec error: {e}")
             continue
         if list(spark_df.columns) != list(duck_df.columns):
-            print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
-            n_fail += 1
+            fail(name, f"columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
             continue
         if len(spark_df) != len(duck_df):
-            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
-            n_fail += 1
+            fail(name, f"rows spark={len(spark_df)} duck={len(duck_df)}")
             continue
         bad = []
         for c in spark_df.columns:
@@ -84,12 +97,17 @@ def main():
                 i = (~eq).idxmax()
                 bad.append(f"{c}[row {i}]: spark={a[i]!r} duck={b[i]!r} ({(~eq).sum()} diffs)")
         if bad:
-            print(f"FAIL {name}: " + "; ".join(bad))
-            n_fail += 1
+            fail(name, "; ".join(bad))
         else:
             print(f"PASS {name} ({len(spark_df)} rows)")
+            verdicts[name] = "pass"
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf": sfdir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": verdicts}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
