@@ -2436,7 +2436,7 @@ object ExtensionQueries {
 
   /** Temperature exponent / document budget of the x63 mix allocation. */
   private val MixAlpha = 0.3
-  private val MixBudget = 100000L
+  private[graft] val MixBudget = 100000L
 
   /** Pairwise source-distribution divergence (x62): Jensen-Shannon
     * divergence between every pair of sources' token-hash-bucket
@@ -5276,6 +5276,74 @@ object ExtensionQueries {
       .orderBy(col("arm"), col("qid"))
   }
 
+  /** dedupCorpus's synthetic-copy id offsets are exact multiples of this
+    * span and base ids sit far below it, so `id % span` recovers every
+    * copy's base document (and therefore its source) — the attribution
+    * rule x115 and its oracle share.
+    */
+  private val DedupBaseSpan = 100000L
+
+  /** Duplication-corrected temperature mix (x115): x104's soft-dedup
+    * weights feeding the SECOND sampling discipline (r17's ask — x111/
+    * x113 delivered the epoch-materialization route; this is the
+    * temperature route). x63 temperature-allocates over RAW source
+    * masses, which double-count duplicated content: a source whose bulk
+    * is near-copies looks bigger than the content it contributes. Here
+    * the per-source mass is the x104 chain's corrected token mass —
+    * each duplicate cluster counted ONCE, at its elected
+    * representative, carrying weight x the REP's own token count (the
+    * x104 `weighted_tokens` surface aggregated by the rep's source) —
+    * and the same exact-integer temperature kernel
+    * ([[graft.ops.CorpusMix.temperatureAllocation]], alpha =
+    * [[MixAlpha]]) apportions [[MixBudget]] over those masses.
+    * raw_tokens rides along for the audit: the gap between raw and
+    * corrected mass IS the duplication inflation the correction
+    * removes (the chain-tail copies inflate raw mass with re-counted
+    * text; the corrected mass counts each cluster's canonical text
+    * once at full multiplicity).
+    *
+    * Scale shape: x104's cluster machinery wholesale; after the rep
+    * frame everything is dimension-sized (sources are a catalog) — the
+    * source attribution joins broadcast the rep/corpus side against a
+    * doc_id-pruned documents scan, and the quota kernel runs its
+    * windows over the source catalog. Conservation (Σ alloc ==
+    * budget) and mass-monotonicity are CertificationSpec pins.
+    */
+  private def x115(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir)
+      .withColumn("quality", TextOps.quality(col("text")))
+      .withColumn("n_tokens", TextOps.wsTokenCount(col("text"))))
+    val labeled = Checkpoints.cut(corpus
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"),
+        col("quality"), col("n_tokens")))
+    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
+    val reps = Dedup.clusterReps(
+      labeled.select(col("doc_id").as("id"), col("cluster"), col("quality")))
+    // base ids are < 120 by dedupCorpus's construction — the source
+    // lookup is a pruned scan of documents, broadcast against the
+    // audit-sized rep/corpus frames
+    val srcOf = broadcast(t(s, dir, "documents")
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id").as("base_id"), col("source")))
+    val mass = reps.join(sizes, "cluster")
+      .join(labeled.select(col("doc_id").as("rep_id"), col("n_tokens")), "rep_id")
+      .select(pmod(col("rep_id"), lit(DedupBaseSpan)).as("base_id"),
+        (col("weight") * col("n_tokens")).as("m"))
+      .join(srcOf, "base_id")
+      .groupBy(col("source")).agg(sum(col("m")).as("n_docs"))
+    val raw = corpus
+      .select(pmod(col("doc_id"), lit(DedupBaseSpan)).as("base_id"), col("n_tokens"))
+      .join(srcOf, "base_id")
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("raw_tokens"))
+    CorpusMix.temperatureAllocation(mass, MixAlpha, MixBudget)
+      .join(raw, "source")
+      .select(col("source"), col("raw_tokens"), col("n_docs").as("mass"),
+        col("w"), col("alloc"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -5392,7 +5460,8 @@ object ExtensionQueries {
     "x111_weighted_epoch_mix" -> (x111 _),
     "x112_ivfpq_rerank" -> (x112 _),
     "x113_weighted_shard_plan" -> (x113 _),
-    "x114_stale_index_recall" -> (x114 _))
+    "x114_stale_index_recall" -> (x114 _),
+    "x115_weighted_temperature_mix" -> (x115 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -7894,5 +7963,46 @@ object ExtensionQueries {
          |FROM q CROSS JOIN arms a
          |LEFT JOIN nc ON nc.arm = a.arm AND nc.qid = q.qid
          |LEFT JOIN h ON h.arm = a.arm AND h.qid = q.qid
-         |ORDER BY 1, 2""".stripMargin)
+         |ORDER BY 1, 2""".stripMargin,
+    "x115_weighted_temperature_mix" ->
+      // x104's cluster chain (same CTEs) aggregated to per-source
+      // duplication-corrected token mass (each cluster once, at its
+      // rep: weight * the rep's ws), then x63's exact-integer
+      // temperature kernel over those masses (HUGEINT quotas, largest
+      // remainder, source tie-break). Base ids are < 120, synthetic
+      // copies offset by multiples of 100000 -> id % 100000 recovers
+      // the source of every copy.
+      s"""WITH $DupClusterCtesSql,
+         |hq AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM corpus),
+         |qq AS (SELECT doc_id, $QualitySql AS quality FROM hq),
+         |allq AS (SELECT c.doc_id, CAST(coalesce(l.label, c.doc_id) AS BIGINT) AS cluster, q.quality
+         | FROM corpus c LEFT JOIN lab4 l ON l.id = c.doc_id JOIN qq q ON q.doc_id = c.doc_id),
+         |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS weight FROM allq GROUP BY cluster),
+         |reps AS (SELECT cluster, doc_id AS rep_id FROM (
+         |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM allq)
+         | WHERE rn = 1),
+         |wsrc AS (SELECT doc_id AS base_id, source FROM documents WHERE doc_id < 120),
+         |wmass AS (SELECT s2.source, CAST(SUM(z.weight * h.ws) AS BIGINT) AS mass
+         | FROM reps r JOIN sizes z USING (cluster) JOIN hq h ON h.doc_id = r.rep_id
+         | JOIN wsrc s2 ON s2.base_id = r.rep_id % $DedupBaseSpan
+         | GROUP BY s2.source),
+         |wraw AS (SELECT s2.source, CAST(SUM(h.ws) AS BIGINT) AS raw_tokens
+         | FROM hq h JOIN wsrc s2 ON s2.base_id = h.doc_id % $DedupBaseSpan
+         | GROUP BY s2.source),
+         |wmw AS (SELECT source, mass,
+         |  CAST(floor(power(CAST(mass AS DOUBLE), $MixAlpha) * 1000000.0) AS BIGINT) AS w FROM wmass),
+         |wmt AS (SELECT SUM(CAST(w AS HUGEINT)) AS tw FROM wmw),
+         |wmq AS (SELECT source, mass, w,
+         |  (CAST($MixBudget AS HUGEINT) * w) // tw AS base_q,
+         |  (CAST($MixBudget AS HUGEINT) * w) % tw AS rem FROM wmw CROSS JOIN wmt),
+         |wms AS (SELECT $MixBudget - SUM(base_q) AS short FROM wmq),
+         |wmr AS (SELECT wmq.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM wmq),
+         |wma AS (SELECT source, mass, w,
+         |  CAST(base_q + CASE WHEN rk <= (SELECT short FROM wms) THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM wmr)
+         |SELECT wma.source, wraw.raw_tokens, wma.mass, wma.w, wma.alloc
+         |FROM wma JOIN wraw USING (source) ORDER BY source""".stripMargin)
 }

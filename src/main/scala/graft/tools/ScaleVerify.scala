@@ -228,7 +228,12 @@ object ScaleVerify {
     // x114 output is the fixed (2 arms x 50 queries) universe; the
     // oracle is two x106-class IVF unrolls — feasible to ~sf1,
     // engine-only above.
-    "x114_stale_index_recall" -> None)
+    "x114_stale_index_recall" -> None,
+    // x115 output is source-catalog-sized (one row per source at any
+    // scale); the big-table touch is the doc_id-pruned source lookup,
+    // the rest rides x104's fixture-bounded cluster CTEs. Compare whole
+    // — conservation is part of the row-exact compare.
+    "x115_weighted_temperature_mix" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

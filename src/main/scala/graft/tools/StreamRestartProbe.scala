@@ -516,6 +516,62 @@ object StreamRestartProbe {
         java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
   }
 
+  /** Kill-replay for the COMPOSED PQ serving profile (annServeIngest
+    * with ServeProfile = PqRerank — the x112 layout: lists carry PQ
+    * reconstructions, candidates PQ-score, top R re-rank exactly): same
+    * drive as runAnnServe, so every run also soaks the store-reload
+    * path for BOTH persisted artifacts (IVF centroids AND the PQ
+    * codebooks — trained once, table reads on all later runs). The
+    * killed run's sink must be row-identical to the uninterrupted
+    * twin's: answers are a pure function of (index artifacts, query
+    * batch) under the batch_id=N overwrite discipline.
+    */
+  def runAnnServePq(
+      spark: SparkSession, sfDir: String, batches: Int, perBatch: Int, killAt: Int): Result = {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("restart-annservepq").toString
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1).map(_._2)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType))))
+
+    def writeFeed(srcDir: String, b: Int): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/b$b.json")
+      (0 until perBatch).foreach { i =>
+        val qid = 2000000L + b.toLong * perBatch + i
+        val v = vecs(((b * perBatch + i * 7 + 3) % vecs.length).toInt)
+        w.println(s"""{"vec_id": $qid, "v": [${v.mkString(", ")}]}""")
+      }
+      w.close()
+    }
+
+    def drive(name: String, injectKill: Boolean): Array[String] = {
+      val srcDir = s"$root/$name/src"
+      new java.io.File(srcDir).mkdirs()
+      (0 until batches).foreach { b =>
+        writeFeed(srcDir, b)
+        val q = graft.streaming.AnnStreams.annServeIngest(
+          spark.readStream.schema(schema).json(srcDir), corpus, sfDir,
+          s"$root/$name/sink", s"$root/$name/chk",
+          k = 10, dim = 64, nprobe = 3,
+          profile = graft.streaming.AnnStreams.PqRerank(
+            m = 4, subDim = 16, codebookK = 8, rerankR = 50))
+        require(q.awaitTermination(180000), s"annServePq batch $b exceeded 180 s")
+        if (injectKill && b == killAt - 1) dropCommit(s"$root/$name/chk", b.toLong)
+      }
+      sortedRows(spark.read.parquet(s"$root/$name/sink"))
+    }
+
+    val twin = drive("twin", injectKill = false)
+    val killed = drive("killed", injectKill = true)
+    Result("annServeIngest-pq/store-reload", batches, killAt, killed.length.toLong,
+      twin.nonEmpty &&
+        java.util.Arrays.equals(twin.asInstanceOf[Array[AnyRef]], killed.asInstanceOf[Array[AnyRef]]))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -533,6 +589,8 @@ object StreamRestartProbe {
       runDomainGate(spark, batches, perBatch / 10, killAt),
       runScrub(spark, batches, perBatch / 10, killAt),
       runAnnServe(spark, args.lift(3).getOrElse("/root/testdata/sf0.1"),
+        batches, perBatch / 100, killAt),
+      runAnnServePq(spark, args.lift(3).getOrElse("/root/testdata/sf0.1"),
         batches, perBatch / 100, killAt))
     println(f"${"probe"}%-36s ${"batches"}%7s ${"killAt"}%6s ${"rows"}%8s ${"agree"}%6s")
     results.foreach(r =>

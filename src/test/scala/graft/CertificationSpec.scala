@@ -356,6 +356,40 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     meanRecS should be > 0.5
   }
 
+  test("x115: corrected-mass temperature mix conserves the budget and consumes x104's weights") {
+    val rows = SparkEntry.queries("x115_weighted_temperature_mix")(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows should not be empty
+    // CONSERVATION: exact-integer apportionment — Σ alloc == budget
+    rows.map(_._5).sum shouldBe graft.ExtensionQueries.MixBudget
+    // MONOTONICITY: largest remainder is monotone in the mass — a source
+    // with strictly more corrected mass never allocates less (equal
+    // masses may differ by the single remainder unit)
+    val sorted = rows.sortBy(r => (r._3, r._5)).toSeq
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (b._3 > a._3) b._5 should be >= a._5
+        else math.abs(b._5 - a._5) should be <= 1L
+      case _ => ()
+    }
+    // the corrected mass IS x104's surface: weighted_tokens aggregated at
+    // the representative's source (id % 100000 recovers the base doc) —
+    // the second consumer reads the same weights the epoch route does
+    val x104 = SparkEntry.queries("x104_soft_dedup_weights")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = x104
+      .groupBy { case (repId, _) => srcOf(repId % 100000L) }
+      .map { case (src, rs) => src -> rs.map(_._2).sum }
+    rows.map(r => r._1 -> r._3).toMap shouldBe expected
+    // the correction is non-vacuous on the fixture: raw and corrected
+    // masses genuinely differ for some source
+    rows.exists(r => r._2 != r._3) shouldBe true
+  }
+
   test("x112: composed IVF-PQ — candidate volume is x106's, depth buys recall back") {
     val rows = SparkEntry.queries("x112_ivfpq_rerank")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

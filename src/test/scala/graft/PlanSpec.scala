@@ -431,6 +431,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("WindowGroupLimit")
   }
 
+  test("x115: corrected-mass apportionment is catalog-sized past the rep frame") {
+    // x63's discipline on the soft-dedup consumer: the cluster machinery
+    // runs inside cut generations (ExistingRDD scans); the only file
+    // scans left in the served plan are the doc_id-pruned documents
+    // source lookups (one per attribution side — mass and raw each
+    // broadcast their own build), pruned at the parquet reader, so at
+    // 100 TB the attribution reads 120-row slices, not the table.
+    val p = finalPlan("x115_weighted_temperature_mix")
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+    "FileScan parquet".r.findAllIn(p).size should be <= 2
+    p should include("LessThan(doc_id,120)")
+    p should not include "lineitem"
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group
