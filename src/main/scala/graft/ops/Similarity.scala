@@ -417,6 +417,23 @@ object Similarity {
     * recall 0.992 at 1.5% scanned), so the positive verdict there is
     * correct, not an artifact. 0.15 sits between the isotropic and
     * every structured regime with headroom both ways.
+    *
+    * GRAY ZONE (measured r19, logs/ANNSWEEP_r19_gray{25,50,75}.log —
+    * ClusterGen noiseFrac mixes a pure-noise row fraction into the
+    * clustered 20k fixture): the median statistic is a MAJORITY vote,
+    * and it transitions sharply — excess +0.21 at 25 % noise
+    * (indexable, like the clean fixture's +0.23), -0.04 / -0.05 at
+    * 50 % / 75 % (not indexable, like the pure-isotropic -0.08). No
+    * measured mixture lands anywhere near the 0.15 line, so the
+    * threshold stands un-moved. What the gray fixtures DO expose is a
+    * per-population asymmetry the one-bit verdict cannot carry: a
+    * MINORITY-noise query against a majority-clustered index is the
+    * expensive tail (its true matches scatter across many clusters'
+    * cells, so the probe correlation that saves pure-isotropic corpora
+    * breaks — recall_min rows 0.0-0.4 at 25 % noise while the cluster
+    * majority serves at 1.000). Budgeting for a mixed corpus should
+    * therefore read the verdict as the majority population's regime
+    * and treat the minority as paying the OTHER regime's floor.
     */
   val FeasibilityExcess = 0.15
 

@@ -53,7 +53,15 @@ object AnnSweep {
       Similarity.bruteForceTopK(e, q, RecallK, dim = EmbDim)
         .select(col("qid"), col("vec_id")))
 
-    val cellChoices = Seq(16, 32, math.max(8, math.sqrt(corpusN.toDouble).round.toInt))
+    // SPARK_GRAFT_SWEEP_CELLS: comma-separated explicit cell counts
+    // ("sqrt" = the production sizing) — the r19 gray-zone sweep runs
+    // only the shipped sqrt arm instead of the full design table
+    val cellChoices = sys.env.get("SPARK_GRAFT_SWEEP_CELLS")
+      .map(_.split(",").toSeq.map {
+        case "sqrt" => math.max(8, math.sqrt(corpusN.toDouble).round.toInt)
+        case n => n.trim.toInt
+      })
+      .getOrElse(Seq(16, 32, math.max(8, math.sqrt(corpusN.toDouble).round.toInt)))
       .distinct.sorted
     val iterChoices =
       if (sys.env.contains("SPARK_GRAFT_SWEEP_FAST")) Seq(2) else Seq(2, 5)
