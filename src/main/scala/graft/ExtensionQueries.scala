@@ -5344,6 +5344,53 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** Rebuild-trigger audit (x116): the [[graft.ops.AnnModels.rebuildDue]]
+    * MEASUREMENT as an oracle-checked row — the x109/x114 promotion
+    * pattern applied to the round-19 maintenance API, so the trigger's
+    * arithmetic (arrival-sample recall vs the floor, candidate fraction
+    * vs 2x design) is gate-checked, not just spec-asserted. The frame
+    * IS the production measurement: [[graft.ops.AnnModels.rebuildSummary]]
+    * on x114's split (base = vec_id % 5 != 0 trains the stale index —
+    * the SAME persisted artifact as x114's stale arm; arrivals are the
+    * %5 == 0 rows, sampled at the RecallQ lowest ids), with the verdict
+    * columns computed from the summary counts by the same threshold
+    * rule the API applies (floor = AnnModels.DefaultRecallFloor, cap =
+    * 2x the sqrt-cell design fraction). On this isotropic driver
+    * fixture the recall axis sits below the 0.9 floor (the corpus is
+    * below the feasibility line — x109 gates FIRST in production; the
+    * trigger read on a non-indexable corpus is "you are paying the
+    * linear floor, rebuild won't fix that"), so rebuild_due = 1 — the
+    * CertificationSpec additionally pins the row equal to the API's
+    * own RebuildVerdict on the same inputs.
+    *
+    * Scale shape: x114's stale arm exactly (persisted model build, one
+    * corpus spill assignment, cell-keyed candidate equi-join,
+    * rank-limited windows, broadcast-sample truth scan) + a one-row
+    * aggregate. Output is ONE row at any corpus size.
+    */
+  private def x116(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val base = e.filter(pmod(col("vec_id"), lit(StaleArrivalMod)) =!= 0)
+    val arrivals = e.filter(pmod(col("vec_id"), lit(StaleArrivalMod)) === 0)
+    val cells = Similarity.sqrtCells(e.count())
+    val staleModel = AnnModels.ivfCentroids(s, dir, base, cells, KmIters, EmbDim)
+    AnnModels.rebuildSummary(
+        e, arrivals, staleModel, EmbDim, ProdNprobes.max, ProdSpill, RecallQ, RecallK,
+        "vec_id", "v")
+      .select(col("n_corpus"), col("n_arrivals"), col("n_sample"),
+        col("sum_hits"), col("sum_cands"),
+        round(col("sum_hits").cast("double") /
+          (lit(RecallK.toDouble) * col("n_sample")), 4).as("recall_arrivals"),
+        round(col("sum_cands").cast("double") /
+          (col("n_sample") * col("n_corpus")).cast("double"), 6).as("cand_fraction"),
+        round(lit((ProdSpill * ProdNprobes.max).toDouble) /
+          ceil(sqrt(col("n_corpus").cast("double"))), 6).as("design_fraction"))
+      .withColumn("rebuild_due",
+        (col("recall_arrivals") < lit(AnnModels.DefaultRecallFloor) ||
+          col("cand_fraction") > lit(2.0) * col("design_fraction")).cast("int"))
+      .orderBy(col("n_corpus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -5461,7 +5508,8 @@ object ExtensionQueries {
     "x112_ivfpq_rerank" -> (x112 _),
     "x113_weighted_shard_plan" -> (x113 _),
     "x114_stale_index_recall" -> (x114 _),
-    "x115_weighted_temperature_mix" -> (x115 _))
+    "x115_weighted_temperature_mix" -> (x115 _),
+    "x116_rebuild_trigger" -> (x116 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -8004,5 +8052,57 @@ object ExtensionQueries {
          |wma AS (SELECT source, mass, w,
          |  CAST(base_q + CASE WHEN rk <= (SELECT short FROM wms) THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM wmr)
          |SELECT wma.source, wraw.raw_tokens, wma.mass, wma.w, wma.alloc
-         |FROM wma JOIN wraw USING (source) ORDER BY source""".stripMargin)
+         |FROM wma JOIN wraw USING (source) ORDER BY source""".stripMargin,
+    "x116_rebuild_trigger" ->
+      // x114's stale-arm CTEs verbatim (base-trained 2-round k-means,
+      // full-corpus spill assignment), query set = the RecallQ
+      // lowest-id ARRIVALS, then the one-row summary + the rebuildDue
+      // threshold arithmetic over the rounded audit columns (floor
+      // 0.9, cap = 2x the sqrt-cell design fraction).
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cl AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(ceil(sqrt(count(*))) AS BIGINT) AS cells FROM e),
+         |eb AS (SELECT vec_id, v FROM e WHERE vec_id % $StaleArrivalMod <> 0),
+         |sc0 AS (SELECT vec_id AS cell_id, v AS cv FROM eb WHERE vec_id < (SELECT cells FROM cl)),
+         |${ivfAssignSql("sc0", "sa1", "eb")},
+         |${ivfUpdateSql("sa1", "sc1")},
+         |${ivfAssignSql("sc1", "sa2", "eb")},
+         |${ivfUpdateSql("sa2", "sc2")},
+         |${ivfSpillAssignSql("sc2", "sassigned", ProdSpill)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e
+         | WHERE vec_id % $StaleArrivalMod = 0 ORDER BY vec_id LIMIT $RecallQ),
+         |tp AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos
+         | FROM e, q WHERE vec_id <> qid),
+         |truth AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM tp) WHERE rnk <= $RecallK),
+         |sqc AS (SELECT qid, qv, cell_id FROM (
+         | SELECT q.qid, q.qv, sc2.cell_id,
+         |  row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(list_cosine_similarity(q.qv, sc2.cv), 6) DESC, sc2.cell_id) AS arnk
+         | FROM q CROSS JOIN sc2) WHERE arnk <= ${ProdNprobes.max}),
+         |cd AS (SELECT DISTINCT c.qid, a.vec_id,
+         |  round(list_cosine_similarity(c.qv, a.v), 6) AS cos
+         | FROM sqc c JOIN sassigned a ON a.cell_id = c.cell_id AND a.vec_id <> c.qid),
+         |nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cands FROM cd GROUP BY qid),
+         |ak AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM cd) WHERE rnk <= $RecallK),
+         |h AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM ak JOIN truth USING (qid, vec_id) GROUP BY qid),
+         |sm AS (SELECT
+         |  (SELECT n FROM cl) AS n_corpus,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE vec_id % $StaleArrivalMod = 0) AS n_arrivals,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_sample,
+         |  (SELECT CAST(coalesce(SUM(n_hit), 0) AS BIGINT) FROM h) AS sum_hits,
+         |  (SELECT CAST(coalesce(SUM(n_cands), 0) AS BIGINT) FROM nc) AS sum_cands),
+         |sv AS (SELECT n_corpus, n_arrivals, n_sample, sum_hits, sum_cands,
+         |  round(CAST(sum_hits AS DOUBLE) / ($RecallK.0 * n_sample), 4) AS recall_arrivals,
+         |  round(CAST(sum_cands AS DOUBLE) / CAST(n_sample * n_corpus AS DOUBLE), 6) AS cand_fraction,
+         |  round(${(ProdSpill * ProdNprobes.max).toDouble} / ceil(sqrt(CAST(n_corpus AS DOUBLE))), 6) AS design_fraction
+         | FROM sm)
+         |SELECT sv.*,
+         | CAST(recall_arrivals < ${AnnModels.DefaultRecallFloor}
+         |   OR cand_fraction > 2.0 * design_fraction AS INT) AS rebuild_due
+         |FROM sv ORDER BY n_corpus""".stripMargin)
 }

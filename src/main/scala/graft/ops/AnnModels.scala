@@ -328,7 +328,7 @@ object AnnModels {
     * this row as a store artifact. No lineage cut is held — stream
     * starts consulting the verdict keep zero-leak storage hygiene.
     */
-  private[ops] def rebuildSummary(
+  private[graft] def rebuildSummary(
       corpus: DataFrame, arrivals: DataFrame, model: DataFrame,
       dim: Int, nprobe: Int, spill: Int, sampleQ: Int, k: Int,
       idCol: String, vecCol: String): DataFrame = {
@@ -370,11 +370,17 @@ object AnnModels {
     * 2x the profile's design fraction. No arrivals = nothing stale:
     * the verdict is quiet by construction.
     */
+  /** Default recall floor of [[rebuildDue]] — the suggestIvf default
+    * target; named so the x116 audit query and the API provably apply
+    * the same threshold.
+    */
+  val DefaultRecallFloor = 0.9
+
   def rebuildDue(
       s: SparkSession, dir: String, corpus: DataFrame, arrivals: DataFrame,
       model: DataFrame, dim: Int, nprobe: Int, spill: Int,
       sampleQ: Int = 50, k: Int = 10,
-      recallFloor: Double = 0.9, candFractionMax: Double = -1.0,
+      recallFloor: Double = DefaultRecallFloor, candFractionMax: Double = -1.0,
       idCol: String = "vec_id", vecCol: String = "v"): RebuildVerdict = {
     val name = s"rebuild_q${sampleQ}_k${k}_np${nprobe}_sp${spill}_d${dim}" +
       s"_c${corpusDescriptor(corpus)}_a${corpusDescriptor(arrivals)}_m${corpusDescriptor(model)}"
@@ -421,7 +427,8 @@ object AnnModels {
       nprobe: Int, spill: Int,
       train: Option[DataFrame] = None,
       sampleQ: Int = 50, k: Int = 10,
-      recallFloor: Double = 0.9, candFractionMax: Double = -1.0): (DataFrame, RebuildVerdict) = {
+      recallFloor: Double = DefaultRecallFloor,
+      candFractionMax: Double = -1.0): (DataFrame, RebuildVerdict) = {
     val baseModel = ivfCentroids(s, dir, base, cells, iters, dim)
     val verdict = rebuildDue(s, dir, corpus, arrivals, baseModel, dim, nprobe, spill,
       sampleQ, k, recallFloor, candFractionMax)

@@ -95,7 +95,7 @@ object AnnStreams {
       profile: ServeProfile = ExactIvf,
       baseCorpus: Option[DataFrame] = None,
       arrivals: Option[DataFrame] = None,
-      rebuildRecallFloor: Double = 0.9): StreamingQuery = {
+      rebuildRecallFloor: Double = AnnModels.DefaultRecallFloor): StreamingQuery = {
     require(baseCorpus.isEmpty == arrivals.isEmpty,
       "baseCorpus and arrivals come together: the maintenance verdict needs both eras")
     val s = corpus.sparkSession

@@ -233,7 +233,11 @@ object ScaleVerify {
     // scale); the big-table touch is the doc_id-pruned source lookup,
     // the rest rides x104's fixture-bounded cluster CTEs. Compare whole
     // — conservation is part of the row-exact compare.
-    "x115_weighted_temperature_mix" -> None)
+    "x115_weighted_temperature_mix" -> None,
+    // x116 output is ONE row (the rebuild verdict + its audit counts);
+    // the oracle is x114's stale-arm IVF unroll — feasible to ~sf1
+    // like its parent, engine-only above.
+    "x116_rebuild_trigger" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -390,6 +390,36 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     rows.exists(r => r._2 != r._3) shouldBe true
   }
 
+  test("x116: the rebuild-trigger row IS the API's verdict on the same inputs") {
+    val r = SparkEntry.queries("x116_rebuild_trigger")(spark, dir).collect().head
+    // arithmetic consistency inside the row
+    val k = graft.ExtensionQueries.RecallK
+    r.getAs[Double]("recall_arrivals") shouldBe
+      BigDecimal(r.getAs[Long]("sum_hits").toDouble /
+        (k * r.getAs[Long]("n_sample"))).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    val due = r.getAs[Double]("recall_arrivals") < ops.AnnModels.DefaultRecallFloor ||
+      r.getAs[Double]("cand_fraction") > 2.0 * r.getAs[Double]("design_fraction")
+    r.getAs[Int]("rebuild_due") shouldBe (if (due) 1 else 0)
+    // the row equals AnnModels.rebuildDue's OWN verdict on the same
+    // inputs — the audit query and the production API provably measure
+    // the same thing (the x109/x114 promotion closed end to end)
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val base = e.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
+    val arrivals = e.filter(pmod(col("vec_id"), lit(5L)) === 0)
+    val cells = ops.Similarity.sqrtCells(e.count())
+    val model = ops.AnnModels.ivfCentroids(spark, dir, base, cells, 2, 64)
+    val v = ops.AnnModels.rebuildDue(spark, dir, e, arrivals, model, 64,
+      nprobe = graft.ExtensionQueries.ProdNprobes.max, spill = 2)
+    v.nCorpus shouldBe r.getAs[Long]("n_corpus")
+    v.nArrivals shouldBe r.getAs[Long]("n_arrivals")
+    v.nSample shouldBe r.getAs[Long]("n_sample")
+    v.recallArrivals shouldBe r.getAs[Double]("recall_arrivals") +- 1e-4
+    v.candFraction shouldBe r.getAs[Double]("cand_fraction") +- 1e-6
+    v.rebuildDue shouldBe (r.getAs[Int]("rebuild_due") == 1)
+  }
+
   test("x112: composed IVF-PQ — candidate volume is x106's, depth buys recall back") {
     val rows = SparkEntry.queries("x112_ivfpq_rerank")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

@@ -446,6 +446,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "lineitem"
   }
 
+  test("x116: the trigger audit keeps the x106 serve shape") {
+    // x114's stale arm + a one-row aggregate: candidates from the
+    // cell-keyed equi-join over the cut assignment, rank-limited
+    // windows, the broadcast-sample truth scan as the only nested-loop
+    // join — the verdict costs one certification pass, never a
+    // corpus x corpus scan.
+    val p = finalPlan("x116_rebuild_trigger")
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // brute truth only
+    p should include("WindowGroupLimit")
+  }
+
   test("ivfProbe: the assignment window itself gets WindowGroupLimit") {
     // The inner assignment window (row_number <= nprobe partitioned by
     // vec_id) ranks |corpus| x |cells| scored rows; without the group
