@@ -321,6 +321,10 @@ object AnnModels {
     * brute-force truth on the full corpus. Columns: n_corpus,
     * n_arrivals, n_sample, sum_hits, sum_cands. All counts — a DISCRETE
     * summary, engine-reproducible like the feasibility audit's.
+    * Lowest-id is the deterministic, oracle-mirrorable pick; on an
+    * append-only table whose NEWEST rows drift fastest, pass a
+    * recency-filtered `arrivals` frame (e.g. the last ingest window)
+    * so the sample reads the newest regime, not the oldest arrivals.
     *
     * Scale: truth + assignment are the standard certification cost
     * (corpus scans against a broadcast bounded sample), paid once per
