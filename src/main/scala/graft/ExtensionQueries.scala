@@ -4897,20 +4897,30 @@ object ExtensionQueries {
       round(graft.util.Exact.dsum(col("cos"), 8) / count(lit(1)), 6).as("mean10_cos")))
     val n = e.agg(count(lit(1)).as("n_corpus"))
     val byTop1 = Window.orderBy(col("top1_cos"), col("qid"))
-    val med = perQ
+    // median = the majority vote; p10 = the minority-tail rank twin the
+    // r19 gray-zone sweep motivated (a mixed corpus's minority lives in
+    // the other regime — see Similarity.FeasibilityExcess). Same
+    // window, two discrete rank picks, one aggregate row.
+    val stats = perQ
       .withColumn("rn", row_number().over(byTop1).cast("long"))
       .crossJoin(broadcast(perQ.agg(count(lit(1)).as("n_q"))))
-      .filter(col("rn") === ceil(lit(0.5) * col("n_q")).cast("long"))
-      .select(col("top1_cos").as("median_top1"))
+      .agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n_q")).cast("long"), col("top1_cos")))
+          .as("median_top1"),
+        max(when(col("rn") === ceil(lit(0.1) * col("n_q")).cast("long"), col("top1_cos")))
+          .as("p10_top1"))
     perQ
       .crossJoin(broadcast(n))
-      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(stats))
       .select(col("qid"), col("top1_cos"), col("mean10_cos"), col("n_corpus"),
         round(sqrt(lit(2.0) * log(col("n_corpus").cast("double")) / lit(EmbDim.toDouble)), 6)
           .as("iso_baseline"),
-        col("median_top1"))
+        col("median_top1"), col("p10_top1"))
       .withColumn("indexable",
         (col("median_top1") >= col("iso_baseline") + lit(Similarity.FeasibilityExcess))
+          .cast("int"))
+      .withColumn("tail_indexable",
+        (col("p10_top1") >= col("iso_baseline") + lit(Similarity.FeasibilityExcess))
           .cast("int"))
       .orderBy(col("qid"))
   }
@@ -5391,6 +5401,84 @@ object ExtensionQueries {
       .orderBy(col("n_corpus"))
   }
 
+  /** Duplication-corrected IPF mix (x117): x104's weights feeding the
+    * THIRD sampling discipline (the r19 verdict's ask — x111/x113 run
+    * the epoch route, x115 the temperature route; this closes the
+    * marginal-raking route), so every mixer in the family can run
+    * duplication-corrected. x75 rakes (lang, source) cells toward
+    * temperature marginals computed over RAW document counts — which
+    * double-count duplicated content exactly as x63 did before x115.
+    * Here BOTH the cell masses and the marginals are the x104 chain's
+    * corrected token mass (each duplicate cluster counted once, at its
+    * elected representative, weight x the rep's own tokens, attributed
+    * at the rep's base doc's (lang, source)), and the identical
+    * machinery runs downstream: the exact-integer temperature kernel
+    * ([[graft.ops.CorpusMix.temperatureAllocation]]) per marginal, then
+    * [[IpfRounds]] decimal-quantized raking rounds. Per-source sums of
+    * the corrected cell mass equal x115's mass column by construction
+    * (CertificationSpec pins it), so the temperature and raking routes
+    * provably consume the same corrected surface.
+    *
+    * Scale shape: x104's cluster machinery wholesale; the attribution
+    * join broadcasts the doc_id-pruned documents slice; everything from
+    * the cell-mass frame on is dimension-sized ((lang, source) cells
+    * are a catalog), cut once for its three consumers (two marginals +
+    * q0), with the raking rounds reading only dimension-sized
+    * generations — the x75 plan discipline verbatim.
+    */
+  private def x117(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Checkpoints.cut(dedupCorpus(s, dir)
+      .withColumn("quality", TextOps.quality(col("text")))
+      .withColumn("n_tokens", TextOps.wsTokenCount(col("text"))))
+    val labeled = Checkpoints.cut(corpus
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"),
+        col("quality"), col("n_tokens")))
+    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
+    val reps = Dedup.clusterReps(
+      labeled.select(col("doc_id").as("id"), col("cluster"), col("quality")))
+    // base ids are < 120 by dedupCorpus's construction — the (lang,
+    // source) lookup is a pruned scan of documents, broadcast against
+    // the audit-sized rep frame
+    val dims = broadcast(t(s, dir, "documents")
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id").as("base_id"), col("lang"), col("source")))
+    val cellMass = Checkpoints.cut(reps.join(sizes, "cluster")
+      .join(labeled.select(col("doc_id").as("rep_id"), col("n_tokens")), "rep_id")
+      .select(pmod(col("rep_id"), lit(DedupBaseSpan)).as("base_id"),
+        (col("weight") * col("n_tokens")).as("m"))
+      .join(dims, "base_id")
+      .groupBy(col("lang"), col("source")).agg(sum(col("m")).as("mass")))
+    val langT = CorpusMix.temperatureAllocation(
+      cellMass.groupBy(col("lang")).agg(sum(col("mass")).as("n_docs"))
+        .select(col("lang").as("source"), col("n_docs")),
+      MixAlpha, MixBudget)
+      .select(col("source").as("lang"), col("alloc").as("lt"))
+    val srcT = CorpusMix.temperatureAllocation(
+      cellMass.groupBy(col("source")).agg(sum(col("mass")).as("n_docs")),
+      MixAlpha, MixBudget)
+      .select(col("source"), col("alloc").as("st"))
+    def quant(c: Column): Column = c.cast(DecimalType(18, 12)).cast("double")
+    var q = cellMass
+      .join(broadcast(langT), "lang").join(broadcast(srcT), "source")
+      .select(col("lang"), col("source"), col("mass"), col("lt"), col("st"),
+        col("mass").cast("double").as("q"))
+    for (_ <- 0 until IpfRounds) {
+      val lm = q.groupBy(col("lang")).agg(graft.util.Exact.dsum(col("q"), 12).as("m"))
+      q = q.join(broadcast(lm), "lang")
+        .withColumn("q", quant(col("q") * (col("lt").cast("double") / col("m"))))
+        .drop("m")
+      val sm = q.groupBy(col("source")).agg(graft.util.Exact.dsum(col("q"), 12).as("m"))
+      q = q.join(broadcast(sm), "source")
+        .withColumn("q", quant(col("q") * (col("st").cast("double") / col("m"))))
+        .drop("m")
+    }
+    q.select(col("lang"), col("source"), col("mass"), col("lt"), col("st"),
+      round(col("q"), 6).as("quota"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "x01_text_stats" -> (x01 _),
     "x02_lang_quality" -> (x02 _),
@@ -5509,7 +5597,8 @@ object ExtensionQueries {
     "x113_weighted_shard_plan" -> (x113 _),
     "x114_stale_index_recall" -> (x114 _),
     "x115_weighted_temperature_mix" -> (x115 _),
-    "x116_rebuild_trigger" -> (x116 _))
+    "x116_rebuild_trigger" -> (x116 _),
+    "x117_ipf_mix_corrected" -> (x117 _))
 
   // --- oracle SQL ----------------------------------------------------------
 
@@ -5584,8 +5673,9 @@ object ExtensionQueries {
     * cell ids as strings in both engines).
     */
   private def tempAllocCtesSql(
-      key: String, p: String, budget: Long, from: String = "documents"): String =
-    s"""${p}c AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS n_docs FROM $from GROUP BY $key),
+      key: String, p: String, budget: Long, from: String = "documents",
+      agg: String = "count(*)"): String =
+    s"""${p}c AS (SELECT $key AS k, CAST($agg AS BIGINT) AS n_docs FROM $from GROUP BY $key),
        |${p}w AS (SELECT k, n_docs,
        |  CAST(floor(power(CAST(n_docs AS DOUBLE), $MixAlpha) * 1000000.0) AS BIGINT) AS w FROM ${p}c),
        |${p}t AS (SELECT SUM(CAST(w AS HUGEINT)) AS tw FROM ${p}w),
@@ -7825,14 +7915,17 @@ object ExtensionQueries {
          | FROM tk WHERE rnk <= $RecallK GROUP BY qid),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e),
          |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM pq),
-         |md AS (SELECT top1_cos AS median_top1 FROM (
-         |  SELECT top1_cos, row_number() OVER (ORDER BY top1_cos, qid) AS rn FROM pq)
-         | CROSS JOIN nq WHERE rn = CAST(ceil(0.5 * n_q) AS BIGINT))
+         |rkd AS (SELECT top1_cos, row_number() OVER (ORDER BY top1_cos, qid) AS rn FROM pq),
+         |md AS (SELECT top1_cos AS median_top1 FROM rkd
+         | CROSS JOIN nq WHERE rn = CAST(ceil(0.5 * n_q) AS BIGINT)),
+         |p10 AS (SELECT top1_cos AS p10_top1 FROM rkd
+         | CROSS JOIN nq WHERE rn = CAST(ceil(0.1 * n_q) AS BIGINT))
          |SELECT qid, top1_cos, mean10_cos, n_corpus,
          | round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) AS iso_baseline,
-         | median_top1,
-         | CAST(median_top1 >= round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) + ${Similarity.FeasibilityExcess} AS INT) AS indexable
-         |FROM pq CROSS JOIN nn CROSS JOIN md ORDER BY qid""".stripMargin,
+         | median_top1, p10_top1,
+         | CAST(median_top1 >= round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) + ${Similarity.FeasibilityExcess} AS INT) AS indexable,
+         | CAST(p10_top1 >= round(sqrt(2.0 * ln(CAST(n_corpus AS DOUBLE)) / $EmbDim.0), 6) + ${Similarity.FeasibilityExcess} AS INT) AS tail_indexable
+         |FROM pq CROSS JOIN nn CROSS JOIN md CROSS JOIN p10 ORDER BY qid""".stripMargin,
     "x110_pq_rerank_recall" ->
       // x28's per-subspace unrolled k-means at the x110 geometry (16
       // subspaces x 16 codewords — the shared pqOracleCtesSql, identical
@@ -8104,5 +8197,41 @@ object ExtensionQueries {
          |SELECT sv.*,
          | CAST(recall_arrivals < ${AnnModels.DefaultRecallFloor}
          |   OR cand_fraction > 2.0 * design_fraction AS INT) AS rebuild_due
-         |FROM sv ORDER BY n_corpus""".stripMargin)
+         |FROM sv ORDER BY n_corpus""".stripMargin,
+    "x117_ipf_mix_corrected" -> {
+      // x104's cluster chain (x115's CTEs) aggregated to per-(lang,
+      // source) duplication-corrected token mass; BOTH temperature
+      // marginals run the exact HUGEINT kernel over those masses (the
+      // generalized tempAlloc CTEs with SUM(mass) in place of count),
+      // then the identical unrolled IPF rounds rake the mass cells —
+      // x75's oracle discipline over the corrected surface.
+      val rounds = (1 to IpfRounds)
+        .map(r => ipfRoundSql(if (r == 1) "q0" else s"q${r - 1}", r)).mkString(",\n")
+      s"""WITH $DupClusterCtesSql,
+         |hq AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pu,
+         |  CAST(length(regexp_extract_all(lower(text), '$StopEn')) AS BIGINT) AS st
+         | FROM corpus),
+         |qq AS (SELECT doc_id, $QualitySql AS quality FROM hq),
+         |allq AS (SELECT c.doc_id, CAST(coalesce(l.label, c.doc_id) AS BIGINT) AS cluster, q.quality
+         | FROM corpus c LEFT JOIN lab4 l ON l.id = c.doc_id JOIN qq q ON q.doc_id = c.doc_id),
+         |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS weight FROM allq GROUP BY cluster),
+         |reps AS (SELECT cluster, doc_id AS rep_id FROM (
+         |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM allq)
+         | WHERE rn = 1),
+         |dms AS (SELECT doc_id AS base_id, lang, source FROM documents WHERE doc_id < 120),
+         |cm AS MATERIALIZED (SELECT d.lang, d.source, CAST(SUM(z.weight * h.ws) AS BIGINT) AS mass
+         | FROM reps r JOIN sizes z USING (cluster) JOIN hq h ON h.doc_id = r.rep_id
+         | JOIN dms d ON d.base_id = r.rep_id % $DedupBaseSpan
+         | GROUP BY d.lang, d.source),
+         |${tempAllocCtesSql("lang", "tl", MixBudget, from = "cm", agg = "SUM(mass)")},
+         |${tempAllocCtesSql("source", "ts", MixBudget, from = "cm", agg = "SUM(mass)")},
+         |q0 AS MATERIALIZED (SELECT cm.lang, cm.source, cm.mass AS n_docs, lt.alloc AS lt, st.alloc AS st,
+         |  CAST(cm.mass AS DOUBLE) AS q
+         | FROM cm JOIN tlalc lt ON lt.k = cm.lang JOIN tsalc st ON st.k = cm.source),
+         |$rounds
+         |SELECT lang, source, n_docs AS mass, lt, st, round(q, 6) AS quota
+         |FROM q$IpfRounds ORDER BY lang, source""".stripMargin
+    })
 }

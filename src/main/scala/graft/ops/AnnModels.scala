@@ -161,8 +161,26 @@ object AnnModels {
     * while the common case (several queries serving the identical
     * full-table plan) still shares a single artifact.
     */
-  private[ops] def corpusDescriptor(corpus: DataFrame): String = {
+  /** Content-hash memo for lineage-cut corpora: a cut frame's rows are
+    * immutable for the life of its RDD (local checkpoints are
+    * materialized blocks, never recomputed), so two descriptor
+    * constructions over the SAME canonicalized plan reading the SAME
+    * leaf RDD ids must hash the same rows — the scan can be paid once
+    * per session instead of once per model-name construction
+    * ([[rebuildDue]] alone builds three names per consult). Keyed by
+    * (application id, sorted leaf RDD ids, plan descriptor): RDD ids
+    * are never reused within a SparkContext, and the plan descriptor
+    * disambiguates two frames deriving differently from the same cut
+    * leaf (a filter on top selects different rows). Bounded: cleared
+    * wholesale past 4096 entries (entries are tiny; the bound only
+    * guards a pathological model-name loop).
+    */
+  private val contentMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def corpusDescriptor(corpus: DataFrame): String = {
     val analyzed = corpus.queryExecution.analyzed
+    val planDesc = corpus.schema.catalogString + "|" + analyzed.canonicalized.toString
     // A lineage-cut frame's canonicalized plan is a schema-only
     // LogicalRDD scan — every cut corpus with the same schema would
     // collapse to ONE descriptor, and two different cut corpora under
@@ -172,23 +190,30 @@ object AnnModels {
     // count plus an order-independent XOR of per-row xxhash64 over all
     // columns — stable across restarts of identical data, different for
     // different rows. Cost: one scan of the (already materialized)
-    // blocks, paid once per model-name construction; plans without cut
-    // leaves (the parquet-scan common case) keep the zero-cost
-    // plan-only descriptor.
+    // blocks, paid once per (plan, leaf RDDs) per session via
+    // [[contentMemo]]; plans without cut leaves (the parquet-scan
+    // common case) keep the zero-cost plan-only descriptor.
+    val cutLeafIds = analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    def scanContent(): String = {
+      import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+      val r = corpus
+        .select(xxhash64(corpus.columns.map(col): _*).as("h"))
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.expr("bit_xor(h)").as("x"))
+        .head()
+      s"|rows=${r.getAs[Long]("n")}|xor=${r.getAs[Long]("x")}"
+    }
     val content =
-      if (!analyzed.collectLeaves().exists(
-            _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])) ""
+      if (cutLeafIds.isEmpty) ""
       else {
-        import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
-        val r = corpus
-          .select(xxhash64(corpus.columns.map(col): _*).as("h"))
-          .agg(count(lit(1)).as("n"),
-            org.apache.spark.sql.functions.expr("bit_xor(h)").as("x"))
-          .head()
-        s"|rows=${r.getAs[Long]("n")}|xor=${r.getAs[Long]("x")}"
+        val memoKey = corpus.sparkSession.sparkContext.applicationId + "|" +
+          cutLeafIds.sorted.mkString(",") + "|" + planDesc
+        if (contentMemo.size() > 4096) contentMemo.clear()
+        contentMemo.computeIfAbsent(memoKey, _ => scanContent())
       }
-    val desc = corpus.schema.catalogString + "|" +
-      analyzed.canonicalized.toString + content
+    val desc = planDesc + content
     val md = java.security.MessageDigest.getInstance("MD5").digest(desc.getBytes("UTF-8"))
     md.take(4).map(b => f"$b%02x").mkString
   }
@@ -223,7 +248,8 @@ object AnnModels {
     * floors to budget against, not speedups to assume.
     */
   final case class IndexFeasibility(
-      nCorpus: Long, medianTop1: Double, isoBaseline: Double, indexable: Boolean)
+      nCorpus: Long, medianTop1: Double, p10Top1: Double, isoBaseline: Double,
+      indexable: Boolean, tailIndexable: Boolean)
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -237,9 +263,11 @@ object AnnModels {
       s: SparkSession, dir: String, corpus: DataFrame, dim: Int,
       sampleQ: Int = 50): IndexFeasibility = {
     // the gate threshold is part of the artifact name: a recalibrated
-    // FeasibilityExcess must re-measure, never serve a stale verdict
+    // FeasibilityExcess must re-measure, never serve a stale verdict.
+    // feas2 = the r20 schema (p10/tail columns) — r19 feas artifacts
+    // keep their old name and are simply never read again.
     val eTag = math.round(Similarity.FeasibilityExcess * 100)
-    val name = s"feas_q${sampleQ}_d${dim}_e${eTag}_c${corpusDescriptor(corpus)}"
+    val name = s"feas2_q${sampleQ}_d${dim}_e${eTag}_c${corpusDescriptor(corpus)}"
     val f = trainOrLoad(s, dir, "embeddings", name) {
       Similarity.indexFeasibilitySummary(corpus, dim, sampleQ)
     }
@@ -247,7 +275,9 @@ object AnnModels {
       case Some(r) =>
         IndexFeasibility(
           r.getAs[Long]("n_corpus"), r.getAs[Double]("median_top1"),
-          r.getAs[Double]("iso_baseline"), r.getAs[Int]("indexable") == 1)
+          r.getAs[Double]("p10_top1"),
+          r.getAs[Double]("iso_baseline"), r.getAs[Int]("indexable") == 1,
+          r.getAs[Int]("tail_indexable") == 1)
       case None =>
         // A degenerate corpus (< 2 rows, or no ids in [0, sampleQ) — the
         // sample-query window) measures to an EMPTY summary; if that

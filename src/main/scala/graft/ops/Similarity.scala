@@ -386,6 +386,18 @@ object Similarity {
       .withColumn("prk", row_number().over(byApprox))
       .filter(col("prk") <= rerankR)
       .select(col("qid"), col(idCol))
+    exactRerankTopK(shortlist, corpus, queries, k, dim, idCol, vecCol)
+  }
+
+  /** Shared exact-re-rank tail of the composed serves: fetch the
+    * shortlist's raw vectors by id, score with exact cosine against the
+    * broadcast queries, keep the top k per query (ties to the lower id).
+    * The only stage of a compressed serve that reads float data — R rows
+    * per query.
+    */
+  private def exactRerankTopK(
+      shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, dim: Int, idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val byExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     shortlist
@@ -396,6 +408,151 @@ object Similarity {
           norm(col("qv"), dim), norm(col(vecCol), dim), dim), 6).as("cos"))
       .withColumn("rnk", row_number().over(byExact).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Pack [[pqEncode]]'s (id, subspace, code) rows into one
+    * subspace-ordered code vector per id: (idCol, codes: array<smallint>)
+    * — m small ids per vector, the on-disk PQ payload (codebookK <= 256
+    * fits a byte per code; smallint is the parquet-friendly carrier).
+    */
+  def pqPackCodes(codes: DataFrame, idCol: String = "vec_id"): DataFrame =
+    codes
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code")))),
+        e => e.getField("code").cast("smallint")).as("codes"))
+
+  /** Inverted lists in the DEPLOYABLE compressed layout: each list entry
+    * carries the vector's m PQ CODES — not the reconstruction
+    * ([[pqLists]]), and never the raw floats — so the index on disk and
+    * the candidate scan are smaller by the full x110 compression factor
+    * (~32x at the 64-float / 64-bit-code geometry). Output:
+    * (idCol, cell_id, codes: array<smallint>). Serve with
+    * [[pqSearchTopKCodes]], which rebuilds the scores from the broadcast
+    * codebook via the standard per-query lookup table (ADC) instead of
+    * reading reconstructed vectors.
+    *
+    * Scale: identical plan shape to [[pqLists]] (broadcast centroid
+    * probe, one broadcast codebook encode pass, id-keyed join of two
+    * map-side-derived corpus frames) — only the payload width changes.
+    */
+  def pqListsCodes(
+      corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      dim: Int, subDim: Int, spill: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
+    ivfProbe(corpus, centroids, dim, spill, idCol, vecCol)
+      .select(col(idCol), col("cell_id"))
+      .join(pqPackCodes(pqEncode(corpus, codebooks, subDim, idCol, vecCol), idCol),
+        idCol)
+
+  /** Flat slot index of a (subspace, code) pair in the ADC tables:
+    * subspace * codebookK + code. Codebook cell ids are seeded 0..k-1 and
+    * k-means only ever drops cells, so codes stay < codebookK and the
+    * flat layout is dense-with-holes (a dropped code's slot is never
+    * referenced — no vector encodes to a codeword that does not exist).
+    */
+  private def adcSlot(kMax: Int)(sub: Column, code: Column): Column =
+    sub.cast("long") * kMax + code
+
+  /** Per-query ADC lookup table: for each query, the m * codebookK flat
+    * array of partial dot products between the query's subspace slices
+    * and every codeword — the table asymmetric-distance search sums per
+    * candidate instead of touching any stored vector. Query-sized x
+    * (m * k) work, assembled map-side against the broadcast codebook.
+    * Output: (qid, lutd: array<double>).
+    */
+  private def adcQueryLut(
+      queries: DataFrame, codebooks: DataFrame, dim: Int, subDim: Int, kMax: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val m = dim / subDim
+    val cb = codebooks.select(col("subspace"), col("cell_id").as("code"), col("cv"))
+    val sl = slice(col("qv"), col("subspace") * lit(subDim) + lit(1), lit(subDim))
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"),
+        adcSlot(kMax)(col("subspace"), col("code")).as("slot"),
+        dotNative(sl, col("cv")).as("pd"))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("pd")))).as("lm"))
+      .select(col("qid"),
+        transform(sequence(lit(0L), lit((m * kMax - 1).toLong)),
+          i => coalesce(element_at(col("lm"), i), lit(0.0))).as("lutd"))
+  }
+
+  /** Query-independent codeword self-dot table (one row, m * codebookK
+    * doubles): the reconstruction's squared norm decomposes as the sum of
+    * its codewords' self-dots, so the candidate-side norm is m table
+    * lookups too — no stored vector is ever read during the PQ pass.
+    */
+  private def adcNormTable(codebooks: DataFrame, dim: Int, subDim: Int, kMax: Int): DataFrame = {
+    val m = dim / subDim
+    codebooks
+      .select(adcSlot(kMax)(col("subspace"), col("cell_id")).as("slot"),
+        dotNative(col("cv"), col("cv")).as("nn"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("nn")))).as("nm"))
+      .select(transform(sequence(lit(0L), lit((m * kMax - 1).toLong)),
+        i => coalesce(element_at(col("nm"), i), lit(0.0))).as("lutn"))
+  }
+
+  /** [[pqSearchTopK]] over the compressed [[pqListsCodes]] layout: the
+    * candidate scan reads m small codes per entry and scores them by
+    * LUT/ADC — per query, the m * k sub-distance table
+    * ([[adcQueryLut]]) is precomputed against the broadcast codebook and
+    * each candidate's approximate cosine is m table lookups (plus m
+    * norm-table lookups), never a stored vector read. The top `rerankR`
+    * survivors re-rank with exact cosine against the raw `corpus`
+    * exactly as before. Output schema identical to [[ivfSearchTopK]] /
+    * [[pqSearchTopK]]: (qid, vec_id, cos, rnk).
+    *
+    * Score agreement with the reconstruction-based serve: the ADC sum
+    * accumulates per-subspace partial dots (each a left-to-right fold)
+    * in subspace order, where [[pqSearchTopK]] folds the full
+    * reconstruction left-to-right — the same real-number value, with
+    * float reassociation noise ~1e-16 between them, far below the
+    * 6-decimal rounding both serve paths apply before any comparison
+    * (spec-pinned row-identical on the fixtures). With `rerankR`
+    * covering every candidate the x112 identity holds verbatim: the
+    * shortlist IS the candidate set, so the result is row-identical to
+    * the exact IVF serve regardless of approximate-score noise.
+    *
+    * Scale: the PQ pass touches spill * nprobe * N / cells CODE rows per
+    * query (the ~32x bandwidth cut the layout buys); the broadcast side
+    * per query is one (m * k)-double table instead of the query vector;
+    * the exact pass and windows are unchanged from [[pqSearchTopK]].
+    */
+  def pqSearchTopKCodes(
+      lists: DataFrame, corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame,
+      k: Int, rerankR: Int, dim: Int, subDim: Int, codebookK: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    require(rerankR >= k, s"rerankR ($rerankR) must be >= k ($k): the exact pass can only return ids the shortlist kept")
+    require(dim % subDim == 0, s"dim ($dim) must be a multiple of subDim ($subDim)")
+    val m = dim / subDim
+    val probed = ivfProbe(queries, centroids, dim, nprobe, idCol, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("cell_id").as("qcell"))
+      .withColumn("qn", norm(col("qv"), dim))
+      .join(adcQueryLut(queries, codebooks, dim, subDim, codebookK, idCol, vecCol), "qid")
+      .select(col("qid"), col("qcell"), col("qn"), col("lutd"))
+    // subspace-ordered lookup sums (left-to-right, matching the
+    // reconstruction fold's subspace order); element_at is 1-based
+    def lookupSum(table: Column): Column =
+      (0 until m).map(sub =>
+        element_at(table,
+          lit(sub * codebookK + 1) + element_at(col("codes"), sub + 1).cast("int")))
+        .reduce(_ + _)
+    val scored = lists
+      .join(broadcast(probed), col("cell_id") === col("qcell") && col(idCol) =!= col("qid"))
+      .crossJoin(broadcast(adcNormTable(codebooks, dim, subDim, codebookK)))
+      .select(col("qid"), col(idCol),
+        round(lookupSum(col("lutd")) / (col("qn") * sqrt(lookupSum(col("lutn")))), 6)
+          .as("acos"))
+      .dropDuplicates("qid", idCol)
+    val byApprox = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col(idCol))
+    val shortlist = scored
+      .withColumn("prk", row_number().over(byApprox))
+      .filter(col("prk") <= rerankR)
+      .select(col("qid"), col(idCol))
+    exactRerankTopK(shortlist, corpus, queries, k, dim, idCol, vecCol)
   }
 
   /** Feasibility-gate threshold: a corpus is `indexable` when the
@@ -433,9 +590,72 @@ object Similarity {
     * breaks — recall_min rows 0.0-0.4 at 25 % noise while the cluster
     * majority serves at 1.000). Budgeting for a mixed corpus should
     * therefore read the verdict as the majority population's regime
-    * and treat the minority as paying the OTHER regime's floor.
+    * and treat the minority as paying the OTHER regime's floor. The
+    * summary now CARRIES that statistic: `p10_top1` /
+    * `tail_indexable` ([[indexFeasibilitySummary]]) are the p10 rank
+    * twin of the median vote — a corpus whose median clears the line
+    * while its p10 does not has a minority population in the other
+    * regime, and [[regimeFloors]] / [[suggestIvfWithFloors]] turn the
+    * two verdicts into the budgetable per-population floors.
     */
   val FeasibilityExcess = 0.15
+
+  /** Lowest measured recall of the production (sqrt-cells, spill-2)
+    * profile on a corpus the gate measured INDEXABLE — the replicated
+    * sf1 fixture's 0.992 at 1.5 % scanned (every planted-cluster row
+    * measured 1.000; see the [[suggestIvf]] doc's sweep table). The
+    * clustered-regime budgeting anchor of [[regimeFloors]].
+    */
+  val ClusteredRecallFloor = 0.992
+
+  /** Measured isotropic recall floor of the production profile at a
+    * given nprobe — the N=2k sweep rows [[suggestIvf]] is sized from
+    * (floors as N grows: every N=20k row measured above its 2k twin).
+    */
+  def isotropicRecallFloor(nprobe: Int): Double =
+    if (nprobe >= 12) 0.984
+    else if (nprobe >= 8) 0.968
+    else if (nprobe >= 4) 0.930
+    else if (nprobe >= 2) 0.896
+    else 0.862
+
+  /** Expected recall floors per population for a (possibly mixed)
+    * corpus, read from the feasibility summary's TWO verdicts:
+    * (majority floor, minority-tail floor). A uniform corpus (both
+    * verdicts agree) pays one floor; a mixed one (median clears the
+    * line, p10 does not — the r19 gray-zone regime) budgets its
+    * minority at the OTHER regime's floor instead of discovering it in
+    * production. CAVEAT (measured, gray sweep): a minority-NOISE
+    * population inside a clustered majority can undershoot even the
+    * isotropic line (recall_min 0.0-0.4 at 25 % noise — its true
+    * matches scatter across many clusters' cells), so the returned
+    * minority floor there is the budget line, not a guarantee; serving
+    * that tail at target recall takes a wider probe or an exact
+    * fallback for flagged queries.
+    */
+  def regimeFloors(
+      nprobe: Int, medianIndexable: Boolean, tailIndexable: Boolean): (Double, Double) = {
+    val majority = if (medianIndexable) ClusteredRecallFloor else isotropicRecallFloor(nprobe)
+    val minority =
+      if (tailIndexable == medianIndexable) majority
+      else if (medianIndexable) isotropicRecallFloor(nprobe)
+      else ClusteredRecallFloor
+    (majority, minority)
+  }
+
+  /** [[suggestIvf]] plus the two regimes' expected floors:
+    * (cells, spill, nprobe, majorityFloor, minorityFloor). Callers get
+    * the same profile the sweep table sizes AND the per-population
+    * budget the r19 gray-zone measurement showed the one-bit verdict
+    * cannot carry.
+    */
+  def suggestIvfWithFloors(
+      nCorpus: Long, targetRecall: Double,
+      medianIndexable: Boolean, tailIndexable: Boolean): (Int, Int, Int, Double, Double) = {
+    val (c, sp, np) = suggestIvf(nCorpus, targetRecall)
+    val (maj, mino) = regimeFloors(np, medianIndexable, tailIndexable)
+    (c, sp, np, maj, mino)
+  }
 
   /** One-row summary of the x109 index-feasibility audit: does this
     * embedding corpus have the cluster structure an ANN index needs to
@@ -468,17 +688,26 @@ object Similarity {
     val nq = q.agg(count(lit(1)).as("n_q"))
     val n = corpus.agg(count(lit(1)).as("n_corpus"))
     val byTop1 = Window.orderBy(col("top1_cos"), col("qid"))
+    // median = the majority vote; p10 = the minority-tail twin the r19
+    // gray-zone sweep measured (a mixed corpus's minority population
+    // lives in the other regime — see [[FeasibilityExcess]]). Both are
+    // DISCRETE rank statistics over the same window.
     perQ
       .withColumn("rn", row_number().over(byTop1).cast("long"))
       .crossJoin(broadcast(nq))
-      .filter(col("rn") === ceil(lit(0.5) * col("n_q")).cast("long"))
-      .select(col("top1_cos").as("median_top1"))
+      .agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n_q")).cast("long"), col("top1_cos")))
+          .as("median_top1"),
+        max(when(col("rn") === ceil(lit(0.1) * col("n_q")).cast("long"), col("top1_cos")))
+          .as("p10_top1"))
       .crossJoin(broadcast(n))
-      .select(col("n_corpus"), col("median_top1"),
+      .select(col("n_corpus"), col("median_top1"), col("p10_top1"),
         round(sqrt(lit(2.0) * log(col("n_corpus").cast("double")) / lit(dim.toDouble)), 6)
           .as("iso_baseline"))
       .withColumn("indexable",
         (col("median_top1") >= col("iso_baseline") + lit(FeasibilityExcess)).cast("int"))
+      .withColumn("tail_indexable",
+        (col("p10_top1") >= col("iso_baseline") + lit(FeasibilityExcess)).cast("int"))
   }
 
   /** Deterministic k-means training for IVF centroids: fixed iteration

@@ -37,6 +37,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object AnnStreams {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** How micro-batches score their candidates.
     *
     *  - [[ExactIvf]]: the x106-certified exact-cosine serve — the
@@ -77,6 +79,25 @@ object AnnStreams {
     * and the verdict from the store, so a fleet of serve restarts pays
     * for neither measurement nor training twice.
     */
+  /** In-stream re-consult (`reconsultEvery > 0`, maintained path only):
+    * a ProcessingTime serve never restarts, so a verdict read only at
+    * start would never see arrivals accumulating past the floor. Every
+    * `reconsultEvery` processed batches the maintained serve re-derives
+    * the [[AnnModels.rebuildDue]] verdict BEFORE serving that batch —
+    * the persisted-summary store makes repeat consults for unchanged
+    * eras a table read — and when it fires, trains the fresh
+    * full-corpus model (one batch pays the build, every later batch
+    * serves it) and swaps the serving index, releasing the stale one's
+    * blocks. `refreshEras` supplies fresh era frames per consult
+    * (() => (corpus, arrivals), both in the caller's idCol/vecCol
+    * names): file-source DataFrames snapshot their file listing at
+    * creation, so a GROWING arrivals table must be re-read to be seen —
+    * without it the consult re-reads the start-time frames (still
+    * correct for frames whose rows change underneath, still cheap for
+    * unchanged ones). Once fired and rebuilt, consults stop: the serve
+    * now runs the fresh era's model, and a later era is a new
+    * maintenance split.
+    */
   def annServeIngest(
       queries: DataFrame,
       corpus: DataFrame,
@@ -95,69 +116,134 @@ object AnnStreams {
       profile: ServeProfile = ExactIvf,
       baseCorpus: Option[DataFrame] = None,
       arrivals: Option[DataFrame] = None,
-      rebuildRecallFloor: Double = AnnModels.DefaultRecallFloor): StreamingQuery = {
+      rebuildRecallFloor: Double = AnnModels.DefaultRecallFloor,
+      reconsultEvery: Int = 0,
+      refreshEras: Option[() => (DataFrame, DataFrame)] = None): StreamingQuery = {
     require(baseCorpus.isEmpty == arrivals.isEmpty,
       "baseCorpus and arrivals come together: the maintenance verdict needs both eras")
+    require(reconsultEvery == 0 || baseCorpus.nonEmpty,
+      "reconsultEvery is a maintained-path policy: pass baseCorpus/arrivals with it")
     val s = corpus.sparkSession
     // index BUILD — once, before the stream starts; centroids load from
     // the persisted store on a restart (first start trains + commits)
     val named = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val (nCells, trainMod) =
-      if (cells > 0) (cells, 1L)
+    def sizing(c: DataFrame): (Int, Option[DataFrame]) =
+      if (cells > 0) (cells, None)
       else {
-        val n = named.count()
-        val c = Similarity.sqrtCells(n)
-        (c, Similarity.trainSampleMod(n, c))
+        val n = c.count()
+        val nc = Similarity.sqrtCells(n)
+        val tm = Similarity.trainSampleMod(n, nc)
+        (nc, if (tm == 1L) None else Some(c.filter(pmod(col("vec_id"), lit(tm)) === 0)))
       }
-    val train =
-      if (trainMod == 1L) None
-      else Some(named.filter(pmod(col("vec_id"), lit(trainMod)) === 0))
-    val model = baseCorpus match {
+    val (nCells, train) = sizing(named)
+    // (model to serve now, base-era model + start verdict when maintained)
+    val (model, maintained) = baseCorpus match {
       case Some(base) =>
+        // surface the x109 feasibility verdict here too (the default
+        // path gets it via ivfCentroidsGated): rebuildDue's recall
+        // floor is documented as meaningful only on an INDEXABLE
+        // corpus, so a maintenance serve on a corpus measured below
+        // the line must say so — the measurement is store-amortized
+        // like the models themselves.
+        val feas = AnnModels.indexFeasibility(s, dir, named, dim)
+        log.info(
+          s"maintenance serve feasibility for $dir (N=${feas.nCorpus}): median top-1 " +
+            s"${feas.medianTop1} vs isotropic line ${feas.isoBaseline} -> " +
+            (if (feas.indexable) "indexable (the rebuild trigger's recall floor is meaningful)"
+             else "NOT indexable (isotropic regime: arrival-sample recall reads the linear floor, " +
+               "not index staleness — budget by the candidate-fraction axis)"))
+        val namedBase = base.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
         // measured-maintenance path: cells stay sized for the FULL
         // corpus in both eras (like-for-like candidate volume)
-        val (m, _) = AnnModels.ivfCentroidsMaintained(
-          s, dir, named, base.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+        val (m, v) = AnnModels.ivfCentroidsMaintained(
+          s, dir, named, namedBase,
           arrivals.get.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
           nCells, iters, dim, nprobe, spill, train = train,
           recallFloor = rebuildRecallFloor)
-        m
+        // the base-era model anchors every later consult (a store read)
+        (m, Some((AnnModels.ivfCentroids(s, dir, namedBase, nCells, iters, dim), v)))
       case None =>
         val (m, _) = AnnModels.ivfCentroidsGated(
           s, dir, named, nCells, iters, dim, train = train)
-        m
+        (m, None)
     }
-    val cents = Checkpoints.cut(
-      model.select(col("cell_id").as(idCol), col("cv").as(vecCol)))
-    // per-profile serving index + batch body; `cut` frames are the ones
-    // released at termination
-    val (index, raw, serveBatch) = profile match {
-      case ExactIvf =>
-        val assigned = Checkpoints.cut(
-          Similarity.ivfProbe(corpus, cents, dim, spill, idCol, vecCol))
-        (assigned, None: Option[DataFrame],
-          (batch: DataFrame) =>
-            Similarity.ivfSearchTopK(assigned, batch, cents, k, dim, nprobe, idCol, vecCol))
-      case PqRerank(m, subDim, codebookK, rerankR, pqIters) =>
-        val cb = AnnModels.pqCodebooks(s, dir, named, m, subDim, codebookK, pqIters)
-        val lists = Checkpoints.cut(
-          Similarity.pqLists(named, cents, cb, dim, subDim, spill, "vec_id", "v")
-            .select(col("vec_id").as(idCol), col("cell_id"), col("rv")))
-        // the exact re-rank's raw-vector fetch (R rows per query) — cut
-        // so a micro-batch reads materialized blocks, not the source scan
-        val rawVecs = Checkpoints.cut(corpus.select(col(idCol), col(vecCol)))
-        (lists, Some(rawVecs),
-          (batch: DataFrame) =>
-            Similarity.pqSearchTopK(lists, rawVecs, batch, cents, k, rerankR, dim, nprobe,
-              idCol, vecCol))
+    // per-profile serving index + batch body over a given (model, corpus
+    // era); returns the cut frames to release when this build retires
+    def buildServe(mod: DataFrame, corp: DataFrame): (Seq[DataFrame], DataFrame => DataFrame) = {
+      val nmd = corp.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      val cents = Checkpoints.cut(
+        mod.select(col("cell_id").as(idCol), col("cv").as(vecCol)))
+      profile match {
+        case ExactIvf =>
+          val assigned = Checkpoints.cut(
+            Similarity.ivfProbe(corp, cents, dim, spill, idCol, vecCol))
+          (Seq(assigned, cents),
+            (batch: DataFrame) =>
+              Similarity.ivfSearchTopK(assigned, batch, cents, k, dim, nprobe, idCol, vecCol))
+        case PqRerank(m, subDim, codebookK, rerankR, pqIters) =>
+          val cb = Checkpoints.cut(
+            AnnModels.pqCodebooks(s, dir, nmd, m, subDim, codebookK, pqIters))
+          // the list build runs in default names end to end (named corpus
+          // + a default-named centroid frame): `cents` carries the
+          // CALLER's idCol/vecCol for the per-batch probe, and passing it
+          // straight to the list builder with "vec_id"/"v" literals broke
+          // custom column names. Lists carry the COMPRESSED layout
+          // (m codes per entry, scored per batch by LUT/ADC against the
+          // broadcast codebook) — the serving index is actually ~32x
+          // smaller, as x110/x112 certify.
+          val defaultCents = mod.select(col("cell_id").as("vec_id"), col("cv").as("v"))
+          val lists = Checkpoints.cut(
+            Similarity.pqListsCodes(nmd, defaultCents, cb, dim, subDim, spill, "vec_id", "v")
+              .select(col("vec_id").as(idCol), col("cell_id"), col("codes")))
+          // the exact re-rank's raw-vector fetch (R rows per query) — cut
+          // so a micro-batch reads materialized blocks, not the source scan
+          val rawVecs = Checkpoints.cut(corp.select(col(idCol), col(vecCol)))
+          (Seq(lists, rawVecs, cb, cents),
+            (batch: DataFrame) =>
+              Similarity.pqSearchTopKCodes(lists, rawVecs, batch, cents, cb,
+                k, rerankR, dim, subDim, codebookK, nprobe, idCol, vecCol))
+      }
+    }
+    // serve state: foreachBatch runs batches serially, so a swap made
+    // inside one batch is visible to the next without extra locking; the
+    // releaser thread reads the final value after termination
+    @volatile var current = buildServe(model, corpus)
+    @volatile var rebuilt = maintained.exists(_._2.rebuildDue)
+    var batchesSeen = 0L
+    def reconsult(): Unit = maintained.foreach { case (baseModel, _) =>
+      val (curCorpus, curArrivals) = refreshEras.map(_())
+        .getOrElse((corpus, arrivals.get))
+      val cc = curCorpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      val aa = curArrivals.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      val v = AnnModels.rebuildDue(s, dir, cc, aa, baseModel, dim, nprobe, spill,
+        recallFloor = rebuildRecallFloor)
+      if (v.rebuildDue) {
+        // re-size cells for the grown corpus when auto-sized (the
+        // like-for-like rule holds: the fresh model serves the era it
+        // was sized for)
+        val (freshCells, freshTrain) = sizing(cc)
+        val fresh = AnnModels.ivfCentroids(
+          s, dir, cc, freshCells, iters, dim, train = freshTrain)
+        val retired = current
+        current = buildServe(fresh, curCorpus)
+        rebuilt = true
+        retired._1.foreach(Checkpoints.unpersist)
+        log.info(s"in-stream rebuild fired for $dir: serving the fresh full-corpus model " +
+          s"(recall ${v.recallArrivals} vs floor ${v.recallFloor}, " +
+          s"candidate fraction ${v.candFraction} vs cap ${v.candFractionMax})")
+      }
     }
     val q = queries.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        serveBatch(batch)
+        if (reconsultEvery > 0 && !rebuilt &&
+            batchesSeen > 0 && batchesSeen % reconsultEvery == 0)
+          reconsult()
+        current._2(batch)
           .write.mode("overwrite")
           .parquet(new Path(sinkPath, s"batch_id=$batchId").toString)
+        batchesSeen += 1
         ()
       }
       .start()
@@ -168,9 +254,7 @@ object AnnStreams {
     val releaser = new Thread(() => {
       try q.awaitTermination()
       catch { case _: Throwable => () }
-      Checkpoints.unpersist(index)
-      raw.foreach(Checkpoints.unpersist)
-      Checkpoints.unpersist(cents)
+      current._1.foreach(Checkpoints.unpersist)
     })
     releaser.setName(s"ann-serve-release-${q.id}")
     releaser.setDaemon(true)

@@ -57,9 +57,9 @@ object AnnSweep {
     // ("sqrt" = the production sizing) — the r19 gray-zone sweep runs
     // only the shipped sqrt arm instead of the full design table
     val cellChoices = sys.env.get("SPARK_GRAFT_SWEEP_CELLS")
-      .map(_.split(",").toSeq.map {
+      .map(_.split(",").toSeq.map(_.trim).map {
         case "sqrt" => math.max(8, math.sqrt(corpusN.toDouble).round.toInt)
-        case n => n.trim.toInt
+        case n => n.toInt
       })
       .getOrElse(Seq(16, 32, math.max(8, math.sqrt(corpusN.toDouble).round.toInt)))
       .distinct.sorted

@@ -237,7 +237,12 @@ object ScaleVerify {
     // x116 output is ONE row (the rebuild verdict + its audit counts);
     // the oracle is x114's stale-arm IVF unroll — feasible to ~sf1
     // like its parent, engine-only above.
-    "x116_rebuild_trigger" -> None)
+    "x116_rebuild_trigger" -> None,
+    // x117 output is (lang, source)-catalog-sized (cells of the audit
+    // corpus at any scale); the big-table touch is the doc_id-pruned
+    // (lang, source) lookup, the rest rides x104's fixture-bounded
+    // cluster CTEs like x115. Compare whole.
+    "x117_ipf_mix_corrected" -> None)
 
   /** Queries whose oracle is only feasible at SPECIFIC scales — excluded
     * from a no-names sweep and run only when explicitly named (round-8

@@ -242,26 +242,33 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
   test("x109: feasibility audit measures the fixture as isotropic, coherently") {
     val rows = SparkEntry.queries("x109_index_feasibility")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
-        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getInt(6)))
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getInt(7), r.getInt(8)))
     rows.map(_._1).sorted shouldBe (0L until 50L).toArray
     val medians = rows.map(_._6).distinct
+    val p10s = rows.map(_._7).distinct
     val baselines = rows.map(_._5).distinct
     medians should have length 1
+    p10s should have length 1
     baselines should have length 1
-    rows.foreach { case (_, top1, mean10, n, _, _, _) =>
+    rows.foreach { case (_, top1, mean10, n, _, _, _, _, _) =>
       n shouldBe 500L
       // top-1 bounds its own top-10 mean; cosines are valid
       top1 should (be >= mean10 and be <= 1.0)
       mean10 should be >= -1.0
     }
-    // the median is a real member of the sample (discrete rank statistic)
+    // median and p10 are real members of the sample (discrete rank
+    // statistics), and the p10 sits at or below the median by rank order
     rows.map(_._2) should contain(medians.head)
+    rows.map(_._2) should contain(p10s.head)
+    p10s.head should be <= medians.head
     // the audit's verdict on THIS fixture: isotropic — median top-1 sits
     // slightly BELOW the random-match line (measured excess -0.07),
-    // under the calibrated +0.15 additive gate. This is the ground
-    // truth the ANN measurements rest on.
-    val verdicts = rows.map(_._7).distinct
-    verdicts shouldBe Array(0)
+    // under the calibrated +0.15 additive gate, and the tail verdict
+    // agrees (a uniform corpus, not a gray-zone mixture). This is the
+    // ground truth the ANN measurements rest on.
+    rows.map(_._8).distinct shouldBe Array(0)
+    rows.map(_._9).distinct shouldBe Array(0)
     medians.head should be < baselines.head + ops.Similarity.FeasibilityExcess
   }
 
@@ -388,6 +395,34 @@ class CertificationSpec extends AnyFunSuite with Matchers with SparkTest {
     // the correction is non-vacuous on the fixture: raw and corrected
     // masses genuinely differ for some source
     rows.exists(r => r._2 != r._3) shouldBe true
+  }
+
+  test("x117: corrected-mass IPF conserves both marginals and shares x115's surface") {
+    val rows = SparkEntry.queries("x117_ipf_mix_corrected")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    rows should not be empty
+    // CONSERVATION of both temperature marginals: each is the exact
+    // integer kernel over corrected masses — Σ over distinct keys ==
+    // budget, twice
+    rows.map(r => (r._1, r._4)).distinct.map(_._2).sum shouldBe
+      graft.ExtensionQueries.MixBudget
+    rows.map(r => (r._2, r._5)).distinct.map(_._2).sum shouldBe
+      graft.ExtensionQueries.MixBudget
+    // the raking converged onto the source marginals (the final
+    // half-round rescales sources exactly): per-source quota sums equal
+    // st up to the 1e-12 quantization, so the grand total is the budget
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (_, rs) =>
+      rs.map(_._6).sum shouldBe rs.head._5.toDouble +- 1e-3
+    }
+    rows.map(_._6).sum shouldBe graft.ExtensionQueries.MixBudget.toDouble +- 1e-2
+    // the corrected CELL mass aggregates to exactly x115's per-source
+    // mass — the raking route and the temperature route provably
+    // consume the same x104 surface
+    val x115 = SparkEntry.queries("x115_weighted_temperature_mix")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum } shouldBe x115
   }
 
   test("x116: the rebuild-trigger row IS the API's verdict on the same inputs") {

@@ -446,6 +446,20 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "lineitem"
   }
 
+  test("x117: corrected-mass IPF raking is corpus-free past the cell frame") {
+    // x75's plan discipline over the corrected surface: the whole x104
+    // chain AND the (lang, source) attribution live inside the cut
+    // cell-mass generation, so the served plan reads only ExistingRDD
+    // scans — both temperature marginals, the quota windows, and all
+    // six raking half-rounds are dimension-sized, corpus-independent
+    // work at any scale.
+    val p = finalPlan("x117_ipf_mix_corrected")
+    "FileScan parquet".r.findAllIn(p).size shouldBe 0
+    p should include("ExistingRDD")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("x116: the trigger audit keeps the x106 serve shape") {
     // x114's stale arm + a one-row aggregate: candidates from the
     // cell-keyed equi-join over the cut assignment, rank-limited

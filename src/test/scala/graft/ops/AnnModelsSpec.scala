@@ -130,6 +130,36 @@ class AnnModelsSpec extends AnyFunSuite with Matchers with SparkTest {
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
   }
 
+  test("corpusDescriptor: cut frames content-hash once per session; distinct cut contents stay distinct") {
+    // r19 gave lineage-cut corpora a content-hashed descriptor (one scan
+    // per model-name construction); r20 memoizes that scan per (plan,
+    // leaf RDD) — rebuildDue builds three names per consult, and a cut
+    // frame's blocks are immutable, so the second construction must be
+    // a map hit: same descriptor, ZERO Spark jobs.
+    val a = Checkpoints.cut(Seq((1L, "x"), (2L, "y")).toDF("vec_id", "v"))
+    val b = Checkpoints.cut(Seq((1L, "x"), (3L, "z")).toDF("vec_id", "v"))
+    val da = AnnModels.corpusDescriptor(a)
+    val db = AnnModels.corpusDescriptor(b)
+    da should not be db // same schema, different rows -> different artifacts
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AnnModels.corpusDescriptor(a) shouldBe da
+      AnnModels.corpusDescriptor(b) shouldBe db
+      // listener events are posted asynchronously; give the bus a beat
+      // (a posted JobStart lands well within this on an idle scheduler)
+      Thread.sleep(500)
+      jobs shouldBe 0
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a DERIVED frame over the same cut leaf selects different rows and
+    // must NOT reuse the memoized content hash
+    AnnModels.corpusDescriptor(a.filter(col("vec_id") === 1L)) should not be da
+  }
+
   test("feasibility gate: isotropic corpus refuses a strict build, clustered corpus passes") {
     val d64 = 64
     def writeVecs(dir: java.io.File, rows: Seq[(Long, Seq[Double])]): Unit =
@@ -150,6 +180,12 @@ class AnnModelsSpec extends AnyFunSuite with Matchers with SparkTest {
     val feasIso = AnnModels.indexFeasibility(spark, isoDir.getPath, iso, d64)
     feasIso.indexable shouldBe false
     feasIso.medianTop1 should be < feasIso.isoBaseline + Similarity.FeasibilityExcess
+    // uniform-isotropic: the tail verdict agrees, and both regimes
+    // budget at the isotropic floor
+    feasIso.tailIndexable shouldBe false
+    feasIso.p10Top1 should be <= feasIso.medianTop1
+    Similarity.regimeFloors(4, feasIso.indexable, feasIso.tailIndexable) shouldBe
+      ((Similarity.isotropicRecallFloor(4), Similarity.isotropicRecallFloor(4)))
     an[IllegalArgumentException] should be thrownBy
       AnnModels.ivfCentroidsGated(spark, isoDir.getPath, iso, k = 8, iters = 1, dim = d64,
         requireIndexable = true)
@@ -178,7 +214,42 @@ class AnnModelsSpec extends AnyFunSuite with Matchers with SparkTest {
       requireIndexable = true)
     feasClu.indexable shouldBe true
     feasClu.medianTop1 should be >= feasClu.isoBaseline + Similarity.FeasibilityExcess
+    // uniform-clustered: tail agrees, both regimes at the clustered anchor
+    feasClu.tailIndexable shouldBe true
+    Similarity.regimeFloors(4, feasClu.indexable, feasClu.tailIndexable) shouldBe
+      ((Similarity.ClusteredRecallFloor, Similarity.ClusteredRecallFloor))
     modelC.count() should be > 0L
+
+    // MIXED (the r19 gray-zone regime): a 25% pure-noise minority inside
+    // the clustered majority — the median clears the line (majority
+    // vote), the p10 rank lands in the noise population and does NOT.
+    // This is exactly the asymmetry the one-bit verdict could not carry;
+    // the floors API budgets the minority at the other regime's line.
+    val mixDir = java.nio.file.Files.createTempDirectory("feas-mix").toFile
+    val rnd3 = new scala.util.Random(17)
+    writeVecs(mixDir, (0 until 120).map { i =>
+      val noise = Seq.fill(d64)(rnd3.nextDouble() * 2 - 1)
+      if (i % 4 == 0) (i.toLong, noise)
+      else {
+        val c = i % 8
+        val nn = math.sqrt(noise.map(x => x * x).sum)
+        val raw = noise.zipWithIndex.map { case (x, d) =>
+          (if (d == c) 1.0 else 0.0) + 0.3 * x / nn }
+        val vn = math.sqrt(raw.map(x => x * x).sum)
+        (i.toLong, raw.map(_ / vn))
+      }
+    })
+    val feasMix = AnnModels.indexFeasibility(spark, mixDir.getPath, load(mixDir), d64)
+    feasMix.indexable shouldBe true
+    feasMix.tailIndexable shouldBe false
+    feasMix.p10Top1 should be < feasMix.medianTop1
+    Similarity.regimeFloors(4, feasMix.indexable, feasMix.tailIndexable) shouldBe
+      ((Similarity.ClusteredRecallFloor, Similarity.isotropicRecallFloor(4)))
+    val (cells9, spill9, np9, maj9, min9) =
+      Similarity.suggestIvfWithFloors(2000L, 0.9, feasMix.indexable, feasMix.tailIndexable)
+    (cells9, spill9, np9) shouldBe Similarity.suggestIvf(2000L, 0.9)
+    maj9 shouldBe Similarity.ClusteredRecallFloor
+    min9 shouldBe Similarity.isotropicRecallFloor(np9)
   }
 
   test("rebuildDue fires on shifted arrivals, stays quiet on stationary; maintained build serves accordingly") {

@@ -301,6 +301,62 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
       lists, emb, q, cents, k = 5, rerankR = 4, dim = 64, nprobe = 3)
   }
 
+  test("pqListsCodes + pqSearchTopKCodes: the compressed layout serves row-identically to the reconstruction serve") {
+    // The r19-verdict layout gap closed: lists carry m CODES (the
+    // deployable ~32x-smaller index), candidates score by LUT/ADC sums
+    // against the broadcast codebook — and at the shared 6-decimal
+    // rounding the served rows must be IDENTICAL to the
+    // reconstruction-based serve at every R, because the ADC sum and the
+    // reconstruction fold differ only by float reassociation (~1e-16,
+    // far below the rounding quantum).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .filter(col("vec_id") < 60)
+    val cents = Similarity.kmeansCentroids(
+      emb, emb.filter(col("vec_id") < 6), iters = 2, dim = 64)
+      .select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val cb = Similarity.pqCodebooks(
+      emb.select(col("vec_id"), col("v").cast("array<double>").as("v")),
+      m = 4, subDim = 16, k = 8, iters = 1)
+    val listsRecon = Similarity.pqLists(emb, cents, cb, dim = 64, subDim = 16, spill = 2)
+    val listsCodes = Similarity.pqListsCodes(emb, cents, cb, dim = 64, subDim = 16, spill = 2)
+    // layout shape: same (id, cell) membership as the reconstruction
+    // lists; each entry is m codes in [0, codebookK)
+    val memRecon = listsRecon.select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val memCodes = listsCodes.select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    memCodes shouldBe memRecon
+    listsCodes.select("codes").collect().foreach { r =>
+      val cs = r.getSeq[Short](0)
+      cs.length shouldBe 4
+      cs.foreach(c => c should (be >= 0.toShort and be < 8.toShort))
+    }
+    val q = emb.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "cos", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    // same rounding, same rows — at full-cover R AND at a narrow R
+    // (where the ADC shortlist itself decides the output)
+    for (r <- Seq(60, 8)) {
+      rows(Similarity.pqSearchTopKCodes(
+        listsCodes, emb, q, cents, cb,
+        k = 5, rerankR = r, dim = 64, subDim = 16, codebookK = 8, nprobe = 3)) shouldBe
+        rows(Similarity.pqSearchTopK(
+          listsRecon, emb, q, cents, k = 5, rerankR = r, dim = 64, nprobe = 3))
+    }
+    // the x112 identity through the codes path: full-cover R equals the
+    // exact IVF serve over the same assignment
+    val assigned = Similarity.ivfProbe(emb, cents, 64, nprobe = 2)
+    rows(Similarity.pqSearchTopKCodes(
+      listsCodes, emb, q, cents, cb,
+      k = 5, rerankR = 60, dim = 64, subDim = 16, codebookK = 8, nprobe = 3)) shouldBe
+      rows(Similarity.ivfSearchTopK(assigned, q, cents, k = 5, dim = 64, nprobe = 3))
+    an[IllegalArgumentException] should be thrownBy Similarity.pqSearchTopKCodes(
+      listsCodes, emb, q, cents, cb, k = 5, rerankR = 4, dim = 64, subDim = 16,
+      codebookK = 8, nprobe = 3)
+  }
+
   test("sqrtCells and suggestIvf encode the measured profile") {
     Similarity.sqrtCells(1L) shouldBe 1
     Similarity.sqrtCells(500L) shouldBe 23

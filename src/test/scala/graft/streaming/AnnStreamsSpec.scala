@@ -154,6 +154,87 @@ class AnnStreamsSpec extends AnyFunSuite with Matchers with SparkTest {
     out shouldBe twin
   }
 
+  test("annServeIngest reconsultEvery: quiet start, mid-run fire on appended shifted arrivals, fresh model afterward") {
+    // The r19-verdict gap: a ProcessingTime serve never restarts, so a
+    // verdict read only at start never sees arrivals drifting past the
+    // floor. With reconsultEvery = 1 the maintained serve re-derives
+    // rebuildDue before each later batch: batch 0 runs quiet on the
+    // stationary fixture (base-era model serves), then the corpus table
+    // is REPLACED by its shifted twin (the arrival rows drift to unseen
+    // clusters), and batch 1's consult fires — that batch and everything
+    // after serve the fresh full-corpus model's answers.
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("annreconsult").toString
+    val dataDir = java.nio.file.Files.createTempDirectory("annreconsult-data").toFile
+    val embPath = new java.io.File(dataDir, "embeddings.parquet").getPath
+    def writeFixture(shift: Boolean): Unit = {
+      graft.tools.ClusterGen.frame(spark, 600L, dim, 10, 0.7, shiftArrivals = shift)
+        .coalesce(2).write.mode("overwrite").parquet(embPath)
+      spark.catalog.refreshByPath(embPath)
+    }
+    writeFixture(shift = false)
+    def readE = spark.read.parquet(embPath).select(col("vec_id"), col("embedding").as("v"))
+    def eras() = (readE, readE.filter(pmod(col("vec_id"), lit(5L)) === 0))
+    val cells = graft.ops.Similarity.sqrtCells(600L)
+
+    // batch-0 twin captured BEFORE the table mutates: the base-era model
+    // over the stationary corpus
+    val q1 = readE.filter(col("vec_id") < 8 && pmod(col("vec_id"), lit(5L)) =!= 0)
+      .collect().map(r => (8000L + r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "cos", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    val statBaseModel = graft.ops.AnnModels.ivfCentroids(
+      spark, dataDir.getPath, readE.filter(pmod(col("vec_id"), lit(5L)) =!= 0), cells, 2, dim)
+      .select(col("cell_id").as("vec_id"), col("cv").as("v"))
+    val statE = Checkpoints.cut(readE)
+    val twinQuiet = rows(Similarity.ivfSearchTopK(
+      Similarity.ivfProbe(statE, statBaseModel, dim, 2),
+      q1.toDF("vec_id", "v"), statBaseModel, k = 5, dim = dim, nprobe = 4))
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(q1)
+    val (corpus0, arrivals0) = eras()
+    val q = AnnStreams.annServeIngest(
+      in.toDF().toDF("vec_id", "v"), corpus0, dataDir.getPath,
+      s"$root/sink", s"$root/chk", k = 5, dim = dim, nprobe = 4, spill = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      baseCorpus = Some(corpus0.filter(pmod(col("vec_id"), lit(5L)) =!= 0)),
+      arrivals = Some(arrivals0),
+      reconsultEvery = 1,
+      refreshEras = Some(() => eras()))
+    try {
+      q.processAllAvailable()
+      rows(spark.read.parquet(s"$root/sink/batch_id=0")) shouldBe twinQuiet
+
+      // the era moves: shifted arrivals land in the corpus table
+      writeFixture(shift = true)
+      val q2 = readE.filter(col("vec_id") < 20 && pmod(col("vec_id"), lit(5L)) === 0)
+        .collect().map(r => (9000L + r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      in.addData(q2)
+      q.processAllAvailable()
+
+      // batch 1 was served by the FRESH full-corpus model (the consult
+      // fired before serving it)
+      val freshModel = graft.ops.AnnModels.ivfCentroids(
+        spark, dataDir.getPath, readE, cells, 2, dim)
+        .select(col("cell_id").as("vec_id"), col("cv").as("v"))
+      val shiftE = Checkpoints.cut(readE)
+      val twinFresh = rows(Similarity.ivfSearchTopK(
+        Similarity.ivfProbe(shiftE, freshModel, dim, 2),
+        q2.toDF("vec_id", "v"), freshModel, k = 5, dim = dim, nprobe = 4))
+      rows(spark.read.parquet(s"$root/sink/batch_id=1")) shouldBe twinFresh
+      // and it is NOT what the stale base-era model would have served
+      val staleModel = graft.ops.AnnModels.ivfCentroids(
+        spark, dataDir.getPath, readE.filter(pmod(col("vec_id"), lit(5L)) =!= 0), cells, 2, dim)
+        .select(col("cell_id").as("vec_id"), col("cv").as("v"))
+      val twinStale = rows(Similarity.ivfSearchTopK(
+        Similarity.ivfProbe(shiftE, staleModel, dim, 2),
+        q2.toDF("vec_id", "v"), staleModel, k = 5, dim = dim, nprobe = 4))
+      twinFresh should not be twinStale
+    } finally q.stop()
+  }
+
   test("annServeIngest: full-cell probe serves exact brute-force answers") {
     implicit val sq = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("annserve2").toString

@@ -39,11 +39,27 @@ def norm(df):
                 pass
     return df
 
-def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+USAGE = "usage: python3 tools/check.py <sfDir> <verifyOutDir> [--json <path>]"
+
+def parse_args(argv):
     json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
+    pos = []
+    i = 1
+    while i < len(argv):
+        if argv[i] == "--json":
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                sys.exit(f"{USAGE}\n--json requires a path argument")
+            json_out = argv[i + 1]
+            i += 2
+        else:
+            pos.append(argv[i])
+            i += 1
+    if len(pos) != 2:
+        sys.exit(USAGE)
+    return pos[0], pos[1], json_out
+
+def main():
+    sfdir, outdir, json_out = parse_args(sys.argv)
     con = duckdb.connect()
     # resource caps (check_each.py sets these so one pathological oracle
     # can't thrash the whole box); no-ops when unset
