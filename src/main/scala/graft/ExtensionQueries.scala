@@ -2112,38 +2112,60 @@ object ExtensionQueries {
     * per-column scans.
     */
   private def x55(s: SparkSession, dir: String): DataFrame = {
-    def nNulls(c: Column): Column = count(lit(1)) - count(c)
-    def numP(tbl: String, cn: String): Column = {
-      val c = col(cn)
-      profiled(tbl, cn, nNulls(c), countDistinct(c), min(c), max(c),
-        lit(null), lit(null), lit(null))
+    // Two-phase per-column profile (round-20 optimization): the previous
+    // single-pass form planned every table as one Expand (rows x profiled
+    // columns, full TEXTS replicated into the grouping key) feeding a
+    // SortAggregate that sorted the expanded rows by the 6-wide key TWICE
+    // around the exchange — the multi-distinct rewrite's worst case. Here
+    // each column profiles independently: phase A is a map-side-combined
+    // HASH aggregate on the column's values (the null group rides along),
+    // phase B derives every metric from the distinct-value histogram —
+    // n_rows = Σcnt, n_nulls = the null group's cnt, n_distinct = count of
+    // non-null values, min/max over the distinct set (= min/max overall),
+    // and the decimal-exact length sum weighted by cnt (= the per-row
+    // sum). Identical values, no Expand, no row replication, and the 11
+    // column-pruned scans together read the same bytes as the old
+    // full-width scan — at 100 TB this moves one distinct-value histogram
+    // per column instead of sorting rows x columns replicas.
+    def phase(df: DataFrame, tbl: String, cn: String, v: Column,
+        numeric: Boolean, extremes: Boolean, lengths: Boolean): DataFrame = {
+      val aggs = count(lit(1)).as("cnt") +: (if (lengths)
+        Seq(sum(length(coalesce(col(cn), lit(""))).cast(DecimalType(18, 0))).as("lsum"))
+      else Nil)
+      val g = df.groupBy(v.as("v")).agg(aggs.head, aggs.tail: _*)
+      g.agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+          .cast("long").as("n_nulls"),
+        count(col("v")).cast("long").as("n_distinct"),
+        (if (numeric) min(col("v")) else lit(null)).cast("double").as("min_num"),
+        (if (numeric) max(col("v")) else lit(null)).cast("double").as("max_num"),
+        (if (extremes) min(col("v")) else lit(null)).cast("string").as("min_str"),
+        (if (extremes) max(col("v")) else lit(null)).cast("string").as("max_str"),
+        (if (lengths) sum(col("lsum")).cast("double") / sum(col("cnt"))
+        else lit(null)).cast("double").as("avg_len"))
+        .select(lit(tbl).as("tbl"), lit(cn).as("col_name"), col("n_rows"),
+          col("n_nulls"), col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"), col("avg_len"))
     }
-    def tsP(tbl: String, cn: String): Column = {
-      val c = col(cn)
-      profiled(tbl, cn, nNulls(c), countDistinct(c),
-        min(unix_micros(c)), max(unix_micros(c)), lit(null), lit(null), lit(null))
-    }
-    def strP(tbl: String, cn: String, extremes: Boolean = true): Column = {
-      val c = col(cn)
-      profiled(tbl, cn, nNulls(c), countDistinct(c), lit(null), lit(null),
-        if (extremes) min(c) else lit(null), if (extremes) max(c) else lit(null),
-        graft.util.Exact.dsum(length(coalesce(c, lit(""))), 0) / count(lit(1)))
-    }
-    def profile(df: DataFrame, cols: Seq[Column]): DataFrame = {
-      val named = cols.zipWithIndex.map { case (c, i) => c.as(s"p$i") }
-      df.agg(named.head, named.tail: _*)
-        .select(explode(array(cols.indices.map(i => col(s"p$i")): _*)).as("p"))
-        .select(col("p.*"))
-    }
-    val docs = profile(t(s, dir, "documents"), Seq(
-      numP("documents", "doc_id"), strP("documents", "lang"),
-      numP("documents", "n_chars"), strP("documents", "source"),
-      strP("documents", "text", extremes = false)))
-    val evs = profile(Tables.events(s, dir), Seq(
-      numP("events", "event_id"), strP("events", "event_type"),
-      strP("events", "props", extremes = false), tsP("events", "ts"),
-      numP("events", "user_id"), numP("events", "value")))
-    docs.union(evs).orderBy(col("tbl"), col("col_name"))
+    def numP(df: DataFrame, tbl: String, cn: String): DataFrame =
+      phase(df, tbl, cn, col(cn), numeric = true, extremes = false, lengths = false)
+    def tsP(df: DataFrame, tbl: String, cn: String): DataFrame =
+      phase(df, tbl, cn, unix_micros(col(cn)), numeric = true, extremes = false,
+        lengths = false)
+    def strP(df: DataFrame, tbl: String, cn: String, extremes: Boolean = true): DataFrame =
+      phase(df, tbl, cn, col(cn), numeric = false, extremes = extremes, lengths = true)
+    val docs = t(s, dir, "documents")
+    val evs = Tables.events(s, dir)
+    Seq(
+      numP(docs, "documents", "doc_id"), strP(docs, "documents", "lang"),
+      numP(docs, "documents", "n_chars"), strP(docs, "documents", "source"),
+      strP(docs, "documents", "text", extremes = false),
+      numP(evs, "events", "event_id"), strP(evs, "events", "event_type"),
+      strP(evs, "events", "props", extremes = false), tsP(evs, "events", "ts"),
+      numP(evs, "events", "user_id"), numP(evs, "events", "value"))
+      .reduce(_ union _)
+      .orderBy(col("tbl"), col("col_name"))
   }
 
   /** Co-purchase edge threshold for x56: supplier<->customer pairs linked
@@ -2281,7 +2303,17 @@ object ExtensionQueries {
     val sets = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    // Round-robin to core width before the C(n,2) fan-out (round-20): AQE
+    // sizes the post-aggregate stage by the SET frame's bytes, which lands
+    // the interpreted-HOF pair explosion + hash coin + dedup partial on a
+    // handful of tasks (3 of 32 at sf0.1 — 13 s of task time serialized
+    // onto them). The per-order supplier sets are id-only and small at any
+    // scale, so a cores-wide round-robin exchange is cheap, and the
+    // fan-out stage — whose cost AQE's bytes model cannot see — runs at
+    // full width. defaultParallelism tracks the deploy's cores, not a
+    // local constant.
     val pairs = sets
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(flatten(transform(col("ss"), (x, i) =>
         transform(slice(col("ss"), i + lit(2), size(col("ss")) - i - lit(1)), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
@@ -3141,19 +3173,25 @@ object ExtensionQueries {
       MixAlpha, MixBudget)
       .select(col("source"), col("alloc").as("st"))
     def quant(c: Column): Column = c.cast(DecimalType(18, 12)).cast("double")
+    // Raking rounds as WINDOW sums (round-20 optimization): each half-round
+    // used to aggregate the marginal into a 1-per-key frame and broadcast-
+    // join it back — six sequential broadcast builds whose nested subplans
+    // Catalyst re-planned per build (the query was ~73% driver planning
+    // time, 36 jobs). sum() OVER (PARTITION BY lang/source) attaches the
+    // SAME decimal-exact marginal (decimal sums are order-independent, so
+    // the window total equals Exact.dsum bit for bit) to every cell in one
+    // plan: 6 dimension-sized exchanges chained in a single job, no
+    // broadcasts, identical quotas. The oracle's unrolled SQL is untouched.
+    def marginal(k: String): Column =
+      sum(col("q").cast(DecimalType(18, 12))).over(Window.partitionBy(col(k)))
+        .cast("double")
     var q = cells
       .join(broadcast(langT), "lang").join(broadcast(srcT), "source")
       .select(col("lang"), col("source"), col("n_docs"), col("lt"), col("st"),
         col("n_docs").cast("double").as("q"))
     for (_ <- 0 until IpfRounds) {
-      val lm = q.groupBy(col("lang")).agg(graft.util.Exact.dsum(col("q"), 12).as("m"))
-      q = q.join(broadcast(lm), "lang")
-        .withColumn("q", quant(col("q") * (col("lt").cast("double") / col("m"))))
-        .drop("m")
-      val sm = q.groupBy(col("source")).agg(graft.util.Exact.dsum(col("q"), 12).as("m"))
-      q = q.join(broadcast(sm), "source")
-        .withColumn("q", quant(col("q") * (col("st").cast("double") / col("m"))))
-        .drop("m")
+      q = q.withColumn("q", quant(col("q") * (col("lt").cast("double") / marginal("lang"))))
+      q = q.withColumn("q", quant(col("q") * (col("st").cast("double") / marginal("source"))))
     }
     q.select(col("lang"), col("source"), col("n_docs"), col("lt"), col("st"),
       round(col("q"), 6).as("quota"))
@@ -5460,19 +5498,19 @@ object ExtensionQueries {
       MixAlpha, MixBudget)
       .select(col("source"), col("alloc").as("st"))
     def quant(c: Column): Column = c.cast(DecimalType(18, 12)).cast("double")
+    // Window-fused raking rounds — x75's round-20 rewrite verbatim (see
+    // there): the window total equals the old Exact.dsum marginal bit for
+    // bit, with zero broadcast builds in the loop.
+    def marginal(k: String): Column =
+      sum(col("q").cast(DecimalType(18, 12))).over(Window.partitionBy(col(k)))
+        .cast("double")
     var q = cellMass
       .join(broadcast(langT), "lang").join(broadcast(srcT), "source")
       .select(col("lang"), col("source"), col("mass"), col("lt"), col("st"),
         col("mass").cast("double").as("q"))
     for (_ <- 0 until IpfRounds) {
-      val lm = q.groupBy(col("lang")).agg(graft.util.Exact.dsum(col("q"), 12).as("m"))
-      q = q.join(broadcast(lm), "lang")
-        .withColumn("q", quant(col("q") * (col("lt").cast("double") / col("m"))))
-        .drop("m")
-      val sm = q.groupBy(col("source")).agg(graft.util.Exact.dsum(col("q"), 12).as("m"))
-      q = q.join(broadcast(sm), "source")
-        .withColumn("q", quant(col("q") * (col("st").cast("double") / col("m"))))
-        .drop("m")
+      q = q.withColumn("q", quant(col("q") * (col("lt").cast("double") / marginal("lang"))))
+      q = q.withColumn("q", quant(col("q") * (col("st").cast("double") / marginal("source"))))
     }
     q.select(col("lang"), col("source"), col("mass"), col("lt"), col("st"),
       round(col("q"), 6).as("quota"))

@@ -210,6 +210,11 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("s1"), greatest(col("a"), col("b")).as("s2"))
       .distinct()
+    // NOT cut (round-20 note): the multiple consumers below collapse to
+    // one physical pair build through AQE's ReusedExchange — the distinct's
+    // exchange is shared — while a Checkpoints.cut here (tried, measured)
+    // replaces parquet-statistics leaves with LogicalRDDs whose unknown
+    // sizes forced every downstream join to sort-merge and cost ~0.6 s.
     val deg = edges.select(col("s1").as("n")).union(edges.select(col("s2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // Orient each edge from its lower-(degree, id) endpoint; s1 < s2 by
@@ -226,7 +231,17 @@ object GraphOps {
       .select(
         when(fwd, col("s1")).otherwise(col("s2")).as("u"),
         when(fwd, col("s2")).otherwise(col("s1")).as("v"),
-        when(fwd, col("d2")).otherwise(col("d1")).as("dv")))
+        when(fwd, col("d2")).otherwise(col("d1")).as("dv"))
+      // Materialize at core width (round-20): the cut's blocks are what
+      // the wedge self-join streams over, and AQE's bytes-coalesced
+      // partitioning would serialize the C(out-degree, 2) wedge fan-out —
+      // whose cost the bytes model cannot see — onto a handful of tasks.
+      // Rows are three longs; defaultParallelism tracks the deploy's
+      // cores, not a local constant.
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism))
+    // Wedges v←u→w emitted once, endpoints ordered by (degree, id); the
+    // triangle closes iff the oriented edge v→w exists.
+    //
     // Wedges v←u→w emitted once, endpoints ordered by (degree, id); the
     // triangle closes iff the oriented edge v→w exists.
     val wedges = oriented.as("o1").join(
@@ -237,9 +252,14 @@ object GraphOps {
       .select(col("o1.u").as("u"), col("o1.v").as("a"), col("o2.v").as("b"))
     val tri = wedges.join(
       oriented.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
-    val perNode = tri.select(col("u").as("n"))
-      .union(tri.select(col("a").as("n")))
-      .union(tri.select(col("b").as("n")))
+    // One pass over the triangle instances: the previous 3-branch union
+    // (tri.select(u) ∪ tri.select(a) ∪ tri.select(b)) re-ran the whole
+    // wedge + closure join PER BRANCH (tri was never materialized and the
+    // branches' exchanges hash different keys, so ReuseExchange could not
+    // collapse them). explode over the endpoint array emits the same three
+    // rows per triangle map-side, computing the joins exactly once.
+    val perNode = tri
+      .select(explode(array(col("u"), col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("tri"))
     deg.join(perNode, Seq("n"), "left")
       .select(

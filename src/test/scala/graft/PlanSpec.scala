@@ -665,13 +665,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("Window")
   }
 
-  test("x55: profiler reads each table ONCE — multi-distinct plans as a single Expand pass") {
+  test("x55: profiler is per-column two-phase — hash-agg histograms, no Expand") {
     val p = plan("x55_table_profile")
-    // One FileScan per profiled table (documents, events): every column's
-    // null/distinct/min/max/length metric comes out of one aggregate over
-    // one Expand — not a union of per-column scans.
-    "FileScan parquet".r.findAllIn(p).size shouldBe 2
-    p should include("Expand")
+    // Round-20 shape: one column-pruned scan per profiled column (11
+    // total — together the same bytes as one full-width scan), each
+    // feeding a map-side-combined HASH aggregate on the column's values;
+    // the old multi-distinct Expand (rows x columns replication with full
+    // TEXTS in a SortAggregate grouping key) must stay gone.
+    "FileScan parquet".r.findAllIn(p).size shouldBe 11
+    p should not include "Expand"
+    p should include("HashAggregate")
     p should include("partial_")
   }
 
