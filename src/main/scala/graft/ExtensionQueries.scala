@@ -4577,12 +4577,13 @@ object ExtensionQueries {
       .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"), col("quality"), col("n_tokens")))
-    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
-    // null-safe two-phase argmax (Dedup.clusterReps): an all-null-quality
-    // cluster still elects a rep, matching the oracle's row_number form
-    val reps = Dedup.clusterReps(
+    // null-safe two-phase argmax fused with the size aggregate
+    // (Dedup.clusterRepsWeighted, round-20): one pass elects the rep AND
+    // carries the cluster weight — the separate sizes aggregate + join is
+    // gone; values identical (DedupSpec pins the fusion).
+    val repW = Dedup.clusterRepsWeighted(
       labeled.select(col("doc_id").as("id"), col("cluster"), col("quality")))
-    reps.join(sizes, "cluster")
+    repW
       .join(labeled.select(col("doc_id").as("rep_id"), col("n_tokens")), "rep_id")
       .select(col("rep_id"), col("weight"), col("n_tokens"),
         (col("weight") * col("n_tokens")).as("weighted_tokens"))
@@ -5088,13 +5089,13 @@ object ExtensionQueries {
       .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"), col("quality")))
-    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
-    val reps = Dedup.clusterReps(
-      labeled.select(col("doc_id").as("id"), col("cluster"), col("quality")))
-    // (rep_id, weight): the x104 surface this query consumes — cut, it
-    // feeds the strata aggregate AND the pick-rank materialization
+    // (rep_id, weight): the x104 surface this query consumes — one fused
+    // rep+size aggregate (round-20), cut because it feeds the strata
+    // aggregate AND the pick-rank materialization
     val repW = Checkpoints.cut(
-      reps.join(sizes, "cluster").select(col("rep_id"), col("weight")))
+      Dedup.clusterRepsWeighted(
+          labeled.select(col("doc_id").as("id"), col("cluster"), col("quality")))
+        .select(col("rep_id"), col("weight")))
     // weight strata (a catalog); mass = the original doc count the
     // stratum's reps stand in for
     val strata = repW.groupBy(col("weight")).agg(count(lit(1)).as("n_reps"))
@@ -5366,8 +5367,8 @@ object ExtensionQueries {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"),
         col("quality"), col("n_tokens")))
-    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
-    val reps = Dedup.clusterReps(
+    // fused rep+size aggregate (round-20; values identical, DedupSpec pin)
+    val repW = Dedup.clusterRepsWeighted(
       labeled.select(col("doc_id").as("id"), col("cluster"), col("quality")))
     // base ids are < 120 by dedupCorpus's construction — the source
     // lookup is a pruned scan of documents, broadcast against the
@@ -5375,7 +5376,7 @@ object ExtensionQueries {
     val srcOf = broadcast(t(s, dir, "documents")
       .filter(col("doc_id") < 120)
       .select(col("doc_id").as("base_id"), col("source")))
-    val mass = reps.join(sizes, "cluster")
+    val mass = repW
       .join(labeled.select(col("doc_id").as("rep_id"), col("n_tokens")), "rep_id")
       .select(pmod(col("rep_id"), lit(DedupBaseSpan)).as("base_id"),
         (col("weight") * col("n_tokens")).as("m"))
@@ -5473,8 +5474,8 @@ object ExtensionQueries {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"),
         col("quality"), col("n_tokens")))
-    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
-    val reps = Dedup.clusterReps(
+    // fused rep+size aggregate (round-20; values identical, DedupSpec pin)
+    val repW = Dedup.clusterRepsWeighted(
       labeled.select(col("doc_id").as("id"), col("cluster"), col("quality")))
     // base ids are < 120 by dedupCorpus's construction — the (lang,
     // source) lookup is a pruned scan of documents, broadcast against
@@ -5482,7 +5483,7 @@ object ExtensionQueries {
     val dims = broadcast(t(s, dir, "documents")
       .filter(col("doc_id") < 120)
       .select(col("doc_id").as("base_id"), col("lang"), col("source")))
-    val cellMass = Checkpoints.cut(reps.join(sizes, "cluster")
+    val cellMass = Checkpoints.cut(repW
       .join(labeled.select(col("doc_id").as("rep_id"), col("n_tokens")), "rep_id")
       .select(pmod(col("rep_id"), lit(DedupBaseSpan)).as("base_id"),
         (col("weight") * col("n_tokens")).as("m"))

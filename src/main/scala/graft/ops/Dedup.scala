@@ -278,7 +278,11 @@ object Dedup {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .cache()
-    var labels = Checkpoints.cut(
+    // Lazy cut (round-20 job thinning): the labelSum below is a FULL
+    // aggregate pass (every partition computed — the safe shape for lazy
+    // localCheckpoint), so it materializes the generation in the same job
+    // instead of a separate eager materialization job per round.
+    var labels = Checkpoints.cutLazy(
       adj.select(col("a").as("id")).distinct()
         .withColumn("label", col("id")))
     // Convergence via the LABEL-SUM fixpoint: every round each node's label
@@ -318,8 +322,9 @@ object Dedup {
       // (measured in tools.X26Probe: rounds degraded 0.7 -> 2.5 s within
       // 3 iterations and the downstream aggregate re-paid ~8 s). The
       // checkpointed blocks of dropped generations are reclaimed by the
-      // ContextCleaner once unreferenced.
-      val updated = Checkpoints.cut(next)
+      // ContextCleaner once unreferenced. Lazy cut: the labelSum right
+      // after is the materializing full pass (round-20 job thinning).
+      val updated = Checkpoints.cutLazy(next)
       val newSum = labelSum(updated)
       labels.unpersist(blocking = false)
       labels = updated
@@ -359,6 +364,28 @@ object Dedup {
     labeled.join(best, "cluster")
       .filter(col("quality") <=> col("bq"))
       .groupBy(col("cluster")).agg(min(col("id")).as("rep_id"))
+  }
+
+  /** [[clusterReps]] fused with the cluster-size aggregate (round-20):
+    * the x104 family used to run `clusterReps` plus a separate
+    * `groupBy(cluster).count()` and join the two cluster-keyed frames
+    * back together — three aggregates and two shuffles-worth of plan for
+    * what is ONE pass over `labeled`: max(quality) and count(1) share the
+    * first aggregate, and the weight rides the rep election through a
+    * per-cluster max (it is constant within the cluster). Identical
+    * values to clusterReps ⋈ sizes by construction — same null-safe
+    * argmax (`<=>` keeps all-null-quality clusters), same min-id
+    * tie-break (DedupSpec pins the equality).
+    *
+    * @return (cluster, rep_id, weight = cluster member count)
+    */
+  def clusterRepsWeighted(labeled: DataFrame): DataFrame = {
+    val best = labeled.groupBy(col("cluster"))
+      .agg(max(col("quality")).as("bq"), count(lit(1)).as("w"))
+    labeled.join(best, "cluster")
+      .filter(col("quality") <=> col("bq"))
+      .groupBy(col("cluster"))
+      .agg(min(col("id")).as("rep_id"), max(col("w")).as("weight"))
   }
 
   /** Exact substring (shared-passage) dedup: find maximal runs of >=

@@ -80,8 +80,14 @@ object GraphOps {
     // consumers would otherwise replay the symmetrize+aggregate shuffle —
     // fusing the old separate labelSum aggregate into this one cut saves
     // a full edge-sized shuffle per round.
+    //
+    // LAZY cut (round-20 job thinning): the labelSum aggregate that always
+    // follows is a FULL pass (computes every partition — safe for lazy
+    // localCheckpoint, unlike a limit-style action), so it materializes
+    // the generation in the same job instead of paying a separate eager
+    // materialization job per round.
     def neighborhoodMins(e: DataFrame): DataFrame =
-      Checkpoints.cut(sym(e).groupBy(col("u")).agg(min(col("v")).as("mn")))
+      Checkpoints.cutLazy(sym(e).groupBy(col("u")).agg(min(col("v")).as("mn")))
 
     def labelSumOf(mins: DataFrame): java.math.BigDecimal =
       mins.agg(coalesce(
@@ -109,7 +115,9 @@ object GraphOps {
         .filter(col("hi") =!= col("lo"))
         .union(mins2.select(col("u").as("hi"), col("mn").as("lo")))
         .distinct()
-      val next = Checkpoints.cut(ss)
+      // Lazy too: computing minsNext's shuffle runs every partition of ss,
+      // so the single labelSum job below materializes BOTH generations.
+      val next = Checkpoints.cutLazy(ss)
       val minsNext = neighborhoodMins(next)
       val cur = labelSumOf(minsNext)
       edges.unpersist(blocking = false)

@@ -61,6 +61,13 @@ object QueryProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Extra runtime SQL confs under test: "k=v;k=v" (e.g. the round-20
+    // byte-floor experiments: spark.sql.files.openCostInBytes, AQE
+    // coalescePartitions.minPartitionSize).
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     val timer = new JobTimer
     spark.sparkContext.addSparkListener(timer)
     // Warmup mirroring Bench: footer reads + one codegen'd join/agg.

@@ -488,6 +488,27 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
     reps shouldBe Array((10L, 3L), (20L, 5L), (30L, 8L))
   }
 
+  test("clusterRepsWeighted: fused rep+size pass equals clusterReps ⋈ sizes") {
+    // Same fixture as the clusterReps test (null-safe argmax, all-null
+    // cluster, max tie) — the round-20 fusion must elect identical reps
+    // and carry the exact member count per cluster.
+    val labeled = Seq(
+      (1L, 10L, Some(0.5)), (2L, 10L, None), (3L, 10L, Some(0.9)),
+      (7L, 20L, Option.empty[Double]), (5L, 20L, Option.empty[Double]),
+      (8L, 30L, Some(0.7)), (9L, 30L, Some(0.7))
+    ).toDF("id", "cluster", "quality")
+    val fused = Dedup.clusterRepsWeighted(labeled).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("weight"))).sorted
+    fused shouldBe Array((10L, 3L, 3L), (20L, 5L, 2L), (30L, 8L, 2L))
+    // and field-for-field against the unfused pair of aggregates
+    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("weight"))
+    val unfused = Dedup.clusterReps(labeled).join(sizes, "cluster").collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("weight"))).sorted
+    fused shouldBe unfused
+  }
+
   test("suggestWidthsMeasured: narrowest width meeting the p99 budget wins; widest as fallback") {
     val stats = Dedup.CorpusStats(nDocs = 50000L, dupRate = 0.1)
     val calib = Seq(
