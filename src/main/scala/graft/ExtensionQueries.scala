@@ -2319,8 +2319,14 @@ object ExtensionQueries {
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    val sampled = pairs.filter(
-      TextOps.polyHash(concat_ws("#", col("a"), col("b"))) % TriBuckets < TriKeep)
+    // Cut (round-20): triangleCounts consumes its edge input from several
+    // DAG branches across separate actions (degree aggregate, the oriented
+    // cut's build join); without the cut each consumer re-ran the whole
+    // collect_set + interpreted-HOF pair explosion + dedup chain
+    // (profiled: the chain executed 2-3x per run). The cut frame is two
+    // longs per sampled edge — block reads, not recomputes, from here on.
+    val sampled = Checkpoints.cut(pairs.filter(
+      TextOps.polyHash(concat_ws("#", col("a"), col("b"))) % TriBuckets < TriKeep))
     GraphOps.triangleCounts(sampled).orderBy(col("node"))
   }
 

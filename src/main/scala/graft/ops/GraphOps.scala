@@ -223,7 +223,13 @@ object GraphOps {
     // exchange is shared — while a Checkpoints.cut here (tried, measured)
     // replaces parquet-statistics leaves with LogicalRDDs whose unknown
     // sizes forced every downstream join to sort-merge and cost ~0.6 s.
-    val deg = edges.select(col("s1").as("n")).union(edges.select(col("s2").as("n")))
+    // One pass over the pair build: the old two-branch union
+    // (select(s1) ∪ select(s2)) re-ran the whole upstream pair chain per
+    // branch — separate actions (the oriented cut below vs the serve
+    // job) cannot share exchanges, so the recompute was real (profiled:
+    // two ~1 s collect_set+explode stages per x58 run). explode emits
+    // both endpoints map-side from a single scan.
+    val deg = edges.select(explode(array(col("s1"), col("s2"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // Orient each edge from its lower-(degree, id) endpoint; s1 < s2 by
     // construction, so the degree tie resolves to s1 as the source.
