@@ -1869,11 +1869,17 @@ object ExtensionQueries {
     * global sort.
     */
   private def x51(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") * 2L).as("a"), (col("o_custkey") * 2L + 1L).as("b"))
-      .distinct()
+    // Cut (round-20): `pairs` is referenced twice by the symmetrize union
+    // and `edges` twice more by the degree build — without the cut the
+    // lineitem ⋈ orders + distinct chain re-ran per branch (profiled: two
+    // ~0.7 s scan+join jobs per x51 run). The cut frame is two longs per
+    // pair; downstream consumers read blocks.
+    val pairs = graft.ops.Checkpoints.cut(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2L).as("a"), (col("o_custkey") * 2L + 1L).as("b"))
+        .distinct())
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
     // Materialized cuts, not .cache(): every PageRank round re-reads the

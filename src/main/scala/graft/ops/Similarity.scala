@@ -179,17 +179,44 @@ object Similarity {
       corpus: DataFrame, centroids: DataFrame, dim: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
+    // Norms factored OUT of the broadcast-join fan-out (round-20): the old
+    // inline form recomputed the vector's norm once per (vector, cell) row
+    // and every centroid's norm once per corpus row — a full extra dot
+    // product per scored pair. Same expressions, same IEEE doubles, just
+    // computed once per side.
     val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("cv"))
-    val scored = corpus.crossJoin(broadcast(c))
+      .withColumn("cnorm", norm(col("cv"), dim))
+    val scored = corpus
+      .select(col(idCol), col(vecCol), norm(col(vecCol), dim).as("vnorm"))
+      .crossJoin(broadcast(c))
       .select(
         col(idCol), col(vecCol),
         col("cell_id"),
-        round(cosineStatic(col(vecCol), col("cv"), norm(col(vecCol), dim), norm(col("cv"), dim), dim), 6).as("cscore"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("cell_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= nprobe)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+        round(cosineStatic(col(vecCol), col("cv"), col("vnorm"), col("cnorm"), dim), 6).as("cscore"))
+    if (nprobe == 1) {
+      // Assignment (the k-means inner op and every full-corpus index
+      // build) as a map-side argmax instead of a window (round-20, guide
+      // §2.3 "aggregate before you shuffle"): partial aggregation
+      // collapses the N x cells scored rows to N best-rows BEFORE the
+      // exchange, where the window shuffled and sorted all N x cells.
+      // max(struct(cscore, -cell_id)) reproduces the window's total order
+      // exactly — Spark sorts NaN above all doubles and null fields first
+      // in both struct comparison and sort, and the negated cell id is the
+      // ascending tie-break — so the selected cell is identical row for
+      // row.
+      scored
+        .groupBy(col(idCol))
+        .agg(
+          first(col(vecCol)).as("__v"),
+          max(struct(col("cscore"), (-col("cell_id")).as("nc"))).as("best"))
+        .select(col(idCol), col("__v").as(vecCol), (-col("best.nc")).as("cell_id"))
+    } else {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("cell_id"))
+      scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= nprobe)
+        .select(col(idCol), col(vecCol), col("cell_id"))
+    }
   }
 
   /** Production IVF cell count: ceil(sqrt(n)) — the standard sizing that

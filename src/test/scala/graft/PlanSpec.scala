@@ -1057,11 +1057,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
 
   test("x58: triangle sampling filters before the wedge machinery, pair build runs once") {
     val p = finalPlan("x58_triangle_sample")
-    // The DOULION hash coin must cut edges BEFORE degrees/wedges (it lives
-    // in the pair-build join condition), and the deduplicated pair exchange
-    // is computed once and reused across the degree/orientation consumers.
-    p should include("polyhash")
-    p should include("ReusedExchange")
+    // Round-20 shape: the DOULION-sampled pair list is materialized ONCE
+    // (Checkpoints.cut — the hash coin and the collect_set pair explosion
+    // run in that build job, upstream of everything pinned here), so the
+    // serve plan must consume the cut (ExistingRDD scans), derive degrees
+    // map-side from ONE pass (explode of both endpoints, no two-branch
+    // union re-running the chain), and must NOT re-run the pair build.
+    p should include("Scan ExistingRDD")
+    p should include("Generate explode(array(s1")
+    p should not include "collect_set"
+    p should not include "polyhash"
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
