@@ -528,7 +528,17 @@ object Dedup {
     */
   def winnowFingerprints(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, w: Int): DataFrame = {
+      n: Int, w: Int): DataFrame =
+    winnowFingerprints(docs, idCol, textCol, n, w, widen = true)
+
+  /** As the public overload; `widen = false` skips the core-width
+    * repartition of the input — for per-micro-batch callers (streaming)
+    * whose inputs are latency-bound and tiny, where an extra exchange
+    * per batch costs more than the single-task map it spreads.
+    */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, widen: Boolean): DataFrame = {
     require(n >= 1, s"ngram width must be >= 1, got $n")
     require(w >= 2, s"winnow window must be >= 2, got $w")
     // Selection runs entirely in the array domain per document — no
@@ -554,8 +564,20 @@ object Dedup {
         })))
         .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))
     }
-    docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_tk"))
+    // Core-width input (round-20): the tokenizer + positional gram hash
+    // + selection lambdas are the most compute-dense map stage in the
+    // engine, and the fixture corpus scans at ONE split (single row
+    // group) — without the widening the whole sweep ran on one core
+    // (profiled: x85's two jobs = 1.2 s + 0.85 s, single-task each).
+    // Width.atLeastCores is a no-op whenever the scan is already at
+    // core width, i.e. at any real corpus scale.
+    val in =
+      if (widen)
+        graft.util.Width.atLeastCores(
+          docs.select(col(idCol).as("id"), col(textCol).as("__wtxt")))
+      else docs.select(col(idCol).as("id"), col(textCol).as("__wtxt"))
+    in
+      .select(col("id"), TextOps.tokens(col("__wtxt")).as("_tk"))
       .select(col("id"), TextOps.positionalGramHashesOfTokens(col("_tk"), n).as("_h"))
       .select(col("id"), explode(sels).as("sel"))
       .select(col("id"), col("sel.pos").as("pos"), col("sel.gh").as("gh"))
@@ -599,10 +621,11 @@ object Dedup {
     */
   def fingerprintSpansAgainst(
       docs: DataFrame, indexFp: DataFrame, idCol: String, textCol: String,
-      n: Int, w: Int, mergeGap: Int, minFp: Long): DataFrame = {
+      n: Int, w: Int, mergeGap: Int, minFp: Long,
+      widen: Boolean = true): DataFrame = {
     require(mergeGap >= 0, s"mergeGap must be >= 0, got $mergeGap")
     require(minFp >= 1, s"minFp must be >= 1, got $minFp")
-    val docFp = winnowFingerprints(docs, idCol, textCol, n, w)
+    val docFp = winnowFingerprints(docs, idCol, textCol, n, w, widen)
       .select(col("id"), col("pos"), col("gh")).distinct()
     val matched = docFp.join(indexFp.select(col("gh")).distinct(), "gh")
       .select(col("id"), col("pos")).distinct()

@@ -133,14 +133,20 @@ object PointCloudOps {
     val dist = greatest(
       sqrt((col(x) - cx) * (col(x) - cx) + (col(y) - cy) * (col(y) - cy)),
       lit(minDist))
-    val zc = col(z)
+    // dist projected ONCE per row (round-20): inlined in both IDW sums it
+    // was evaluated twice per point — each evaluation re-deriving the
+    // cell floors and the sqrt — because aggregate-expression CSE does
+    // not span separate aggregate functions. Same expression, same IEEE
+    // doubles; the aggregate now reads the precomputed column.
+    val zc = col("__z")
     points
-      .groupBy(gx.as("gx"), gy.as("gy"))
+      .select(col(z).as("__z"), gx.as("gx"), gy.as("gy"), dist.as("__d"))
+      .groupBy(col("gx"), col("gy"))
       .agg(
         min(zc).as("zmin"),
         max(zc).as("zmax"),
         Exact.davg(zc, 6).as("zmean"),
-        (Exact.dsum(zc / dist, 9) / Exact.dsum(lit(1.0) / dist, 9)).as("zidw"),
+        (Exact.dsum(zc / col("__d"), 9) / Exact.dsum(lit(1.0) / col("__d"), 9)).as("zidw"),
         count(lit(1)).as("n"),
         sqrt(greatest(
           Exact.davg(zc * zc, 6) - Exact.davg(zc, 6) * Exact.davg(zc, 6),

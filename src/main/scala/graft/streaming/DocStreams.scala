@@ -298,7 +298,7 @@ object DocStreams {
     require(reserved.isEmpty,
       s"fuzzyDecontaminationScores: input already carries reserved output " +
         s"column(s) ${reserved.mkString(", ")}")
-    val docFp = Dedup.winnowFingerprints(docs, idCol, textCol, n, w)
+    val docFp = Dedup.winnowFingerprints(docs, idCol, textCol, n, w, widen = false)
       .select(col("id").as(idCol), col("gh")).distinct()
     val scores = docFp
       .join(broadcast(benchFingerprints.select(col("gh")).distinct())
@@ -429,8 +429,12 @@ object DocStreams {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 5, w: Int = 4, mergeGap: Int = 11, minFp: Long = 2L,
       byteOriginal: Boolean = false): (DataFrame, DataFrame) = {
+    // widen = false: per-micro-batch inputs are tiny and latency-bound —
+    // the core-width exchange that pays off on the batch sweeps would
+    // cost more per batch than the single-task map it spreads.
     val spans = Dedup.fingerprintSpansAgainst(
-      batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp)
+      batch, benchFingerprints, idCol, textCol, n, w, mergeGap, minFp,
+      widen = false)
     val checked = Dedup.checkSpans(spans)
     // byteOriginal = the x100 kernel (casing/punctuation/whitespace of
     // kept bytes preserved); default = the x98 lowercased token stream
