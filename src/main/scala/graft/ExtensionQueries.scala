@@ -4761,8 +4761,16 @@ object ExtensionQueries {
     * 2 * RrfDepth rows per query.
     */
   private def x107(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    // Tokenize ONCE, wide, materialized (round-20): three consumers (dl,
+    // document frequency, the postings slice) each re-ran the tokenizer
+    // over the single-split corpus scan — profiled as back-to-back
+    // single-task ~1 s jobs. The cut token frame is read as blocks by
+    // all three; Width.atLeastCores spreads the one tokenize pass and is
+    // a no-op at real corpus width.
+    val docs = Checkpoints.cut(
+      graft.util.Width.atLeastCores(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk")))
     val dl = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
     // document frequency with the dedup MAP-SIDE: array_distinct inside
     // each row before the explode guarantees (doc, tok) uniqueness
@@ -4807,15 +4815,20 @@ object ExtensionQueries {
       .filter(col("lex_rank") <= RrfDepth)
       .select(col("qid"), col("doc_id"), col("lex_rank"))
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    // Norms factored out of the pair fan-out (round-20, same as ivfProbe):
+    // inline they were recomputed once per (corpus, query) pair — a full
+    // extra dot product each. Same expressions, same IEEE doubles.
     val qv = e.filter(col("vec_id") < RrfQ)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        Similarity.norm(col("v"), EmbDim).as("qn"))
     val bySem = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
-    val semTop = e.crossJoin(broadcast(qv))
+    val semTop = e
+      .select(col("vec_id"), col("v"), Similarity.norm(col("v"), EmbDim).as("vn"))
+      .crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("doc_id"),
         round(Similarity.cosineStatic(col("qv"), col("v"),
-          Similarity.norm(col("qv"), EmbDim), Similarity.norm(col("v"), EmbDim),
-          EmbDim), 6).as("cos"))
+          col("qn"), col("vn"), EmbDim), 6).as("cos"))
       .withColumn("sem_rank", row_number().over(bySem).cast("long"))
       .filter(col("sem_rank") <= RrfDepth)
       .select(col("qid"), col("doc_id"), col("sem_rank"))

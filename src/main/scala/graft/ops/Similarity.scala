@@ -52,12 +52,19 @@ object Similarity {
     * vectors (self excluded), rank ties broken by id for determinism.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, idCol: String = "vec_id", vecCol: String = "v", dim: Int = -1): DataFrame = {
+    // Norms factored out of the pair fan-out (round-20): inline they were
+    // recomputed once per (corpus, query) pair — two extra dot products
+    // per pair. Same expressions, same IEEE doubles, computed once per
+    // side.
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val cosExpr =
-      if (dim > 0) cosineStatic(col("qv"), col(vecCol), norm(col("qv"), dim), norm(col(vecCol), dim), dim)
-      else cosine(col("qv"), col(vecCol))
-    val pairs = corpus
-      .crossJoin(broadcast(q))
+    val (corp2, q2, cosExpr) =
+      if (dim > 0) (
+        corpus.withColumn("__vn", norm(col(vecCol), dim)),
+        q.withColumn("__qn", norm(col("qv"), dim)),
+        cosineStatic(col("qv"), col(vecCol), col("__qn"), col("__vn"), dim))
+      else (corpus, q, cosine(col("qv"), col(vecCol)))
+    val pairs = corp2
+      .crossJoin(broadcast(q2))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), round(cosExpr, 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))

@@ -40,8 +40,18 @@ object TimeSeries {
     * @param clipToMaxSpan with `maxSpan`, clip oversized keys to their
     *                      most recent `maxSpan` buckets instead of failing
     */
-  def gapFillForward(observed: DataFrame, maxSpan: Option[Long] = None,
+  def gapFillForward(observed0: DataFrame, maxSpan: Option[Long] = None,
       clipToMaxSpan: Boolean = false): DataFrame = {
+    // Cut (round-20): `observed` feeds BOTH the span aggregate and the
+    // grid join — without the cut the caller's upstream chain (x57: the
+    // full events scan + hourly aggregate) re-ran once per branch
+    // (profiled: two ~0.6-0.8 s single-task jobs per run). The cut frame
+    // is the hourly aggregate — output-sized at any scale. LAZY: both
+    // consumers are full passes (a groupBy and a join probe side), so the
+    // first action materializes every partition; an eager cut would run
+    // the aggregate at DataFrame-construction time, charging plan-only
+    // consumers (explain, plan pins) the whole chain.
+    val observed = Checkpoints.cutLazy(observed0)
     val spans = observed.groupBy(col("key"))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
     // Dense-grid inflation guard: Σ per-key spans is the OUTPUT size, and a
