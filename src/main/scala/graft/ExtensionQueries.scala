@@ -833,6 +833,11 @@ object ExtensionQueries {
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
     val third = base.filter(col("doc_id") % 3 === 0)
+    // NOT widened (round-20): Width.atLeastCores here was tried and
+    // measured WORSE on the 11-query chain family (+12 % normalized,
+    // stash A/B) — the chain's cost is its ~40-job orchestration floor,
+    // and a 32-partition corpus cut makes every tiny downstream stage pay
+    // 28 extra tasks of scheduling for map work that fits in 4.
     base
       .union(third.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       .union(third.select((col("doc_id") + 200000).as("doc_id"),
