@@ -495,7 +495,12 @@ object SparkEntry {
     * is the plain BETWEEN theta join.
     */
   private def q24(s: SparkSession, dir: String): DataFrame = {
-    val pts = t(s, dir, "lineitem").select(col("l_extendedprice").as("t"))
+    // Core-width probe side (round-20): the grid-key fan-out + join probe
+    // + decimal partial-agg over every lineitem row ran on the scan's 3
+    // single-row-group splits (profiled: 1.8 s of task time on 3 tasks).
+    // Conditional — a real-scale scan passes through untouched.
+    val pts = graft.util.Width.atLeastCores(
+      t(s, dir, "lineitem").select(col("l_extendedprice").as("t")))
     val iv = t(s, dir, "supplier").select(
       col("s_suppkey").as("iid"),
       (col("s_acctbal") * 10.0).as("start"),
