@@ -314,6 +314,18 @@ object Bench {
     val line =
       s"""{"queries":$qs,"errors":$errs,"reps":$reps,"sentinel_sec":$sentinelJson,"flagged_reps":$flaggedJson,"par_sentinel_sec":$parSentinelJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"control_sec":$controlJson,"reference_control_sec":${ms(ReferenceControlSec)},"value_control_normalized":$normJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
     println(line)
+    // Compact headline line, printed AFTER the full line (round-21,
+    // verdict #2): with 160 queries the full line alone (~6 KB) overflows
+    // the driver's bounded stdout tail window, so its JSON never parsed
+    // (PERF_r19/r20 `parsed: null`). This second line carries every
+    // headline field plus errors but NO per-query map (~400 bytes), so
+    // the end of stdout always contains one complete, parseable JSON
+    // object. The full per-query map stays one line up AND in
+    // logs/BENCH_local.json (`full_map`) — nothing is removed or renamed
+    // from the original line.
+    val compact =
+      s"""{"errors":$errs,"n_queries":${results.size},"reps":$reps,"flagged_reps":$flaggedJson,"par_flagged_reps":$parFlaggedJson,"load_avg":$loadJson,"load_flagged":$loadFlagged,"control_sec":$controlJson,"reference_control_sec":${ms(ReferenceControlSec)},"value_control_normalized":$normJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full_map":"logs/BENCH_local.json"}"""
+    println(compact)
     try {
       val out = java.nio.file.Paths.get("logs")
       java.nio.file.Files.createDirectories(out)

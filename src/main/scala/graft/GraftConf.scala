@@ -17,6 +17,14 @@ object GraftConf {
     "spark.sql.files.maxPartitionBytes" -> "268435456",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // AQE small-shuffle coalescing floor raised 1m -> 16m (round 20/21,
+    // measured -11.7% suite A/B): this engine's many dimension-sized
+    // intermediate shuffles (allocation frames, model frames, band
+    // histograms) are task-overhead-bound below 16 MB, and the
+    // bytes-first 1m floor over-parallelizes them. Conservative at
+    // scale: far below the 100MB-1GB partition-sizing target, and a
+    // 50 MB frame does not want 50 tasks on a 2000-core cluster either.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16m",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "268435456",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5",

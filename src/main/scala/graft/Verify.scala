@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Engine default (round 21, promoted from the bench session so the
+      // library posture matches what is measured): AQE's small-shuffle
+      // coalescing floor at 16m — see GraftConf.cluster for the rationale.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

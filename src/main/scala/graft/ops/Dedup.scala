@@ -525,6 +525,14 @@ object Dedup {
     * only — a document bounds the partition; no pair space.
     *
     * @return (id, pos, gh): 0-based selected gram positions + hashes
+    *
+    * WIDEN CONTRACT (this overload defaults `widen = true`): the input is
+    * routed through [[graft.util.Width.atLeastCores]], which probes the
+    * planned partition count. Streaming inputs pass through unwidened
+    * automatically; BATCH callers should pass exchange-free frames (scans,
+    * filters, projections) or call the `widen = false` overload — probing
+    * an exchange-bearing plan materializes its query stages at planning
+    * time under AQE (early, duplicated execution).
     */
   def winnowFingerprints(
       docs: DataFrame, idCol: String, textCol: String,

@@ -211,12 +211,19 @@ object Similarity {
       // in both struct comparison and sort, and the negated cell id is the
       // ascending tie-break — so the selected cell is identical row for
       // row.
+      // The vector rides INSIDE the max struct (round-21, ADVICE): a
+      // separate first(vec) is non-deterministic per group when the
+      // corpus holds duplicate ids with different vectors — it could
+      // pair one row's vector with another row's best cell. Struct
+      // comparison short-circuits on (cscore, nc), which are distinct
+      // per cell, so the vector field is only consulted on exact
+      // duplicate-id ties and the winning row stays self-consistent.
       scored
         .groupBy(col(idCol))
         .agg(
-          first(col(vecCol)).as("__v"),
-          max(struct(col("cscore"), (-col("cell_id")).as("nc"))).as("best"))
-        .select(col(idCol), col("__v").as(vecCol), (-col("best.nc")).as("cell_id"))
+          max(struct(col("cscore"), (-col("cell_id")).as("nc"),
+            col(vecCol).as("v"))).as("best"))
+        .select(col(idCol), col("best.v").as(vecCol), (-col("best.nc")).as("cell_id"))
     } else {
       val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("cell_id"))
       scored

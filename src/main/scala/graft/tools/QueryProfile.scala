@@ -77,7 +77,8 @@ object QueryProfile {
       graft.Tables.events(spark, dir).count()
       graft.sources.PointsLayout.ensure(spark, dir)
     } catch { case t: Throwable => System.err.println(s"[profile] warmup: ${t.getMessage}") }
-    val outDir = java.nio.file.Paths.get("plans", "r20")
+    val outDir = java.nio.file.Paths.get("plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "r21"))
     java.nio.file.Files.createDirectories(outDir)
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)

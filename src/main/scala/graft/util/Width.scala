@@ -22,10 +22,30 @@ import org.apache.spark.sql.DataFrame
   * `df.rdd` on a plan that contains exchanges would materialize the
   * upstream query stages at planning time under AQE — early, duplicated
   * execution. Every current caller passes scan-derived map-only frames.
+  * Streaming frames return unchanged (`df.rdd` throws on them), so the
+  * widened public operators stay streaming-composable.
   */
 object Width {
   def atLeastCores(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Widening target for frames that are about to be REPARTITIONED
+    * unconditionally anyway (exchange-bearing inputs where probing
+    * `df.rdd` would force early query-stage execution — see the caller
+    * contract above). `repartition(defaultParallelism)` can NARROW a
+    * frame on a deploy whose shuffle width exceeds its core count
+    * (shuffle.partitions > cores, the recommended cluster posture),
+    * re-serializing the very fan-out it widens locally; the max with
+    * the session's shuffle width never can. Locally both terms equal
+    * the core count, so plans are unchanged.
+    */
+  def coresOrShuffleWidth(df: DataFrame): Int = {
+    val s = df.sparkSession
+    val shuffle = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(0)
+    math.max(s.sparkContext.defaultParallelism, shuffle)
   }
 }

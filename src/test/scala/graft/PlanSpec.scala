@@ -966,12 +966,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
   test("x85: winnowing selects in the array domain — map-only, no shuffle but the sort") {
     val p = plan("x85_winnowing")
     // argmin + dedupe happen inside per-row array algebra; the plan has
-    // no window, no aggregate, no join — nothing moves between tasks
-    // until the final ORDER BY
+    // no window, no aggregate, no join — rows only move for (a) the
+    // conditional core-width widen of the single-split fixture scan
+    // (RoundRobin, a no-op at real scan widths) and (b) the final ORDER BY
     p should not include "Window"
     p should not include "HashAggregate"
     p should not include "Join"
-    "Exchange".r.findAllIn(p).size should be <= 1
+    "Exchange".r.findAllIn(p).size should be <= 2
+    p should include("RoundRobinPartitioning")
     p should include("rangepartitioning")
   }
 
