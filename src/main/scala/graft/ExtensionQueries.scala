@@ -1878,7 +1878,8 @@ object ExtensionQueries {
     // and `edges` twice more by the degree build — without the cut the
     // lineitem ⋈ orders + distinct chain re-ran per branch (profiled: two
     // ~0.7 s scan+join jobs per x51 run). The cut frame is two longs per
-    // pair; downstream consumers read blocks.
+    // pair; downstream consumers read blocks. (Round-21 A/B: lazy cuts
+    // here measured slower — kept eager.)
     val pairs = graft.ops.Checkpoints.cut(
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -1892,39 +1893,49 @@ object ExtensionQueries {
     // direct caller's session after the query returns (the x59
     // precedent). The cut frame is a scan of materialized blocks, so
     // loop reuse costs no lineage replay and nothing stays registered.
+    // SHUFFLE_HASH on the node-sized degree side (round-21, guide §3.1):
+    // the LogicalRDD inputs have no size statistics, so the planner
+    // defaults to sort-merge — sorting the edge-sized side for a join
+    // whose build side is node-count-bounded (nodes / shuffle.partitions
+    // rows per task at any scale, a few MB per task at 1e9 nodes).
     val withDeg = graft.ops.Checkpoints.cut(edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src"))
-    // Same src set as `edges` (every edge row carries a degree), but read
-    // from the cut frame so the union+distinct is not rebuilt; cut
-    // because the init vector and each lineage cut's nFrame aggregate
-    // re-read it.
-    val nodes = graft.ops.Checkpoints.cut(
-      withDeg.select(col("src").as("node")).distinct())
-    val nFrame = broadcast(nodes.agg(count(lit(1)).as("n")))
-    // The init vector is a constant expression over `nodes` — leave it
-    // LAZY (no materialization): round 1 folds it into its own join.
-    var ranks = nodes.crossJoin(nFrame)
-      .select(col("node"), expr("1000000000000 div n").as("r"))
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+        .hint("SHUFFLE_HASH"), "src"))
+    // Node count as ONE driver scalar (round-21 job thinning): the old
+    // `nodes` cut + 1-row broadcast nFrame re-ran a distinct + aggregate
+    // + broadcast build inside EVERY materialization that referenced it
+    // (the init vector and each round's damping term). The count is a
+    // per-run scalar derived from the inputs (the capMixAllocation
+    // budget precedent), and the damping constant folds to a literal in
+    // every round's plan. Same integer floor-division arithmetic —
+    // values identical.
+    val n = withDeg.select(col("src")).distinct().count()
+    val initRank = 1000000000000L / n
+    val damp = (15L * initRank) / 100L
+    // The init vector is a constant expression over the (src-distinct)
+    // node set — leave it LAZY: round 1 folds it into its own join.
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(initRank).as("r"))
     for (i <- 1 to PrRounds) {
       // No dangling-node left join: the edge list is SYMMETRIZED (a->b and
       // b->a both present), so every node receives at least one
       // contribution and the aggregate's dst key set IS the node set —
       // provably identical values with one join fewer per round.
-      ranks = ranks.join(withDeg, col("node") === col("src"))
+      // Build the node-sized rank vector, stream the edge side (guide
+      // §3.1): sort-merge re-sorted the edge-sized withDeg EVERY round;
+      // the hash build is rank-vector-sized per partition at any scale.
+      ranks = ranks.hint("SHUFFLE_HASH").join(withDeg, col("node") === col("src"))
         .select(col("dst"), expr("r div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-        .crossJoin(nFrame)
         .select(col("dst").as("node"),
-          expr("(15 * (1000000000000 div n)) div 100 + (85 * cs) div 100").as("r"))
-      // Cut lineage every SECOND round plus the FINAL one: a 2-round plan
-      // over cached inputs is cheap to carry, halving the eager
-      // materializations that were the bulk of x51's wall-clock (VERDICT
-      // r5: 4 node-sized checkpoints for 3 rounds of math), while the
-      // served result stays a scan of the materialized vector (the
-      // PlanSpec serve-discipline pin). The FINAL cut is LAZY: the serve's
-      // TakeOrdered is the single consumer, so its action computes and
-      // persists the last generation in one pass instead of an extra
-      // eager materialization round.
+          (lit(damp) + expr("(85 * cs) div 100")).as("r"))
+      // Cut lineage every SECOND round plus the FINAL one (the r20
+      // cadence — an all-lazy variant was A/B'd in r21 and measured
+      // slower): a 2-round plan over cached inputs is cheap to carry,
+      // and the served result stays a scan of the materialized vector
+      // (the PlanSpec serve-discipline pin). The FINAL cut is LAZY: the
+      // serve's TakeOrdered is the single consumer, so its action
+      // computes and persists the last generation in one pass.
       if (i == PrRounds) ranks = graft.ops.Checkpoints.cutLazy(ranks)
       else if (i % 2 == 0) ranks = graft.ops.Checkpoints.cut(ranks)
     }
@@ -2215,7 +2226,8 @@ object ExtensionQueries {
   /** Component labels + sizes in x56/x61's output shape. */
   private def componentSizes(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
-    labels.join(sizes, "component")
+    // SHUFFLE_HASH: cluster-histogram build side, bounded per partition
+    labels.join(sizes.hint("SHUFFLE_HASH"), "component")
       .select(col("node"), col("component"), col("comp_size"))
       .orderBy(col("node"))
   }
@@ -2321,10 +2333,11 @@ object ExtensionQueries {
     // onto them). The per-order supplier sets are id-only and small at any
     // scale, so a cores-wide round-robin exchange is cheap, and the
     // fan-out stage — whose cost AQE's bytes model cannot see — runs at
-    // full width. defaultParallelism tracks the deploy's cores, not a
-    // local constant.
+    // full width. max(cores, shuffle width) so the exchange can never
+    // NARROW a deploy whose shuffle width exceeds its core count
+    // (locally both are the core count — plan unchanged).
     val pairs = sets
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(graft.util.Width.coresOrShuffleWidth(sets))
       .select(explode(flatten(transform(col("ss"), (x, i) =>
         transform(slice(col("ss"), i + lit(2), size(col("ss")) - i - lit(1)), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
@@ -2682,13 +2695,14 @@ object ExtensionQueries {
     // three consumers (best, the tie filter, the serve join) — cut so the
     // label join computes once
     val labeled = Checkpoints.cut(corpus
-      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id")
+        .hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"), col("quality")))
     // the two-phase argmax lives in Dedup.clusterReps (null-safe tie
     // filter — an all-null-quality cluster still elects a rep)
     val reps = Dedup.clusterReps(labeled.withColumnRenamed("doc_id", "id"))
-    labeled.join(reps, "cluster")
+    labeled.join(reps.hint("SHUFFLE_HASH"), "cluster")
       .select(col("doc_id"), col("rep_id"), col("quality"),
         (col("doc_id") === col("rep_id")).cast("int").as("keep"))
       .orderBy(col("doc_id"))
@@ -3241,7 +3255,8 @@ object ExtensionQueries {
   private def x76(s: SparkSession, dir: String): DataFrame = {
     val corpus = Checkpoints.cut(dedupCorpus(s, dir))
     val labeled = corpus
-      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id")
+        .hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
     def coin(c: Column): Column =
       pmod(TextOps.polyHash(concat(lit("split#"), c.cast("string"))), lit(100L))
@@ -3285,7 +3300,8 @@ object ExtensionQueries {
         min(col("doc_id")).over(Window.partitionBy(Dedup.contentKey(col("text")))))
       .filter(col("doc_id") === col("m")).drop("m")
     val s1c = s1
-      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id")
+        .hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("label"), col("doc_id")))
     val s2 = s1c
       .withColumn("cm", min(col("doc_id")).over(Window.partitionBy(col("cluster"))))
@@ -3583,7 +3599,8 @@ object ExtensionQueries {
   private def x83(s: SparkSession, dir: String): DataFrame = {
     val corpus = Checkpoints.cut(dedupCorpus(s, dir))
     val labeled = corpus
-      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id")
+        .hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
     val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("k"))
     // materialized: the histogram feeds BOTH the total and the join —
@@ -3973,12 +3990,13 @@ object ExtensionQueries {
     // multi-consumer lesson. The frame is 3 numeric columns per doc, no
     // text (round-14 conf probe: 200-partition ratio 2.08 before the cut).
     val labeled = Checkpoints.cut(corpus
-      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id")
+        .hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"),
         (col("doc_id") % 11 === 0).cast("int").as("own_flag")))
     val cflag = labeled.groupBy(col("cluster"))
       .agg(max(col("own_flag")).as("effective_flag"))
-    labeled.join(cflag, "cluster")
+    labeled.join(cflag.hint("SHUFFLE_HASH"), "cluster")
       .select(col("doc_id"), col("cluster"), col("own_flag"), col("effective_flag"),
         ((col("effective_flag") === 1) && (col("own_flag") === 0))
           .cast("int").as("tainted_by_dup"))
@@ -4591,7 +4609,8 @@ object ExtensionQueries {
       .withColumn("n_tokens", TextOps.wsTokenCount(col("text"))))
     // labels feed the size agg, the argmax, and the rep-token join — cut
     val labeled = Checkpoints.cut(corpus
-      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id")
+        .hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"), col("quality"), col("n_tokens")))
     // null-safe two-phase argmax fused with the size aggregate
@@ -5116,7 +5135,8 @@ object ExtensionQueries {
     val corpus = Checkpoints.cut(dedupCorpus(s, dir)
       .withColumn("quality", TextOps.quality(col("text"))))
     val labeled = Checkpoints.cut(corpus
-      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id")
+        .hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"), col("quality")))
     // (rep_id, weight): the x104 surface this query consumes — one fused
@@ -5393,7 +5413,8 @@ object ExtensionQueries {
       .withColumn("quality", TextOps.quality(col("text")))
       .withColumn("n_tokens", TextOps.wsTokenCount(col("text"))))
     val labeled = Checkpoints.cut(corpus
-      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id")
+        .hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"),
         col("quality"), col("n_tokens")))
@@ -5500,7 +5521,8 @@ object ExtensionQueries {
       .withColumn("quality", TextOps.quality(col("text")))
       .withColumn("n_tokens", TextOps.wsTokenCount(col("text"))))
     val labeled = Checkpoints.cut(corpus
-      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupLabels(corpus).withColumnRenamed("id", "doc_id")
+        .hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"),
         col("quality"), col("n_tokens")))

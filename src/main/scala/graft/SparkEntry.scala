@@ -317,8 +317,11 @@ object SparkEntry {
       // 3-row model frame feeding several plan branches — cut so the
       // scan+agg runs once, not per branch; unlike a .cache(), the
       // materialized blocks are reclaimed once unreferenced instead of
-      // staying registered in a direct caller's session.
-      .transform(graft.ops.Checkpoints.cut)
+      // staying registered in a direct caller's session. LAZY (round-21
+      // job thinning): the serve action's first broadcast build (the
+      // target frame) is a full pass, so it materializes the stats in
+      // the same action — the whole query is one driver action.
+      .transform(graft.ops.Checkpoints.cutLazy)
     // Per-column targets: 0-based fractional index p*(n-1) — the same
     // double arithmetic as DuckDB's quantile_cont, so the interpolated
     // value hash-matches. cid 1 = l_quantity@0.5, cid 2 = l_extendedprice@0.9.

@@ -303,12 +303,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // SHUFFLE_HASH on the node-sized label vector (round-21, guide
+      // §3.1): the cut generations carry no size stats, so the planner
+      // defaulted to sort-merge — re-sorting the edge-sized adjacency
+      // every round; the hash build is label-vector-sized per partition
+      // at any scale.
       val neighbourMin = adj
-        .join(labels, adj("b") === labels("id"))
+        .join(labels.hint("SHUFFLE_HASH"), adj("b") === labels("id"))
         .groupBy(adj("a").as("id"))
         .agg(min(col("label")).as("nmin"))
       val next = labels.alias("l")
-        .join(neighbourMin.alias("n"), col("l.id") === col("n.id"), "left_outer")
+        .join(neighbourMin.hint("SHUFFLE_HASH").alias("n"),
+          col("l.id") === col("n.id"), "left_outer")
         .select(
           col("l.id").as("id"),
           least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"))
@@ -361,7 +367,10 @@ object Dedup {
     */
   def clusterReps(labeled: DataFrame): DataFrame = {
     val best = labeled.groupBy(col("cluster")).agg(max(col("quality")).as("bq"))
-    labeled.join(best, "cluster")
+    // SHUFFLE_HASH (round-21, guide §3.1): cluster-keyed best-quality
+    // build side, bounded by clusters / shuffle.partitions at any scale;
+    // statless inputs otherwise fall to sort-merge over the member side.
+    labeled.join(best.hint("SHUFFLE_HASH"), "cluster")
       .filter(col("quality") <=> col("bq"))
       .groupBy(col("cluster")).agg(min(col("id")).as("rep_id"))
   }
@@ -382,7 +391,10 @@ object Dedup {
   def clusterRepsWeighted(labeled: DataFrame): DataFrame = {
     val best = labeled.groupBy(col("cluster"))
       .agg(max(col("quality")).as("bq"), count(lit(1)).as("w"))
-    labeled.join(best, "cluster")
+    // SHUFFLE_HASH (round-21, guide §3.1): cluster-keyed best-quality
+    // build side, bounded by clusters / shuffle.partitions at any scale;
+    // statless inputs otherwise fall to sort-merge over the member side.
+    labeled.join(best.hint("SHUFFLE_HASH"), "cluster")
       .filter(col("quality") <=> col("bq"))
       .groupBy(col("cluster"))
       .agg(min(col("id")).as("rep_id"), max(col("w")).as("weight"))

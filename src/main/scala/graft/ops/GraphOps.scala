@@ -66,6 +66,10 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
       .distinct()
+    // Eager on purpose (round-21 A/B): a lazy cut here was measured
+    // SLOWER on the CC family — cutLazy still finalizes the AQE stages at
+    // construction, and deferring only the final stage made the first
+    // consumer's multi-branch job race on computing it.
     var edges = Checkpoints.cut(init)
 
     def sym(e: DataFrame): DataFrame =
@@ -96,13 +100,26 @@ object GraphOps {
         .head().getDecimal(0)
 
     var mins = neighborhoodMins(edges)
-    var prev = labelSumOf(mins)
-    var converged = edges.isEmpty // an edgeless graph is already converged
+    // Row count rides the FIRST label-sum aggregate (round-21 job
+    // thinning): `mins` is empty iff the canonical edge set is — this
+    // replaces the former separate `edges.isEmpty` driver action (a
+    // limit-shaped job) with one more column in an aggregate that runs
+    // anyway. An edgeless graph is already converged.
+    val first = mins.agg(
+      coalesce(sum(least(col("mn"), col("u")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("ls"),
+      count(lit(1)).as("n")).head()
+    var prev = first.getDecimal(0)
+    var converged = first.getLong(1) == 0L
     var rounds = 0
     while (!converged && rounds < maxIter) {
       // Large-star: v > u re-attaches to least(min Γ(u), u).
+      // SHUFFLE_HASH on the node-sized mins (round-21, guide §3.1): the
+      // LogicalRDD inputs carry no size stats, so the planner defaulted
+      // to sort-merge — sorting the edge-sized side every round for a
+      // build side bounded by nodes / shuffle.partitions at any scale.
       val nb = sym(edges)
-      val ls = nb.join(mins, "u")
+      val ls = nb.join(mins.hint("SHUFFLE_HASH"), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), least(col("mn"), col("u")).as("lo"))
         .distinct()
@@ -110,7 +127,7 @@ object GraphOps {
       // u and each v attach to that neighborhood's min.
       val le = ls.select(col("hi").as("u"), col("lo").as("v"))
       val mins2 = le.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      val ss = le.join(mins2, "u")
+      val ss = le.join(mins2.hint("SHUFFLE_HASH"), "u")
         .select(col("v").as("hi"), col("mn").as("lo"))
         .filter(col("hi") =!= col("lo"))
         .union(mins2.select(col("u").as("hi"), col("mn").as("lo")))
@@ -239,6 +256,9 @@ object GraphOps {
     // (degree, id) total order: s1 < s2 by construction, so `<=` alone
     // resolves the degree tie toward s1 — lower id wins.
     val fwd = col("d1") <= col("d2")
+    // Eager on purpose (round-21 A/B): a lazy cut here measured x58
+    // ~23% SLOWER — the serve's three concurrent consumers raced on
+    // computing the deferred final stage instead of reading blocks.
     val oriented = Checkpoints.cut(edges
       .join(deg.select(col("n").as("s1"), col("deg").as("d1")), "s1")
       .join(deg.select(col("n").as("s2"), col("deg").as("d2")), "s2")
@@ -250,9 +270,10 @@ object GraphOps {
       // the wedge self-join streams over, and AQE's bytes-coalesced
       // partitioning would serialize the C(out-degree, 2) wedge fan-out —
       // whose cost the bytes model cannot see — onto a handful of tasks.
-      // Rows are three longs; defaultParallelism tracks the deploy's
-      // cores, not a local constant.
-      .repartition(edges.sparkSession.sparkContext.defaultParallelism))
+      // Rows are three longs; max(cores, shuffle width) so the exchange
+      // can never NARROW a deploy whose shuffle width exceeds its core
+      // count (locally both are the core count — plan unchanged).
+      .repartition(graft.util.Width.coresOrShuffleWidth(edges)))
     // Wedges v←u→w emitted once, endpoints ordered by (degree, id); the
     // triangle closes iff the oriented edge v→w exists.
     //
