@@ -345,7 +345,10 @@ object ExtensionQueries {
     // Raw float arrays straight into the static-dot path: no HOF conversion
     // anywhere, the whole cosine stays in whole-stage codegen.
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
-    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5, dim = EmbDim)
+    // widen=false (round-21 A/B): 10 queries, one pass — the widen
+    // exchange measured 0.67x here.
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5, dim = EmbDim,
+        widen = false)
       .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
       .orderBy(col("qid"), col("rnk"))
   }
@@ -1156,8 +1159,11 @@ object ExtensionQueries {
   private val MmrQueries = 3
   private def x34(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    // widen=false (round-21 A/B): 3 queries, one pass — widen measured
+    // 0.80x here.
     val cands = Similarity
-      .bruteForceTopK(e, e.filter(col("vec_id") < MmrQueries), 20, dim = EmbDim)
+      .bruteForceTopK(e, e.filter(col("vec_id") < MmrQueries), 20, dim = EmbDim,
+        widen = false)
       .select(col("qid"), col("vec_id"), col("cos").as("rel"))
       .join(e, "vec_id")
     Similarity.mmrSelectGrouped(cands, MmrK, MmrLambda)
@@ -4846,7 +4852,11 @@ object ExtensionQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         Similarity.norm(col("v"), EmbDim).as("qn"))
     val bySem = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
-    val semTop = e
+    // Widened like bruteForceTopK's corpus side (round-21): the exact
+    // cosine pass over corpus x RrfQ queries ran as one task on the
+    // single-split embeddings scan (profiled: a 2 s single-task job —
+    // the query's longest). No-op at real corpus width.
+    val semTop = graft.util.Width.atLeastCores(e)
       .select(col("vec_id"), col("v"), Similarity.norm(col("v"), EmbDim).as("vn"))
       .crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= col("qid"))

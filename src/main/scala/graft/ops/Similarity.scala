@@ -50,8 +50,21 @@ object Similarity {
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), rank ties broken by id for determinism.
+    *
+    * @param widen round-21 (guide §2.5): widen a narrower-than-cores
+    *              map-only corpus before the |corpus| x |queries|
+    *              scoring fan-out — the local single-row-group
+    *              embeddings scan otherwise serializes the whole pass
+    *              onto one task. Callers whose query set is a handful
+    *              of vectors used once (x08's 10, x34's 1, the
+    *              feasibility probe's single summary) opt out: there
+    *              the widen exchange costs more than the single-task
+    *              pass it spreads (measured x08 0.67x, x34 0.80x,
+    *              x109 0.80x WITH the widen). No-op at real corpus
+    *              width and on non-map-only inputs.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, idCol: String = "vec_id", vecCol: String = "v", dim: Int = -1): DataFrame = {
+  def bruteForceTopK(corpus0: DataFrame, queries: DataFrame, k: Int, idCol: String = "vec_id", vecCol: String = "v", dim: Int = -1, widen: Boolean = true): DataFrame = {
+    val corpus = if (widen) graft.util.Width.atLeastCores(corpus0) else corpus0
     // Norms factored out of the pair fan-out (round-20): inline they were
     // recomputed once per (corpus, query) pair — two extra dot products
     // per pair. Same expressions, same IEEE doubles, computed once per
@@ -186,6 +199,13 @@ object Similarity {
       corpus: DataFrame, centroids: DataFrame, dim: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
+    // NOT widened here (round-21 A/B): an op-internal Width.atLeastCores
+    // was measured NET WORSE on the ANN family — ivfProbe's callers are
+    // mostly tiny filtered query frames and single spill-assign passes
+    // whose corpus x cells scoring is too small to amortize the widen
+    // exchange (x102 0.82x, x116 0.79x, x13 0.83x with it). The k-means
+    // loop — where the assign repeats per iteration — widens its corpus
+    // ONCE at [[kmeansCentroids]] entry instead.
     // Norms factored OUT of the broadcast-join fan-out (round-20): the old
     // inline form recomputed the vector's norm once per (vector, cell) row
     // and every centroid's norm once per corpus row — a full extra dot
@@ -723,7 +743,10 @@ object Similarity {
       corpus: DataFrame, dim: Int, sampleQ: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     val q = corpus.filter(col(idCol) < sampleQ)
-    val top = bruteForceTopK(corpus, q, 10, idCol, vecCol, dim)
+    // widen=false (round-21 A/B): one fixed-sample pass consumed by
+    // sample-sized aggregates — the widen exchange measured NET slower
+    // here (x109 0.80x, and x116's gated build pays it too).
+    val top = bruteForceTopK(corpus, q, 10, idCol, vecCol, dim, widen = false)
     val perQ = top.groupBy(col("qid")).agg(
       max(when(col("rnk") === 1L, col("cos"))).as("top1_cos"))
     val nq = q.agg(count(lit(1)).as("n_q"))
@@ -767,8 +790,16 @@ object Similarity {
     * corpus itself never shuffles. Empty cells drop out (standard k-means).
     */
   def kmeansCentroids(
-      corpus: DataFrame, init: DataFrame, iters: Int, dim: Int,
+      corpus0: DataFrame, init: DataFrame, iters: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    // Round-21 widen (guide §2.5): EVERY training iteration's assign pass
+    // re-reads this frame map-side, so a single-split local scan
+    // serialized iters full corpus x cells scoring passes onto one task
+    // (profiled in x112: ~1 s single-task jobs per iteration). Widened
+    // once at entry — the probe runs once, the widen exchange replays
+    // inside each iteration's job (corpus-sized bytes, trivial where this
+    // fires), and at real scan width the whole thing is a no-op.
+    val corpus = graft.util.Width.atLeastCores(corpus0)
     var cents = init.select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("cv"))
     // rolling release (the MLlib iteration pattern): once generation i+1
     // is eagerly materialized, generation i's blocks are dead weight —
@@ -822,9 +853,13 @@ object Similarity {
     * unchanged. The (m * k)-row model is lineage-cut each iteration.
     */
   def pqCodebooks(
-      corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      corpus0: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1, "m, subDim, k must be >= 1")
+    // Round-21 widen (guide §2.5): every training iteration's scoring
+    // join + argmax window re-reads this frame map-side; a single-split
+    // corpus scan serialized all m subspaces' training onto one task.
+    val corpus = graft.util.Width.atLeastCores(corpus0)
     val sliced = corpus
       .select(col(idCol), explode(array((0 until m).map(sub =>
         struct(
@@ -874,8 +909,11 @@ object Similarity {
     * corpus never sorts). Output: (idCol, subspace, code).
     */
   def pqEncode(
-      corpus: DataFrame, codebooks: DataFrame, subDim: Int,
+      corpus0: DataFrame, codebooks: DataFrame, subDim: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    // Same round-21 widen as ivfProbe: the (vector, subspace, codeword)
+    // scoring pass is map-side compute over the corpus scan.
+    val corpus = graft.util.Width.atLeastCores(corpus0)
     val cb = codebooks.select(col("subspace"), col("cell_id"), col("cv"))
     val sl = slice(col(vecCol), col("subspace") * lit(subDim) + lit(1), lit(subDim))
     val scored = corpus.select(col(idCol), col(vecCol))

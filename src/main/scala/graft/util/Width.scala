@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Conditional stage widening for compute-dense map stages over NARROW
   * inputs (round-20). The local fixture parquet files hold a single row
@@ -17,17 +18,35 @@ import org.apache.spark.sql.DataFrame
   * passes through untouched, and `defaultParallelism` tracks the
   * deploy's width, not a local constant.
   *
-  * CALLER CONTRACT: only pass frames whose physical plan is
-  * exchange-free (scans, filters, projections, unions of those).
-  * `df.rdd` on a plan that contains exchanges would materialize the
-  * upstream query stages at planning time under AQE — early, duplicated
-  * execution. Every current caller passes scan-derived map-only frames.
-  * Streaming frames return unchanged (`df.rdd` throws on them), so the
-  * widened public operators stay streaming-composable.
+  * SAFETY (round-21, hardened from the round-20 caller contract): the
+  * probe `df.rdd` is only safe on frames whose physical plan is
+  * exchange-free — on a plan that contains exchanges it would
+  * materialize the upstream query stages at planning time under AQE
+  * (early, duplicated execution). Widening sits INSIDE shared operators
+  * now (the ANN family's corpus side), whose inputs are caller-supplied,
+  * so the guard is structural instead of documentation: the frame is
+  * probed and widened only when its optimized logical plan is map-only
+  * (leaves, projections, filters, generators, unions of those — the
+  * shapes that plan no exchange). Anything else — aggregates, joins,
+  * windows, repartitions — returns unchanged; those frames either carry
+  * their own width or need [[coresOrShuffleWidth]]-style handling at the
+  * call site. Streaming frames return unchanged (`df.rdd` throws on
+  * them), so the widened public operators stay streaming-composable.
   */
 object Width {
+  private def mapOnly(plan: LogicalPlan): Boolean = plan match {
+    case _: LeafNode => true
+    case p: Project => mapOnly(p.child)
+    case f: Filter => mapOnly(f.child)
+    case g: Generate => mapOnly(g.child)
+    case u: Union => u.children.forall(mapOnly)
+    case a: SubqueryAlias => mapOnly(a.child)
+    case _ => false
+  }
+
   def atLeastCores(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    if (!mapOnly(df.queryExecution.optimizedPlan)) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
