@@ -3051,7 +3051,13 @@ object ExtensionQueries {
         .otherwise(lit("")),
       lit("<div class=\"footer\"><a href=\"/terms\">Terms of Service</a> " +
         "<a href=\"/privacy\">Privacy Policy</a> (c)</div></body></html>"))
-    t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // Widened (round-21, guide §2.5): the block-split + link-density
+    // machinery is the heaviest per-row expression work in the suite and
+    // ran as one task on the single-split documents scan (profiled: two
+    // ~1 s single-task jobs were the whole query). No-op at real corpus
+    // width; the PlanSpec pin carries the widen exchange.
+    graft.util.Width.atLeastCores(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
       .withColumn("_blocks", TextOps.htmlBlocks(html))
       .withColumn("_ne", filter(col("_blocks"), b => length(b("t")) > 0))
       .withColumn("_kept", filter(col("_ne"), TextOps.htmlKeepBlock _))

@@ -224,12 +224,41 @@ object SparkEntry {
       .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
   }
 
-  /** CUBE grouping sets over lineitem flags. */
-  private def q16(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("qty"))
+  /** CUBE grouping sets over lineitem flags — executed two-level
+    * (round-21, guide §2.3 "aggregate before you shuffle"): a Dataset
+    * .cube plans an Expand that quadruples the fact rows BEFORE the
+    * partial aggregate (profiled: one 4x-input hash-agg job was the
+    * whole query). Instead aggregate ONCE to the (flag, status) cells
+    * and derive the three rollup levels from the catalog-sized cell
+    * frame. Exactness: the quantity partial stays DECIMAL until the
+    * final cast, and decimal addition is associative, so every level's
+    * double is bit-identical to the single-pass dsum; counts re-sum as
+    * longs. Null grouping keys (none in this data, but for the record)
+    * produce the same row multiset: a cube's detail row for a null key
+    * and its rollup row coincide in output columns either way.
+    */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q0"))
+    val nullS = lit(null).cast("string")
+    val byBoth = cells.select(
+      col("l_returnflag"), col("l_linestatus"), col("n0"), col("q0"))
+    val byFlag = cells.groupBy(col("l_returnflag"))
+      .agg(sum(col("n0")).as("n0"), sum(col("q0")).as("q0"))
+      .select(col("l_returnflag"), nullS.as("l_linestatus"), col("n0"), col("q0"))
+    val byStatus = cells.groupBy(col("l_linestatus"))
+      .agg(sum(col("n0")).as("n0"), sum(col("q0")).as("q0"))
+      .select(nullS.as("l_returnflag"), col("l_linestatus"), col("n0"), col("q0"))
+    val grand = cells
+      .agg(sum(col("n0")).as("n0"), sum(col("q0")).as("q0"))
+      .select(nullS.as("l_returnflag"), nullS.as("l_linestatus"), col("n0"), col("q0"))
+    byBoth.union(byFlag).union(byStatus).union(grand)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("n0").cast("long").as("n"), col("q0").cast("double").as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
 
   /** String-function battery (upper/lower/substring/length/replace/LIKE). */
   private def q17(s: SparkSession, dir: String): DataFrame =
