@@ -2589,7 +2589,9 @@ object ExtensionQueries {
   private def x64(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
       TextOps.quality(col("text")).as("quality"))
-    Ranks.groupPercentRank(d, "source", "quality")
+    // materialize=true (round-21 A/B 1.19x): quality(text) is expensive
+    // expression work and re-ran in every rank branch.
+    Ranks.groupPercentRank(d, "source", "quality", materialize = true)
       .select(col("doc_id"), col("source"), col("quality"), col("pct_rank"),
         (col("pct_rank") >= CalibCut).cast("int").as("keep"))
       .orderBy(col("doc_id"))
@@ -3895,7 +3897,9 @@ object ExtensionQueries {
         round(Similarity.cosineStatic(col("v"), col("cv"),
           Similarity.norm(col("v"), EmbDim), Similarity.norm(col("cv"), EmbDim),
           EmbDim), 6).as("cos_c"))
-    Ranks.groupPercentRank(scored, "cell_id", "cos_c")
+    // materialize=true (round-21 A/B 1.45x): the scored frame replays
+    // the centroid-scoring join per rank branch without the cut.
+    Ranks.groupPercentRank(scored, "cell_id", "cos_c", materialize = true)
       .select(col("vec_id"), col("cell_id"), col("cos_c"), col("pct_rank"),
         (col("pct_rank") < OutlierCut).cast("int").as("is_outlier"))
       .orderBy(col("vec_id"))
@@ -5175,10 +5179,12 @@ object ExtensionQueries {
         col("weight"), col("n_reps"),
         (col("weight") * col("n_reps")).as("w")), WMixBudget)
       .select(col("weight"), col("n_reps"), col("alloc")))
+    // materialize=true (round-21 A/B: x113 1.17x, x111 1.06x): the hash
+    // column re-ran per rank branch over the repW blocks.
     val ranked = Ranks.groupRowNumber(
       repW.withColumn("hd",
         TextOps.polyHash(concat(lit("wmix#"), col("rep_id").cast("string")))),
-      "weight", "hd", "rep_id")
+      "weight", "hd", "rep_id", materialize = true)
     ranked.join(broadcast(alloc), "weight")
       .select(col("rep_id"), col("weight"), col("row_num").as("pick_rank"),
         (expr("alloc div n_reps") +

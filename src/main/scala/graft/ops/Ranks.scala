@@ -97,8 +97,27 @@ object Ranks {
     * needed, no tie hazard. `value` must be non-null finite (raises
     * otherwise).
     */
+  /** Materialize-input knob shared by both rank ops (round-21, guide
+    * §2.4): the decomposition reads its input from 4-5 separate plan
+    * branches (group stats, histograms, the final join), and broadcast
+    * builds cannot share exchanges, so the caller's value-column
+    * expression work re-runs per branch. `materialize = true` cuts the
+    * input once (widened to core width when the scan is single-split)
+    * and every branch reads blocks. OPT-IN per call site because the
+    * A/B split cleanly by input cost: expensive inputs win big (x64's
+    * quality(text) 1.19x, x89's assignment chain 1.45x, x113 1.17x),
+    * while cheap scan+hash inputs LOSE — their branch recomputes ran
+    * concurrently across AQE stages (wall cost ~1 branch, not 4), and
+    * the eager cut serializes two extra jobs ahead of them (x69 0.75x,
+    * x97 0.73x, x67 0.81x measured WITH an unconditional cut).
+    */
+  private def matIn(df: DataFrame, materialize: Boolean): DataFrame =
+    if (materialize) Checkpoints.cut(graft.util.Width.atLeastCores(df)) else df
+
   def groupPercentRank(
-      df: DataFrame, group: String, value: String): DataFrame = {
+      df0: DataFrame, group: String, value: String,
+      materialize: Boolean = false): DataFrame = {
+    val df = matIn(df0, materialize)
     val stats = df.groupBy(col(group)).agg(
       count(lit(1)).as("_n"),
       min(checked(value, "value")).as("_mn"),
@@ -160,7 +179,9 @@ object Ranks {
     * < 2^53 — every caller's case); null/NaN raises.
     */
   def groupRowNumber(
-      df: DataFrame, group: String, value: String, tie: String): DataFrame = {
+      df0: DataFrame, group: String, value: String, tie: String,
+      materialize: Boolean = false): DataFrame = {
+    val df = matIn(df0, materialize)
     val stats = df.groupBy(col(group)).agg(
       min(checked(value, "value")).as("_mn"),
       max(checked(value, "value")).as("_mx"))
